@@ -1,0 +1,6 @@
+from multi_model_vectorsearch_spark.functions.vector import (  # noqa: F401
+    cosine_similarity,
+    dot,
+    l2_norm,
+    l2_normalize,
+)

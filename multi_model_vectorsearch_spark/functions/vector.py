@@ -1,0 +1,77 @@
+"""Vector math as Catalyst higher-order-function expressions.
+
+Replaces the reference's NumPy/Redis vector path (serialization db.py:21-22,
+cosine KNN db.py:35-39 + main.py:206-221, L2 normalization app.py:14-15) with
+pure SQL expressions over ``ARRAY<FLOAT>`` columns. Everything here runs
+JVM-side inside whole-stage codegen — no Python workers, no serialization of
+vectors to bytes (Parquet stores lists natively).
+
+Determinism contract (SURVEY.md §5.3): all folds promote to DOUBLE and
+accumulate left-to-right per row, which is order-stable, so results are
+bit-reproducible and comparable against a DuckDB oracle after round(., 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(x: Column) -> Column:
+    return x.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns, computed in DOUBLE."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: _as_double(x) * _as_double(y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    """Euclidean norm of a float-array column (DOUBLE)."""
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + _as_double(x) * _as_double(x))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in DOUBLE.
+
+    The reference gets this from Redis as ``1 - vector_score`` (main.py:221);
+    here it is one expression the optimizer can inline anywhere.
+    """
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(v: Column) -> Column:
+    """Unit-normalize a float-array column (reference: app.py:14-15).
+
+    Storing normalized vectors makes cosine == dot — the same trick the
+    reference applies at embed time, kept as an engine convention so the KNN
+    scan can skip the per-row norm at query time.
+    """
+    norm = l2_norm(v)
+    return F.transform(v, lambda x: _as_double(x) / norm)
+
+
+# --- SQL-text forms (for spark.sql pipelines and documentation) -------------
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def l2_norm_sql(v: str) -> str:
+    return (
+        f"sqrt(aggregate({v}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def cosine_similarity_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"

@@ -1,0 +1,157 @@
+"""Semantic-graph operators (SURVEY.md B51-B52, DQ-33..35).
+
+The reference maintains an undirected NetworkX graph whose edges carry
+similarity scores (main.py:258-279) and re-ranks search results by traversing
+it with multiplicative score decay (search.py:5-43). Here the graph is a
+DataFrame of canonicalized edges ``(src < dst, score)`` — appendable,
+partitionable, and joinable at any scale, instead of a whole-graph pickle
+rewritten on every ingest (main.py:278).
+
+Operators:
+
+- edge build with cross-modal boost ``score = max(score, 0.8)`` when endpoint
+  modalities differ (main.py:272-273);
+- 1-hop expansion re-rank: ``new_score = parent * edge * 0.9`` (search.py:28-31),
+  deduped per node keeping the best path, global top-k;
+- node hydrate + edge endpoint filtering (main.py:170-202): semi-joins against
+  the surviving document set.
+
+The generalized expansion expands *all* seeds; the reference's loop quirk
+(search.py:10-14 pops a single node per depth iteration, so depth=1 expands
+only the top-1 seed) is available as ``expand_top1_only`` and covered by t1
+tests. Multi-hop = iterating the 1-hop join with a checkpoint between hops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.operators.vector_ops import (
+    dq29_knn_topk,
+    similarity_scan,
+)
+
+Tables = dict
+
+CROSS_MODAL_FLOOR = 0.8  # main.py:273
+DECAY = 0.9  # search.py:29
+
+
+def dq33_build_edges(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """B51/A18-A19: KNN-graph edge build with cross-modal boost.
+
+    Pairs come from the top-k similarity join (self excluded, as the reference
+    skips ``neighbor == key``, main.py:264-267); edges are canonicalized
+    ``(least, greatest)`` and deduped keeping the max boosted score.
+    """
+    from pyspark.sql import Window
+
+    sims = similarity_scan(t, f"vec_id < {n_queries}", pin_self=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    ranked = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (F.col("vec_id") != F.col("qid")))
+    )
+    boosted = ranked.select(
+        F.least("qid", "vec_id").alias("src"),
+        F.greatest("qid", "vec_id").alias("dst"),
+        F.when(F.col("qm") != F.col("modality"),
+               F.greatest(F.col("s"), F.lit(CROSS_MODAL_FLOOR)))
+        .otherwise(F.col("s"))
+        .alias("score"),
+    )
+    return boosted.groupBy("src", "dst").agg(
+        F.round(F.max("score"), 6).alias("score")
+    )
+
+
+def expand_one_hop(seeds: DataFrame, edges: DataFrame, k: int = 10,
+                   decay: float = DECAY) -> DataFrame:
+    """Generalized 1-hop expansion re-rank over canonicalized edges.
+
+    ``seeds`` is ``(vec_id, s)``; traversal follows both edge directions
+    (edges are stored canonicalized). Dedup keeps the best-scoring path per
+    node (reference keeps first-seen, search.py:6,27 — max is the
+    order-independent, hence distributed-safe, generalization).
+    """
+    fwd = seeds.join(edges, seeds.vec_id == edges.src).select(
+        F.col("dst").alias("id"),
+        F.round(F.col("s") * F.col("score") * decay, 6).alias("score"),
+    )
+    bwd = seeds.join(edges, seeds.vec_id == edges.dst).select(
+        F.col("src").alias("id"),
+        F.round(F.col("s") * F.col("score") * decay, 6).alias("score"),
+    )
+    own = seeds.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
+    return (
+        own.unionAll(fwd).unionAll(bwd)
+        .groupBy("id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def dq34_expand(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """B52/A20: seeds = exact-KNN top-10, expanded 1 hop over DQ-33 edges."""
+    seeds = dq29_knn_topk(t, query_vec_id, k)
+    edges = dq33_build_edges(t)
+    return expand_one_hop(seeds, edges, k)
+
+
+def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Quirk-compatible expansion: only the best seed expands (search.py:10-14).
+
+    At depth=1 the reference pops exactly one node from its priority queue, so
+    only the top-1 KNN result contributes neighbors.
+    """
+    seeds = dq29_knn_topk(t, query_vec_id, k)
+    top1 = seeds.orderBy(F.desc("s"), F.asc("vec_id")).limit(1)
+    edges = dq33_build_edges(t)
+    expanded = expand_one_hop(top1, edges, k=1 << 30)
+    rest = seeds.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
+    return (
+        rest.unionAll(expanded.select("id", "score"))
+        .groupBy("id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def expand_multi_hop(seeds: DataFrame, edges: DataFrame, depth: int,
+                     k: int = 10, decay: float = DECAY) -> DataFrame:
+    """Bounded-depth traversal: iterate the 1-hop join ``depth`` times.
+
+    Each hop re-feeds the frontier; ``localCheckpoint`` truncates lineage so
+    plan size stays constant across hops (iterative-join hygiene at scale).
+    """
+    frontier = seeds
+    for _ in range(depth):
+        frontier = expand_one_hop(frontier, edges, k=1 << 30, decay=decay)
+        frontier = frontier.select(
+            F.col("id").alias("vec_id"), F.col("score").alias("s")
+        ).localCheckpoint(eager=False)
+    return (
+        frontier.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def dq35_hydrate_filter(t: Tables, exclude_label: int = 9) -> DataFrame:
+    """A21/A22: node hydrate + edge endpoint filter via semi-joins.
+
+    Valid nodes are embeddings whose document survives (surrogate: label !=
+    ``exclude_label``, standing in for the reference's drop-if-missing
+    ``data``/``type`` hydrate check, main.py:184-193). Edges survive iff both
+    endpoints do (main.py:195-202).
+    """
+    edges = dq33_build_edges(t)
+    valid = t["embeddings"].filter(F.col("label") != exclude_label).select("vec_id")
+    return (
+        edges.join(F.broadcast(valid), edges.src == valid.vec_id, "left_semi")
+        .join(F.broadcast(valid), edges.dst == valid.vec_id, "left_semi")
+        .select("src", "dst", "score")
+    )

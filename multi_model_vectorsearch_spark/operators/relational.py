@@ -1,0 +1,323 @@
+"""Relational operator surface (SURVEY.md §2.2 B1-B40, declared queries DQ-01..28).
+
+Every builder takes the table dict from ``sources.registry.load_tables`` and
+returns a DataFrame built with the declarative API, so Catalyst plans the
+physical strategy (broadcast vs sort-merge joins, partial aggregation,
+TakeOrderedAndProject top-k, pushed filters, pruned scans).
+
+Determinism (SURVEY.md §5.3): computed columns are explicitly cast/aliased so
+the DuckDB oracle produces an identical schema; money aggregates go through
+DECIMAL(18,2); floats that cross a window are rounded only after order-stable
+per-row computation. Output row order is NOT part of the contract (the
+correctness gate hashes order-insensitively), so builders avoid presentation
+sorts — a global sort that exists only for display would be a pure shuffle tax
+at the 100 TB design point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict
+
+
+# --- scans / projections / filters -----------------------------------------
+
+def dq01_scan_project(t: Tables) -> DataFrame:
+    """B1/B2/B6: pruned parquet scan — reads exactly three columns."""
+    return t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def dq02_filter_battery(t: Tables) -> DataFrame:
+    """B7: comparison, BETWEEN, IN, LIKE as one pushed-down conjunction."""
+    o = t["orders"]
+    return o.filter(
+        o.o_totalprice.between(1000, 5000)
+        & o.o_orderstatus.isin("O", "F")
+        & o.o_orderpriority.like("%URGENT%")
+    ).select("o_orderkey")
+
+
+def dq03_case_expr(t: Tables) -> DataFrame:
+    """B8: CASE WHEN (the reference's self-pin / boost shape, main.py:223,273)."""
+    li = t["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(li.l_discount > 0.05, "HI")
+        .when(li.l_discount > 0.02, "MID")
+        .otherwise("LO")
+        .alias("band"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+def dq04_join_broadcast(t: Tables) -> DataFrame:
+    """B9/B10: 3-way equi-join; dims broadcast (no shuffle of customer)."""
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]),
+              t["nation"].n_regionkey == t["region"].r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+def dq05_left_outer(t: Tables) -> DataFrame:
+    """B11: left outer with null-producing side."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+def dq06_left_semi(t: Tables) -> DataFrame:
+    """B12: semi-join (reference node hydrate shape, main.py:181-193)."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def dq07_left_anti(t: Tables) -> DataFrame:
+    """B13: anti-join — the ingest-dedup shape (main.py:80-81)."""
+    c, o = t["customer"], t["orders"]
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def dq08_range_join(t: Tables) -> DataFrame:
+    """B14: theta/band join on acctbal (±10); small side broadcast."""
+    s, c = t["supplier"], t["customer"]
+    return (
+        F.broadcast(s)
+        .join(c, c.c_acctbal.between(s.s_acctbal - 10, s.s_acctbal + 10))
+        .select("s_suppkey", "c_custkey")
+    )
+
+
+def dq09_asof_join(t: Tables) -> DataFrame:
+    """B16: as-of — each event joined to its latest order at/before ts."""
+    e, o = t["events"], t["orders"]
+    return (
+        e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+        .groupBy("event_id")
+        .agg(F.max("o_orderkey").alias("ok"))
+    )
+
+
+# --- aggregations -----------------------------------------------------------
+
+def dq10_hash_agg(t: Tables) -> DataFrame:
+    """B18/B22: hash agg with map-side partials; DECIMAL for exact sums."""
+    li = t["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(li.l_quantity.cast("decimal(18,2)")).cast("decimal(18,2)").alias("sq"),
+            F.sum(li.l_extendedprice.cast("decimal(18,2)")).cast("decimal(18,2)").alias("sp"),
+            F.count("*").alias("c"),
+        )
+    )
+
+
+def dq11_count_distinct(t: Tables) -> DataFrame:
+    """B19: distinct aggregation."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("u"))
+    )
+
+
+def dq12_rollup(t: Tables) -> DataFrame:
+    """B21: ROLLUP with grouping() disambiguation."""
+    o, c, n = t["orders"], t["customer"], t["nation"]
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            F.count("*").alias("c"),
+            F.grouping("n_name").cast("int").alias("g1"),
+            F.grouping("o_orderstatus").cast("int").alias("g2"),
+        )
+    )
+
+
+def dq13_ordered_collect(t: Tables) -> DataFrame:
+    """B23: deterministic list agg — sort_array(collect_list()), serialized.
+
+    The reference materializes per-node neighbor lists (main.py:264-276); the
+    engine's deterministic equivalent sorts the collected list (collect order
+    is partition-dependent, sorted content is not) and serializes it for the
+    cross-engine hash.
+    """
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys")
+        )
+    )
+
+
+def dq14_conditional_agg(t: Tables) -> DataFrame:
+    """B24: conditional aggregation (modality split counts, main.py:227-242)."""
+    e = t["events"]
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(e.event_type == "purchase", 1).otherwise(0))
+            .cast("bigint").alias("purchases"),
+            F.sum(F.when(e.event_type == "error", 1).otherwise(0))
+            .cast("bigint").alias("errors"),
+        )
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+def dq15_topk_per_group(t: Tables) -> DataFrame:
+    """B25/B31: per-group top-3 — the reference's k//2 quota shape (main.py:248)."""
+    o = t["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey",
+                 F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def dq16_lag(t: Tables) -> DataFrame:
+    """B26: lag over per-user event stream."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t["events"].select(
+        "event_id", F.lag("event_type").over(w).alias("prev")
+    )
+
+
+def dq17_running_sum(t: Tables) -> DataFrame:
+    """B27: explicit-frame running sum (order-stable fold, then round)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["events"].select(
+        "event_id", F.round(F.sum("value").over(w), 2).alias("rs")
+    )
+
+
+def dq18_ntile(t: Tables) -> DataFrame:
+    """B28: ntile quartiles."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey", F.ntile(4).over(w).cast("int").alias("q")
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+def dq19_union(t: Tables) -> DataFrame:
+    """B32: UNION (distinct)."""
+    a = t["orders"].select(F.col("o_custkey").alias("x"))
+    b = t["events"].select(F.col("user_id").alias("x"))
+    return a.union(b).distinct()
+
+
+def dq20_intersect_except(t: Tables) -> DataFrame:
+    """B33/B34: INTERSECT and EXCEPT, tagged and unioned into one result."""
+    a = t["orders"].select(F.col("o_custkey").alias("x"))
+    b = t["events"].select(F.col("user_id").alias("x"))
+    inter = a.intersect(b).withColumn("op", F.lit("intersect"))
+    exc = a.subtract(b).withColumn("op", F.lit("except"))
+    return inter.union(exc)
+
+
+# --- scalar function batteries ----------------------------------------------
+
+def dq21_string_battery(t: Tables) -> DataFrame:
+    """B35: string functions."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("ub"),
+        F.lower("p_type").alias("lt"),
+        F.length("p_name").cast("int").alias("ln"),
+        F.substring("p_name", 1, 5).alias("s5"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("rp"),
+        F.concat_ws(":", "p_brand", "p_name").alias("cc"),
+    )
+
+
+def dq22_datetime_battery(t: Tables) -> DataFrame:
+    """B36: date/time extraction (UTC session)."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+    )
+
+
+def dq23_math_battery(t: Tables) -> DataFrame:
+    """B37: math functions (per-row, rounded at output)."""
+    li = t["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lp"),
+        F.round(F.abs(li.l_discount - 0.05), 6).alias("ad"),
+        (li.l_orderkey % 7).alias("md"),
+    )
+
+
+def dq24_array_battery(t: Tables) -> DataFrame:
+    """B38: array higher-order functions over embeddings."""
+    e = t["embeddings"]
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double")),
+            6,
+        ).alias("s"),
+    )
+
+
+def dq25_json_extract(t: Tables) -> DataFrame:
+    """B39/B40: JSON extraction from events.props."""
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def dq26_tokenize_explode(t: Tables) -> DataFrame:
+    """B55/B58: tokenize + explode (UDTF shape) + token stats."""
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tok").alias("n_uniq"),
+    )
+
+
+def dq27_sha256(t: Tables) -> DataFrame:
+    """B53/A4: SHA-256 content identity (main.py:282-287)."""
+    return t["documents"].select("doc_id", F.sha2("text", 256).alias("h"))
+
+
+def dq28_dedup_by_hash(t: Tables) -> DataFrame:
+    """B53/A5: exact dedup by content hash — keeper + duplicate count."""
+    hashed = t["documents"].select("doc_id", F.sha2("text", 256).alias("h"))
+    return hashed.groupBy("h").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("dups")
+    )

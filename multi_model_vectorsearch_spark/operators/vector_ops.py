@@ -1,0 +1,109 @@
+"""Vector search operators (SURVEY.md B47-B50, DQ-29..32).
+
+Spark-native re-expression of the reference's KNN path:
+
+- RediSearch FLAT index KNN (db.py:35-39, main.py:206-215) is an exact
+  brute-force cosine scan — on Spark that is a corpus scan + top-k, planned by
+  Catalyst as ``TakeOrderedAndProject`` (no global sort materialized).
+- The reference over-fetches k*6 then re-ranks client-side (main.py:209);
+  declarative top-k makes the over-fetch unnecessary.
+- Self-match pinning ``sim = 1.0`` (main.py:223-224) is a CASE expression.
+- Modality balancing (main.py:227-253): same/cross-modality quotas of k//2
+  via per-partition window ranks, then a global top-k.
+
+Scale notes (100 TB design point): the query set is always the broadcast side
+of the cross join — the corpus is never shuffled, never collected, and each
+partition emits only its local top-k candidates before the final take-ordered
+merge on the driver. Similarities are rounded to 6 places *before* ranking so
+rank order is reproducible across engines (ties break on vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
+
+Tables = dict
+
+
+def _pinned_sim(vec_id: Column, qid: Column, emb: Column, qv: Column) -> Column:
+    """Cosine similarity with the reference's self-match pin (main.py:223-224)."""
+    return F.round(
+        F.when(vec_id == qid, F.lit(1.0)).otherwise(cosine_similarity(emb, qv)), 6
+    )
+
+
+def similarity_scan(t: Tables, query_pred: str, pin_self: bool = True) -> DataFrame:
+    """Corpus × queries similarity table: (qid, qm, vec_id, modality, s).
+
+    ``query_pred`` is a SQL predicate selecting query rows from embeddings.
+    The query side is broadcast; the corpus side streams.
+    """
+    e = t["embeddings"]
+    q = (
+        e.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("modality").alias("qm"),
+        )
+    )
+    joined = e.crossJoin(F.broadcast(q))
+    if pin_self:
+        s = _pinned_sim(F.col("vec_id"), F.col("qid"), F.col("embedding"), F.col("qv"))
+    else:
+        s = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+    return joined.select("qid", "qm", "vec_id", "modality", s.alias("s"))
+
+
+def dq29_knn_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """B47/A9/A12: exact KNN for one query — scan + TakeOrderedAndProject."""
+    sims = similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
+    return (
+        sims.select("vec_id", "s")
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def dq31_knn_join(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """B49: KNN similarity join — top-k corpus rows per query, self pinned."""
+    sims = similarity_scan(t, f"vec_id < {n_queries}", pin_self=True)
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "rnk", "vec_id", "s")
+    )
+
+
+def dq30_l2_normalize(t: Tables) -> DataFrame:
+    """B48/A3: unit-normalization — the norm of the normalized vector is 1."""
+    from multi_model_vectorsearch_spark.functions.vector import l2_norm, l2_normalize
+
+    e = t["embeddings"]
+    return e.select(
+        "vec_id", F.round(l2_norm(l2_normalize(F.col("embedding"))), 6).alias("one")
+    )
+
+
+def dq32_modality_balanced_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """B50/A14-A17: modality-balanced top-k — k//2 same-modality, k//2 cross.
+
+    Reference: split (main.py:227-242), per-split sort (245-246), quota k//2
+    (248-249), union + global re-sort + truncate (251-253).
+    """
+    sims = similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=True)
+    flagged = sims.withColumn(
+        "same_mod", (F.col("modality") == F.col("qm")).cast("int")
+    )
+    w = Window.partitionBy("same_mod").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        flagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k // 2)
+        .select("vec_id", "s", "same_mod")
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )

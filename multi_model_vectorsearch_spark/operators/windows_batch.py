@@ -1,0 +1,53 @@
+"""Time-window aggregations over events (SURVEY.md B41-B43, DQ-36..38).
+
+These are the *batch* forms of the streaming windows in
+``streaming/windows.py`` — same ``window()`` / ``session_window()``
+expressions, so the streaming jobs are verified by batch equivalence
+(SURVEY.md §5.4): replaying ``events`` through ``readStream`` must produce
+exactly these results.
+
+Window starts are exposed as epoch seconds (tumbling/sliding) or epoch micros
+(session) so the DuckDB oracle can reproduce them with integer bucket math.
+Money-ish sums go through DECIMAL(18,2) (order-independent exactness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Tables = dict
+
+
+def _agg_cols(df):
+    return [
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sv"),
+    ]
+
+
+def dq36_tumbling(t: Tables) -> DataFrame:
+    """B41: tumbling 1-hour window aggregation."""
+    e = t["events"]
+    g = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+    return g.agg(*_agg_cols(e)).select(
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+    )
+
+
+def dq37_sliding(t: Tables) -> DataFrame:
+    """B42: sliding 1-hour window, 30-minute slide (each event in 2 windows)."""
+    e = t["events"]
+    g = e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+    return g.agg(*_agg_cols(e)).select(
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+    )
+
+
+def dq38_session(t: Tables) -> DataFrame:
+    """B43: session windows with a 30-minute gap, per user."""
+    e = t["events"]
+    g = e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+    return g.agg(*_agg_cols(e)).select(
+        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv"
+    )

@@ -1,0 +1,71 @@
+"""SparkSession factory with the engine's required configuration.
+
+The engine pins a deterministic, scale-ready configuration:
+
+- UTC session timezone (determinism rule, SURVEY.md §5.3).
+- AQE on: runtime re-planning, skew-join splitting, shuffle coalescing —
+  the 100 TB design point relies on it.
+- Arrow on: vectorized Python interchange for the pandas-UDF embedding surface.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the driver testdata's
+  ``events.parquet`` carries TIMESTAMP(NANOS), which Spark 4.x otherwise
+  rejects (PARQUET_TYPE_ILLEGAL). The sources registry re-exposes the column
+  as a microsecond timestamp (see sources/registry.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to any session handed to the engine
+# (including a driver-created one we did not build ourselves).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Broadcast threshold: dims (region/nation/supplier/part) stay broadcast
+    # even at sf0.1; on a real cluster this is a per-job knob.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent)."""
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be fixed at session build time in exotic deployments;
+            # the engine still works, just without that knob.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "multi_model_vectorsearch_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine configuration.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
+    local runs; on a cluster, leave it to spark-submit.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs a declared query on the engine (Spark) and its oracle (DuckDB) over the
+same parquet tables and compares row count + canonicalized value multisets
+order-insensitively — the same contract CORRECTNESS_r{N}.json records.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from multi_model_vectorsearch_spark.sources.registry import TABLES
+
+
+def _canon_value(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (_decimal.Decimal,)):
+        return f"{v:f}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 12 significant digits: engines agree to >=1e-12 on declared floats,
+        # and declared queries round outputs anyway.
+        return f"{v:.12g}"
+    if isinstance(v, _dt.datetime):
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int
+    oracle_rows: int
+    detail: str = ""
+
+
+def duckdb_connect(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def compare(name: str, spark_df: DataFrame, oracle: str | None, sf_dir: str,
+            con=None) -> CompareResult:
+    srows = spark_df.collect()
+    scols = spark_df.columns
+    s = canon_rows(scols, [tuple(r) for r in srows])
+    if oracle is None:
+        return CompareResult(name, True, len(s), -1, "rows-only (no oracle)")
+    own_con = con is None
+    if own_con:
+        con = duckdb_connect(sf_dir)
+    try:
+        res = con.execute(oracle)
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    finally:
+        if own_con:
+            con.close()
+    o = canon_rows(ocols, orows)
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+        return CompareResult(name, False, len(s), len(o),
+                             f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(s) != len(o):
+        return CompareResult(name, False, len(s), len(o), "row count mismatch")
+    if s != o:
+        diff = next((i, a, b) for i, (a, b) in enumerate(zip(s, o)) if a != b)
+        return CompareResult(name, False, len(s), len(o),
+                             f"value mismatch at sorted-row {diff[0]}: spark={diff[1]} oracle={diff[2]}")
+    return CompareResult(name, True, len(s), len(o))

@@ -1,0 +1,42 @@
+"""t2 correctness: every declared query hash-matches the DuckDB oracle.
+
+This replicates the driver's gate at sf0.001 (fast); the driver itself runs
+sf0.01. Run the sf0.01 replica manually with
+``python scripts/check_correctness.py /root/testdata/sf0.01``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from multi_model_vectorsearch_spark import dq
+from multi_model_vectorsearch_spark.testing import compare, duckdb_connect
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb_connect(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("entry", dq.registry(), ids=lambda e: e.name)
+def test_dq_matches_oracle(entry, tables, oracle_con):
+    res = compare(entry.name, entry.builder(tables), entry.oracle, SF_SMOKE,
+                  oracle_con)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0 or entry.name in {"dq07_left_anti"}, (
+        "declared query returned no rows — not exercising the operator"
+    )
+
+
+def test_registry_names_unique():
+    names = [e.name for e in dq.registry()]
+    assert len(names) == len(set(names))
+
+
+def test_every_query_has_oracle_or_note():
+    for e in dq.registry():
+        assert e.oracle is not None or e.note, e.name

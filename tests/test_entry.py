@@ -1,0 +1,38 @@
+"""Driver-contract smoke: entry(), queries(), oracle_sql() are consistent."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _entry_module():
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("__spark_entry__")
+
+
+def test_entry_runs(spark):
+    mod = _entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"id", "score"}
+
+
+def test_queries_and_oracles_align(spark):
+    mod = _entry_module()
+    qs = mod.queries()
+    os_ = mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every declared operator family present
+    for prefix in ["dq01", "dq10", "dq15", "dq29", "dq31", "dq33", "dq34", "dq36"]:
+        assert any(k.startswith(prefix) for k in qs), prefix
+
+
+def test_queries_run_at_smoke_sf(spark):
+    mod = _entry_module()
+    qs = mod.queries()
+    # spot-check a few heavy hitters execute through the public surface
+    for name in ["dq29_knn_topk", "dq34_expand", "dq38_session"]:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        assert df.count() > 0
