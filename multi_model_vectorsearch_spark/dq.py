@@ -24,8 +24,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from multi_model_vectorsearch_spark.operators import ann as N
+from multi_model_vectorsearch_spark.operators import embed as E
 from multi_model_vectorsearch_spark.operators import graph as G
 from multi_model_vectorsearch_spark.operators import relational as R
+from multi_model_vectorsearch_spark.operators import textpipe as T
 from multi_model_vectorsearch_spark.operators import vector_ops as V
 from multi_model_vectorsearch_spark.operators import windows_batch as W
 from multi_model_vectorsearch_spark.sources.registry import load_tables
@@ -70,6 +73,43 @@ _EDGES_CTE = (
     "edges AS (SELECT least(qid, vec_id) AS src, greatest(qid, vec_id) AS dst, "
     "round(max(CASE WHEN qm <> em THEN greatest(s, 0.8) ELSE s END), 6) AS score "
     "FROM pairs GROUP BY src, dst)"
+)
+
+
+# --- DuckDB oracle fragments for the text-pipeline suite --------------------
+
+# word 3-gram shingles, distinct per doc (mirrors textpipe._shingles)
+_SH_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
+    "SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle "
+    "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d) s)"
+)
+
+_SIG_CTE = (
+    _SH_CTE + ", "
+    "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
+    "sig AS (SELECT doc_id, seed, "
+    "min(sha256(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh "
+    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)"
+)
+
+# value of the first 8 hex chars of column h (hash_embed fold, exact in DOUBLE)
+_HEXFOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {c}, 1)) - 1) * {16 ** (8 - c)}"
+    for c in range(1, 9)
+)
+
+# hash_embed pseudo-embeddings per (doc_id, p), normalized
+_EMB_CTE = (
+    "pos AS (SELECT CAST(range AS INT) AS p FROM range(0, 16)), "
+    "hx AS (SELECT doc_id, p, sha256(text || ':' || CAST(p AS VARCHAR)) AS h "
+    "FROM documents CROSS JOIN pos), "
+    "v AS (SELECT doc_id, p, ((" + _HEXFOLD + ") / 4294967296.0) * 2 - 1 AS vj "
+    "FROM hx), "
+    "norms AS (SELECT doc_id, sqrt(sum(vj*vj)) AS nrm FROM v GROUP BY doc_id), "
+    "nv AS (SELECT v.doc_id, p, vj / nrm AS x FROM v JOIN norms n "
+    "ON v.doc_id = n.doc_id)"
 )
 
 
@@ -251,6 +291,104 @@ _REGISTRY: list[DQ] = [
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
        "FROM sess GROUP BY user_id, sid"),
+    # --- LLM training-data pipeline suite (B53-B56 extensions) --------------
+    DQ("dq40_minhash_signatures", T.dq40_minhash_signatures,
+       "WITH " + _SIG_CTE + " SELECT doc_id, seed, mh FROM sig"),
+    DQ("dq41_minhash_lsh_pairs", T.dq41_minhash_lsh_pairs,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2) "
+       "SELECT d1, d2, matches, round(matches / 8.0, 6) AS est_j FROM p "
+       "WHERE matches >= 2"),
+    DQ("dq42_ngram_jaccard_topk", T.dq42_ngram_jaccard_topk,
+       "WITH " + _SH_CTE + ", "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2) "
+       "SELECT d1, d2, round(i / (sa.n + sb.n - i), 6) AS j "
+       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+       "JOIN sizes sb ON sb.doc_id = d2 "
+       "ORDER BY j DESC, d1, d2 LIMIT 20"),
+    DQ("dq43_simhash", T.dq43_simhash,
+       "WITH toks AS (SELECT DISTINCT doc_id, tok FROM "
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
+       "hv AS (SELECT doc_id, "
+       "((strpos('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096 + "
+       "(strpos('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256 + "
+       "(strpos('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16 + "
+       "(strpos('0123456789abcdef', substr(h4, 4, 1)) - 1)) AS thv FROM "
+       "(SELECT doc_id, substr(sha256(tok), 1, 4) AS h4 FROM toks) t2), "
+       "bits AS (SELECT doc_id, p, "
+       "CAST(CAST(floor(thv / pow(2, 15 - p)) AS BIGINT) % 2 AS INT) AS bit "
+       "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 16)) pos), "
+       "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
+       "GROUP BY doc_id, p) "
+       "SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN "
+       "CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
+       "FROM votes GROUP BY doc_id"),
+    DQ("dq44_langid", T.dq44_langid,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "hits AS (SELECT doc_id, lang, count(*) AS n_hits FROM toks "
+       "JOIN " + T.stopwords_values_sql() + " ON tok = w "
+       "GROUP BY doc_id, lang), "
+       "best AS (SELECT doc_id, lang AS pred, n_hits, row_number() OVER "
+       "(PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn FROM hits) "
+       "SELECT d.doc_id, coalesce(b.pred, 'unknown') AS pred, "
+       "CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits "
+       "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+       "ON d.doc_id = b.doc_id"),
+    DQ("dq45_quality", T.dq45_quality,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "stats AS (SELECT doc_id, count(*) AS n_tok, "
+       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
+       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
+       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
+       "q AS (SELECT d.doc_id, n_tok, "
+       "round(tok_chars / n_tok, 6) AS avg_len, "
+       "round(sw_hits / n_tok, 6) AS sw_ratio, "
+       "round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 6) "
+       "AS alpha_ratio FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
+       "SELECT doc_id, n_tok, avg_len, sw_ratio, alpha_ratio, "
+       "round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * sw_ratio "
+       "+ 0.3 * least(avg_len / 8.0, 1.0), 6) AS score FROM q"),
+    DQ("dq46_cosine_neardup_topk", N.dq46_cosine_neardup_topk,
+       "SELECT a.vec_id AS v1, b.vec_id AS v2, "
+       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+       "CAST(b.embedding AS DOUBLE[])), 6) AS s "
+       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+       "ORDER BY s DESC, v1, v2 LIMIT 20"),
+    DQ("dq47_ivf_knn", N.dq47_ivf_knn,
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
+       "q AS (SELECT embedding AS qv, cid AS qcid FROM assigned WHERE vec_id = 0), "
+       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
+       "JOIN q ON a.cid = q.qcid) "
+       "SELECT cand.vec_id, round(list_cosine_similarity("
+       "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) AS s "
+       "FROM cand CROSS JOIN q q2 ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq48_embed_stub", E.dq48_embed_stub,
+       "WITH " + _EMB_CTE + ", "
+       "e1s AS (SELECT doc_id, round(x, 6) AS e1 FROM nv WHERE p = 0), "
+       "ones AS (SELECT doc_id, round(sqrt(sum(x*x)), 6) AS one FROM nv "
+       "GROUP BY doc_id) "
+       "SELECT e1s.doc_id, CAST(16 AS INT) AS dim, e1s.e1, ones.one "
+       "FROM e1s JOIN ones ON e1s.doc_id = ones.doc_id"),
+    DQ("dq49_embed_knn", E.dq49_embed_knn,
+       "WITH " + _EMB_CTE + ", "
+       "q AS (SELECT p, x AS qx FROM nv WHERE doc_id = 0), "
+       "cos AS (SELECT nv.doc_id, round(sum(nv.x * q.qx), 6) AS s "
+       "FROM nv JOIN q ON nv.p = q.p GROUP BY nv.doc_id) "
+       "SELECT doc_id, s FROM cos ORDER BY s DESC, doc_id LIMIT 10"),
 ]
 
 

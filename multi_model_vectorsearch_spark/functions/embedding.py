@@ -1,0 +1,89 @@
+"""Embedding inference surface (SURVEY.md B56, reference A1-A2).
+
+The reference embeds via an HTTP microservice (vec.py:29-37 → Flask app.py:
+22-40 running CLIP ViT-B/16, L2-normalized 512-d float32). The Spark-native
+replacement is a scalar-iterator pandas UDF: the model loads once per Python
+worker (the iterator pattern amortizes it, like the Flask process did), rows
+arrive as Arrow batches, and the UDF returns ``array<double>`` columns — the
+HTTP hop becomes an in-plan exchange.
+
+Two backends:
+
+- ``hash_embed_udf`` — a deterministic stand-in model (sha256-driven pseudo
+  embeddings, L2-normalized). It exercises the *entire* Spark surface
+  (Arrow batching, iterator lifecycle, array columns, downstream KNN) and is
+  reproducible in SQL, so even the UDF path is oracle-checkable.
+- ``clip_embed_udf`` — the production CLIP path, gated behind an import-try
+  (torch/transformers are not in this container). Same signature, same
+  downstream plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+HASH_DIM = 16
+CLIP_DIM = 512  # reference: main.py:25, app.py:10
+
+
+def hash_embed_text(text: str, dim: int = HASH_DIM) -> list[float]:
+    """Deterministic pseudo-embedding: dim sha256 draws in [-1, 1), unit norm."""
+    vals = []
+    for j in range(dim):
+        h = hashlib.sha256(f"{text}:{j}".encode()).hexdigest()
+        vals.append(int(h[:8], 16) / 2.0**32 * 2.0 - 1.0)
+    norm = math.sqrt(math.fsum(v * v for v in vals))
+    return [v / norm for v in vals]
+
+
+# DataType instance (not DDL string): decorating at import time must not
+# require an active SparkSession.
+@pandas_udf(ArrayType(DoubleType()))
+def hash_embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Scalar-iterator pandas UDF over text (stand-in model load goes here)."""
+    # model initialization would happen once, here, before the loop
+    for series in batches:
+        yield series.map(lambda s: hash_embed_text(s if s is not None else ""))
+
+
+def clip_embed_udf():
+    """Production CLIP text/image embedder (same plan shape as the stub).
+
+    Returns a pandas UDF if torch+transformers are importable; raises
+    NotImplementedError in minimal containers. The model is loaded once per
+    worker inside the iterator (reference keeps it resident in the Flask
+    process, app.py:9-11).
+    """
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env without ML stack
+        raise NotImplementedError(
+            "CLIP backend needs torch+transformers; use hash_embed_udf for "
+            "plumbing tests"
+        ) from exc
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _clip(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:  # pragma: no cover
+        from transformers import CLIPModel, CLIPProcessor
+
+        model = CLIPModel.from_pretrained("openai/clip-vit-base-patch16")
+        proc = CLIPProcessor.from_pretrained("openai/clip-vit-base-patch16")
+        model.eval()
+        for series in batches:
+            import torch
+
+            with torch.no_grad():
+                inputs = proc(text=series.tolist(), return_tensors="pt",
+                              padding=True, truncation=True)
+                feats = model.get_text_features(**inputs)
+                feats = torch.nn.functional.normalize(feats, p=2, dim=-1)
+            yield pd.Series(list(feats.numpy().astype(float)))
+
+    return _clip

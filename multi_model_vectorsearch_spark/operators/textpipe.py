@@ -1,0 +1,246 @@
+"""Text-analysis / dedup operators for LLM training-data pipelines.
+
+North-star extensions (SURVEY.md §2.2 B53-B55): the reference dedups only by
+exact SHA-256 (main.py:78-81); a 100 TB corpus pipeline also needs near-dup
+detection and text quality signals. Everything here is expressed with
+built-in functions (split/explode/higher-order/sha2/window) so it scales as
+ordinary shuffles — no Python in the data path.
+
+Determinism: hash families are built from sha2 (stable across engines and
+runs, unlike ``xxhash``-based ``F.hash``), so even the MinHash/LSH operators
+are exactly reproducible by the DuckDB oracle — approximation without
+nondeterminism.
+
+Shingling: word 3-grams over whitespace tokens, deduplicated per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict
+
+N_MINHASH = 8  # permutations in the MinHash family
+SHINGLE_W = 3  # words per shingle
+
+
+def _shingles(t: Tables) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs; word 3-grams."""
+    d = t["documents"]
+    toks = F.split("text", " ")
+    idx = F.when(
+        F.size(toks) >= SHINGLE_W,
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def dq40_minhash_signatures(t: Tables) -> DataFrame:
+    """B54: MinHash signatures — min over sha2(seed || ':' || shingle).
+
+    One row per (doc_id, seed); the per-seed minimum of a stable hash over
+    the shingle set is a classic permutation surrogate. Map-side partial
+    min aggregation keeps the shuffle tiny at scale.
+    """
+    sh = _shingles(t)
+    seeds = sh.sparkSession.range(N_MINHASH).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    hashed = sh.crossJoin(F.broadcast(seeds)).select(
+        "doc_id",
+        "seed",
+        F.sha2(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")),
+               256).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+
+
+def dq41_minhash_lsh_pairs(t: Tables, min_matches: int = 2) -> DataFrame:
+    """B54: LSH candidate pairs — docs sharing ≥min_matches signature rows.
+
+    Band size 1: the self-join key is (seed, mh), so only signature
+    collisions meet — never the full doc×doc square. est_j = matches/8
+    estimates Jaccard similarity.
+    """
+    sig = dq40_minhash_signatures(t)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.seed") == F.col("b.seed"))
+               & (F.col("a.mh") == F.col("b.mh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("matches"))
+        .filter(F.col("matches") >= min_matches)
+    )
+    return pairs.select(
+        "d1", "d2", "matches",
+        F.round(F.col("matches") / F.lit(float(N_MINHASH)), 6).alias("est_j"),
+    )
+
+
+def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
+    """B54: exact n-gram Jaccard — top-k most similar pairs.
+
+    Inverted-index join on shingles (pairs must share ≥1 shingle), then
+    |A∩B| / (|A| + |B| − |A∩B|). The candidate join, not a doc×doc cross
+    product, is what survives at corpus scale.
+    """
+    sh = _shingles(t)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "d1").join(sb, "d2")
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+            .alias("j"),
+        )
+    )
+    return j.orderBy(F.desc("j"), F.asc("d1"), F.asc("d2")).limit(k)
+
+
+def dq43_simhash(t: Tables) -> DataFrame:
+    """B54: 16-bit SimHash over the distinct token set.
+
+    Each token votes ±1 on 16 bit positions taken from the first 4 hex chars
+    of sha2(token); the signature bit is the vote sign. Near-dup docs differ
+    in few bits (compare with hamming distance downstream).
+    """
+    d = t["documents"]
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn(
+            "thv",
+            F.conv(F.substring(F.sha2("tok", 256), 1, 4), 16, 10).cast("bigint"),
+        )
+    )
+    pos = toks.sparkSession.range(16).select(F.col("id").cast("int").alias("p"))
+    bits = toks.crossJoin(F.broadcast(pos)).select(
+        "doc_id",
+        "p",
+        (
+            F.floor(F.col("thv") / F.pow(F.lit(2), 15 - F.col("p"))).cast("bigint")
+            % 2
+        ).cast("int").alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "p").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.pow(F.lit(2), 15 - F.col("p")).cast("bigint"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("simhash")
+    )
+
+
+#: Tiny per-language stopword lexicons for the n-gram language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+}
+
+
+def _stopword_df(spark):
+    rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
+    return spark.createDataFrame(rows, "lang string, w string")
+
+
+def stopwords_values_sql() -> str:
+    """The same lexicon as a SQL VALUES list (for the DuckDB oracle)."""
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"(VALUES {rows}) AS sw(lang, w)"
+
+
+def dq44_langid(t: Tables) -> DataFrame:
+    """Language-ID heuristic: argmax of stopword hits per language.
+
+    Docs with zero hits in every lexicon predict 'unknown'. Ties break on
+    language code ascending (deterministic).
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    sw = _stopword_df(d.sparkSession)
+    hits = (
+        toks.join(F.broadcast(sw), toks.tok == sw.w)
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "n_hits")
+    )
+    return (
+        d.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred", F.lit("unknown")).alias("pred"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )
+
+
+def dq45_quality(t: Tables) -> DataFrame:
+    """Text quality scoring: token stats + character-class + stopword ratios.
+
+    score = 0.4·min(n_tok/100, 1) + 0.3·stopword_ratio + 0.3·min(avg_len/8, 1)
+    — the standard cheap pre-filter shape for pretraining corpora.
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    en = [w for w in STOPWORDS["en"]]
+    stats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.sum(F.length("tok")).cast("bigint").alias("tok_chars"),
+        F.sum(F.when(F.col("tok").isin(en), 1).otherwise(0))
+        .cast("bigint").alias("sw_hits"),
+    )
+    q = d.join(stats, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.round(F.col("tok_chars") / F.col("n_tok"), 6).alias("avg_len"),
+        F.round(F.col("sw_hits") / F.col("n_tok"), 6).alias("sw_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text"), 6
+        ).alias("alpha_ratio"),
+    )
+    return q.withColumn(
+        "score",
+        F.round(
+            0.4 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
+            + 0.3 * F.col("sw_ratio")
+            + 0.3 * F.least(F.col("avg_len") / 8.0, F.lit(1.0)),
+            6,
+        ),
+    )
