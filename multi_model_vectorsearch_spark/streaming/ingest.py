@@ -1,0 +1,152 @@
+"""Incremental ingest: the reference's `/submit` pipeline as foreachBatch.
+
+Reference lifecycle per submission (main.py:48-87): embed → content-hash →
+dedup (skip if key exists, main.py:80-81) → store (db.py:9-19) → KNN top-10
+neighbors (main.py:84) → graph edge upsert with cross-modal boost
+(main.py:258-279). Here a micro-batch of documents flows through the same
+stages declaratively:
+
+1. embed: scalar-iterator pandas UDF (Arrow batches);
+2. identity: ``sha2(text, 256)``;
+3. dedup: left-anti join against the corpus *and* within-batch
+   dropDuplicates (the reference gets both for free from point-at-a-time);
+4. upsert: parquet append (Delta MERGE in production — same call site);
+5. KNN: broadcast the (small) fresh batch against the corpus scan;
+6. edges: canonicalized append with the max(score, 0.8) cross-modal floor.
+
+State lives in two append-only parquet dirs (corpus/, edges/) — the
+Spark-native replacement for the Redis hash store + whole-graph pickle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.functions.embedding import hash_embed_udf
+from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
+from multi_model_vectorsearch_spark.operators.graph import CROSS_MODAL_FLOOR
+
+CORPUS_SCHEMA = (
+    "doc_id bigint, content_sha256 string, modality string, "
+    "embedding array<double>"
+)
+EDGE_SCHEMA = "src bigint, dst bigint, score double"
+
+
+class IngestPipeline:
+    """Stateful `/submit` pipeline over parquet-backed corpus + edge stores."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, k: int = 10):
+        self.spark = spark
+        self.corpus_dir = os.path.join(state_dir, "corpus")
+        self.edges_dir = os.path.join(state_dir, "edges")
+        self.k = k
+
+    def corpus(self) -> DataFrame:
+        if os.path.isdir(self.corpus_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.corpus_dir)
+        ):
+            return self.spark.read.schema(CORPUS_SCHEMA).parquet(self.corpus_dir)
+        return self.spark.createDataFrame([], CORPUS_SCHEMA)
+
+    def edges(self) -> DataFrame:
+        if os.path.isdir(self.edges_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.edges_dir)
+        ):
+            return self.spark.read.schema(EDGE_SCHEMA).parquet(self.edges_dir)
+        return self.spark.createDataFrame([], EDGE_SCHEMA)
+
+    # --- the foreachBatch body ---------------------------------------------
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """batch: (doc_id bigint, text string, modality string)."""
+        embedded = (
+            batch.dropDuplicates(["doc_id"])
+            .withColumn("content_sha256", F.sha2("text", 256))
+            .dropDuplicates(["content_sha256"])  # within-batch dedup
+            .withColumn("embedding", hash_embed_udf("text"))
+            .select("doc_id", "content_sha256", "modality", "embedding")
+        )
+        corpus = self.corpus()
+        fresh = embedded.join(
+            corpus.select("content_sha256"), "content_sha256", "left_anti"
+        )
+        # cache: fresh is reused for append, KNN, and edge build
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+        fresh.write.mode("append").parquet(self.corpus_dir)
+
+        neighbors = self.knn_against_corpus(fresh)
+        edges = self.build_edges(neighbors)
+        if not edges.isEmpty():
+            edges.write.mode("append").parquet(self.edges_dir)
+
+    def knn_against_corpus(self, fresh: DataFrame) -> DataFrame:
+        """Top-k corpus neighbors per fresh doc (fresh side broadcast)."""
+        corpus = self.corpus()  # includes the batch just appended
+        q = fresh.select(
+            F.col("doc_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("modality").alias("qm"),
+        )
+        sims = corpus.crossJoin(F.broadcast(q)).select(
+            "qid", "qm", "doc_id", "modality",
+            F.round(
+                F.when(F.col("doc_id") == F.col("qid"), 1.0)
+                .otherwise(cosine_similarity(F.col("embedding"), F.col("qv"))),
+                6,
+            ).alias("s"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        return sims.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= self.k
+        )
+
+    def build_edges(self, neighbors: DataFrame) -> DataFrame:
+        """Canonical edges with the cross-modal floor (main.py:272-276)."""
+        pairs = neighbors.filter(F.col("doc_id") != F.col("qid"))
+        boosted = pairs.select(
+            F.least("qid", "doc_id").alias("src"),
+            F.greatest("qid", "doc_id").alias("dst"),
+            F.when(F.col("qm") != F.col("modality"),
+                   F.greatest(F.col("s"), F.lit(CROSS_MODAL_FLOOR)))
+            .otherwise(F.col("s"))
+            .alias("score"),
+        )
+        return boosted.groupBy("src", "dst").agg(F.max("score").alias("score"))
+
+    # --- stream wiring ------------------------------------------------------
+
+    def run_stream(self, doc_stream: DataFrame, checkpoint_dir: str):
+        """Attach the pipeline to a document stream via foreachBatch."""
+        q = (
+            doc_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    def search(self, text: str, k: int | None = None) -> DataFrame:
+        """`/search` analog: embed the query text, KNN + 1-hop expansion."""
+        from multi_model_vectorsearch_spark.operators.graph import (
+            DECAY,
+            expand_one_hop,
+        )
+
+        k = k or self.k
+        qdf = self.spark.createDataFrame([(int(-1), text, "text")],
+                                         "doc_id bigint, text string, modality string")
+        q = qdf.select(hash_embed_udf("text").alias("qv"))
+        corpus = self.corpus()
+        sims = corpus.crossJoin(F.broadcast(q)).select(
+            F.col("doc_id").alias("vec_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        )
+        seeds = sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+        return expand_one_hop(seeds, self.edges(), k=k, decay=DECAY)

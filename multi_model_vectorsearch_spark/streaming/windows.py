@@ -1,0 +1,96 @@
+"""Structured Streaming window jobs (SURVEY.md B41-B45).
+
+The reference's only notion of a stream is point-at-a-time `/submit` ingest
+(main.py:48-87). The engine generalizes to real streams: the same window
+expressions as the batch operators (operators/windows_batch.py), run over
+``readStream`` — so every streaming job is verified by *batch equivalence*
+(SURVEY.md §5.4): replaying the events table through the stream must produce
+exactly the batch result.
+
+The file-replay source splits events into N parquet files consumed one per
+micro-batch (``maxFilesPerTrigger=1``) — a deterministic stand-in for
+Kafka/Kinesis with identical plan shapes downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.sources.registry import load_tables
+
+
+def write_replay_dir(spark: SparkSession, sf_dir: str, replay_dir: str,
+                     n_files: int = 8) -> None:
+    """Materialize events as N files for micro-batch replay."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.repartition(n_files).write.mode("overwrite").parquet(replay_dir)
+
+
+def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """File-source stream: one file per trigger → N micro-batches."""
+    schema = spark.read.parquet(replay_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def _agg(df_grouped):
+    return df_grouped.agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sv"),
+    )
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    """B41: streaming tumbling 1h window (same expr as batch dq36)."""
+    g = _agg(events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type"))
+    return g.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+    )
+
+
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """B42: streaming sliding 1h/30m window (same expr as batch dq37)."""
+    g = _agg(
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                       "event_type")
+    )
+    return g.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+    )
+
+
+def session_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B43/B44: streaming session windows (30m gap) with a watermark.
+
+    The watermark bounds state: sessions older than max(event time) − delay
+    are finalized and evicted — the knob that keeps state finite at 100 TB/day.
+    """
+    g = _agg(
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+    )
+    return g.select(
+        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv"
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B45: stateful streaming dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, table: str, mode: str = "complete"):
+    """Drain a finite replay stream into an in-memory sink; returns the query."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(table)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,123 @@
+"""Streaming verification: batch equivalence + ingest pipeline semantics.
+
+SURVEY.md §5.4: a streaming window job replaying the events table must equal
+the declared batch SQL; the foreachBatch ingest pipeline must reproduce the
+reference's /submit semantics (dedup, KNN, boosted edges) incrementally.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.operators import windows_batch as W
+from multi_model_vectorsearch_spark.streaming import windows as SW
+from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+from multi_model_vectorsearch_spark.testing import canon_rows
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replay(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_replay"))
+    SW.write_replay_dir(spark, SF_SMOKE, d, n_files=6)
+    return d
+
+
+def _rows(df):
+    return canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def _stream_equals_batch(spark, replay, stream_fn, batch_df, name, mode="complete"):
+    stream = stream_fn(SW.read_event_stream(spark, replay))
+    SW.run_to_memory(stream, name, mode=mode)
+    got = spark.table(name)
+    assert _rows(got) == _rows(batch_df), f"{name}: stream != batch"
+
+
+def test_tumbling_batch_equivalence(spark, tables, replay):
+    _stream_equals_batch(spark, replay, SW.tumbling_stream,
+                         W.dq36_tumbling(tables), "t_tumbling")
+
+
+def test_sliding_batch_equivalence(spark, tables, replay):
+    _stream_equals_batch(spark, replay, SW.sliding_stream,
+                         W.dq37_sliding(tables), "t_sliding")
+
+
+def test_session_batch_equivalence(spark, tables, replay):
+    # watermark far beyond the replayed range -> no row is dropped as late,
+    # so the streaming result must equal batch exactly
+    _stream_equals_batch(
+        spark, replay,
+        lambda ev: SW.session_stream(ev, watermark="365 days"),
+        W.dq38_session(tables), "t_session", mode="complete")
+
+
+def test_stateful_dedup(spark, replay):
+    ev = SW.read_event_stream(spark, replay)
+    doubled = ev.union(ev)  # duplicate every event across the stream
+    # replay files are not time-ordered; a tight watermark would (correctly)
+    # drop genuinely-late rows — widen it so only duplicates are removed
+    SW.run_to_memory(SW.dedup_stream(doubled, watermark="365 days"),
+                     "t_dedup", mode="append")
+    got = spark.table("t_dedup")
+    total = spark.read.parquet(replay).count()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+
+
+class TestIngestPipeline:
+    @pytest.fixture()
+    def docs(self, tables):
+        d = tables["documents"].limit(40)
+        return d.select(
+            "doc_id", "text",
+            F.element_at(
+                F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("modality"),
+        )
+
+    def test_incremental_matches_semantics(self, spark, docs, tmp_path):
+        pipe = IngestPipeline(spark, str(tmp_path / "state"), k=5)
+        batches = [docs.filter(F.col("doc_id") < 20),
+                   docs.filter(F.col("doc_id") >= 20)]
+        for i, b in enumerate(batches):
+            pipe.process_batch(b, i)
+
+        corpus = pipe.corpus()
+        assert corpus.count() == 40
+        # dedup: re-ingesting the same docs adds nothing
+        pipe.process_batch(batches[0], 2)
+        assert pipe.corpus().count() == 40
+
+        edges = pipe.edges()
+        assert edges.count() > 0
+        e = edges.collect()
+        # canonicalized, no self-loops, scores in [~0, 1]
+        assert all(r.src < r.dst for r in e)
+        assert all(0.0 <= r.score <= 1.0 for r in e)
+
+    def test_search_end_to_end(self, spark, docs, tmp_path):
+        pipe = IngestPipeline(spark, str(tmp_path / "state"), k=5)
+        pipe.process_batch(docs, 0)
+        sample_text = docs.orderBy("doc_id").first().text
+        res = pipe.search(sample_text, k=5).collect()
+        assert len(res) == 5
+        # the identical document must be the top hit with sim 1.0
+        assert res[0].score == 1.0
+
+    def test_run_stream_foreachbatch(self, spark, docs, tmp_path):
+        src = str(tmp_path / "docs_src")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pipe = IngestPipeline(spark, str(tmp_path / "state"), k=5)
+        pipe.run_stream(stream, str(tmp_path / "ckpt"))
+        assert pipe.corpus().count() == 40
+        assert pipe.edges().count() > 0
