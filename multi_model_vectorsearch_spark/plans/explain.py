@@ -1,0 +1,33 @@
+"""Physical-plan introspection helpers (SURVEY.md §4).
+
+The engine's performance contract is expressed as plan-shape assertions:
+broadcast joins for dimension tables, ``TakeOrderedAndProject`` for top-k,
+pushed filters and pruned read schemas at the parquet scan, and whole-stage
+codegen (no Python evaluation) in relational paths. ``tests/test_plans.py``
+pins these so a regression that silently degrades the 100 TB plan fails CI.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """Capture ``df.explain('formatted')`` as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def plan_has(df: DataFrame, *fragments: str) -> bool:
+    plan = explain_formatted(df)
+    return all(f in plan for f in fragments)
+
+
+def plan_lacks(df: DataFrame, *fragments: str) -> bool:
+    plan = explain_formatted(df)
+    return all(f not in plan for f in fragments)

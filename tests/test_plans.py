@@ -1,0 +1,76 @@
+"""t1 plan-shape assertions: the physical plan must be the scale-ready one.
+
+Each assertion pins a property that matters at the 100 TB design point;
+a change that silently degrades the plan (broadcast → sort-merge, top-k →
+global sort, pruned scan → full scan, codegen → Python eval) fails here.
+"""
+
+from __future__ import annotations
+
+from multi_model_vectorsearch_spark.operators import ann as N
+from multi_model_vectorsearch_spark.operators import relational as R
+from multi_model_vectorsearch_spark.operators import vector_ops as V
+from multi_model_vectorsearch_spark.plans import explain_formatted
+
+
+def test_dim_joins_broadcast(tables):
+    plan = explain_formatted(R.dq04_join_broadcast(tables))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_topk_is_take_ordered(tables):
+    # exact KNN must plan as TakeOrderedAndProject (per-partition heap +
+    # driver merge), never a global sort of the corpus
+    plan = explain_formatted(V.dq29_knn_topk(tables))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_scan_prunes_columns(tables):
+    plan = explain_formatted(R.dq01_scan_project(tables))
+    assert "l_orderkey" in plan and "l_quantity" in plan
+    # untouched wide columns must not be read
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+
+
+def test_filters_push_to_parquet(tables):
+    plan = explain_formatted(R.dq02_filter_battery(tables))
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_relational_plans_are_jvm_only(tables):
+    # no Python evaluation in any relational/vector declared query
+    for builder in [R.dq10_hash_agg, R.dq15_topk_per_group, V.dq29_knn_topk,
+                    V.dq31_knn_join, N.dq46_cosine_neardup_topk]:
+        plan = explain_formatted(builder(tables))
+        assert "EvalPython" not in plan, builder.__name__
+
+
+def test_whole_stage_codegen_active(tables):
+    # AQE finalizes the plan at execution; inspect the executed plan
+    df = R.dq10_hash_agg(tables)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # whole-stage codegen spans appear as "*(n)" prefixes in the final plan
+    assert "*(1)" in executed and "*(2)" in executed
+    # AQE coalesced the 8 shuffle partitions for this tiny agg
+    assert "AQEShuffleRead" in executed
+
+
+def test_partial_aggregation_before_shuffle(tables):
+    # hash agg must combine map-side: partial_sum below the exchange
+    plan = explain_formatted(R.dq10_hash_agg(tables))
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_assignment_broadcasts_centroids(tables):
+    plan = explain_formatted(N.assign_clusters(tables))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_range_join_broadcasts_small_side(tables):
+    plan = explain_formatted(R.dq08_range_join(tables))
+    assert "BroadcastNestedLoopJoin" in plan
