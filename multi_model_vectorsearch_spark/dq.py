@@ -376,6 +376,22 @@ _REGISTRY: list[DQ] = [
        "SELECT cand.vec_id, round(list_cosine_similarity("
        "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) AS s "
        "FROM cand CROSS JOIN q q2 ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq51_lsh_ann", N.dq51_lsh_ann, None,
+       note="B54 approx ANN (MLlib BucketedRandomProjectionLSH) — approx "
+            "algorithms differ by engine, rows-only check (SURVEY.md §5.3 "
+            "rule 5); recall asserted vs exact KNN in t1"),
+    DQ("dq52_centroid_applyinpandas", N.dq52_centroid_applyinpandas,
+       "SELECT label, "
+       + ", ".join(
+           f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6) AS c{i}"
+           for i in range(1, 5))
+       + " FROM embeddings GROUP BY label"),
+    DQ("dq53_bpe_tokens", T.dq53_bpe_tokens,
+       "SELECT doc_id, "
+       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) "
+       "AS n_bpe, "
+       "CAST(len(list_distinct(regexp_extract_all(text, "
+       "'[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_bpe_uniq FROM documents"),
     DQ("dq48_embed_stub", E.dq48_embed_stub,
        "WITH " + _EMB_CTE + ", "
        "e1s AS (SELECT doc_id, round(x, 6) AS e1 FROM nv WHERE p = 0), "

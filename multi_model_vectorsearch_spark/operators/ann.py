@@ -60,6 +60,58 @@ def assign_clusters(t: Tables, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def dq51_lsh_ann(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """B54: MLlib random-projection LSH ANN (seeded → reproducible runs).
+
+    The alternative scale path to dq47's IVF: hash buckets prune candidates,
+    ``approxNearestNeighbors`` probes them. Approximate algorithms differ by
+    engine, so this is a rows-only check (SURVEY.md §5.3 rule 5) — recall
+    quality is asserted in t1 tests against the exact KNN instead.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = t["embeddings"].select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=3, seed=42,
+    )
+    model = lsh.fit(e)
+    key = e.filter(F.col("vec_id") == query_vec_id).head().features
+    nn = model.approxNearestNeighbors(e, key, k, distCol="dist")
+    return nn.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+def dq52_centroid_applyinpandas(t: Tables, dims: int = 4) -> DataFrame:
+    """B57: grouped custom aggregation via applyInPandas — per-label centroid.
+
+    The UDAF surface for logic SQL can't express (here it can, which is what
+    makes it oracle-checkable — the same Arrow-batched path carries real
+    custom aggregations). Rounding happens Spark-side so the Python kernel
+    returns raw doubles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cols = [f"c{i+1}" for i in range(dims)]
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            pdf["embedding"].map(lambda a: np.asarray(a, dtype=np.float64))
+        )
+        mean = mat.mean(axis=0)
+        row = {"label": int(pdf["label"].iloc[0])}
+        row.update({c: float(mean[i]) for i, c in enumerate(cols)})
+        return pd.DataFrame([row])
+
+    schema = "label int, " + ", ".join(f"{c} double" for c in cols)
+    out = t["embeddings"].groupBy("label").applyInPandas(centroid, schema=schema)
+    return out.select("label", *[F.round(c, 6).alias(c) for c in cols])
+
+
 def dq47_ivf_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
                  n_centroids: int = 8) -> DataFrame:
     """IVF-style ANN: probe only the query's cluster, exact rank inside it.

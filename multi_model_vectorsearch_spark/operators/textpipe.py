@@ -211,6 +211,24 @@ def dq44_langid(t: Tables) -> DataFrame:
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def dq53_bpe_tokens(t: Tables) -> DataFrame:
+    """Token counting with a BPE-ish regex (letters / digits / other).
+
+    Whitespace tokenization (dq26) undercounts for BPE-style vocabularies;
+    this is the standard cheap approximation for per-document token budgets.
+    """
+    d = t["documents"]
+    toks = F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_bpe_uniq"),
+    )
+
+
 def dq45_quality(t: Tables) -> DataFrame:
     """Text quality scoring: token stats + character-class + stopword ratios.
 
