@@ -267,6 +267,43 @@ _REGISTRY: list[DQ] = [
        "SELECT src, dst, score FROM edges e "
        "WHERE EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.src) "
        "AND EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.dst)"),
+    DQ("dq54_expand_top1", G.dq54_expand_top1,
+       "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
+       "top1 AS (SELECT vec_id, s FROM seeds ORDER BY s DESC, vec_id LIMIT 1), "
+       "neigh AS ("
+       "SELECT e.dst AS id, round(t.s * e.score * 0.9, 6) AS score "
+       "FROM top1 t JOIN edges e ON t.vec_id = e.src "
+       "UNION ALL "
+       "SELECT e.src AS id, round(t.s * e.score * 0.9, 6) AS score "
+       "FROM top1 t JOIN edges e ON t.vec_id = e.dst "
+       "UNION ALL SELECT vec_id AS id, s AS score FROM seeds) "
+       "SELECT id, max(score) AS score FROM neigh GROUP BY id "
+       "ORDER BY score DESC, id LIMIT 10"),
+    DQ("dq55_expand_2hop", G.dq55_expand_2hop,
+       "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
+       "h1 AS (SELECT id, max(score) AS s FROM ("
+       "SELECT e.dst AS id, round(s.s * e.score * 0.9, 6) AS score "
+       "FROM seeds s JOIN edges e ON s.vec_id = e.src "
+       "UNION ALL SELECT e.src, round(s.s * e.score * 0.9, 6) "
+       "FROM seeds s JOIN edges e ON s.vec_id = e.dst "
+       "UNION ALL SELECT vec_id, s FROM seeds) u GROUP BY id), "
+       "h2 AS (SELECT id, max(score) AS score FROM ("
+       "SELECT e.dst AS id, round(h.s * e.score * 0.9, 6) AS score "
+       "FROM h1 h JOIN edges e ON h.id = e.src "
+       "UNION ALL SELECT e.src, round(h.s * e.score * 0.9, 6) "
+       "FROM h1 h JOIN edges e ON h.id = e.dst "
+       "UNION ALL SELECT id, s FROM h1) u2 GROUP BY id) "
+       "SELECT id, score FROM h2 ORDER BY score DESC, id LIMIT 10"),
+    DQ("dq56_bigram_udtf", T.dq56_bigram_udtf,
+       "SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_uniq FROM ("
+       "SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+       "i -> toks[i] || ' ' || toks[i+1])) AS bg "
+       "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d"
+       ") t GROUP BY doc_id"),
+    DQ("dq57_approx_distinct", R.dq57_approx_distinct, None,
+       note="B20 HyperLogLog sketch — implementations differ by engine "
+            "(SURVEY.md §5.3 rule 5); relative-error bound vs exact "
+            "count asserted in t1"),
     # --- streaming batch-equivalents (B41-B43) ------------------------------
     DQ("dq36_tumbling", W.dq36_tumbling,
        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type, "

@@ -23,12 +23,12 @@ from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 Tables = dict
 
 
-def dq46_cosine_neardup_topk(t: Tables, k: int = 20) -> DataFrame:
-    """Embedding-cosine near-dup: top-k most-similar distinct pairs.
+def cosine_neardup_hof(t: Tables, k: int = 20) -> DataFrame:
+    """All-pairs cosine via crossJoin + higher-order-function expression.
 
-    Self-join keeps only the upper triangle (vec_id ordering) so each pair
-    appears once. At scale, replace the cross join with an LSH/IVF candidate
-    join (dq47) — the ranking tail of the plan is identical.
+    Correct but O(N²) rows through an *interpreted* lambda — 27 s at sf0.1
+    (2000 vecs). Kept as the pure-SQL reference; dq46 below is the blocked
+    matmul that replaces it on the hot path.
     """
     e = t["embeddings"].select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"))
@@ -39,6 +39,69 @@ def dq46_cosine_neardup_topk(t: Tables, k: int = 20) -> DataFrame:
         F.round(cosine_similarity(F.col("e1"), F.col("e2")), 6).alias("s"),
     )
     return sims.orderBy(F.desc("s"), F.asc("v1"), F.asc("v2")).limit(k)
+
+
+def dq46_cosine_neardup_topk(t: Tables, k: int = 20,
+                             n_blocks: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup: top-k most-similar distinct pairs.
+
+    Blocked all-pairs similarity: vectors are hashed to ``n_blocks`` blocks,
+    every block-pair (bi <= bj) becomes one ``applyInPandas`` group whose
+    kernel is a float64 numpy matmul — the O(N²·d) arithmetic runs vectorized
+    in Arrow batches instead of row-at-a-time lambdas (~50× over the HOF
+    form). Each group emits only its own top-k, so the tail is a tiny global
+    TakeOrdered.
+
+    Scale: replication factor is ``n_blocks + 1`` and a group holds 2·N/B
+    vectors — size B so a group fits executor memory (B² groups keep every
+    core busy). For 100 TB corpora, prune candidates first with LSH/IVF
+    (dq47/dq51) and keep this as the scorer on the surviving pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = t["embeddings"].select("vec_id", "embedding")
+    spark = e.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    tagged = e.withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
+    left = tagged.join(F.broadcast(bp), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit(0).alias("side"), "vec_id", "embedding")
+    right = tagged.join(F.broadcast(bp), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", F.lit(1).alias("side"), "vec_id", "embedding")
+    both = left.unionAll(right)
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        def mat(rows):
+            return np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+
+        L, R = pdf[pdf.side == 0], pdf[pdf.side == 1]
+        if len(L) == 0 or len(R) == 0:
+            return pd.DataFrame({"v1": [], "v2": [], "s": []}).astype(
+                {"v1": "int32", "v2": "int32", "s": "float64"})
+        ml, mr = mat(L.embedding.values), mat(R.embedding.values)
+        nl = np.sqrt((ml * ml).sum(axis=1))
+        nr = np.sqrt((mr * mr).sum(axis=1))
+        sims = np.round((ml @ mr.T) / np.outer(nl, nr), 6)
+        v1 = L.vec_id.values[:, None].repeat(len(R), axis=1)
+        v2 = R.vec_id.values[None, :].repeat(len(L), axis=0)
+        if pdf.bi.iloc[0] == pdf.bj.iloc[0]:
+            # same-block square: both orders present; keep upper triangle
+            keep = v1 < v2
+            lo, hi = v1, v2
+        else:
+            # cross-block: each unordered pair appears once; canonicalize
+            keep = np.ones_like(v1, dtype=bool)
+            lo, hi = np.minimum(v1, v2), np.maximum(v1, v2)
+        v1f, v2f, sf = lo[keep], hi[keep], sims[keep]
+        top = np.lexsort((v2f, v1f, -sf))[:k]
+        return pd.DataFrame({"v1": v1f[top], "v2": v2f[top], "s": sf[top]})
+
+    out = both.groupBy("bi", "bj").applyInPandas(
+        block_topk, "v1 int, v2 int, s double")
+    return out.orderBy(F.desc("s"), F.asc("v1"), F.asc("v2")).limit(k)
 
 
 def assign_clusters(t: Tables, n_centroids: int = 8) -> DataFrame:

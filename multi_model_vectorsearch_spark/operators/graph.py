@@ -120,6 +120,22 @@ def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     )
 
 
+def dq54_expand_top1(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Registry entry for the quirk-compatible top-1-only expansion."""
+    return expand_top1_only(t, query_vec_id, k)
+
+
+def dq55_expand_2hop(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Multi-hop generalization (depth=2) of the A20 re-rank.
+
+    The reference caps at depth=1 (search.py:5); deeper traversal is the same
+    1-hop join iterated, with lineage truncation between hops.
+    """
+    seeds = dq29_knn_topk(t, query_vec_id, k)
+    edges = dq33_build_edges(t)
+    return expand_multi_hop(seeds, edges, depth=2, k=k)
+
+
 def expand_multi_hop(seeds: DataFrame, edges: DataFrame, depth: int,
                      k: int = 10, decay: float = DECAY) -> DataFrame:
     """Bounded-depth traversal: iterate the 1-hop join ``depth`` times.

@@ -321,3 +321,18 @@ def dq28_dedup_by_hash(t: Tables) -> DataFrame:
     return hashed.groupBy("h").agg(
         F.min("doc_id").alias("keeper"), F.count("*").alias("dups")
     )
+
+
+def dq57_approx_distinct(t: Tables) -> DataFrame:
+    """B20: HyperLogLog approximate distinct counts per order status.
+
+    At 100 TB, exact count-distinct shuffles every key; HLL sketches merge in
+    fixed space (map-side partial, tiny exchange). HLL implementations differ
+    by engine (SURVEY.md §5.3 rule 5) so this is a rows-only check; the
+    relative-error bound vs the exact count is asserted in t1.
+    """
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_u"))
+    )

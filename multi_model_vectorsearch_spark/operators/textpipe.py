@@ -229,6 +229,37 @@ def dq53_bpe_tokens(t: Tables) -> DataFrame:
     )
 
 
+def dq56_bigram_udtf(t: Tables) -> DataFrame:
+    """B58: real Python UDTF (Spark 4) — per-row bigram generation via LATERAL.
+
+    dq26 covers the built-in ``explode`` UDTF shape; this is the arbitrary-
+    Python table function surface (one row in → many rows out), which the
+    reference has no analog for but a training-data pipeline needs for custom
+    segmenters. Aggregated to per-doc counts so the oracle stays set-shaped.
+
+    UDTFs run row-at-a-time in Python workers — keep them OFF the 100 TB hot
+    path (prefer explode/transform); this exists as the escape-hatch surface.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bg: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for a, b in zip(toks, toks[1:]):
+                yield (a + " " + b,)
+
+    d = t["documents"]
+    spark = d.sparkSession
+    spark.udtf.register("bigrams", Bigrams)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_uniq "
+        "FROM _udtf_docs d, LATERAL bigrams(d.text) "
+        "GROUP BY doc_id"
+    )
+
+
 def dq45_quality(t: Tables) -> DataFrame:
     """Text quality scoring: token stats + character-class + stopword ratios.
 

@@ -1,0 +1,38 @@
+"""t1 bound checks for approximate operators excluded from the oracle set."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_model_vectorsearch_spark.operators.ann import (
+    cosine_neardup_hof,
+    dq46_cosine_neardup_topk,
+)
+from multi_model_vectorsearch_spark.operators.relational import (
+    dq57_approx_distinct,
+)
+
+
+def test_approx_distinct_within_rsd_bound(tables):
+    approx = {
+        r.o_orderstatus: r.approx_u for r in dq57_approx_distinct(tables).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.u
+        for r in tables["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("u"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for status, u in exact.items():
+        rel_err = abs(approx[status] - u) / max(u, 1)
+        # rsd=0.02 is a std-dev; 5x gives a generous deterministic bound
+        assert rel_err <= 0.10, (status, approx[status], u)
+
+
+def test_blocked_neardup_matches_hof_form(tables):
+    """The numpy-blocked dq46 and the pure-SQL HOF form agree exactly."""
+    blocked = [tuple(r) for r in dq46_cosine_neardup_topk(tables).collect()]
+    hof = [tuple(r) for r in cosine_neardup_hof(tables).collect()]
+    assert blocked == hof
