@@ -24,6 +24,42 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_e2e_ingest(spark, tables, n_batches: int = 4) -> float:
+    """Sec/micro-batch for the `/submit`-analog pipeline (BASELINE.md e2e row).
+
+    Replays `documents` as n_batches micro-batches through IngestPipeline
+    (embed-stub -> sha256 dedup -> corpus append -> KNN -> edge append)
+    against fresh parquet state; reports mean wall sec per batch.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+
+    docs = tables["documents"].select(
+        "doc_id", "text", (F.col("doc_id") % 3).cast("int").alias("m")
+    ).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            F.col("m") + 1,
+        ).alias("modality"),
+    ).localCheckpoint(eager=True)
+
+    state_dir = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        pipe = IngestPipeline(spark, state_dir)
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            batch = docs.filter(F.col("doc_id") % n_batches == b)
+            pipe.process_batch(batch, b)
+        return round((time.perf_counter() - t0) / n_batches, 3)
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -39,6 +75,8 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(entry.builder(tables))
         timings[entry.name] = round(time.perf_counter() - t0, 3)
+
+    timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
     total = round(sum(timings.values()), 3)
     line = {
