@@ -304,6 +304,37 @@ _REGISTRY: list[DQ] = [
        note="B20 HyperLogLog sketch — implementations differ by engine "
             "(SURVEY.md §5.3 rule 5); relative-error bound vs exact "
             "count asserted in t1"),
+    DQ("dq58_pivot", R.dq58_pivot,
+       "SELECT o_orderstatus, "
+       + ", ".join(
+           f"CAST(count(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) "
+           f"AS p{i + 1}"
+           for i, p in enumerate(
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]))
+       + " FROM orders GROUP BY o_orderstatus"),
+    DQ("dq59_percentiles", R.dq59_percentiles,
+       "SELECT l_returnflag, "
+       "round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
+       "round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
+       "round(quantile_cont(l_quantity, 0.75), 6) AS q75 "
+       "FROM lineitem GROUP BY l_returnflag"),
+    DQ("dq60_stats_agg", R.dq60_stats_agg,
+       "SELECT l_returnflag, "
+       "round(stddev_samp(l_quantity), 6) AS sd_qty, "
+       "round(var_samp(l_discount), 6) AS var_disc, "
+       "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+       "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp "
+       "FROM lineitem GROUP BY l_returnflag"),
+    DQ("dq61_dedup_clusters", T.dq61_dedup_clusters,
+       "WITH RECURSIVE " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "adj AS (SELECT d1 AS v, d2 AS n FROM p "
+       "UNION SELECT d2, d1 FROM p), "
+       "reach AS (SELECT v, v AS r FROM (SELECT DISTINCT v FROM adj) base "
+       "UNION SELECT e.v, reach.r FROM adj e JOIN reach ON e.n = reach.v) "
+       "SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY v"),
     # --- streaming batch-equivalents (B41-B43) ------------------------------
     DQ("dq36_tumbling", W.dq36_tumbling,
        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type, "

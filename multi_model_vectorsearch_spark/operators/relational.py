@@ -323,6 +323,67 @@ def dq28_dedup_by_hash(t: Tables) -> DataFrame:
     )
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def dq58_pivot(t: Tables) -> DataFrame:
+    """Pivot: order counts by status × priority (explicit value list).
+
+    Pinning the pivot values keeps the schema static — at scale the implicit
+    form would first run a distinct scan to discover them.
+    """
+    piv = (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    cols = [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return piv.select("o_orderstatus", *cols)
+
+
+def dq59_percentiles(t: Tables) -> DataFrame:
+    """Exact quartiles of l_quantity per return flag (linear interpolation).
+
+    ``percentile`` (exact) rather than ``approx_percentile`` so the result is
+    engine-portable; the approximate sketch is the 100 TB path but is
+    excluded from the hash set (SURVEY.md §5.3 rule 5).
+    """
+    qs = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+    )
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(qs.alias("raw"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("raw", 1), 6).alias("q25"),
+            F.round(F.element_at("raw", 2), 6).alias("q50"),
+            F.round(F.element_at("raw", 3), 6).alias("q75"),
+        )
+    )
+
+
+def dq60_stats_agg(t: Tables) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+
+    Partial-mergeable moment sketches (Catalyst plans these as two-phase
+    hash aggs); rounded to 6 since parallel merge order perturbs the last
+    couple of float bits.
+    """
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qp"),
+    )
+
+
 def dq57_approx_distinct(t: Tables) -> DataFrame:
     """B20: HyperLogLog approximate distinct counts per order status.
 

@@ -231,6 +231,49 @@ def dq53_bpe_tokens(t: Tables) -> DataFrame:
     )
 
 
+def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
+                        max_iter: int = 20) -> DataFrame:
+    """Near-dup clustering: connected components over LSH candidate pairs.
+
+    The step a real dedup pipeline needs after pair generation (dq41):
+    transitively group duplicates and elect the min doc_id as the canonical
+    keeper. Min-label propagation — each round every node adopts the
+    smallest component id among itself and its neighbors — converges in
+    O(component diameter) rounds; near-dup clusters are shallow, so this is
+    a handful of shuffles even at corpus scale. ``localCheckpoint`` between
+    rounds keeps the plan from growing; the driver only sees one scalar
+    (changed-count) per round.
+    """
+    pairs = dq41_minhash_lsh_pairs(t, min_matches).select("d1", "d2")
+    adj = (
+        pairs.select(F.col("d1").alias("v"), F.col("d2").alias("n"))
+        .union(pairs.select(F.col("d2").alias("v"), F.col("d1").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("v").distinct().withColumn("comp", F.col("v"))
+    for _ in range(max_iter):
+        neighbor_labels = adj.join(
+            labels.withColumnRenamed("v", "n"), "n"
+        ).select("v", "comp")
+        new_labels = (
+            labels.union(neighbor_labels)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "nc")
+            .join(labels, "v")
+            .filter(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), "comp")
+
+
 def dq56_bigram_udtf(t: Tables) -> DataFrame:
     """B58: real Python UDTF (Spark 4) — per-row bigram generation via LATERAL.
 
