@@ -1,0 +1,64 @@
+"""Scale infrastructure: bucketed co-located joins and skew-salted joins.
+
+At 100 TB the dominant cost of every equi-join/agg is the shuffle. Two
+standard mitigations, packaged as reusable operators:
+
+- **Bucketing** (B4 sink generalization): persist fact tables bucketed and
+  sorted by their join key. Two tables bucketed the same way join with ZERO
+  Exchange — Catalyst proves co-partitioning from the catalog. This is what
+  replaces `repartition()` guesswork for repeatedly-joined 100 TB tables.
+- **Salting**: a hot key (power-law user, null-heavy foreign key) overloads
+  one reducer. Salting splits each hot left-side key across `n_salts`
+  sub-keys and replicates the matching right-side rows, so the hot key's
+  rows spread over `n_salts` reducers. AQE's skew-join handles moderate
+  skew automatically; salting is the explicit tool for extreme single-key
+  skew. Join RESULTS are identical to the unsalted join by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
+                   overwrite: bool = True, path: str | None = None) -> None:
+    """Persist `df` bucketed+sorted by `key` into the session catalog (B4).
+
+    Pass `path` to create an external table at an explicit location
+    (otherwise the managed warehouse dir is used).
+    """
+    writer = (
+        df.write.format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    if overwrite:
+        writer = writer.mode("overwrite")
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str) -> DataFrame:
+    """Join two same-bucketed catalog tables — plans with no Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 8) -> DataFrame:
+    """Inner equi-join with left-side salt spread + right-side replication.
+
+    The left side's salt is derived from a hash of the whole row (stable,
+    no RNG), so each hot key's rows scatter across `n_salts` reducers; the
+    right side is exploded once per salt value. Row multiplicity is
+    unchanged — output equals ``left.join(right, key)`` exactly.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l_salted.join(r_salted, [key, "_salt"])
+    return out.drop("_salt")

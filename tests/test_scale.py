@@ -1,0 +1,56 @@
+"""Plan-shape proofs for the scale toolkit (bucketed + salted joins)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from multi_model_vectorsearch_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from multi_model_vectorsearch_spark.plans.explain import explain_formatted
+
+
+def _formatted_plan(df) -> str:
+    return explain_formatted(df)
+
+
+def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey",
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(li, "b_lineitem", "o_orderkey",
+                   path=str(tmp_path / "b_lineitem"))
+    # disable auto-broadcast: at test SF everything is broadcastable, which
+    # hides the shuffle bucketing eliminates at 100 TB (where neither side
+    # broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        expected = orders.join(li, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(tables):
+    orders = tables["orders"].select("o_custkey", "o_orderkey")
+    cust = tables["customer"].select("o_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    ) if "c_custkey" not in tables["customer"].columns else tables[
+        "customer"
+    ].select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, "o_custkey", n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert salted.columns == plain.columns
