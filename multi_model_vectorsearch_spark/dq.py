@@ -325,6 +325,16 @@ _REGISTRY: list[DQ] = [
        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
        "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp "
        "FROM lineitem GROUP BY l_returnflag"),
+    DQ("dq62_winnow_fingerprint", T.dq62_winnow_fingerprint,
+       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+       "FROM documents), "
+       "grams AS (SELECT doc_id, p, sha256(tk[p] || ' ' || tk[p+1] || ' ' "
+       "|| tk[p+2]) AS h FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(p)), "
+       "hv AS (SELECT doc_id, p, " + _HEXFOLD + " AS hb FROM grams), "
+       "wins AS (SELECT doc_id, CAST(min(hb) OVER (PARTITION BY doc_id "
+       "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
+       "AS fp FROM hv) "
+       "SELECT DISTINCT doc_id, fp FROM wins"),
     DQ("dq61_dedup_clusters", T.dq61_dedup_clusters,
        "WITH RECURSIVE " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 "

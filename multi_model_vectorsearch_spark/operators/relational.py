@@ -95,7 +95,44 @@ def dq08_range_join(t: Tables) -> DataFrame:
 
 
 def dq09_asof_join(t: Tables) -> DataFrame:
-    """B16: as-of — each event joined to its latest order at/before ts."""
+    """B16: as-of — each event joined to its latest order at/before ts.
+
+    Merged-stream window form: union both sides keyed (user, time, kind)
+    with orders sorting before events at equal timestamps, then a running
+    max over order keys — one shuffle by user, O(n log n). The naive
+    range join (kept as ``asof_join_range`` for the equivalence test)
+    expands every (event × qualifying-order) pair first, which is
+    quadratic on active users and unusable at 100 TB.
+    """
+    e, o = t["events"], t["orders"]
+    ev = e.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").cast("timestamp").alias("tt"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("okey"),
+        "event_id",
+    )
+    od = o.select(
+        F.col("o_custkey").alias("u"),
+        F.col("o_orderdate").cast("timestamp").alias("tt"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast(e.schema["event_id"].dataType).alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("tt", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = od.unionByName(ev).withColumn("ok", F.max("okey").over(w))
+    return (
+        merged.filter((F.col("kind") == 1) & F.col("ok").isNotNull())
+        .select("event_id", "ok")
+    )
+
+
+def asof_join_range(t: Tables) -> DataFrame:
+    """Range-join form of dq09 (reference shape; equivalence-tested)."""
     e, o = t["events"], t["orders"]
     return (
         e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))

@@ -231,6 +231,37 @@ def dq53_bpe_tokens(t: Tables) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive k-grams
+
+
+def dq62_winnow_fingerprint(t: Tables, w: int = WINNOW_W) -> DataFrame:
+    """Document fingerprinting by winnowing (local-min rolling hash).
+
+    The MOSS scheme: hash every word 3-gram (stable sha2 fold → bigint),
+    slide a window of ``w`` consecutive grams, keep each window's minimum,
+    dedup. Guarantees shared fingerprints for any match of ≥ w+2 words
+    while storing ~2/(w+1) of the grams — the sublinear fingerprint store
+    a 100 TB plagiarism/near-dup index needs. Pure window functions: one
+    shuffle by doc_id.
+    """
+    from pyspark.ml.feature import NGram
+
+    d = t["documents"]
+    ng = NGram(n=SHINGLE_W, inputCol="toks", outputCol="ngrams")
+    grams = ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
+    pe = grams.select("doc_id", F.posexplode("ngrams").alias("pos", "shingle"))
+    h = F.conv(F.substring(F.sha2("shingle", 256), 1, 8), 16, 10).cast("bigint")
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        pe.withColumn("h", h)
+        .withColumn("fp", F.min("h").over(win))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
                         max_iter: int = 20) -> DataFrame:
     """Near-dup clustering: connected components over LSH candidate pairs.

@@ -41,6 +41,18 @@ def test_bucketed_join_has_no_exchange(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_asof_window_matches_range_join(tables):
+    """The merged-stream window as-of equals the quadratic range join."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        asof_join_range,
+        dq09_asof_join,
+    )
+
+    fast = sorted(map(tuple, dq09_asof_join(tables).collect()))
+    slow = sorted(map(tuple, asof_join_range(tables).collect()))
+    assert fast == slow
+
+
 def test_salted_join_matches_plain_join(tables):
     orders = tables["orders"].select("o_custkey", "o_orderkey")
     cust = tables["customer"].select("o_custkey", "c_name").withColumnRenamed(
