@@ -28,6 +28,7 @@ from multi_model_vectorsearch_spark.operators import ann as N
 from multi_model_vectorsearch_spark.operators import embed as E
 from multi_model_vectorsearch_spark.operators import graph as G
 from multi_model_vectorsearch_spark.operators import relational as R
+from multi_model_vectorsearch_spark.operators import retrieval as RT
 from multi_model_vectorsearch_spark.operators import textpipe as T
 from multi_model_vectorsearch_spark.operators import vector_ops as V
 from multi_model_vectorsearch_spark.operators import windows_batch as W
@@ -73,6 +74,24 @@ _EDGES_CTE = (
     "edges AS (SELECT least(qid, vec_id) AS src, greatest(qid, vec_id) AS dst, "
     "round(max(CASE WHEN qm <> em THEN greatest(s, 0.8) ELSE s END), 6) AS score "
     "FROM pairs GROUP BY src, dst)"
+)
+
+
+# --- DuckDB oracle fragments for the retrieval suite ------------------------
+
+_BM25_CTE = (
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+    "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+    "WHERE tok IN ('vector','merge','stream') GROUP BY doc_id, tok), "
+    "dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+    "bm25 AS (SELECT tf.doc_id, sum("
+    "ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * tf.tf * 2.2 / "
+    "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw "
+    "FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats "
+    "GROUP BY tf.doc_id)"
 )
 
 
@@ -325,6 +344,26 @@ _REGISTRY: list[DQ] = [
        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
        "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp "
        "FROM lineitem GROUP BY l_returnflag"),
+    DQ("dq63_bm25_topk", RT.dq63_bm25_topk,
+       "WITH " + _BM25_CTE + " "
+       "SELECT doc_id, round(raw, 6) AS s FROM bm25 "
+       "ORDER BY s DESC, doc_id LIMIT 20"),
+    DQ("dq64_hybrid_rrf", RT.dq64_hybrid_rrf,
+       "WITH " + _BM25_CTE + ", "
+       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "sims AS (SELECT e.vec_id, round(" + _cos("e", "qq") + ", 6) AS s "
+       "FROM embeddings e CROSS JOIN qq), "
+       "varm AS (SELECT vec_id AS id, rv FROM (SELECT vec_id, "
+       "row_number() OVER (ORDER BY s DESC, vec_id) AS rv FROM sims) v "
+       "WHERE rv <= 50), "
+       "ls AS (SELECT doc_id, round(raw, 6) AS s FROM bm25), "
+       "larm AS (SELECT doc_id AS id, rl FROM (SELECT doc_id, "
+       "row_number() OVER (ORDER BY s DESC, doc_id) AS rl FROM ls) l "
+       "WHERE rl <= 50), "
+       "fused AS (SELECT coalesce(v.id, l.id) AS id, "
+       "round(coalesce(1.0 / (60 + v.rv), 0) + coalesce(1.0 / (60 + l.rl), 0), 6) "
+       "AS rrf FROM varm v FULL OUTER JOIN larm l ON v.id = l.id) "
+       "SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10"),
     DQ("dq62_winnow_fingerprint", T.dq62_winnow_fingerprint,
        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
        "FROM documents), "

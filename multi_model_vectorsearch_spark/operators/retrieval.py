@@ -1,0 +1,108 @@
+"""Lexical + hybrid retrieval: BM25 scoring and reciprocal-rank fusion.
+
+The reference searches purely by embedding similarity (main.py:206-254). A
+production corpus engine pairs that with lexical scoring — exact-term recall
+that embeddings miss — and fuses the two rankings. Both operators are pure
+DataFrame plans:
+
+- BM25: tf / df / doc-length statistics are three hash aggregations over the
+  token stream; the per-(doc, term) score is one expression; final top-k is
+  `TakeOrderedAndProject`. The df and corpus-stats sides are tiny (one row
+  per query term / one row total) and broadcast.
+- RRF: rank-based fusion `Σ 1/(k0 + rank)` — integer ranks make it exactly
+  reproducible across engines, unlike score-scale-sensitive linear blends.
+
+At 100 TB the token stream is the big object; it shuffles once per
+aggregation on (doc_id[, tok]) keys. A real deployment materializes the tf
+table (an inverted index) with `write_bucketed` on tok.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.operators.vector_ops import similarity_scan
+
+Tables = dict
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K0 = 60  # standard reciprocal-rank-fusion constant
+QUERY_TERMS = ("vector", "merge", "stream")
+
+
+def _bm25_scores(t: Tables, terms: tuple[str, ...]) -> DataFrame:
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+    return (
+        tf.join(F.broadcast(dfs), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("raw"))
+    )
+
+
+def dq63_bm25_topk(t: Tables, k: int = 20,
+                   terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
+    """Lexical top-k for a fixed keyword query under BM25."""
+    scored = _bm25_scores(t, terms)
+    return (
+        scored.select("doc_id", F.round("raw", 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def dq64_hybrid_rrf(t: Tables, query_vec_id: int = 0, k: int = 10,
+                    arm_k: int = 50,
+                    terms: tuple[str, ...] = QUERY_TERMS) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion of cosine KNN and BM25 arms.
+
+    Both arms produce their top-`arm_k` ranks independently (doc_id and
+    vec_id share the id domain in the fixtures); fusion is a full outer
+    join — a doc found by only one arm still scores. Ranks, not raw scores,
+    cross the fusion boundary, so the two arms' score scales never need
+    calibration.
+    """
+    wv = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    vec_arm = (
+        similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
+        .select("vec_id", "s")
+        .withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") <= arm_k)
+        .select(F.col("vec_id").alias("id"), "rv")
+    )
+    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lex_arm = (
+        _bm25_scores(t, terms)
+        .select("doc_id", F.round("raw", 6).alias("s"))
+        .withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= arm_k)
+        .select(F.col("doc_id").alias("id"), "rl")
+    )
+    fused = vec_arm.join(lex_arm, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K0 + F.col("rv")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K0 + F.col("rl")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
