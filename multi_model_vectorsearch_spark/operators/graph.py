@@ -171,3 +171,39 @@ def dq35_hydrate_filter(t: Tables, exclude_label: int = 9) -> DataFrame:
         .join(F.broadcast(valid), edges.dst == valid.vec_id, "left_semi")
         .select("src", "dst", "score")
     )
+
+
+MODALITY_COLORS = {"text": "#4f8cc9", "image": "#c94f4f", "audio": "#4fc98a"}
+
+
+def graph_render_payload(t: Tables) -> tuple[DataFrame, DataFrame]:
+    """A23: vis.js-shaped render projection of the semantic graph.
+
+    The reference serializes nodes (label, color by modality) and edges
+    (width ∝ score) for its UI (main.py:128-168, index.html:663-823). Here
+    it's a pair of projections over the hydrated graph — pure select/alias,
+    no extra shuffles beyond dq35's endpoint filtering.
+    """
+    edges = dq35_hydrate_filter(t)
+    e = t["embeddings"]
+    color = F.coalesce(
+        *[F.when(F.col("modality") == m, F.lit(c))
+          for m, c in MODALITY_COLORS.items()],
+        F.lit("#999999"),
+    )
+    node_ids = (
+        edges.select(F.col("src").alias("vec_id"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    nodes = node_ids.join(e, "vec_id").select(
+        F.col("vec_id").alias("id"),
+        F.concat(F.lit("doc:"), F.col("vec_id")).alias("label"),
+        color.alias("color"),
+        "modality",
+    )
+    rendered_edges = edges.select(
+        F.col("src").alias("from"), F.col("dst").alias("to"),
+        F.round(F.col("score") * 5.0, 6).alias("width"),
+    )
+    return nodes, rendered_edges

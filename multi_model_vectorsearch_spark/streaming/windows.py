@@ -94,3 +94,39 @@ def run_to_memory(stream_df: DataFrame, table: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """B46-adjacent: custom stateful operator via ``applyInPandasWithState``.
+
+    Per-user running (event count, value sum) carried in explicit group
+    state across micro-batches — the surface for stateful logic that
+    built-in windowed aggs can't express (custom eviction, conditional
+    resets, model state). Emits one row per user per micro-batch touching
+    that user; the *last* emission per user equals the batch aggregate
+    (asserted by the equivalence test).
+
+    State is (count, sum) per user — O(users) bytes, the same bound a
+    shuffle-hash aggregation would hold; NoTimeout because replay is
+    finite (production would set an event-time timeout to evict idle
+    users).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        cnt, sv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            sv += float(pdf["value"].sum())
+        state.update((cnt, sv))
+        yield pd.DataFrame({"user_id": [user_id], "n": [cnt], "sv": [sv]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n bigint, sv double",
+        stateStructType="n bigint, sv double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

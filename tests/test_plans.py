@@ -74,3 +74,22 @@ def test_ivf_assignment_broadcasts_centroids(tables):
 def test_range_join_broadcasts_small_side(tables):
     plan = explain_formatted(R.dq08_range_join(tables))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_graph_render_payload_shape(tables):
+    """A23: nodes carry modality colors; edge widths scale scores."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        MODALITY_COLORS,
+        dq35_hydrate_filter,
+        graph_render_payload,
+    )
+
+    nodes, edges = graph_render_payload(tables)
+    n = nodes.collect()
+    assert len(n) > 0
+    assert {r.color for r in n} <= set(MODALITY_COLORS.values()) | {"#999999"}
+    assert all(r.label == f"doc:{r.id}" for r in n)
+    srcs = dq35_hydrate_filter(tables)
+    assert edges.count() == srcs.count()
+    w = edges.collect()
+    assert all(0.0 <= r.width <= 5.0 for r in w)

@@ -121,3 +121,23 @@ class TestIngestPipeline:
         pipe.run_stream(stream, str(tmp_path / "ckpt"))
         assert pipe.corpus().count() == 40
         assert pipe.edges().count() > 0
+
+
+def test_stateful_user_totals_batch_equivalence(spark, tables, replay):
+    """applyInPandasWithState running totals: last emission == batch agg."""
+    ev = SW.read_event_stream(spark, replay)
+    SW.run_to_memory(SW.stateful_user_totals(ev), "t_user_totals",
+                     mode="update")
+    # update mode emits one row per (user, micro-batch); keep the final one
+    emitted = spark.table("t_user_totals")
+    last = (
+        emitted.withColumn("_i", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by("n", "_i").alias("n"), F.max_by("sv", "_i").alias("sv"))
+    )
+    batch = tables["events"].groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    got = {r.user_id: (r.n, round(r.sv, 6)) for r in last.collect()}
+    want = {r.user_id: (r.n, round(r.sv, 6)) for r in batch.collect()}
+    assert got == want
