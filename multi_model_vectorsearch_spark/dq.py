@@ -237,6 +237,43 @@ _REGISTRY: list[DQ] = [
     DQ("dq28_dedup_by_hash", R.dq28_dedup_by_hash,
        "SELECT h, min(doc_id) AS keeper, count(*) AS dups FROM "
        "(SELECT doc_id, sha256(text) AS h FROM documents) t GROUP BY h"),
+    DQ("dq65_unpivot", R.dq65_unpivot,
+       "SELECT o_orderkey, 'totalprice' AS metric, "
+       "CAST(o_totalprice AS DOUBLE) AS val FROM orders "
+       "UNION ALL SELECT o_orderkey, 'custkey', "
+       "CAST(o_custkey AS DOUBLE) FROM orders"),
+    DQ("dq66_regex_battery", R.dq66_regex_battery,
+       "SELECT p_partkey, "
+       "regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS w1, "
+       "CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a, "
+       "CAST(regexp_matches(p_name, '^b') AS INT) AS starts_b, "
+       "regexp_replace(p_type, '[aeiou]', '', 'g') AS novowel FROM part"),
+    DQ("dq67_null_battery", R.dq67_null_battery,
+       "SELECT c_custkey, o_orderkey, "
+       "coalesce(o_orderkey, -1) AS ok_filled, "
+       "nullif(c_nationkey, 0) AS nk_nz, "
+       "round(greatest(c_acctbal, coalesce(o_totalprice, 0.0)), 2) AS hi, "
+       "round(least(c_acctbal, coalesce(o_totalprice, 1e18)), 2) AS lo, "
+       "CAST(o_orderkey IS NULL AS INT) AS no_orders "
+       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
+    DQ("dq68_date_arith", R.dq68_date_arith,
+       "SELECT o_orderkey, "
+       "CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30, "
+       "CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) "
+       "AS days_since, "
+       "last_day(o_orderdate) AS eom, "
+       "CAST(date_trunc('month', o_orderdate) AS DATE) AS som, "
+       "CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, "
+       "CAST(quarter(o_orderdate) AS INT) AS qtr FROM orders"),
+    DQ("dq69_array_ops", R.dq69_array_ops,
+       "SELECT doc_id, "
+       "coalesce(array_to_string(list_sort(list_intersect("
+       "string_split(text, ' '), ['the','data','spark'])), ','), '') AS hit, "
+       "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq, "
+       "coalesce(array_to_string(list_sort(list_distinct("
+       "string_split(text, ' ')))[1:3], ','), '') AS first3, "
+       "CAST(list_contains(string_split(text, ' '), 'vector') AS INT) "
+       "AS has_vector FROM documents"),
     # --- vector suite (B47-B50) ---------------------------------------------
     DQ("dq29_knn_topk", V.dq29_knn_topk,
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "

@@ -434,3 +434,76 @@ def dq57_approx_distinct(t: Tables) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_u"))
     )
+
+
+def dq65_unpivot(t: Tables) -> DataFrame:
+    """Unpivot/melt: wide measure columns to (key, metric, value) rows."""
+    o = t["orders"].select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot(
+        ["o_orderkey"], ["totalprice", "custkey"], "metric", "val"
+    )
+
+
+def dq66_regex_battery(t: Tables) -> DataFrame:
+    """Regex battery: group extraction, occurrence count, match flag, strip."""
+    p = t["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+) ([a-z]+)", 1).alias("w1"),
+        F.size(F.expr("regexp_extract_all(p_name, 'a', 0)")).cast("int")
+        .alias("n_a"),
+        F.col("p_name").rlike("^b").cast("int").alias("starts_b"),
+        F.regexp_replace("p_type", "[aeiou]", "").alias("novowel"),
+    )
+
+
+def dq67_null_battery(t: Tables) -> DataFrame:
+    """Null-handling: coalesce/nullif/greatest/least over outer-join nulls."""
+    c, o = t["customer"], t["orders"]
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        "o_orderkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("ok_filled"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nz"),
+        F.round(F.greatest(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
+                F.lit(0.0))), 2).alias("hi"),
+        F.round(F.least(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
+                F.lit(1e18))), 2).alias("lo"),
+        F.isnull("o_orderkey").cast("int").alias("no_orders"),
+    )
+
+
+def dq68_date_arith(t: Tables) -> DataFrame:
+    """Date arithmetic: offsets, diffs, boundary snapping, truncation."""
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).alias("plus30"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .alias("days_since"),
+        F.last_day("o_orderdate").alias("eom"),
+        F.trunc("o_orderdate", "month").alias("som"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
+
+
+def dq69_array_ops(t: Tables) -> DataFrame:
+    """Array set operations over token arrays (sorted for portability)."""
+    d = t["documents"]
+    toks = F.split("text", " ")
+    probe = F.array(F.lit("the"), F.lit("data"), F.lit("spark"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_intersect(toks, probe)), ",")
+        .alias("hit"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_uniq"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",")
+        .alias("first3"),
+        F.array_contains(toks, "vector").cast("int").alias("has_vector"),
+    )
