@@ -30,6 +30,7 @@ from multi_model_vectorsearch_spark.operators import graph as G
 from multi_model_vectorsearch_spark.operators import relational as R
 from multi_model_vectorsearch_spark.operators import retrieval as RT
 from multi_model_vectorsearch_spark.operators import textpipe as T
+from multi_model_vectorsearch_spark.operators import timeseries as TS
 from multi_model_vectorsearch_spark.operators import vector_ops as V
 from multi_model_vectorsearch_spark.operators import windows_batch as W
 from multi_model_vectorsearch_spark.sources.registry import load_tables
@@ -445,6 +446,36 @@ _REGISTRY: list[DQ] = [
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
        "FROM sess GROUP BY user_id, sid"),
+    DQ("dq70_gapfill", TS.dq70_gapfill,
+       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
+       "FROM events), "
+       "hourly AS (SELECT user_id, hb, "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
+       "FROM ev GROUP BY user_id, hb), "
+       "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
+       "GROUP BY user_id), "
+       "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb FROM bounds), "
+       "j AS (SELECT g.user_id, g.hb, h.sv FROM grid g LEFT JOIN hourly h "
+       "ON g.user_id = h.user_id AND g.hb = h.hb) "
+       "SELECT user_id, hb, last_value(sv IGNORE NULLS) OVER "
+       "(PARTITION BY user_id ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING "
+       "AND CURRENT ROW) AS filled FROM j"),
+    DQ("dq71_funnel", TS.dq71_funnel,
+       "WITH u AS (SELECT DISTINCT user_id FROM events), "
+       "v AS (SELECT user_id, min(ts) AS t1 FROM events "
+       "WHERE event_type = 'view' GROUP BY user_id), "
+       "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+       "JOIN v ON e.user_id = v.user_id "
+       "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
+       "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+       "JOIN c ON e.user_id = c.user_id "
+       "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
+       "SELECT u.user_id, CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 "
+       "WHEN c.t2 IS NOT NULL THEN 2 WHEN v.t1 IS NOT NULL THEN 1 "
+       "ELSE 0 END AS INT) AS stage "
+       "FROM u LEFT JOIN v ON u.user_id = v.user_id "
+       "LEFT JOIN c ON u.user_id = c.user_id "
+       "LEFT JOIN p ON u.user_id = p.user_id"),
     # --- LLM training-data pipeline suite (B53-B56 extensions) --------------
     DQ("dq40_minhash_signatures", T.dq40_minhash_signatures,
        "WITH " + _SIG_CTE + " SELECT doc_id, seed, mh FROM sig"),

@@ -1,0 +1,85 @@
+"""Event time-series analytics: gap filling and funnel attribution.
+
+Extensions over the `events` stream analog — the shapes a 100 TB behavioral
+pipeline runs daily. Both are single-shuffle-per-stage window/join plans:
+
+- **Gap fill / resample**: dense per-user hourly grid via ``sequence`` +
+  ``explode`` (rows are generated executor-side, never on the driver), left
+  join of actual buckets, forward fill with ``last(ignorenulls)``. Grid
+  width is bounded per user by their own activity span, so generation is
+  proportional to output, not to (users × global range).
+- **Funnel**: strictly-ordered stage attribution (view → click → purchase)
+  by cascading min-timestamp joins; per-stage timestamps must strictly
+  increase, matching standard funnel semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict
+
+HOUR_US = 3_600_000_000
+
+
+def dq70_gapfill(t: Tables) -> DataFrame:
+    """Hourly resample per user with forward fill over activity gaps."""
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "hb").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("sv")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    j = grid.join(hourly, ["user_id", "hb"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id", "hb", F.last("sv", ignorenulls=True).over(w).alias("filled")
+    )
+
+
+def dq71_funnel(t: Tables) -> DataFrame:
+    """Per-user funnel stage: view → click → purchase, strictly ordered."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+    users = ev.select("user_id").distinct()
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    joined = (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return joined.select("user_id", stage.cast("int").alias("stage"))
