@@ -197,3 +197,49 @@ class IngestPipeline:
         )
         seeds = sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
         return expand_one_hop(seeds, self.edges(), k=k, decay=DECAY)
+
+
+# --- reference API facade ----------------------------------------------------
+# Together with search() these give the four reference endpoints:
+# /submit -> submit(), /search -> search(), /graph + /graph-data -> graph_data()
+
+def _facade_submit(self, text: str, modality: str = "text",
+                   doc_id: int | None = None):
+    """`/submit` analog (main.py:48-87): ingest one document, return its
+    top-k corpus neighbors — the same store→dedup→KNN→edge-update flow the
+    reference runs per HTTP request, as a one-row micro-batch."""
+    if doc_id is None:
+        existing = self.corpus()
+        doc_id = (existing.agg(F.max("doc_id")).first()[0] or 0) + 1
+    batch = self.spark.createDataFrame(
+        [(int(doc_id), text, modality)],
+        "doc_id bigint, text string, modality string",
+    )
+    self.process_batch(batch, -1)
+    fresh = self.corpus().filter(F.col("doc_id") == doc_id)
+    return self.knn_against_corpus(fresh).select(
+        F.col("doc_id").alias("id"), "modality", "s", "rn"
+    )
+
+
+def _facade_graph_data(self):
+    """`/graph-data` analog (main.py:170-204): hydrated nodes + edges whose
+    endpoints both survive hydration against the corpus."""
+    edges = self.edges()
+    corpus = self.corpus().select("doc_id", "modality")
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+        .join(corpus, "doc_id")
+    )
+    valid = nodes.select("doc_id")
+    kept = (
+        edges.join(F.broadcast(valid), edges.src == valid.doc_id, "left_semi")
+        .join(F.broadcast(valid), edges.dst == valid.doc_id, "left_semi")
+    )
+    return nodes, kept
+
+
+IngestPipeline.submit = _facade_submit
+IngestPipeline.graph_data = _facade_graph_data

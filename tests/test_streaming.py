@@ -141,3 +141,23 @@ def test_stateful_user_totals_batch_equivalence(spark, tables, replay):
     got = {r.user_id: (r.n, round(r.sv, 6)) for r in last.collect()}
     want = {r.user_id: (r.n, round(r.sv, 6)) for r in batch.collect()}
     assert got == want
+
+
+def test_submit_and_graph_data_facade(spark, tmp_path):
+    """Reference API parity: /submit returns neighbors incl. self at 1.0;
+    /graph-data returns hydrated nodes and endpoint-filtered edges."""
+    pipe = IngestPipeline(spark, str(tmp_path / "fstate"), k=3)
+    r1 = pipe.submit("spark shuffles the hash join", "text", doc_id=1).collect()
+    assert [r.id for r in r1] == [1] and r1[0].s == 1.0
+    pipe.submit("broadcast the small build side", "text", doc_id=2)
+    r3 = pipe.submit("spark shuffles the sort merge join", "image",
+                     doc_id=3).collect()
+    assert r3[0].id == 3 and r3[0].s == 1.0 and len(r3) == 3
+    nodes, edges = pipe.graph_data()
+    n = {r.doc_id for r in nodes.collect()}
+    e = edges.collect()
+    assert n and all(r.src in n and r.dst in n for r in e)
+    # dedup: resubmitting identical content adds no corpus row
+    before = pipe.corpus().count()
+    pipe.submit("spark shuffles the hash join", "text", doc_id=9)
+    assert pipe.corpus().count() == before
