@@ -287,8 +287,17 @@ def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
         neighbor_labels = adj.join(
             labels.withColumnRenamed("v", "n"), "n"
         ).select("v", "comp")
+        # pointer jumping (path halving): also adopt comp(comp(v)), which
+        # squares the propagation distance per round — a 13-hop chain
+        # (measured at sf0.1) converges in ~4 rounds instead of 13
+        jumped = (
+            labels.alias("l1")
+            .join(labels.alias("l2"),
+                  F.col("l1.comp") == F.col("l2.v"))
+            .select(F.col("l1.v").alias("v"), F.col("l2.comp").alias("comp"))
+        )
         new_labels = (
-            labels.union(neighbor_labels)
+            labels.union(neighbor_labels).union(jumped)
             .groupBy("v")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)

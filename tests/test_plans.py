@@ -93,3 +93,41 @@ def test_graph_render_payload_shape(tables):
     assert edges.count() == srcs.count()
     w = edges.collect()
     assert all(0.0 <= r.width <= 5.0 for r in w)
+
+
+def test_asof_join_is_pure_window(tables):
+    """dq09 must stay the merged-stream window form — no join node at all."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq09_asof_join,
+    )
+    from multi_model_vectorsearch_spark.plans.explain import explain_formatted
+
+    plan = explain_formatted(dq09_asof_join(tables))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_blocked_neardup_avoids_pair_materialization(tables):
+    """dq46 must not plan a cartesian/nested-loop pair table."""
+    from multi_model_vectorsearch_spark.operators.ann import (
+        dq46_cosine_neardup_topk,
+    )
+    from multi_model_vectorsearch_spark.plans.explain import explain_formatted
+
+    plan = explain_formatted(dq46_cosine_neardup_topk(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # the matmul kernel
+    assert "TakeOrderedAndProject" in plan  # global top-k fusion
+
+
+def test_bm25_broadcasts_tiny_sides(tables):
+    """dq63's df/corpus-stats sides must broadcast, never shuffle the stream."""
+    from multi_model_vectorsearch_spark.operators.retrieval import (
+        dq63_bm25_topk,
+    )
+    from multi_model_vectorsearch_spark.plans.explain import explain_formatted
+
+    plan = explain_formatted(dq63_bm25_topk(tables))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
