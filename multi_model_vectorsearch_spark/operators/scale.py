@@ -62,3 +62,18 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     )
     out = l_salted.join(r_salted, [key, "_salt"])
     return out.drop("_salt")
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Hive-style partitioned parquet layout (B4): one directory per value.
+
+    The physical layout that makes predicate-matching scans skip whole
+    directories (static partition pruning) and lets joins prune at runtime
+    from the dimension side (dynamic partition pruning) — the first lever
+    for 100 TB fact tables.
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

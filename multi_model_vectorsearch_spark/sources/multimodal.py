@@ -93,3 +93,63 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(kernel, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "path string, modality string, width int, height int, resized binary"
+)
+FRAME_SCHEMA = "path string, frame_idx int, frame_sha256 string"
+
+
+def resize_images(df: DataFrame, target: int = 32) -> DataFrame:
+    """Resize stage over binary image columns via mapInPandas (B3 pipeline).
+
+    STUB kernel: real code calls PIL's ``resize``; here the "resized" bytes
+    are a deterministic digest-stretch of the source so downstream schema,
+    batching, and partitioning behavior are exercised for real. Swap the
+    body for PIL and the plan is production-ready.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "modality": [], "width": [], "height": [],
+                   "resized": []}
+            for path, modality, content in zip(
+                pdf["path"], pdf["modality"], pdf["content"]
+            ):
+                blob = bytes(content)
+                fake = (hashlib.sha256(blob).digest()
+                        * (target * target * 3 // 32 + 1))[: target * target * 3]
+                out["path"].append(path)
+                out["modality"].append(modality)
+                out["width"].append(target)
+                out["height"].append(target)
+                out["resized"].append(fake)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 2,
+                  max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stage for video blobs: 1 row in → ≤max_frames out.
+
+    STUB kernel standing in for ffmpeg keyframe extraction; frame count is
+    derived deterministically from the content digest (same rule as
+    ``_fake_decode``), so the fan-out shape — the part Spark cares about —
+    is real.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "frame_idx": [], "frame_sha256": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                h = hashlib.sha256(blob)
+                n = 1 + h.digest()[2] % 8
+                for idx in range(0, min(n, max_frames * every_nth), every_nth):
+                    fh = hashlib.sha256(blob + idx.to_bytes(4, "big"))
+                    out["path"].append(path)
+                    out["frame_idx"].append(idx)
+                    out["frame_sha256"].append(fh.hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -58,3 +58,32 @@ def test_decode_features_schema_and_determinism(spark, blob_dir):
     again = {r.path.split("/")[-1]: r for r in
              decode_features(read_binary_dir(spark, blob_dir)).collect()}
     assert all(rows[n].feature == again[n].feature for n in rows)
+
+
+def test_resize_and_frame_sample_stages(spark, tmp_path):
+    """Resize keeps 1:1 rows; frame sampling fans out ≤max_frames per blob."""
+    from multi_model_vectorsearch_spark.sources.multimodal import (
+        read_binary_dir,
+        resize_images,
+        sample_frames,
+    )
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for i in range(5):
+        (d / f"clip{i}.mp4").write_bytes(bytes([i]) * (50 + i))
+    df = read_binary_dir(spark, str(d))
+    rs = resize_images(df, target=8).collect()
+    assert len(rs) == 5
+    assert all(r.width == 8 and r.height == 8 and len(r.resized) == 8 * 8 * 3
+               for r in rs)
+    fr = sample_frames(df, every_nth=2, max_frames=4).collect()
+    assert 5 <= len(fr) <= 5 * 4
+    per = {}
+    for r in fr:
+        per.setdefault(r.path, []).append(r.frame_idx)
+    assert all(idxs == sorted(idxs) and len(set(idxs)) == len(idxs)
+               for idxs in per.values())
+    # determinism: same bytes -> same frame hashes
+    fr2 = sample_frames(df, every_nth=2, max_frames=4).collect()
+    assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))

@@ -66,3 +66,46 @@ def test_salted_join_matches_plain_join(tables):
         map(tuple, plain.collect())
     )
     assert salted.columns == plain.columns
+
+
+def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
+    """A filter on the partition column must reach PartitionFilters."""
+    from multi_model_vectorsearch_spark.operators.scale import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    p = str(tmp_path / "orders_by_status")
+    write_partitioned(tables["orders"], p, "o_orderstatus")
+    df = read_partitioned(spark, p).filter(F.col("o_orderstatus") == "O")
+    plan = _formatted_plan(df)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    want = tables["orders"].filter(F.col("o_orderstatus") == "O").count()
+    assert df.count() == want
+
+
+def test_dynamic_partition_pruning_on_join(spark, tables, tmp_path):
+    """Joining a partitioned fact with a filtered dim plans a DPP subquery."""
+    from multi_model_vectorsearch_spark.operators.scale import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    p = str(tmp_path / "li_by_flag")
+    write_partitioned(
+        tables["lineitem"].select("l_orderkey", "l_quantity", "l_returnflag"),
+        p, "l_returnflag",
+    )
+    fact = read_partitioned(spark, p)
+    dim = (
+        tables["lineitem"].select("l_returnflag").distinct()
+        .filter(F.col("l_returnflag") == "R")
+        .withColumnRenamed("l_returnflag", "flag")
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.flag)
+    plan = _formatted_plan(joined).lower()
+    assert "dynamicpruning" in plan or "partitionfilters" in plan, plan
+    want = tables["lineitem"].filter(F.col("l_returnflag") == "R").count()
+    assert joined.count() == want
