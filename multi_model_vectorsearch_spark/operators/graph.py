@@ -129,10 +129,12 @@ def dq55_expand_2hop(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     """Multi-hop generalization (depth=2) of the A20 re-rank.
 
     The reference caps at depth=1 (search.py:5); deeper traversal is the same
-    1-hop join iterated, with lineage truncation between hops.
+    1-hop join iterated, with lineage truncation between hops. Edges are
+    materialized once (eager checkpoint) — every hop joins against them, and
+    recomputing the KNN edge build per hop costs more than storing it.
     """
     seeds = dq29_knn_topk(t, query_vec_id, k)
-    edges = dq33_build_edges(t)
+    edges = dq33_build_edges(t).localCheckpoint(eager=True)
     return expand_multi_hop(seeds, edges, depth=2, k=k)
 
 
