@@ -318,6 +318,21 @@ _REGISTRY: list[DQ] = [
        "UNION ALL SELECT vec_id AS id, s AS score FROM seeds) "
        "SELECT id, max(score) AS score FROM neigh GROUP BY id "
        "ORDER BY score DESC, id LIMIT 10"),
+    DQ("dq72_pagerank", G.dq72_pagerank,
+       "WITH " + _EDGES_CTE + ", "
+       "adj AS (SELECT src AS v, dst AS n FROM edges "
+       "UNION ALL SELECT dst, src FROM edges), "
+       "deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n), "
+       "nodes AS (SELECT DISTINCT v FROM adj), "
+       "nn AS (SELECT count(*) AS c FROM nodes), "
+       "pr0 AS (SELECT v, 1.0 / nn.c AS p FROM nodes CROSS JOIN nn), "
+       + ", ".join(
+           f"pr{i + 1} AS (SELECT a.v, 0.15 / nn.c + 0.85 * "
+           f"sum(pr{i}.p / deg.d) AS p FROM adj a "
+           f"JOIN pr{i} ON a.n = pr{i}.v JOIN deg ON deg.n = a.n "
+           f"CROSS JOIN nn GROUP BY a.v, nn.c)"
+           for i in range(3))
+       + " SELECT v AS id, round(p, 6) AS pr FROM pr3"),
     DQ("dq35_hydrate_filter", G.dq35_hydrate_filter,
        "WITH " + _EDGES_CTE + ", "
        "valid AS (SELECT vec_id FROM embeddings WHERE label <> 9) "

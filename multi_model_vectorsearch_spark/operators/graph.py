@@ -209,3 +209,37 @@ def graph_render_payload(t: Tables) -> tuple[DataFrame, DataFrame]:
         F.round(F.col("score") * 5.0, 6).alias("width"),
     )
     return nodes, rendered_edges
+
+
+def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Graph analytics beyond the reference: PageRank over the edge graph.
+
+    Fixed-iteration power method on the undirected dq33 graph:
+    ``pr' = (1-d)/N + d * Σ pr(u)/deg(u)`` over neighbors. Each iteration is
+    one join + one aggregation with the rank vector checkpointed between
+    rounds (constant plan size); edges and degrees are materialized once.
+    Deterministic for a fixed iteration count, so it is oracle-checkable by
+    unrolling the same iterations as SQL CTEs.
+    """
+    edges = dq33_build_edges(t)
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(edges.select(F.col("dst"), F.col("src")))
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("n").agg(F.count("*").alias("d"))
+    n_nodes = adj.select("v").distinct().count()
+    pr = adj.select("v").distinct().withColumn("p", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (
+            adj.join(pr.withColumnRenamed("v", "n"), "n")
+            .join(deg, "n")
+            .groupBy("v")
+            .agg(F.sum(F.col("p") / F.col("d")).alias("mass"))
+        )
+        pr = contrib.select(
+            "v",
+            (F.lit((1.0 - damping) / n_nodes)
+             + F.lit(damping) * F.col("mass")).alias("p"),
+        ).localCheckpoint(eager=True)
+    return pr.select(F.col("v").alias("id"), F.round("p", 6).alias("pr"))
