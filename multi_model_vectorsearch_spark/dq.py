@@ -461,6 +461,17 @@ _REGISTRY: list[DQ] = [
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
        "FROM sess GROUP BY user_id, sid"),
+    DQ("dq73_cube", R.dq73_cube,
+       "SELECT o_orderstatus, o_orderpriority, count(*) AS c, "
+       "CAST(grouping(o_orderstatus) AS INT) AS g1, "
+       "CAST(grouping(o_orderpriority) AS INT) AS g2 "
+       "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+    DQ("dq74_histogram", R.dq74_histogram,
+       "WITH stats AS (SELECT min(l_extendedprice) AS lo, "
+       "max(l_extendedprice) AS hi FROM lineitem) "
+       "SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) "
+       "AS INT) AS bucket, count(*) AS c "
+       "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
     DQ("dq70_gapfill", TS.dq70_gapfill,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "

@@ -507,3 +507,41 @@ def dq69_array_ops(t: Tables) -> DataFrame:
         .alias("first3"),
         F.array_contains(toks, "vector").cast("int").alias("has_vector"),
     )
+
+
+def dq73_cube(t: Tables) -> DataFrame:
+    """B21 completion: CUBE — all 2^n grouping combinations in one pass."""
+    o = t["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("c"),
+        F.grouping("o_orderstatus").cast("int").alias("g1"),
+        F.grouping("o_orderpriority").cast("int").alias("g2"),
+    )
+
+
+def dq74_histogram(t: Tables, n_bins: int = 10) -> DataFrame:
+    """Equal-width histogram of l_extendedprice (data-driven bounds).
+
+    Min/max come from one tiny aggregate broadcast across the scan; the
+    bucket expression is pure arithmetic so the histogram is a single
+    shuffle-light pass — the profile-a-column primitive every data-quality
+    sweep starts with.
+    """
+    li = t["lineitem"]
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / n_bins)
+        ),
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+    )
