@@ -106,7 +106,9 @@ def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     At depth=1 the reference pops exactly one node from its priority queue, so
     only the top-1 KNN result contributes neighbors.
     """
-    seeds = dq29_knn_topk(t, query_vec_id, k)
+    # seeds feed both the top-1 selection and the rest-union: materialize
+    # once instead of running the KNN scan twice
+    seeds = dq29_knn_topk(t, query_vec_id, k).localCheckpoint(eager=True)
     top1 = seeds.orderBy(F.desc("s"), F.asc("vec_id")).limit(1)
     edges = dq33_build_edges(t)
     expanded = expand_one_hop(top1, edges, k=1 << 30)
