@@ -461,6 +461,22 @@ _REGISTRY: list[DQ] = [
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
        "FROM sess GROUP BY user_id, sid"),
+    DQ("dq75_window_battery", R.dq75_window_battery,
+       "SELECT o_orderkey, "
+       "first_value(o_orderkey) OVER w AS best, "
+       "nth_value(o_orderkey, 2) OVER w AS second, "
+       "round(cume_dist() OVER w, 6) AS cd, "
+       "round(percent_rank() OVER w, 6) AS pr "
+       "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+       "ORDER BY o_totalprice DESC, o_orderkey)"),
+    DQ("dq76_nullsafe_join", R.dq76_nullsafe_join,
+       "WITH keyed AS (SELECT o_orderkey, "
+       "CASE WHEN o_orderkey % 50 != 0 THEN o_custkey END AS pk FROM orders) "
+       "SELECT a.pk AS p1, count(*) AS pairs, "
+       "count(DISTINCT a.o_orderkey) AS lhs "
+       "FROM keyed a JOIN keyed b "
+       "ON a.pk IS NOT DISTINCT FROM b.pk AND a.o_orderkey < b.o_orderkey "
+       "GROUP BY a.pk"),
     DQ("dq73_cube", R.dq73_cube,
        "SELECT o_orderstatus, o_orderpriority, count(*) AS c, "
        "CAST(grouping(o_orderstatus) AS INT) AS g1, "

@@ -545,3 +545,38 @@ def dq74_histogram(t: Tables, n_bins: int = 10) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def dq75_window_battery(t: Tables) -> DataFrame:
+    """B25-B28 completion: first/nth value, cume_dist, percent_rank."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    o = t["orders"]
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("best"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+def dq76_nullsafe_join(t: Tables) -> DataFrame:
+    """Null-safe equality (<=>): nulls match nulls, unlike plain =.
+
+    Built over a derived nullable key (custkey, nulled for every 50th
+    order) so the null-matching path carries a bounded group on both sides.
+    """
+    o = t["orders"]
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 50 != 0, F.col("o_custkey")).alias("pk"),
+    )
+    a = keyed.select(F.col("o_orderkey").alias("k1"), F.col("pk").alias("p1"))
+    b = keyed.select(F.col("o_orderkey").alias("k2"), F.col("pk").alias("p2"))
+    j = a.join(b, a.p1.eqNullSafe(b.p2) & (a.k1 < b.k2))
+    return j.groupBy("p1").agg(
+        F.count("*").alias("pairs"),
+        F.countDistinct("k1").alias("lhs"),
+    )

@@ -56,3 +56,17 @@ def test_lsh_ann_deterministic(tables):
     a = [(r.vec_id, r.dist) for r in dq51_lsh_ann(tables, 0, 5).collect()]
     b = [(r.vec_id, r.dist) for r in dq51_lsh_ann(tables, 0, 5).collect()]
     assert a == b
+
+
+def test_ivf_recall_vs_exact(tables):
+    """dq47 IVF probes one cluster; recall vs exact cosine KNN stays high
+    for the self-query (the query's own cluster holds its neighborhood)."""
+    from multi_model_vectorsearch_spark.operators.ann import dq47_ivf_knn
+    from multi_model_vectorsearch_spark.operators.vector_ops import (
+        dq29_knn_topk,
+    )
+
+    exact = {r.vec_id for r in dq29_knn_topk(tables, 0, 10).collect()}
+    ivf = {r.vec_id for r in dq47_ivf_knn(tables, 0, 10).collect()}
+    assert 0 in ivf  # query itself survives the probe
+    assert len(ivf & exact) >= 3, (ivf, exact)

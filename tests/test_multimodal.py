@@ -87,3 +87,16 @@ def test_resize_and_frame_sample_stages(spark, tmp_path):
     # determinism: same bytes -> same frame hashes
     fr2 = sample_frames(df, every_nth=2, max_frames=4).collect()
     assert sorted(map(tuple, fr)) == sorted(map(tuple, fr2))
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """mergeSchema read unifies parquet files written with evolving schemas."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, txt string") \
+        .write.mode("append").parquet(d)
+    spark.createDataFrame([(2, "b", 0.5)], "id bigint, txt string, score double") \
+        .write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "txt", "score"}
+    rows = {r.id: (r.txt, r.score) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 0.5)
