@@ -31,6 +31,7 @@ from multi_model_vectorsearch_spark.operators import relational as R
 from multi_model_vectorsearch_spark.operators import retrieval as RT
 from multi_model_vectorsearch_spark.operators import textpipe as T
 from multi_model_vectorsearch_spark.operators import timeseries as TS
+from multi_model_vectorsearch_spark.operators import tpch as Q
 from multi_model_vectorsearch_spark.operators import vector_ops as V
 from multi_model_vectorsearch_spark.operators import windows_batch as W
 from multi_model_vectorsearch_spark.sources.registry import load_tables
@@ -488,6 +489,52 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) "
        "AS INT) AS bucket, count(*) AS c "
        "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
+    DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
+       "SELECT l_returnflag, l_linestatus, "
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS sum_disc, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * "
+       "(CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,6)) AS sum_charge, "
+       "round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
+       "AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty, "
+       "count(*) AS n "
+       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+       "GROUP BY l_returnflag, l_linestatus"),
+    DQ("dq78_tpch_q3", Q.dq78_tpch_q3,
+       "SELECT l_orderkey, o_orderdate, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey "
+       "WHERE c_mktsegment = 'BUILDING' "
+       "AND o_orderdate < TIMESTAMP '1998-01-01' "
+       "AND l_shipdate > TIMESTAMP '1998-01-01' "
+       "GROUP BY l_orderkey, o_orderdate "
+       "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    DQ("dq79_tpch_q5", Q.dq79_tpch_q5,
+       "SELECT n_name, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey "
+       "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
+       "JOIN nation ON c_nationkey = n_nationkey "
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+       "AND o_orderdate < TIMESTAMP '1997-01-01' "
+       "GROUP BY n_name"),
+    DQ("dq80_tpch_q6", Q.dq80_tpch_q6,
+       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+       "AND l_shipdate < TIMESTAMP '1997-01-01' "
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
     DQ("dq70_gapfill", TS.dq70_gapfill,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "
