@@ -489,6 +489,12 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) "
        "AS INT) AS bucket, count(*) AS c "
        "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
+    DQ("dq81_sql_text", R.dq81_sql_text,
+       "SELECT n_name, "
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "AS total, count(*) AS n_orders "
+       "FROM orders JOIN customer ON o_custkey = c_custkey "
+       "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
        "SELECT l_returnflag, l_linestatus, "
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "

@@ -580,3 +580,23 @@ def dq76_nullsafe_join(t: Tables) -> DataFrame:
         F.count("*").alias("pairs"),
         F.countDistinct("k1").alias("lhs"),
     )
+
+
+def dq81_sql_text(t: Tables) -> DataFrame:
+    """SQL-text front door: the same engine through spark.sql over views.
+
+    Everything else in the registry uses the DataFrame API; this entry
+    proves the SQL surface end-to-end (view registration, parsing, the same
+    Catalyst plan underneath) with a revenue-per-nation query.
+    """
+    spark = t["orders"].sparkSession
+    for name in ("orders", "customer", "nation"):
+        t[name].createOrReplaceTempView(f"sql_{name}")
+    return spark.sql(
+        "SELECT n_name, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+        "AS total, count(*) AS n_orders "
+        "FROM sql_orders JOIN sql_customer ON o_custkey = c_custkey "
+        "JOIN sql_nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )

@@ -77,3 +77,28 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def merge_upsert(spark: SparkSession, state_path: str, updates: DataFrame,
+                 key: str) -> int:
+    """MERGE-style upsert into a parquet state store (B4 / A6 generalized).
+
+    Updated keys replace existing rows; new keys append — the Delta
+    ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` semantics over
+    plain parquet. The merged result is checkpointed before the overwrite
+    because Spark cannot overwrite a path it is still lazily reading.
+    Returns the new row count. At scale this becomes a partition-scoped
+    rewrite (or a real Delta MERGE) — same call site, same semantics.
+    """
+    import os
+
+    if os.path.isdir(state_path) and any(
+        f.endswith(".parquet") for f in os.listdir(state_path)
+    ):
+        current = spark.read.parquet(state_path)
+        kept = current.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates).localCheckpoint(eager=True)
+    else:
+        merged = updates.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(state_path)
+    return merged.count()

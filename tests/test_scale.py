@@ -109,3 +109,19 @@ def test_dynamic_partition_pruning_on_join(spark, tables, tmp_path):
     assert "dynamicpruning" in plan or "partitionfilters" in plan, plan
     want = tables["lineitem"].filter(F.col("l_returnflag") == "R").count()
     assert joined.count() == want
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    from multi_model_vectorsearch_spark.operators.scale import merge_upsert
+
+    p = str(tmp_path / "state")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    assert merge_upsert(spark, p, base, "k") == 2
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    assert merge_upsert(spark, p, upd, "k") == 3
+    rows = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    # idempotent re-apply
+    assert merge_upsert(spark, p, upd, "k") == 3
+    rows2 = {r.k: r.v for r in spark.read.parquet(p).collect()}
+    assert rows2 == rows
