@@ -1,4 +1,4 @@
-"""Relational operator surface (SURVEY.md §2.2 B1-B40, declared queries DQ-01..28).
+"""Relational operator surface (SURVEY.md §2.2 B1-B40, DQ-01..28 + §2.4 extensions).
 
 Every builder takes the table dict from ``sources.registry.load_tables`` and
 returns a DataFrame built with the declarative API, so Catalyst plans the
