@@ -489,6 +489,15 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) "
        "AS INT) AS bucket, count(*) AS c "
        "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
+    DQ("dq82_correlated_subquery", R.dq82_correlated_subquery,
+       "SELECT c_custkey, (SELECT round(max(o_totalprice), 2) FROM orders "
+       "WHERE o_custkey = c_custkey) AS mx FROM customer"),
+    DQ("dq83_map_ops", R.dq83_map_ops,
+       "SELECT event_id, "
+       "CAST(json_extract_string(props, '$.k') AS INT) AS k, "
+       "CAST(len(json_keys(props)) AS INT) AS n_keys, "
+       "array_to_string(list_sort(json_keys(props)), ',') AS keys "
+       "FROM events"),
     DQ("dq81_sql_text", R.dq81_sql_text,
        "SELECT n_name, "
        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "

@@ -600,3 +600,33 @@ def dq81_sql_text(t: Tables) -> DataFrame:
         "JOIN sql_nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
     )
+
+
+def dq82_correlated_subquery(t: Tables) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a join.
+
+    Written as SQL text because the correlation is the point: the optimizer
+    rewrites the per-row subquery into an aggregate + left join (no
+    nested-loop re-execution), which is what survives at scale.
+    """
+    spark = t["customer"].sparkSession
+    t["customer"].createOrReplaceTempView("corr_customer")
+    t["orders"].createOrReplaceTempView("corr_orders")
+    return spark.sql(
+        "SELECT c_custkey, "
+        "(SELECT round(max(o_totalprice), 2) FROM corr_orders "
+        " WHERE o_custkey = c_custkey) AS mx "
+        "FROM corr_customer"
+    )
+
+
+def dq83_map_ops(t: Tables) -> DataFrame:
+    """B39: map-typed column ops over parsed JSON props."""
+    e = t["events"]
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+    )

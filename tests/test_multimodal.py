@@ -100,3 +100,19 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "txt", "score"}
     rows = {r.id: (r.txt, r.score) for r in merged.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 0.5)
+
+
+def test_csv_and_json_sources_roundtrip(spark, tmp_path):
+    """B1 extension: CSV and JSON line sources read back with explicit
+    schemas (schema inference is a scan tax at 100 TB — always declare)."""
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, name string, score double"
+    )
+    df.write.mode("overwrite").option("header", True).csv(csv_dir)
+    df.write.mode("overwrite").json(json_dir)
+    back_csv = spark.read.schema(df.schema).option("header", True).csv(csv_dir)
+    back_json = spark.read.schema(df.schema).json(json_dir)
+    want = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, back_csv.collect())) == want
+    assert sorted(map(tuple, back_json.collect())) == want
