@@ -418,6 +418,22 @@ _REGISTRY: list[DQ] = [
        "round(coalesce(1.0 / (60 + v.rv), 0) + coalesce(1.0 / (60 + l.rl), 0), 6) "
        "AS rrf FROM varm v FULL OUTER JOIN larm l ON v.id = l.id) "
        "SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10"),
+    DQ("dq84_normalize_text", T.dq84_normalize_text,
+       "WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
+       "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean "
+       "FROM documents) "
+       "SELECT doc_id, clean, sha256(clean) AS clean_sha FROM c"),
+    DQ("dq85_vocab_topk", T.dq85_vocab_topk,
+       "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM "
+       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents) t GROUP BY tok ORDER BY tf DESC, tok LIMIT 100"),
+    DQ("dq86_length_filter", T.dq86_length_filter,
+       "WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
+       "AS n_tok FROM documents), "
+       "b AS (SELECT quantile_cont(n_tok, 0.05) AS plo, "
+       "quantile_cont(n_tok, 0.95) AS phi FROM lens) "
+       "SELECT doc_id, n_tok FROM lens CROSS JOIN b "
+       "WHERE n_tok >= plo AND n_tok <= phi"),
     DQ("dq62_winnow_fingerprint", T.dq62_winnow_fingerprint,
        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
        "FROM documents), "

@@ -400,3 +400,65 @@ def dq45_quality(t: Tables) -> DataFrame:
             6,
         ),
     )
+
+
+def dq84_normalize_text(t: Tables) -> DataFrame:
+    """Cleaning normalization: lowercase, strip non-alnum, collapse spaces.
+
+    The canonicalization pass that runs before hashing/shingling in a real
+    corpus pipeline so near-dup detection isn't defeated by punctuation or
+    casing. Pure string expressions — whole-stage codegen keeps it in the
+    scan stage.
+    """
+    d = t["documents"]
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            " +", " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean"),
+        F.sha2(cleaned, 256).alias("clean_sha"),
+    )
+
+
+def dq85_vocab_topk(t: Tables, k: int = 100) -> DataFrame:
+    """Vocabulary extraction: top-k corpus terms by document frequency.
+
+    The tokenizer-training primitive: one explode + two aggregations, with
+    the final top-k fused into TakeOrderedAndProject. tf counts total
+    occurrences; df counts distinct documents.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return stats.orderBy(F.desc("tf"), F.asc("tok")).limit(k)
+
+
+def dq86_length_filter(t: Tables, lo: float = 0.05,
+                       hi: float = 0.95) -> DataFrame:
+    """Quality gate: keep documents inside the [p5, p95] token-length band.
+
+    Outlier-length removal — the standard first filter in training-data
+    curation. The percentile bounds come from one tiny exact aggregate
+    broadcast against the length table; no second scan of the text.
+    """
+    lens = t["documents"].select(
+        "doc_id", F.size(F.split("text", " ")).cast("int").alias("n_tok")
+    )
+    bounds = lens.agg(
+        F.expr(f"percentile(n_tok, {lo}D)").alias("plo"),
+        F.expr(f"percentile(n_tok, {hi}D)").alias("phi"),
+    )
+    return (
+        lens.crossJoin(F.broadcast(bounds))
+        .filter((F.col("n_tok") >= F.col("plo"))
+                & (F.col("n_tok") <= F.col("phi")))
+        .select("doc_id", "n_tok")
+    )
