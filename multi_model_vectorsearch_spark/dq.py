@@ -566,6 +566,88 @@ _REGISTRY: list[DQ] = [
        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
        "AND l_shipdate < TIMESTAMP '1997-01-01' "
        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    DQ("dq87_tpch_q4", Q.dq87_tpch_q4,
+       "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+       "AND o_orderdate < TIMESTAMP '1996-07-01' "
+       "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+       "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+       "GROUP BY o_orderpriority"),
+    DQ("dq88_tpch_q10", Q.dq88_tpch_q10,
+       "SELECT c_custkey, c_name, c_acctbal, n_name, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey "
+       "JOIN nation ON c_nationkey = n_nationkey "
+       "WHERE l_returnflag = 'R' "
+       "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+       "AND o_orderdate < TIMESTAMP '1996-04-01' "
+       "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    DQ("dq89_tpch_q12", Q.dq89_tpch_q12,
+       "SELECT l_linestatus, "
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+       "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+       "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+       "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus"),
+    DQ("dq90_tpch_q14", Q.dq90_tpch_q14,
+       "WITH j AS (SELECT p_type, "
+       "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev "
+       "FROM lineitem JOIN part ON l_partkey = p_partkey "
+       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+       "AND l_shipdate < TIMESTAMP '1996-10-01'), "
+       "a AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev "
+       "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS promo, "
+       "CAST(sum(rev) AS DECIMAL(18,4)) AS total FROM j) "
+       "SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) "
+       "AS promo_share FROM a"),
+    DQ("dq91_tpch_q15", Q.dq91_tpch_q15,
+       "WITH rev AS (SELECT l_suppkey, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS total_rev FROM lineitem "
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+       "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+       "SELECT s_suppkey, s_name, total_rev FROM rev "
+       "JOIN supplier ON l_suppkey = s_suppkey "
+       "WHERE total_rev = (SELECT max(total_rev) FROM rev)"),
+    DQ("dq92_tpch_q18", Q.dq92_tpch_q18,
+       "WITH big AS (SELECT l_orderkey, "
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "AS sum_qty FROM lineitem GROUP BY l_orderkey "
+       "HAVING sum_qty > CAST(250 AS DECIMAL(18,2))) "
+       "SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty "
+       "FROM big JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey"),
+    DQ("dq93_tpch_q19", Q.dq93_tpch_q19,
+       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem JOIN part ON l_partkey = p_partkey "
+       "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
+       "AND l_quantity BETWEEN 5 AND 15) "
+       "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 "
+       "AND l_quantity BETWEEN 15 AND 25) "
+       "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 "
+       "AND l_quantity BETWEEN 25 AND 35)"),
+    DQ("dq94_tpch_q22", Q.dq94_tpch_q22,
+       "WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
+       "AS DECIMAL(38,2)) AS s, count(*) AS n FROM customer "
+       "WHERE c_acctbal > 0), "
+       "rich AS (SELECT c.* FROM customer c CROSS JOIN pos "
+       "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s), "
+       "inactive AS (SELECT * FROM rich c WHERE NOT EXISTS "
+       "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+       "AND o.o_orderdate >= TIMESTAMP '2000-01-01')) "
+       "SELECT c_nationkey, count(*) AS numcust, "
+       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "AS totacctbal FROM inactive GROUP BY c_nationkey"),
     DQ("dq70_gapfill", TS.dq70_gapfill,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "

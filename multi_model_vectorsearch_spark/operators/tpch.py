@@ -100,3 +100,185 @@ def dq80_tpch_q6(t: Tables) -> DataFrame:
     )
     rev = F.col("l_extendedprice").cast(_D) * F.col("l_discount").cast(_D)
     return li.agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast(_D) * (
+        F.lit(1).cast(_D) - F.col("l_discount").cast(_D)
+    )
+
+
+def dq87_tpch_q4(t: Tables) -> DataFrame:
+    """Q4 order-priority checking (adapted): EXISTS → left-semi join.
+
+    The fixture lacks l_commitdate/l_receiptdate, so "late" is re-expressed
+    as any line shipped more than 60 days after the order date. Catalyst
+    plans the EXISTS as a semi join on the order key with the inequality as
+    a join residual — no decorrelation subquery survives to the physical
+    plan, so it scales as one shuffle on l_orderkey.
+    """
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def dq88_tpch_q10(t: Tables) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by returned revenue."""
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def dq89_tpch_q12(t: Tables) -> DataFrame:
+    """Q12 (adapted): priority-class line counts per line status.
+
+    The fixture has no l_shipmode; the Q12 shape — join + conditional
+    two-bucket counts — is kept, bucketing on o_orderpriority instead.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+def dq90_tpch_q14(t: Tables) -> DataFrame:
+    """Q14 promotion effect: PROMO revenue share for one month.
+
+    Both sums are exact DECIMAL; only the final ratio drops to double
+    (rounded), so the scalar result is scale-independent.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    j = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(_D)))
+        .cast("decimal(18,4)").alias("promo"),
+        F.sum(_rev()).cast("decimal(18,4)").alias("total"),
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo").cast("double")
+                / F.col("total").cast("double"), 6).alias("promo_share")
+    )
+
+
+def dq91_tpch_q15(t: Tables) -> DataFrame:
+    """Q15 top supplier: suppliers whose quarterly revenue equals the max.
+
+    The max is attached via a broadcast cross join of the 1-row aggregate
+    (scale-safe — no global window), and revenue is exact DECIMAL so the
+    max comparison is deterministic across engines.
+    """
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def dq92_tpch_q18(t: Tables) -> DataFrame:
+    """Q18 large-volume customers: orders with total quantity > 250."""
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D)).cast(_D).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(250).cast(_D))
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty")
+    )
+
+
+def dq93_tpch_q19(t: Tables) -> DataFrame:
+    """Q19 discounted revenue: disjunctive brand/size/quantity predicates.
+
+    The OR-of-ANDs lands as a single join residual after the broadcast hash
+    join on p_partkey — the canonical "can your optimizer keep a disjunction
+    out of the join key" shape.
+    """
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(5, 15))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(15, 25))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(25, 35))
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev()).cast("decimal(18,4)").alias("revenue")
+    )
+
+
+def dq94_tpch_q22(t: Tables) -> DataFrame:
+    """Q22 global sales opportunity (adapted): rich, recently-inactive custs.
+
+    c_acctbal > avg(positive balances) is evaluated as
+    ``bal * n > sum`` in exact DECIMAL — dividing first would compare
+    against a double average whose last-ulp differs between engines and can
+    flip rows at the threshold. NOT EXISTS recent orders → left-anti join;
+    grouping key is the nation (the fixture has no phone country codes).
+    """
+    c = t["customer"]
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_D)).alias("s"),
+        F.count("*").alias("n"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast(_D) * F.col("n") > F.col("s")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    inactive = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(_D)).cast(_D).alias("totacctbal"),
+    )
