@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from multi_model_vectorsearch_spark.operators import ann as N
+from multi_model_vectorsearch_spark.operators import curation as C
 from multi_model_vectorsearch_spark.operators import embed as E
 from multi_model_vectorsearch_spark.operators import graph as G
 from multi_model_vectorsearch_spark.operators import relational as R
@@ -792,6 +793,83 @@ _REGISTRY: list[DQ] = [
        "cos AS (SELECT nv.doc_id, round(sum(nv.x * q.qx), 6) AS s "
        "FROM nv JOIN q ON nv.p = q.p GROUP BY nv.doc_id) "
        "SELECT doc_id, s FROM cos ORDER BY s DESC, doc_id LIMIT 10"),
+    DQ("dq95_hash_split", C.dq95_hash_split,
+       "WITH hx AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h "
+       "FROM documents), "
+       "b AS (SELECT doc_id, CAST((" + _HEXFOLD + ") AS BIGINT) % 100 "
+       "AS bucket FROM hx) "
+       "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
+       "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
+    DQ("dq96_stratified_sample", C.dq96_stratified_sample,
+       "WITH hx AS (SELECT doc_id, lang, "
+       "sha256('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+       "b AS (SELECT doc_id, lang, CAST((" + _HEXFOLD + ") AS BIGINT) % 100 "
+       "AS bucket, CASE WHEN lang = 'en' THEN 80 ELSE 40 END AS keep_pct "
+       "FROM hx) "
+       "SELECT doc_id, lang, bucket, keep_pct FROM b WHERE bucket < keep_pct"),
+    DQ("dq97_pack_sequences", C.dq97_pack_sequences,
+       "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
+       "len(string_split(text, ' ')) AS n_tok FROM documents), "
+       "s AS (SELECT doc_id, shard, n_tok, "
+       "coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok "
+       "FROM d) "
+       "SELECT doc_id, shard, n_tok, start_tok, "
+       "CAST(floor(start_tok / 256) AS INT) AS bin_first, "
+       "CAST(floor((start_tok + n_tok - 1) / 256) AS INT) AS bin_last FROM s"),
+    DQ("dq98_contamination", C.dq98_contamination,
+       "WITH " + _SH_CTE + ", "
+       "shs AS (SELECT sh.doc_id, shingle, d.source FROM sh "
+       "JOIN documents d ON sh.doc_id = d.doc_id), "
+       "bench AS (SELECT DISTINCT shingle FROM shs WHERE source = 'src0') "
+       "SELECT s.doc_id, count(*) AS n_contaminated FROM shs s "
+       "JOIN bench b ON s.shingle = b.shingle WHERE s.source <> 'src0' "
+       "GROUP BY s.doc_id"),
+    DQ("dq99_pii_redact", C.dq99_pii_redact,
+       "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
+       "text || ' user' || CAST(doc_id AS VARCHAR) || "
+       "'@example.com call 555-123-4567' ELSE text END AS txt "
+       "FROM documents) "
+       "SELECT doc_id, "
+       "CAST(len(regexp_extract_all(txt, '" + C._EMAIL + "')) AS INT) "
+       "AS n_email, "
+       "CAST(len(regexp_extract_all(txt, '" + C._PHONE + "')) AS INT) "
+       "AS n_phone, "
+       "CAST(length(regexp_replace(regexp_replace(txt, '" + C._EMAIL + "', "
+       "'<EMAIL>', 'g'), '" + C._PHONE + "', '<PHONE>', 'g')) AS INT) "
+       "AS redacted_len, "
+       "sha256(regexp_replace(regexp_replace(txt, '" + C._EMAIL + "', "
+       "'<EMAIL>', 'g'), '" + C._PHONE + "', '<PHONE>', 'g')) "
+       "AS redacted_sha FROM d"),
+    DQ("dq100_pmi_bigrams", C.dq100_pmi_bigrams,
+       "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks "
+       "FROM documents), "
+       "grams AS (SELECT unnest(list_transform(range(1, len(toks)), "
+       "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk), "
+       "unic AS (SELECT tok, count(*) AS c_uni FROM "
+       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u "
+       "GROUP BY tok), "
+       "nu AS (SELECT sum(c_uni) AS n_uni FROM unic), "
+       "bgc AS (SELECT bg, count(*) AS c_bg FROM grams GROUP BY bg), "
+       "nb AS (SELECT sum(c_bg) AS n_bg FROM bgc), "
+       "j AS (SELECT bgc.bg, bgc.c_bg, u1.c_uni AS c1, u2.c_uni AS c2 "
+       "FROM bgc JOIN unic u1 ON u1.tok = string_split(bgc.bg, ' ')[1] "
+       "JOIN unic u2 ON u2.tok = string_split(bgc.bg, ' ')[2] "
+       "WHERE bgc.c_bg >= 5) "
+       "SELECT bg, c_bg, round(ln((c_bg / n_bg) / "
+       "((c1 / n_uni) * (c2 / n_uni))), 6) AS pmi "
+       "FROM j CROSS JOIN nu CROSS JOIN nb "
+       "ORDER BY pmi DESC, bg LIMIT 40"),
+    DQ("dq101_scd2_intervals", C.dq101_scd2_intervals,
+       "WITH c AS (SELECT user_id, ts, event_id, event_type, "
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+       "AS prev FROM events), "
+       "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type) "
+       "SELECT user_id, event_type, ts AS valid_from, "
+       "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+       "AS valid_to, "
+       "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+       "AS INT) AS version FROM ch"),
 ]
 
 

@@ -1,0 +1,223 @@
+"""Corpus-curation operators for LLM training-data pipelines (part 2).
+
+The reference ingests documents one POST at a time (main.py:48-87); a
+100 TB pretraining pipeline additionally needs the batch curation steps
+implemented here: deterministic dataset splits, stratified subsampling,
+context-window packing, benchmark-contamination screening, PII redaction,
+and collocation mining. All are expressed with built-in functions so the
+hot path stays JVM-side; the only per-doc Python anywhere in the module is
+none at all.
+
+Determinism: split/sample decisions hash doc ids through sha2 (stable
+across engines, runs, and cluster sizes — unlike ``F.rand`` or ``F.hash``),
+so the same document always lands in the same split no matter how the
+corpus is partitioned. That is also what makes the DuckDB oracle able to
+reproduce every decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+Tables = dict
+
+# sha256(doc_id)[:8 hex] folded to an integer in [0, 100) — the split die.
+def _hash_bucket(col: F.Column) -> F.Column:
+    return (
+        F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+
+
+def dq95_hash_split(t: Tables) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-stable hash.
+
+    Scale note: the assignment is a map-only projection — no shuffle, no
+    global coordination — so it holds at any corpus size, and re-runs with
+    more executors produce identical splits (a property random sampling
+    does not have).
+    """
+    b = _hash_bucket(F.col("doc_id"))
+    return t["documents"].select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+def dq96_stratified_sample(t: Tables) -> DataFrame:
+    """Per-language stratified subsample with unequal keep rates.
+
+    The keep decision reuses the hash die, giving each stratum an exact,
+    reproducible rate (en 80 %, others 40 %) — the mixture-reweighting
+    primitive for domain balancing. Map-only; composes with dq95 by
+    hashing a salted key so the two decisions are independent.
+    """
+    b = _hash_bucket(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    rate = F.when(F.col("lang") == "en", 80).otherwise(40)
+    return (
+        t["documents"]
+        .select("doc_id", "lang", b.alias("bucket"), rate.alias("keep_pct"))
+        .filter(F.col("bucket") < F.col("keep_pct"))
+    )
+
+
+def dq97_pack_sequences(t: Tables, capacity: int = 256,
+                        n_shards: int = 8) -> DataFrame:
+    """Concat-then-chunk context packing: map docs to context-window bins.
+
+    The standard pretraining packing ("concatenate the token stream, cut
+    every ``capacity`` tokens") assigns each doc the bin range its span
+    covers. A single global cumulative sum would serialize on one
+    partition, so the stream is sharded by a doc-id hash and packed per
+    shard — exactly how a 1000-executor run would do it, and each shard's
+    window is an independent partition of the shuffle.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return d.select(
+        "doc_id", "shard", "n_tok",
+        start.alias("start_tok"),
+        F.floor(start / capacity).cast("int").alias("bin_first"),
+        F.floor((start + F.col("n_tok") - 1) / capacity).cast("int")
+        .alias("bin_last"),
+    )
+
+
+def dq98_contamination(t: Tables) -> DataFrame:
+    """Benchmark-contamination screen: train docs sharing 3-gram shingles
+    with a held-out set (source ``src0`` stands in for the benchmark).
+
+    The bench shingle set is orders of magnitude smaller than the corpus,
+    so the join broadcasts it and the screen is one map-side hash probe per
+    train shingle — no shuffle of the 100 TB side. The source filters are
+    applied *before* shingling so the bench side only ever explodes the
+    held-out docs (at scale: a partition-pruned scan of one source), not
+    the whole corpus. Reports every contaminated train doc with its
+    overlap size.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import _shingles
+
+    docs = t["documents"]
+    bench = _shingles({**t, "documents": docs.filter(F.col("source") == "src0")}) \
+        .select(F.col("shingle").alias("b_shingle")).distinct()
+    train = _shingles({**t, "documents": docs.filter(F.col("source") != "src0")})
+    hits = train.join(
+        F.broadcast(bench), train.shingle == bench.b_shingle
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated")
+    )
+
+
+# PII-ish patterns over the synthetic corpus: the fixture text has no PII,
+# so a deterministic synthetic email+phone is injected into every 10th doc
+# first — the redaction plumbing (match, count, replace) is what's under
+# test, and injection keeps it exercised end-to-end.
+_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def dq99_pii_redact(t: Tables) -> DataFrame:
+    """PII-style redaction: regex match counts + replaced text length."""
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.lit(" user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com call 555-123-4567")),
+    ).otherwise(F.col("text"))
+    d = t["documents"].select("doc_id", injected.alias("txt"))
+    n_email = F.size(F.regexp_extract_all("txt", F.lit(_EMAIL), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all("txt", F.lit(_PHONE), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace("txt", _EMAIL, "<EMAIL>"), _PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        F.length(red).alias("redacted_len"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )
+
+
+def dq100_pmi_bigrams(t: Tables, min_count: int = 5, k: int = 40) -> DataFrame:
+    """Collocation mining: top-k token bigrams by pointwise mutual
+    information.
+
+    PMI = ln(p(ab) / (p(a) p(b))) with bigram and unigram probabilities
+    from the full stream. All counts are exact aggregations; the unigram
+    side is tiny after the groupBy, so both probability joins broadcast.
+    """
+    from pyspark.ml.feature import NGram
+
+    toks = t["documents"].select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = (
+        NGram(n=2, inputCol="toks", outputCol="bg").transform(toks)
+        .select(F.explode("bg").alias("bg"))
+    )
+    uni = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c_uni"))
+    )
+    n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
+    bg = grams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    n_bg = bg.agg(F.sum("c_bg").alias("n_bg"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    j = (
+        bg.filter(F.col("c_bg") >= min_count)
+        .withColumn("w1", w1).withColumn("w2", w2)
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w1")
+                          .withColumnRenamed("c_uni", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("tok", "w2")
+                          .withColumnRenamed("c_uni", "c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bg))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_bg") / F.col("n_bg"))
+            / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+        ), 6,
+    )
+    return (
+        j.select("bg", "c_bg", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(k)
+    )
+
+
+def dq101_scd2_intervals(t: Tables) -> DataFrame:
+    """SCD2 change intervals: per-user event_type validity ranges.
+
+    The slowly-changing-dimension build every warehouse needs: collapse an
+    event stream into [valid_from, valid_to) intervals per user, one row
+    per state change. One shuffle on user_id; the windows reuse that
+    partitioning (single Exchange in the plan).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t["events"].select("user_id", "ts", "event_id", "event_type")
+    changed = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
