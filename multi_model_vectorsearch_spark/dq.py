@@ -860,6 +860,53 @@ _REGISTRY: list[DQ] = [
        "((c1 / n_uni) * (c2 / n_uni))), 6) AS pmi "
        "FROM j CROSS JOIN nu CROSS JOIN nb "
        "ORDER BY pmi DESC, bg LIMIT 40"),
+    DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
+       "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
+       "FROM events v JOIN events b ON v.user_id = b.user_id "
+       "WHERE v.event_type = 'view' AND b.event_type = 'purchase' "
+       "AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR"),
+    DQ("dq102_gopher_repetition", C.dq102_gopher_repetition,
+       "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks "
+       "FROM documents), "
+       "ts AS (SELECT doc_id, unnest(toks) AS tok FROM tk), "
+       "tok_stats AS (SELECT doc_id, count(*) AS n_tok, "
+       "count(DISTINCT tok) AS n_uniq FROM ts GROUP BY doc_id), "
+       "bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+       "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk), "
+       "bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgl "
+       "GROUP BY doc_id, bg), "
+       "bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc "
+       "GROUP BY doc_id) "
+       "SELECT t.doc_id, n_tok, round(1 - n_uniq / n_tok, 6) AS dup_tok_frac, "
+       "round(top_bg / n_bg, 6) AS top_bigram_frac, "
+       "(round(top_bg / n_bg, 6) <= 0.2) AS keep "
+       "FROM tok_stats t JOIN bgs USING (doc_id)"),
+    DQ("dq103_bpe_merge_pairs", C.dq103_bpe_merge_pairs,
+       "WITH words AS (SELECT w, count(*) AS c_w FROM "
+       "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) u "
+       "WHERE length(w) >= 2 GROUP BY w), "
+       "pairs AS (SELECT c_w, unnest(list_transform(range(1, length(w)), "
+       "i -> substr(w, i, 2))) AS pair FROM words) "
+       "SELECT pair, sum(c_w) AS c FROM pairs GROUP BY pair "
+       "ORDER BY c DESC, pair LIMIT 30"),
+    DQ("dq104_triangles", G.dq104_triangles,
+       "WITH " + _EDGES_CTE + ", "
+       "ab AS (SELECT src AS a, dst AS b FROM edges), "
+       "bc AS (SELECT src AS b, dst AS c FROM edges), "
+       "ac AS (SELECT src AS a, dst AS c FROM edges), "
+       "tri AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc ON ab.b = bc.b "
+       "JOIN ac ON ac.a = ab.a AND ac.c = bc.c), "
+       "pn AS (SELECT id, count(*) AS n_tri FROM "
+       "(SELECT unnest([a, b, c]) AS id FROM tri) x GROUP BY id), "
+       "nodes AS (SELECT DISTINCT src AS id FROM edges "
+       "UNION SELECT DISTINCT dst FROM edges) "
+       "SELECT nodes.id, coalesce(n_tri, 0) AS n_tri FROM nodes "
+       "LEFT JOIN pn ON nodes.id = pn.id"),
+    DQ("dq105_degree_histogram", G.dq105_degree_histogram,
+       "WITH " + _EDGES_CTE + ", "
+       "adj AS (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges), "
+       "deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v) "
+       "SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree"),
     DQ("dq101_scd2_intervals", C.dq101_scd2_intervals,
        "WITH c AS (SELECT user_id, ts, event_id, event_type, "
        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "

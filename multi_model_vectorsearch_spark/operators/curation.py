@@ -201,6 +201,73 @@ def dq100_pmi_bigrams(t: Tables, min_count: int = 5, k: int = 40) -> DataFrame:
     )
 
 
+def dq102_gopher_repetition(t: Tables, max_top_bigram: float = 0.2) -> DataFrame:
+    """Gopher-style repetition quality screen (Rae et al. 2021 §A1.1):
+    per-doc duplicate-token fraction and top-bigram fraction, plus the keep
+    flag a filter stage would apply.
+
+    Two aggregations over the exploded streams, both keyed by doc_id, so at
+    scale it is one shuffle each and the final join co-partitions on the
+    same key. No Python in the path.
+    """
+    from pyspark.ml.feature import NGram
+
+    toks = t["documents"].select("doc_id", F.split("text", " ").alias("toks"))
+    tok_stats = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"),
+             F.countDistinct("tok").alias("n_uniq"))
+    )
+    bg = (
+        NGram(n=2, inputCol="toks", outputCol="bg").transform(toks)
+        .select("doc_id", F.explode("bg").alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("n_bg"))
+    )
+    top_frac = F.round(F.col("top_bg") / F.col("n_bg"), 6)
+    dup_frac = F.round(1 - F.col("n_uniq") / F.col("n_tok"), 6)
+    return (
+        tok_stats.join(bg, "doc_id")
+        .select(
+            "doc_id", "n_tok",
+            dup_frac.alias("dup_tok_frac"),
+            top_frac.alias("top_bigram_frac"),
+            (top_frac <= max_top_bigram).alias("keep"),
+        )
+    )
+
+
+def dq103_bpe_merge_pairs(t: Tables, k: int = 30) -> DataFrame:
+    """First BPE merge round: corpus-wide adjacent character-pair counts.
+
+    Tokenizer training's inner loop — count every adjacent symbol pair,
+    weighted by word frequency, and rank. The word vocabulary is tiny after
+    the first groupBy (type count, not token count), so the expensive
+    explode runs over distinct words only — the same trick real BPE
+    trainers use (count types once, weight by frequency).
+    """
+    words = (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    pairs = words.select(
+        "c_w",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair").agg(F.sum("c_w").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def dq101_scd2_intervals(t: Tables) -> DataFrame:
     """SCD2 change intervals: per-user event_type validity ranges.
 

@@ -213,6 +213,48 @@ def graph_render_payload(t: Tables) -> tuple[DataFrame, DataFrame]:
     return nodes, rendered_edges
 
 
+def dq104_triangles(t: Tables) -> DataFrame:
+    """Per-node triangle participation counts over the semantic edge graph.
+
+    Classic two-join triangle enumeration on the canonical (src < dst)
+    dq33 edge list: (a,b)⨝(b,c)⨝(a,c) with a < b < c finds each triangle
+    exactly once. Edges are materialized once and reused by all three scan
+    legs; at scale the joins shuffle on the shared vertex, and the a<b<c
+    canonicalization means no post-hoc dedup pass. Nodes in no triangle
+    report 0 via the left join against the node set.
+    """
+    edges = dq33_build_edges(t).select("src", "dst").localCheckpoint(eager=True)
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("n_tri"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst")).distinct()
+    )
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce("n_tri", F.lit(0)).alias("n_tri")
+    )
+
+
+def dq105_degree_histogram(t: Tables) -> DataFrame:
+    """Degree distribution of the semantic graph: degree → node count.
+
+    The profiling query run before choosing a partitioning strategy for
+    graph joins — a heavy skew tail here is what motivates salting. Two
+    tiny aggregations; the doubled-edge view avoids a union-distinct.
+    """
+    edges = dq33_build_edges(t)
+    adj = edges.select(F.col("src").alias("v")).union(
+        edges.select(F.col("dst")))
+    deg = adj.groupBy("v").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame:
     """Graph analytics beyond the reference: PageRank over the edge graph.
 

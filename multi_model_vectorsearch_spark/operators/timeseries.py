@@ -83,3 +83,39 @@ def dq71_funnel(t: Tables) -> DataFrame:
         .otherwise(0)
     )
     return joined.select("user_id", stage.cast("int").alias("stage"))
+
+
+def view_purchase_pairs(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Attribution interval join: each view paired with same-user purchases
+    inside the following hour.
+
+    Shared by the batch dq106 and the stream-stream join (streaming/windows
+    .view_purchase_join_stream) so batch equivalence tests one expression.
+    The equi-key (user_id) carries the shuffle; the time bounds are
+    residual predicates evaluated inside the joined partitions — at scale
+    this is a plain shuffled hash join, not a nested-loop.
+    """
+    v = views.select(
+        F.col("user_id").alias("u"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    b = purchases.select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    return v.join(
+        b,
+        (F.col("u") == F.col("bu"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("u").alias("user_id"), "view_id", "buy_id")
+
+
+def dq106_view_purchase_join(t: Tables) -> DataFrame:
+    """Batch twin of the stream-stream interval join (B-ext): view→purchase
+    pairs per user within one hour."""
+    e = t["events"]
+    return view_purchase_pairs(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -130,3 +130,38 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def view_purchase_join_stream(events: DataFrame,
+                              watermark: str = "365 days") -> DataFrame:
+    """Stream-stream inner join: views ⨝ same-user purchases within 1 hour.
+
+    Both sides carry watermarks and the join has an event-time range bound,
+    so Spark can evict buffered rows once the watermark passes v_ts + 1h —
+    the state-cleanup contract that keeps a 100 TB/day join finite. Replayed
+    with a wide watermark it must equal the batch dq106 exactly.
+    """
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        view_purchase_pairs,
+    )
+
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", watermark)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+    )
+    return view_purchase_pairs(views, buys)
+
+
+def dedup_within_watermark_stream(events: DataFrame,
+                                  watermark: str = "1 hour") -> DataFrame:
+    """B45 variant: ``dropDuplicatesWithinWatermark`` — dedup state is evicted
+    once the watermark passes, so late re-sends inside the horizon are
+    dropped but state stays bounded by the delay window (exact
+    ``dropDuplicates`` keeps every key forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

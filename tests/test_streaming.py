@@ -68,6 +68,30 @@ def test_stateful_dedup(spark, replay):
     assert got.select("event_id").distinct().count() == total
 
 
+def test_stream_stream_join_batch_equivalence(spark, tables, replay):
+    """B-ext: stream-stream interval join equals the batch dq106 twin."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq106_view_purchase_join,
+    )
+
+    _stream_equals_batch(spark, replay, SW.view_purchase_join_stream,
+                         dq106_view_purchase_join(tables), "t_ssjoin",
+                         mode="append")
+
+
+def test_dedup_within_watermark(spark, replay):
+    """dropDuplicatesWithinWatermark removes re-sends inside the horizon."""
+    ev = SW.read_event_stream(spark, replay)
+    doubled = ev.union(ev)
+    SW.run_to_memory(
+        SW.dedup_within_watermark_stream(doubled, watermark="365 days"),
+        "t_dedup_wm", mode="append")
+    got = spark.table("t_dedup_wm")
+    total = spark.read.parquet(replay).count()
+    assert got.count() == total
+    assert got.select("event_id").distinct().count() == total
+
+
 class TestIngestPipeline:
     @pytest.fixture()
     def docs(self, tables):
