@@ -860,6 +860,39 @@ _REGISTRY: list[DQ] = [
        "((c1 / n_uni) * (c2 / n_uni))), 6) AS pmi "
        "FROM j CROSS JOIN nu CROSS JOIN nb "
        "ORDER BY pmi DESC, bg LIMIT 40"),
+    DQ("dq107_temperature_mixture", C.dq107_temperature_mixture,
+       "WITH counts AS (SELECT source, count(*) AS n_s FROM documents "
+       "GROUP BY source), "
+       "sums AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, 0.7)) AS sum_w "
+       "FROM counts), "
+       "rates AS (SELECT source, n_s, CAST(least(1000, floor(1000.0 * "
+       "((0.5 * n_tot) * (pow(n_s, 0.7) / sum_w)) / n_s + 1e-6)) AS INT) "
+       "AS rate_pm FROM counts CROSS JOIN sums), "
+       "die AS (SELECT doc_id, source, CAST((" + _HEXFOLD + ") AS BIGINT) "
+       "% 1000 AS d FROM (SELECT doc_id, source, "
+       "sha256('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) x), "
+       "kept AS (SELECT die.source, count(*) AS n_kept FROM die "
+       "JOIN rates USING (source) WHERE d < rate_pm GROUP BY die.source) "
+       "SELECT rates.source, n_s, rate_pm, coalesce(n_kept, 0) AS n_kept "
+       "FROM rates LEFT JOIN kept ON rates.source = kept.source"),
+    DQ("dq108_int8_quantize", V.dq108_int8_quantize,
+       "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x "
+       "FROM embeddings), "
+       "s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM u "
+       "GROUP BY vec_id), "
+       "q AS (SELECT u.vec_id, x, scale, "
+       "greatest(-127, least(127, floor(x / scale + 0.5))) AS qi "
+       "FROM u JOIN s USING (vec_id)) "
+       "SELECT vec_id, CAST(sum(qi) AS BIGINT) AS qsum, "
+       "round(max(scale), 6) AS scale, "
+       "round(sqrt(sum(pow(x - qi * scale, 2))), 6) AS l2_err "
+       "FROM q GROUP BY vec_id"),
+    DQ("dq109_matryoshka_knn", V.dq109_matryoshka_knn,
+       "WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv "
+       "FROM embeddings WHERE vec_id = 0) "
+       "SELECT e.vec_id, round(list_cosine_similarity("
+       "CAST(e.embedding[1:16] AS DOUBLE[]), q.qv), 6) AS s "
+       "FROM embeddings e CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

@@ -22,11 +22,11 @@ from pyspark.sql import functions as F
 
 Tables = dict
 
-# sha256(doc_id)[:8 hex] folded to an integer in [0, 100) — the split die.
-def _hash_bucket(col: F.Column) -> F.Column:
+# sha256(key)[:8 hex] folded to an integer in [0, mod) — the split die.
+def _hash_bucket(col: F.Column, mod: int = 100) -> F.Column:
     return (
         F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
-        .cast("bigint") % 100
+        .cast("bigint") % mod
     )
 
 
@@ -265,6 +265,54 @@ def dq103_bpe_merge_pairs(t: Tables, k: int = 30) -> DataFrame:
         pairs.groupBy("pair").agg(F.sum("c_w").alias("c"))
         .orderBy(F.desc("c"), F.asc("pair"))
         .limit(k)
+    )
+
+
+def dq107_temperature_mixture(t: Tables, alpha: float = 0.7,
+                              target_frac: float = 0.5) -> DataFrame:
+    """Temperature-based source mixture resampling (the p ∝ n^α recipe from
+    multilingual pretraining, α=0.7): per-source keep rates that flatten the
+    source distribution toward the target corpus size, plus the realized
+    per-source kept counts from the deterministic hash die.
+
+    Source stats are two tiny aggregates broadcast back over the corpus, so
+    the per-doc keep decision is map-only — the 100 TB side is scanned once
+    and never shuffled. Rates are integerized to per-mille before the
+    comparison so the decision is exact integer math.
+    """
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    sums = counts.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum(F.pow("n_s", F.lit(alpha))).alias("sum_w"),
+    )
+    rates = counts.crossJoin(F.broadcast(sums)).select(
+        "source", "n_s",
+        F.least(
+            F.lit(1000),
+            # +1e-6 so exact-integer boundaries (e.g. uniform sources → rate
+            # exactly 500) don't flip on FP summation order of sum_w.
+            F.floor(
+                F.lit(1000.0)
+                * ((F.lit(target_frac) * F.col("n_tot"))
+                   * (F.pow("n_s", F.lit(alpha)) / F.col("sum_w")))
+                / F.col("n_s")
+                + F.lit(1e-6)
+            ),
+        ).cast("int").alias("rate_pm"),
+    )
+    die = _hash_bucket(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 1000
+    )
+    kept = (
+        docs.select("doc_id", "source", die.alias("d"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("d") < F.col("rate_pm"))
+        .groupBy("source").agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source", "n_s", "rate_pm",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
     )
 
 

@@ -107,3 +107,75 @@ def dq32_modality_balanced_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def dq108_int8_quantize(t: Tables) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction error.
+
+    The storage-scale path for a 100 TB vector corpus: per-vector absmax
+    scale, q_i = clamp(floor(x_i/scale + 0.5), ±127), reporting the
+    quantized checksum and L2 reconstruction error. floor(x+0.5) is used
+    instead of round() because engines disagree on round-half behavior;
+    the whole computation is per-row HOF folds — map-only, codegen'd,
+    no Python.
+    """
+    v = F.col("v")
+    scale = F.col("scale")
+
+    def qi(x: Column) -> Column:
+        return F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)))
+        )
+
+    e = (
+        t["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn(
+            "scale",
+            F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+            / F.lit(127.0),
+        )
+    )
+    qsum = F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + qi(x))
+    err2 = F.aggregate(
+        v, F.lit(0.0),
+        lambda a, x: a + F.pow(x - qi(x).cast("double") * scale, F.lit(2.0)),
+    )
+    # Round in a second projection: aliasing the rounded value as "scale" in
+    # the same select would lateral-alias-capture the `scale` reference inside
+    # the err2 fold (Spark 3.4+ implicit lateral column alias resolution).
+    return e.select(
+        "vec_id",
+        qsum.alias("qsum"),
+        scale.alias("scale_raw"),
+        F.sqrt(err2).alias("err_raw"),
+    ).select(
+        "vec_id",
+        "qsum",
+        F.round("scale_raw", 6).alias("scale"),
+        F.round("err_raw", 6).alias("l2_err"),
+    )
+
+
+def dq109_matryoshka_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
+                         dim: int = 16) -> DataFrame:
+    """Matryoshka-style truncated-dimension KNN: cosine top-k using only the
+    first ``dim`` components.
+
+    The coarse-search arm of a two-stage retrieval cascade — scan cost drops
+    by 1 - dim/D with the same plan shape as dq29 (broadcast query, corpus
+    streams, TakeOrderedAndProject top-k); the full-dim rerank of survivors
+    is exactly dq29 over the candidate set.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.slice("embedding", 1, dim).alias("qv")
+    )
+    c = e.select("vec_id", F.slice("embedding", 1, dim).alias("emb"))
+    s = F.round(cosine_similarity(F.col("emb"), F.col("qv")), 6)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select("vec_id", s.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )
