@@ -893,6 +893,53 @@ _REGISTRY: list[DQ] = [
        "SELECT e.vec_id, round(list_cosine_similarity("
        "CAST(e.embedding[1:16] AS DOUBLE[]), q.qv), 6) AS s "
        "FROM embeddings e CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq110_hamming_knn", V.dq110_hamming_knn,
+       "WITH u AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x "
+       "FROM embeddings, range(64) r(i)), "
+       "sigs AS (SELECT vec_id, "
+       "CAST(sum(CASE WHEN i < 32 AND x > 0 THEN CAST(pow(2, i) AS BIGINT) "
+       "ELSE 0 END) AS BIGINT) AS lo, "
+       "CAST(sum(CASE WHEN i >= 32 AND x > 0 THEN CAST(pow(2, i - 32) "
+       "AS BIGINT) ELSE 0 END) AS BIGINT) AS hi "
+       "FROM u GROUP BY vec_id), "
+       "q AS (SELECT lo AS qlo, hi AS qhi FROM sigs WHERE vec_id = 0) "
+       "SELECT s.vec_id, CAST(bit_count(xor(s.lo, qlo)) "
+       "+ bit_count(xor(s.hi, qhi)) AS INT) AS hd "
+       "FROM sigs s CROSS JOIN q ORDER BY hd, vec_id LIMIT 10"),
+    DQ("dq111_word_entropy", T.dq111_word_entropy,
+       "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+       "FROM documents), "
+       "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
+       "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+       "round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy "
+       "FROM wc GROUP BY doc_id ORDER BY entropy DESC, doc_id LIMIT 50"),
+    DQ("dq112_weighted_sample", C.dq112_weighted_sample,
+       "WITH f AS (SELECT doc_id, n_chars, "
+       "sha256('wrs:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) "
+       "SELECT doc_id, n_chars, "
+       "round(ln(((" + _HEXFOLD + ") + 0.5) / 4294967296.0) / n_chars, 6) "
+       "AS wkey FROM f ORDER BY wkey DESC, doc_id LIMIT 50"),
+    DQ("dq113_cluster_representatives", N.dq113_cluster_representatives,
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
+       "scored AS (SELECT a.cid, a.vec_id, "
+       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS s "
+       "FROM assigned a JOIN cents c ON a.cid = c.cid), "
+       "m AS (SELECT * FROM scored WHERE vec_id <> cid), "
+       "reps AS (SELECT cid, vec_id AS rep_vec_id, s AS rep_s FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY cid "
+       "ORDER BY s DESC, vec_id) AS rn FROM m) r WHERE rn = 1), "
+       "stats AS (SELECT cid, count(*) AS n_members, round(avg(s), 6) "
+       "AS mean_s FROM m GROUP BY cid) "
+       "SELECT reps.cid, rep_vec_id, rep_s, n_members, mean_s "
+       "FROM reps JOIN stats ON reps.cid = stats.cid ORDER BY reps.cid"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

@@ -194,3 +194,41 @@ def dq47_ivf_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
         F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
     )
     return sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+
+
+def dq113_cluster_representatives(t: Tables, n_centroids: int = 8) -> DataFrame:
+    """SemDeDup-style cluster-representative selection: per IVF cluster, the
+    member closest to the centroid (excluding the centroid vector itself),
+    plus cluster size and mean centroid-similarity.
+
+    This is the keep-list side of semantic dedup: cluster the corpus (dq47's
+    assignment pass), keep one representative per cluster, and the spread
+    statistic (mean_s) tells you how aggressive dropping the rest would be.
+    Plan shape: one broadcast-centroid scoring pass, one shuffle on cid for
+    the window + rollup — cid cardinality is tiny so the final agg is cheap;
+    the 100 TB side is touched exactly once.
+    """
+    assigned = assign_clusters(t, n_centroids)
+    cents = (
+        t["embeddings"].filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    scored = assigned.join(F.broadcast(cents), "cid").select(
+        "cid", "vec_id",
+        F.round(cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            F.col("cv").cast("array<double>")), 6).alias("s"),
+    )
+    members = scored.filter(F.col("vec_id") != F.col("cid"))
+    w = Window.partitionBy("cid").orderBy(F.desc("s"), F.asc("vec_id"))
+    reps = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("vec_id").alias("rep_vec_id"),
+                F.col("s").alias("rep_s"))
+    )
+    stats = members.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("s"), 6).alias("mean_s"),
+    )
+    return reps.join(stats, "cid").orderBy("cid")

@@ -336,3 +336,34 @@ def dq101_scd2_intervals(t: Tables) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.row_number().over(w2).alias("version"),
     )
+
+
+def dq112_weighted_sample(t: Tables, n: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = ln(u)/w with u a
+    deterministic hash-uniform in (0,1) and weight w = n_chars; the top-n
+    keys ARE a weighted sample without replacement.
+
+    The scale property: keys are computed map-only from the row itself, and
+    the global top-n is a TakeOrderedAndProject — sampling 1M docs from
+    100 TB never shuffles the corpus and needs no sequential pass, unlike
+    reservoir sampling. Changing the salt re-draws the sample.
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string")),
+                       256),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )
+    u = (fold + F.lit(0.5)) / F.lit(4294967296.0)
+    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        t["documents"]
+        .select("doc_id", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(n)
+    )

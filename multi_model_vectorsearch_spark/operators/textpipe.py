@@ -462,3 +462,30 @@ def dq86_length_filter(t: Tables, lo: float = 0.05,
                 & (F.col("n_tok") <= F.col("phi")))
         .select("doc_id", "n_tok")
     )
+
+
+def dq111_word_entropy(t: Tables, n: int = 50) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (CCNet-style quality
+    signal): low entropy flags repetitive/boilerplate docs, complementing
+    dq102's dup-token fractions.
+
+    Uses the identity H = log2(N) - (1/N)·Σ c·log2(c) so one shuffle on
+    (doc_id, word) plus a partial-aggregated rollup computes it — no
+    collect_list of per-word probabilities. At 100 TB the (doc_id, word)
+    key is high-cardinality but unskewed, so the map-side combine absorbs
+    most of the volume.
+    """
+    words = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    ent = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"))
+        .alias("h"),
+    )
+    return (
+        ent.select("doc_id", "n_words", F.round("h", 6).alias("entropy"))
+        .orderBy(F.desc("entropy"), F.asc("doc_id"))
+        .limit(n)
+    )

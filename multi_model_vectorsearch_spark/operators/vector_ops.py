@@ -157,6 +157,52 @@ def dq108_int8_quantize(t: Tables) -> DataFrame:
     )
 
 
+def dq110_hamming_knn(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Binary (sign-bit) quantization + Hamming-distance KNN.
+
+    The 1-bit arm of the quantization cascade (dq108 is the 8-bit arm): each
+    64-d vector collapses to two 32-bit sign masks, and search is
+    ``bit_count(xor(...))`` — 32× less data scanned than float32 and the
+    distance is 4 integer ops, no FP at all. Signatures are built with a
+    per-row zip_with/aggregate fold (map-only, codegen'd); the query signature
+    is broadcast so the corpus never shuffles, and Catalyst plans the top-k
+    as TakeOrderedAndProject. At 100 TB the signature table is ~3 TB and
+    this is the memory-resident coarse filter in front of dq29's exact rerank.
+
+    Two 32-bit halves (not one 64-bit mask) keep every bit below the sign
+    bit, so the sum-fold and the oracle's integer arithmetic never overflow.
+    """
+    v = F.col("v")
+
+    def sig(start: int) -> Column:
+        bits = F.zip_with(
+            F.slice(v, start, 32),
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i).cast("long"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
+
+    sigs = (
+        t["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", sig(1).alias("lo"), sig(33).alias("hi"))
+    )
+    q = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    hd = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .select("vec_id", hd.alias("hd"))
+        .orderBy(F.asc("hd"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def dq109_matryoshka_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
                          dim: int = 16) -> DataFrame:
     """Matryoshka-style truncated-dimension KNN: cosine top-k using only the
