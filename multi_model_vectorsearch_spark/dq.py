@@ -940,6 +940,29 @@ _REGISTRY: list[DQ] = [
        "AS mean_s FROM m GROUP BY cid) "
        "SELECT reps.cid, rep_vec_id, rep_s, n_members, mean_s "
        "FROM reps JOIN stats ON reps.cid = stats.cid ORDER BY reps.cid"),
+    DQ("dq114_pq_assign", N.dq114_pq_assign,
+       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+       "FROM embeddings), "
+       "subs AS (SELECT vec_id, i AS sub, v[i * 16 + 1:i * 16 + 16] AS sv "
+       "FROM e, range(4) r(i)), "
+       "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
+       "WHERE vec_id < 8), "
+       "d AS (SELECT s.vec_id, s.sub, cb.code, "
+       "round(list_distance(s.sv, cb.cw), 6) AS d "
+       "FROM subs s JOIN cb ON s.sub = cb.sub), "
+       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
+       "ORDER BY d, code) AS rn FROM d) "
+       "SELECT vec_id, sub, code, d FROM a WHERE rn = 1 ORDER BY vec_id, sub"),
+    DQ("dq115_epoch_plan", C.dq115_epoch_plan,
+       "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) "
+       "AS BIGINT) AS n_tok FROM documents GROUP BY source), "
+       "tots AS (SELECT sum(n_tok) AS total, sum(sqrt(n_tok)) AS sw FROM tok) "
+       "SELECT source, n_tok, round(sqrt(n_tok) / sw, 6) AS w, "
+       "least(4.0, round(2.0 * total * (sqrt(n_tok) / sw) / n_tok, 3)) "
+       "AS epochs, "
+       "CAST(floor(least(4.0, round(2.0 * total * (sqrt(n_tok) / sw) "
+       "/ n_tok, 3)) * n_tok) AS BIGINT) AS planned_tok "
+       "FROM tok CROSS JOIN tots ORDER BY source"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

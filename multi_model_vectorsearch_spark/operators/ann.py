@@ -232,3 +232,48 @@ def dq113_cluster_representatives(t: Tables, n_centroids: int = 8) -> DataFrame:
         F.round(F.avg("s"), 6).alias("mean_s"),
     )
     return reps.join(stats, "cid").orderBy("cid")
+
+
+def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
+                    n_codes: int = 8) -> DataFrame:
+    """Product quantization code assignment: split each vector into ``m``
+    subvectors, assign each to its nearest codeword (L2) in a per-subspace
+    codebook, reporting the residual distance.
+
+    Completes the quantization cascade (dq108 int8, dq110 1-bit): PQ codes
+    compress 64 float32 dims to m bytes (64×) while keeping asymmetric
+    distance search possible. The codebook is a deterministic corpus subset
+    (the first ``n_codes`` vectors' subvectors — swap in k-means codewords
+    for real workloads, same plan shape). The codebook is broadcast, so
+    assignment is a map-only pass over the corpus with a per-(vec, sub)
+    argmin window on a corpus×m×n_codes intermediate that never leaves the
+    executor-local shuffle for the tiny (vec_id, sub) key.
+    """
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "v",
+    ).select(
+        "vec_id", "sub",
+        F.slice("v", F.col("sub") * sub_dim + 1, sub_dim).alias("sv"),
+    )
+    cb = subs.filter(F.col("vec_id") < n_codes).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    scored = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id", "sub", "code", F.round(F.sqrt(d2), 6).alias("d")
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code", "d")
+        .orderBy("vec_id", "sub")
+    )

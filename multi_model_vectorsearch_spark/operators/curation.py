@@ -367,3 +367,35 @@ def dq112_weighted_sample(t: Tables, n: int = 50) -> DataFrame:
         .orderBy(F.desc("wkey"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def dq115_epoch_plan(t: Tables, target_mult: float = 2.0,
+                     max_epochs: float = 4.0) -> DataFrame:
+    """Token-budget epoch planner: given a target token budget of
+    ``target_mult`` × the corpus, allocate per-source repeat factors
+    (epochs) by sqrt-temperature share, capped at ``max_epochs``.
+
+    The dq107 companion for the *up*-sampling direction: small high-value
+    sources get more epochs, huge sources fewer, matching the
+    data-constrained-scaling recipe of repeating small corpora a bounded
+    number of times. Everything after the per-source token count (one
+    shuffle on `source`) is arithmetic on a tiny aggregate.
+    """
+    tok = t["documents"].groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tok")
+    )
+    tots = tok.agg(
+        F.sum("n_tok").alias("total"),
+        F.sum(F.sqrt("n_tok")).alias("sw"),
+    )
+    share = F.sqrt("n_tok") / F.col("sw")
+    epochs = F.least(
+        F.lit(max_epochs),
+        F.round(F.lit(target_mult) * F.col("total") * share / F.col("n_tok"), 3),
+    )
+    return tok.crossJoin(F.broadcast(tots)).select(
+        "source", "n_tok",
+        F.round(share, 6).alias("w"),
+        epochs.alias("epochs"),
+        F.floor(epochs * F.col("n_tok")).cast("bigint").alias("planned_tok"),
+    ).orderBy("source")
