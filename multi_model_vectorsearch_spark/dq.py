@@ -30,6 +30,7 @@ from multi_model_vectorsearch_spark.operators import embed as E
 from multi_model_vectorsearch_spark.operators import graph as G
 from multi_model_vectorsearch_spark.operators import relational as R
 from multi_model_vectorsearch_spark.operators import retrieval as RT
+from multi_model_vectorsearch_spark.operators import scale as S
 from multi_model_vectorsearch_spark.operators import textpipe as T
 from multi_model_vectorsearch_spark.operators import timeseries as TS
 from multi_model_vectorsearch_spark.operators import tpch as Q
@@ -963,6 +964,61 @@ _REGISTRY: list[DQ] = [
        "CAST(floor(least(4.0, round(2.0 * total * (sqrt(n_tok) / sw) "
        "/ n_tok, 3)) * n_tok) AS BIGINT) AS planned_tok "
        "FROM tok CROSS JOIN tots ORDER BY source"),
+    DQ("dq116_salted_agg", S.dq116_salted_agg,
+       "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "AS sum_value, "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), "
+       "6) AS avg_value "
+       "FROM events GROUP BY event_type ORDER BY event_type"),
+    DQ("dq117_sessionize", TS.dq117_sessionize,
+       "WITH f AS (SELECT user_id, event_id, ts, "
+       "CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) "
+       "OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+       "THEN 1 ELSE 0 END AS new_sess FROM events), "
+       "s AS (SELECT user_id, event_id, ts, sum(new_sess) OVER "
+       "(PARTITION BY user_id ORDER BY ts, event_id "
+       "ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
+       "SELECT user_id, sess, count(*) AS n_events, "
+       "max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) "
+       "AS dur_sec FROM s GROUP BY user_id, sess ORDER BY user_id, sess"),
+    DQ("dq118_rolling_range", TS.dq118_rolling_range,
+       "WITH ev AS (SELECT user_id, event_id, "
+       "epoch_us(ts) // 1000000 AS ep, "
+       "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
+       "SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_7d, "
+       "CAST(sum(v) OVER w AS DECIMAL(18,2)) AS sum_7d "
+       "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep "
+       "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) "
+       "ORDER BY user_id, event_id"),
+    DQ("dq119_edit_distance_neighbors", T.dq119_edit_distance_neighbors,
+       "WITH d AS (SELECT doc_id, lower(substr(text, 1, 32)) AS p "
+       "FROM documents WHERE doc_id < 200), "
+       "x AS (SELECT doc_id, levenshtein(p, lead(p) OVER (ORDER BY doc_id)) "
+       "AS lev FROM d) "
+       "SELECT doc_id, lev FROM x WHERE lev IS NOT NULL ORDER BY doc_id"),
+    DQ("dq120_ivf_recall", N.dq120_ivf_recall,
+       "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
+       "ORDER BY round(" + _cos("e", "qq") + ", 6) DESC, vec_id LIMIT 10), "
+       "cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
+       "q AS (SELECT embedding AS qv, cid AS qcid FROM assigned "
+       "WHERE vec_id = 0), "
+       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
+       "JOIN q ON a.cid = q.qcid), "
+       "approx AS (SELECT cand.vec_id FROM cand CROSS JOIN q q2 "
+       "ORDER BY round(list_cosine_similarity(CAST(cand.embedding "
+       "AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) DESC, vec_id LIMIT 10) "
+       "SELECT CAST(count(*) AS INT) AS n_overlap, "
+       "round(count(*) / 10.0, 3) AS recall_at_k "
+       "FROM exact JOIN approx USING (vec_id)"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

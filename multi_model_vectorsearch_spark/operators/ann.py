@@ -277,3 +277,24 @@ def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
         .select("vec_id", "sub", "code", "d")
         .orderBy("vec_id", "sub")
     )
+
+
+def dq120_ivf_recall(t: Tables, k: int = 10) -> DataFrame:
+    """Recall@k of the IVF probe (dq47) against the exact scan (dq29) —
+    quality measurement as a first-class query.
+
+    The operational gauge for every approximate path in the engine: run it
+    per deployment (or per centroid refresh) to decide n_probes. Both arms
+    are top-k plans over the same corpus scan lineage; the overlap join is
+    on two k-row sets, so the whole check costs two scans regardless of
+    corpus size.
+    """
+    from multi_model_vectorsearch_spark.operators.vector_ops import dq29_knn_topk
+
+    exact = dq29_knn_topk(t, k=k).select("vec_id")
+    approx = dq47_ivf_knn(t, k=k).select("vec_id")
+    hits = exact.join(approx, "vec_id")
+    return hits.agg(
+        F.count("*").cast("int").alias("n_overlap"),
+        F.round(F.count("*") / F.lit(float(k)), 3).alias("recall_at_k"),
+    )

@@ -102,3 +102,39 @@ def merge_upsert(spark: SparkSession, state_path: str, updates: DataFrame,
         merged = updates.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(state_path)
     return merged.count()
+
+
+def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
+    """Skew-safe two-phase aggregation: salt the hot low-cardinality key,
+    partially aggregate per (key, salt), then merge partials per key.
+
+    `event_type` has ~6 values over the whole events table — the canonical
+    skewed-reducer shape. Salting fans each key across ``n_salts`` reducers
+    in phase 1 so no single task sees a whole key's rows; phase 2 merges
+    ``n_salts`` partials per key, which is trivially small. count/sum merge
+    exactly and avg is derived from merged sum/count, so the result is
+    bit-identical to the direct groupBy (the oracle runs the direct form).
+    Catalyst's partial aggregation does this implicitly for built-in aggs;
+    the explicit form is the template for algebraic UDAF-style merges that
+    hash-partial aggregation can't express.
+    """
+    partial = (
+        t["events"]
+        .withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("ps"),
+        )
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("pc").cast("bigint").alias("n"),
+        F.sum("ps").cast("decimal(18,2)").alias("sum_value"),
+    )
+    return merged.select(
+        "event_type", "n", "sum_value",
+        # derived from the exact decimal sum, so both engines divide the
+        # same number — no FP summation-order exposure
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6)
+        .alias("avg_value"),
+    ).orderBy("event_type")

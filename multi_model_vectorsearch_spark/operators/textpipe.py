@@ -489,3 +489,28 @@ def dq111_word_entropy(t: Tables, n: int = 50) -> DataFrame:
         .orderBy(F.desc("entropy"), F.asc("doc_id"))
         .limit(n)
     )
+
+
+def dq119_edit_distance_neighbors(t: Tables, prefix_len: int = 32,
+                                  max_docs: int = 200) -> DataFrame:
+    """Levenshtein distance between consecutive docs' normalized prefixes —
+    the fuzzy-title-match primitive of record-linkage dedup.
+
+    Edit distance is O(p²) per pair, so at scale you never run it all-pairs:
+    this shape (compare within a sorted neighborhood — here adjacent doc_ids
+    as the stand-in for a blocking key) is the standard sorted-neighborhood
+    method. The lead() window keeps it one shuffle + linear scan; the
+    builtin levenshtein stays JVM-side.
+    """
+    d = (
+        t["documents"].filter(F.col("doc_id") < max_docs)
+        .select("doc_id",
+                F.lower(F.substring("text", 1, prefix_len)).alias("p"))
+    )
+    w = Window.orderBy("doc_id")
+    nxt = F.lead("p").over(w)
+    return (
+        d.select("doc_id", F.levenshtein(F.col("p"), nxt).alias("lev"))
+        .filter(F.col("lev").isNotNull())
+        .orderBy("doc_id")
+    )

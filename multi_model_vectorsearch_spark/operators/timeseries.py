@@ -119,3 +119,65 @@ def dq106_view_purchase_join(t: Tables) -> DataFrame:
         e.filter(F.col("event_type") == "view"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+def dq117_sessionize(t: Tables, gap_sec: int = 1800) -> DataFrame:
+    """Gaps-and-islands sessionization: assign explicit per-user session
+    indexes from inactivity gaps, then aggregate each session.
+
+    The batch complement of dq38's session_window: this form keeps the
+    session *id* on every event (needed for downstream joins), built from
+    lag + cumulative-sum-of-flags — one shuffle on user_id, both windows
+    share the same partitioning so Catalyst plans a single Exchange.
+    """
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = t["events"].select(
+        "user_id", "event_id", "ts",
+        F.when(ep - F.lag(ep).over(w) > gap_sec, 1).otherwise(0)
+        .alias("new_sess"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ev = flagged.select(
+        "user_id", "event_id", "ts",
+        F.sum("new_sess").over(run).alias("sess"),
+    )
+    return (
+        ev.groupBy("user_id", "sess")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+            .alias("dur_sec"),
+        )
+        .orderBy("user_id", "sess")
+    )
+
+
+def dq118_rolling_range(t: Tables, days: int = 7) -> DataFrame:
+    """Trailing 7-day per-user rolling aggregates via a RANGE frame on
+    event time (not row counts) — the moving-average shape row frames
+    can't express when events are irregularly spaced.
+
+    Epoch-seconds ordering makes the frame arithmetic engine-portable and
+    keeps the comparison integer-exact. One shuffle on user_id; the frame
+    scan is linear per partition (Spark's bounded range frame slides two
+    pointers, no per-row rescan).
+    """
+    ep = F.unix_timestamp("ts").alias("ep")
+    w = (
+        Window.partitionBy("user_id").orderBy("ep")
+        .rangeBetween(-days * 86400, 0)
+    )
+    ev = t["events"].select(
+        "user_id", "event_id", ep,
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.count("*").over(w).alias("n_7d"),
+            F.sum("v").over(w).cast("decimal(18,2)").alias("sum_7d"),
+        )
+        .orderBy("user_id", "event_id")
+    )
