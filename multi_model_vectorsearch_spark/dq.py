@@ -1019,6 +1019,89 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(count(*) AS INT) AS n_overlap, "
        "round(count(*) / 10.0, 3) AS recall_at_k "
        "FROM exact JOIN approx USING (vec_id)"),
+    DQ("dq121_bfs_layers", G.dq121_bfs_layers,
+       "WITH " + _EDGES_CTE + ", "
+       "adj AS (SELECT src AS v, dst AS n FROM edges "
+       "UNION SELECT dst, src FROM edges), "
+       "l0 AS (SELECT 0 AS v), "
+       "l1 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
+       "(SELECT v FROM l0) AND n NOT IN (SELECT v FROM l0)), "
+       "l2 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
+       "(SELECT v FROM l1) AND n NOT IN "
+       "(SELECT v FROM l0 UNION SELECT v FROM l1)), "
+       "l3 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
+       "(SELECT v FROM l2) AND n NOT IN (SELECT v FROM l0 "
+       "UNION SELECT v FROM l1 UNION SELECT v FROM l2)), "
+       "u AS (SELECT 0 AS d, count(*) AS n_nodes FROM l0 "
+       "UNION ALL SELECT 1, count(*) FROM l1 "
+       "UNION ALL SELECT 2, count(*) FROM l2 "
+       "UNION ALL SELECT 3, count(*) FROM l3) "
+       "SELECT d, CAST(n_nodes AS BIGINT) AS n_nodes FROM u "
+       "WHERE n_nodes > 0 ORDER BY d"),
+    DQ("dq122_kmeans_lloyd", N.dq122_kmeans_lloyd,
+       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+       "FROM embeddings), "
+       "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4), "
+       "d1 AS (SELECT e.vec_id, c0.cid, round(list_distance(e.v, c0.cv), 6) "
+       "AS dist FROM e CROSS JOIN c0), "
+       "a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
+       "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) r "
+       "WHERE rn = 1), "
+       "u1 AS (SELECT a1.cid, i, avg(e.v[i + 1]) AS x FROM a1 "
+       "JOIN e USING (vec_id) CROSS JOIN range(64) r(i) GROUP BY a1.cid, i), "
+       "c1 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u1 GROUP BY cid), "
+       "d2 AS (SELECT e.vec_id, c1.cid, round(list_distance(e.v, c1.cv), 6) "
+       "AS dist FROM e CROSS JOIN c1), "
+       "a2 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
+       "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) r "
+       "WHERE rn = 1), "
+       "u2 AS (SELECT a2.cid, i, avg(e.v[i + 1]) AS x FROM a2 "
+       "JOIN e USING (vec_id) CROSS JOIN range(64) r(i) GROUP BY a2.cid, i), "
+       "c2 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u2 GROUP BY cid), "
+       "s AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid) "
+       "SELECT s.cid, CAST(n AS BIGINT) AS n, "
+       "round(sqrt(list_sum(list_transform(c2.cv, x -> x * x))), 6) "
+       "AS c_norm FROM s JOIN c2 USING (cid) ORDER BY s.cid"),
+    DQ("dq123_tfidf_keywords", RT.dq123_tfidf_keywords,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "dfq AS (SELECT tok, count(*) AS df FROM "
+       "(SELECT DISTINCT doc_id, tok FROM toks) x GROUP BY tok), "
+       "nd AS (SELECT count(*) AS n_docs FROM documents), "
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+       "WHERE doc_id < 100 GROUP BY doc_id, tok), "
+       "sc AS (SELECT doc_id, tf.tok, "
+       "round(tf * ln(n_docs / df), 6) AS score "
+       "FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd), "
+       "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+       "ORDER BY score DESC, tok) AS rn FROM sc) "
+       "SELECT doc_id, tok, score, CAST(rn AS INT) AS rn FROM r "
+       "WHERE rn <= 3 ORDER BY doc_id, rn"),
+    DQ("dq124_lateral_topn", R.dq124_lateral_topn,
+       "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+       "FROM customer c, "
+       "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
+       "WHERE o_custkey = c.c_custkey "
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o "
+       "WHERE c.c_custkey < 50 "
+       "ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"),
+    DQ("dq125_column_profile", R.dq125_column_profile,
+       " UNION ALL ".join(
+           "SELECT '{c}' AS col_name, count(*) AS n_rows, "
+           "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+           "AS n_null, count(DISTINCT {c}) AS n_distinct, "
+           "CAST(min({e}) AS VARCHAR) AS min_s, "
+           "CAST(max({e}) AS VARCHAR) AS max_s FROM orders"
+           .format(c=c, e=e)
+           for c, e in [
+               ("o_orderkey", "o_orderkey"),
+               ("o_custkey", "o_custkey"),
+               ("o_orderstatus", "o_orderstatus"),
+               ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
+               ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+               ("o_orderpriority", "o_orderpriority"),
+           ]
+       ) + " ORDER BY col_name"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

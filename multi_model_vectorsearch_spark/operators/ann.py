@@ -298,3 +298,57 @@ def dq120_ivf_recall(t: Tables, k: int = 10) -> DataFrame:
         F.count("*").cast("int").alias("n_overlap"),
         F.round(F.count("*") / F.lit(float(k)), 3).alias("recall_at_k"),
     )
+
+
+def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd's k-means, ``iters`` statically-unrolled rounds
+    with deterministic init (centroids = first ``k`` vectors), reporting
+    per-cluster size and centroid norm after the final assignment.
+
+    The iterative-algorithm template on DataFrames (same family as dq72's
+    PageRank): assignment is a broadcast-centroid crossJoin + argmin window
+    (map-heavy, corpus scanned once per round); the update step posexplodes
+    to (cid, dim) — a 64×N-row shuffle keyed on just k×64 groups, which
+    partial aggregation collapses map-side, then rebuilds centroid arrays
+    with an ordered collect. Distances are rounded before the argmin so
+    assignment ties are engine-stable.
+    """
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = None
+    for _ in range(iters):
+        d2 = F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", F.round(F.sqrt(d2), 6).alias("dist")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("i", "x")
+        )
+        cents = (
+            dims.groupBy("cid", "i").agg(F.avg("x").alias("x"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("cs"))
+            .select("cid",
+                    F.transform("cs", lambda s: s.getField("x")).alias("cv"))
+        )
+    c_norm = F.round(
+        F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)), 6
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    return (
+        sizes.join(cents, "cid")
+        .select("cid", "n", c_norm.alias("c_norm"))
+        .orderBy("cid")
+    )

@@ -287,3 +287,42 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
              + F.lit(damping) * F.col("mass")).alias("p"),
         ).localCheckpoint(eager=True)
     return pr.select(F.col("v").alias("id"), F.round("p", 6).alias("pr"))
+
+
+def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
+    """BFS layer sizes from node 0 over the semantic KNN graph — the
+    reachability profile that tells you how fast dq34-style expansion
+    saturates (and therefore what expansion depth is worth paying for).
+
+    Statically unrolled frontier expansion: each round is
+    frontier ⨝ adjacency, anti-joined against the visited set. Rounds are
+    data-independent joins so AQE plans each with actual frontier sizes;
+    at 100 TB graph scale the visited set stays partitioned by node id and
+    only frontiers (small) move.
+    """
+    edges = dq33_build_edges(t).select("src", "dst")
+    # checkpoint: adj is re-read every unrolled round (and the visited
+    # accumulator references it transitively) — without this the KNN
+    # edge-build lineage re-executes per layer (measured 8.5 s -> ~2 s)
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = adj.select("v").distinct().filter(F.col("v") == 0) \
+        .withColumn("d", F.lit(0))
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            adj.join(frontier.select(F.col("v").alias("fv")),
+                     F.col("v") == F.col("fv"))
+            .select(F.col("n").alias("v")).distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("d", F.lit(depth))
+        )
+        visited = visited.union(nxt)
+        frontier = nxt
+    return (
+        visited.groupBy("d").agg(F.count("*").alias("n_nodes")).orderBy("d")
+    )

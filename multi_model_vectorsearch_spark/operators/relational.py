@@ -630,3 +630,62 @@ def dq83_map_ops(t: Tables) -> DataFrame:
         F.size(m).cast("int").alias("n_keys"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
     )
+
+
+def dq124_lateral_topn(t: Tables) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by price.
+
+    The SQL-native per-group top-n (every row of the outer query drives a
+    correlated inner query). Catalyst decorrelates the LATERAL into a
+    ranked window join — same physical plan family as dq15 — so the
+    per-customer "subquery" never actually re-executes per row at scale.
+    """
+    spark = t["orders"].sparkSession
+    for name in ("orders", "customer"):
+        t[name].createOrReplaceTempView(f"lat_{name}")
+    return spark.sql(
+        "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+        "FROM lat_customer c, "
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders "
+        "         WHERE o_custkey = c.c_custkey "
+        "         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o "
+        "WHERE c.c_custkey < 50 "
+        "ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"
+    )
+
+
+def dq125_column_profile(t: Tables) -> DataFrame:
+    """ANALYZE-style column profiler over `orders`: one stats row per
+    column (nulls, distincts, min/max as canonical strings).
+
+    Data-quality profiling is a first-class pipeline stage at 100 TB: each
+    column's stats are independent aggregates over one scan each, and the
+    tiny union'd result is the table you diff between ingest batches to
+    catch drift. Numerics go through DECIMAL before stringifying so both
+    engines print identical canonical forms.
+    """
+    o = t["orders"]
+
+    def prof(col: str, expr) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("int")).cast("bigint")
+            .alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(expr).cast("string").alias("min_s"),
+            F.max(expr).cast("string").alias("max_s"),
+        )
+
+    parts = [
+        prof("o_orderkey", F.col("o_orderkey")),
+        prof("o_custkey", F.col("o_custkey")),
+        prof("o_orderstatus", F.col("o_orderstatus")),
+        prof("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+        prof("o_orderdate", F.col("o_orderdate").cast("date")),
+        prof("o_orderpriority", F.col("o_orderpriority")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")

@@ -106,3 +106,43 @@ def dq64_hybrid_rrf(t: Tables, query_vec_id: int = 0, k: int = 10,
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+
+
+def dq123_tfidf_keywords(t: Tables, top: int = 3, max_doc: int = 100) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf.
+
+    The classic complement to dq63's BM25 ranking: idf comes from the FULL
+    corpus (document frequency is a global statistic — one groupBy on term,
+    broadcast back), while the keyword windowing is restricted to a doc
+    subset only to bound declared-query output. tf·ln(N/df) per (doc, term)
+    is map-side after the broadcast; the per-doc top-k is a window on the
+    (doc, term) aggregate, partitioned exactly like the tf groupBy so the
+    two stages share one shuffle.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    df_ = (
+        toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    )
+    n_docs = t["documents"].agg(F.count("*").alias("n_docs"))
+    tf = (
+        toks.filter(F.col("doc_id") < max_doc)
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select("doc_id", "tok", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
