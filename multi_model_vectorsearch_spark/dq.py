@@ -59,6 +59,27 @@ def _cos(e: str, q: str) -> str:
     return f"list_cosine_similarity(CAST({e}.embedding AS DOUBLE[]), CAST({q}.qv AS DOUBLE[]))"
 
 
+# 16-bit SimHash signatures (dq43's pipeline, shared with dq128's LSH bands)
+_SIMHASH_CTE = (
+    "toks AS (SELECT DISTINCT doc_id, tok FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
+    "hv AS (SELECT doc_id, "
+    "((strpos('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096 + "
+    "(strpos('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256 + "
+    "(strpos('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(h4, 4, 1)) - 1)) AS thv FROM "
+    "(SELECT doc_id, substr(sha256(tok), 1, 4) AS h4 FROM toks) t2), "
+    "bits AS (SELECT doc_id, p, "
+    "CAST(CAST(floor(thv / pow(2, 15 - p)) AS BIGINT) % 2 AS INT) AS bit "
+    "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 16)) pos), "
+    "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
+    "GROUP BY doc_id, p), "
+    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN "
+    "CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM votes GROUP BY doc_id)"
+)
+
+
 _SEEDS_CTE = (
     "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "seeds AS (SELECT e.vec_id, round("
@@ -701,22 +722,7 @@ _REGISTRY: list[DQ] = [
        "JOIN sizes sb ON sb.doc_id = d2 "
        "ORDER BY j DESC, d1, d2 LIMIT 20"),
     DQ("dq43_simhash", T.dq43_simhash,
-       "WITH toks AS (SELECT DISTINCT doc_id, tok FROM "
-       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
-       "hv AS (SELECT doc_id, "
-       "((strpos('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096 + "
-       "(strpos('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256 + "
-       "(strpos('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16 + "
-       "(strpos('0123456789abcdef', substr(h4, 4, 1)) - 1)) AS thv FROM "
-       "(SELECT doc_id, substr(sha256(tok), 1, 4) AS h4 FROM toks) t2), "
-       "bits AS (SELECT doc_id, p, "
-       "CAST(CAST(floor(thv / pow(2, 15 - p)) AS BIGINT) % 2 AS INT) AS bit "
-       "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 16)) pos), "
-       "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
-       "GROUP BY doc_id, p) "
-       "SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN "
-       "CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
-       "FROM votes GROUP BY doc_id"),
+       "WITH " + _SIMHASH_CTE + " SELECT doc_id, simhash FROM sig"),
     DQ("dq44_langid", T.dq44_langid,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
        "FROM documents), "
@@ -1102,6 +1108,45 @@ _REGISTRY: list[DQ] = [
                ("o_orderpriority", "o_orderpriority"),
            ]
        ) + " ORDER BY col_name"),
+    DQ("dq126_integrity_audit", R.dq126_integrity_audit,
+       "SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) "
+       "AS n_customers, "
+       "(SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE EXISTS "
+       "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) "
+       "AS n_with_events, "
+       "(SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE NOT EXISTS "
+       "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) "
+       "AS n_without_events, "
+       "(SELECT CAST(count(*) AS BIGINT) FROM events e WHERE NOT EXISTS "
+       "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) "
+       "AS n_orphan_events"),
+    DQ("dq127_unigram_surprisal", T.dq127_unigram_surprisal,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+       "tot AS (SELECT sum(c) AS n_total FROM freq), "
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+       "GROUP BY doc_id, tok) "
+       "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, "
+       "round(-sum(tf * log2(c / n_total)) / sum(tf), 6) AS bits_per_tok "
+       "FROM tf JOIN freq USING (tok) CROSS JOIN tot "
+       "GROUP BY doc_id ORDER BY bits_per_tok DESC, doc_id LIMIT 50"),
+    DQ("dq128_simhash_band_pairs", T.dq128_simhash_band_pairs,
+       "WITH " + _SIMHASH_CTE + ", "
+       "bands AS (SELECT doc_id, simhash, i AS b, "
+       "CAST(CAST(floor(simhash / pow(16, i)) AS BIGINT) % 16 AS BIGINT) "
+       "AS bv FROM sig CROSS JOIN range(4) r(i)), "
+       "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+       "a.simhash AS s1, b.simhash AS s2 FROM bands a JOIN bands b "
+       "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+       "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
+       "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"),
+    DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
+       "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
+       "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
+       "SELECT day // 7 AS wk, event_type, CAST(count(*) AS BIGINT) AS n, "
+       "CAST(sum(v) AS DECIMAL(18,2)) AS sum_value "
+       "FROM ev GROUP BY wk, event_type ORDER BY wk, event_type"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
        "FROM events v JOIN events b ON v.user_id = b.user_id "

@@ -689,3 +689,31 @@ def dq125_column_profile(t: Tables) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("col_name")
+
+
+def dq126_integrity_audit(t: Tables) -> DataFrame:
+    """Referential-integrity audit between `events` and `customer`: orphan
+    events (user_id with no customer row) and coverage (customers with no
+    events), as one summary row.
+
+    The ingest-gate check a 100 TB pipeline runs before joining fact to
+    dim: both directions are anti-join counts. The dim side broadcasts;
+    the fact side is scanned once per direction and never shuffled.
+    """
+    ev = t["events"].select("user_id")
+    cust = t["customer"].select("c_custkey")
+    orphan_events = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "left_anti"
+    ).count()
+    users_with = ev.distinct()
+    cust_without = cust.join(
+        users_with, cust.c_custkey == users_with.user_id, "left_anti"
+    )
+    spark = ev.sparkSession
+    n_cust = cust.count()
+    n_without = cust_without.count()
+    return spark.createDataFrame(
+        [(n_cust, n_cust - n_without, n_without, orphan_events)],
+        "n_customers bigint, n_with_events bigint, n_without_events bigint, "
+        "n_orphan_events bigint",
+    )

@@ -514,3 +514,77 @@ def dq119_edit_distance_neighbors(t: Tables, prefix_len: int = 32,
         .filter(F.col("lev").isNotNull())
         .orderBy("doc_id")
     )
+
+
+def dq127_unigram_surprisal(t: Tables, n: int = 50) -> DataFrame:
+    """Per-doc mean unigram surprisal (bits/token) under the corpus-global
+    word distribution — the deterministic stand-in for the perplexity
+    filter in quality pipelines (KenLM-style scorers plug into the same
+    plan shape: per-token score, per-doc mean).
+
+    The global frequency table is a groupBy on token broadcast back over
+    the per-doc term counts, so scoring is one shuffle for tf plus a
+    broadcast-hash join — the corpus is never re-shuffled by the model.
+    High-surprisal docs are rare-token-heavy (gibberish or OOD), low ones
+    boilerplate.
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            (-F.sum(F.col("tf") * F.log2(F.col("c") / F.col("n_total")))
+             / F.sum("tf")).alias("bits"),
+        )
+    )
+    return (
+        scored.select("doc_id", "n_tok", F.round("bits", 6).alias("bits_per_tok"))
+        .orderBy(F.desc("bits_per_tok"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
+    """LSH over SimHash: band the 16-bit signatures into 4 nibbles, join
+    docs sharing any (band, value) bucket, keep pairs within Hamming
+    distance ``max_hd`` — the candidate-pair generator that makes SimHash
+    near-dup detection subquadratic.
+
+    The contract: any two signatures with hd <= 3 agree on at least one of
+    4 nibbles (pigeonhole), so banding finds every such pair while joining
+    only within buckets. Same shuffle discipline as dq41's MinHash LSH:
+    one exchange on (band, value), candidate verification is a map-side
+    bit_count.
+    """
+    sig = dq43_simhash(t).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "doc_id", "simhash", "b",
+        (F.floor(F.col("simhash") / F.pow(F.lit(16.0), F.col("b")))
+         .cast("bigint") % 16).alias("bv"),
+    )
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
+                     "b", "bv")
+    bb = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"),
+                      "b", "bv")
+    cand = (
+        a.join(bb, ["b", "bv"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    hd = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    return (
+        cand.select("d1", "d2", hd.alias("hd"))
+        .filter(F.col("hd") <= max_hd)
+        .orderBy("d1", "d2")
+    )

@@ -181,3 +181,35 @@ def dq118_rolling_range(t: Tables, days: int = 7) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def dq129_reagg_rollup(t: Tables) -> DataFrame:
+    """Materialized-view-style reaggregation: daily partial aggregates
+    merged into weekly rollups, proving sum/count associativity end to end.
+
+    The incremental-pipeline pattern at 100 TB: the fact stream is
+    aggregated once per day (the expensive pass), and every coarser
+    granularity is derived from partials — merging 7 partial rows per key
+    instead of re-scanning the week's raw events. DECIMAL sums make the
+    merge bit-exact, so the oracle computes weekly directly from raw
+    events and must match.
+    """
+    day_us = F.lit(86400000000)
+    ev = t["events"].select(
+        (F.unix_micros("ts") / day_us).cast("bigint").alias("day"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count("*").alias("pn"),
+        F.sum("v").cast("decimal(18,2)").alias("ps"),
+    )
+    weekly = (
+        daily.withColumn("wk", F.floor(F.col("day") / 7).cast("bigint"))
+        .groupBy("wk", "event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n"),
+            F.sum("ps").cast("decimal(18,2)").alias("sum_value"),
+        )
+    )
+    return weekly.orderBy("wk", "event_type")
