@@ -131,3 +131,54 @@ def test_bm25_broadcasts_tiny_sides(tables):
     plan = explain_formatted(dq63_bm25_topk(tables))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_quantization_ops_are_map_only_jvm(tables):
+    """dq108/dq110: per-row quantization folds must stay JVM-side and
+    shuffle nothing except the final top-k / tiny exchange."""
+    from multi_model_vectorsearch_spark.operators import vector_ops as VO
+
+    for builder in [VO.dq108_int8_quantize, VO.dq110_hamming_knn]:
+        plan = explain_formatted(builder(tables))
+        assert "EvalPython" not in plan, builder.__name__
+    # hamming KNN: broadcast query signature + TakeOrderedAndProject
+    plan = explain_formatted(VO.dq110_hamming_knn(tables))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(tables):
+    """dq112: map-only key computation + global top-n; a full Exchange
+    would mean the sample shuffles the 100 TB corpus."""
+    from multi_model_vectorsearch_spark.operators import curation as C
+
+    plan = explain_formatted(C.dq112_weighted_sample(tables))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_temperature_mixture_broadcasts_rates(tables):
+    """dq107: the per-source rate table must broadcast — the corpus-side
+    keep decision may not shuffle on source."""
+    from multi_model_vectorsearch_spark.operators import curation as C
+
+    plan = explain_formatted(C.dq107_temperature_mixture(tables))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codebook_broadcasts(tables):
+    from multi_model_vectorsearch_spark.operators import ann as A
+
+    plan = explain_formatted(A.dq114_pq_assign(tables))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_profile_reads_only_orders_columns(tables):
+    """dq125: six independent aggregates must not leak a join/shuffle of
+    the fact table — each arm is scan + partial agg + single-row merge."""
+    from multi_model_vectorsearch_spark.operators import relational as R2
+
+    plan = explain_formatted(R2.dq125_column_profile(tables))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
