@@ -1141,6 +1141,43 @@ _REGISTRY: list[DQ] = [
        "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
        "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
        "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"),
+    DQ("dq130_repeated_ngrams", T.dq130_repeated_ngrams,
+       "WITH g AS (SELECT doc_id, unnest(list_transform("
+       "range(1, len(toks) - 6), i -> toks[i] || ' ' || toks[i+1] || ' ' || "
+       "toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || "
+       "toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS g FROM "
+       "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d) "
+       "SELECT g, CAST(count(*) AS BIGINT) AS n_occ, "
+       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+       "FROM g GROUP BY g HAVING count(*) >= 3 "
+       "ORDER BY n_occ DESC, g LIMIT 40"),
+    DQ("dq131_quality_ensemble", T.dq131_quality_ensemble,
+       "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+       "FROM documents), "
+       "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+       "sig AS (SELECT doc_id, sum(c) AS n_words, "
+       "log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy, "
+       "max(c) / sum(c) AS max_tok_frac FROM wc GROUP BY doc_id), "
+       "st AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
+       "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
+       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r FROM sig) "
+       "SELECT doc_id, round((n_words - m_n) / s_n, 6) AS z_len, "
+       "round((entropy - m_e) / s_e, 6) AS z_entropy, "
+       "round((max_tok_frac - m_r) / s_r, 6) AS z_rep, "
+       "CAST(CASE WHEN abs((n_words - m_n) / s_n) <= 2 "
+       "AND abs((entropy - m_e) / s_e) <= 2 "
+       "AND abs((max_tok_frac - m_r) / s_r) <= 2 THEN 1 ELSE 0 END AS INT) "
+       "AS keep FROM sig CROSS JOIN st"),
+    DQ("dq132_latest_event", TS.dq132_latest_event,
+       "SELECT user_id, event_type, "
+       "arg_max(event_id, printf('%020d%020d', epoch_us(ts), event_id)) "
+       "AS last_event_id, "
+       "max(epoch_us(ts)) AS last_ts_us, "
+       "arg_max(CAST(value AS DECIMAL(18,2)), "
+       "printf('%020d%020d', epoch_us(ts), event_id)) "
+       "AS last_value "
+       "FROM events GROUP BY user_id, event_type "
+       "ORDER BY user_id, event_type"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

@@ -588,3 +588,79 @@ def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
         .filter(F.col("hd") <= max_hd)
         .orderBy("d1", "d2")
     )
+
+
+def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
+                          k: int = 40) -> DataFrame:
+    """Cross-document repeated-span detection: word 8-grams occurring
+    ``min_count``+ times corpus-wide, with total occurrences and distinct
+    doc counts — the find-side of exact substring dedup (the
+    "deduplicating training data makes LMs better" recipe, applied at
+    n-gram granularity).
+
+    Built with MLlib NGram (compiled, ~3x the interpreted HOF form) and a
+    single groupBy on the gram — at 100 TB the gram key is huge but
+    uniform, and min_count pruning happens inside the aggregate so only
+    the tiny repeated tail ever reaches the driver-bound top-k.
+    """
+    from pyspark.ml.feature import NGram
+
+    d = t["documents"]
+    ng = NGram(n=n, inputCol="toks", outputCol="ngrams")
+    grams = (
+        ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
+        .select("doc_id", F.explode("ngrams").alias("g"))
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+        .orderBy(F.desc("n_occ"), F.asc("g"))
+        .limit(k)
+    )
+
+
+def dq131_quality_ensemble(t: Tables) -> DataFrame:
+    """Composite quality verdict: z-score three independent signals
+    (doc length, word entropy, max-token repetition) against corpus
+    statistics and combine them into one keep/drop flag per document.
+
+    The ensemble shape every production filter stack ends with: each
+    signal is one pass over the corpus, the corpus mean/std are tiny
+    broadcast aggregates, and the final verdict is a map-only expression
+    — adding a signal adds a column, not a shuffle of the corpus. Keep
+    rule: every |z| <= 2 (outliers in any dimension are dropped).
+    """
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    sig = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"))
+        .alias("entropy"),
+        (F.max("c") / F.sum("c")).alias("max_tok_frac"),
+    )
+    stats = sig.agg(
+        F.avg("n_words").alias("m_n"), F.stddev_pop("n_words").alias("s_n"),
+        F.avg("entropy").alias("m_e"), F.stddev_pop("entropy").alias("s_e"),
+        F.avg("max_tok_frac").alias("m_r"),
+        F.stddev_pop("max_tok_frac").alias("s_r"),
+    )
+
+    def z(col: str, m: str, s: str):
+        return (F.col(col) - F.col(m)) / F.col(s)
+
+    zn, ze, zr = z("n_words", "m_n", "s_n"), z("entropy", "m_e", "s_e"), \
+        z("max_tok_frac", "m_r", "s_r")
+    keep = (F.abs(zn) <= 2) & (F.abs(ze) <= 2) & (F.abs(zr) <= 2)
+    return sig.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(zn, 6).alias("z_len"),
+        F.round(ze, 6).alias("z_entropy"),
+        F.round(zr, 6).alias("z_rep"),
+        keep.cast("int").alias("keep"),
+    )

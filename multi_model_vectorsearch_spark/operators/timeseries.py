@@ -213,3 +213,32 @@ def dq129_reagg_rollup(t: Tables) -> DataFrame:
         )
     )
     return weekly.orderBy("wk", "event_type")
+
+
+def dq132_latest_event(t: Tables) -> DataFrame:
+    """Latest-wins compaction via max_by: each user's most recent event of
+    each type, with deterministic (ts, event_id) tie-breaking.
+
+    The CDC-compaction primitive (Kafka log-compaction semantics as a
+    batch query): one partial-aggregating groupBy — max_by carries the
+    whole payload through the merge, so there's no second self-join to
+    re-fetch the winning row, unlike the window-rank form (dq15) which
+    must sort every partition. At 100 TB this halves the shuffle of the
+    naive rank-then-join compaction.
+    """
+    ev = t["events"]
+    # composite key as a zero-padded string: engine-portable total order
+    # (DuckDB's arg_max can't take struct/list keys)
+    key = F.format_string(
+        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by("event_id", key).alias("last_event_id"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            F.max_by(F.col("value").cast("decimal(18,2)"), key)
+            .alias("last_value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
