@@ -1178,6 +1178,61 @@ _REGISTRY: list[DQ] = [
        "AS last_value "
        "FROM events GROUP BY user_id, event_type "
        "ORDER BY user_id, event_type"),
+    DQ("dq133_dedup_apply", C.dq133_dedup_apply,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
+       "dr AS (SELECT DISTINCT d2 FROM p WHERE matches >= 2) "
+       "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total, "
+       "(SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_dropped, "
+       "(SELECT CAST(count(*) AS BIGINT) FROM documents) - "
+       "(SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_kept"),
+    DQ("dq134_heavy_hitters", R.dq134_heavy_hitters,
+       "WITH c AS (SELECT user_id, count(*) AS c FROM events "
+       "GROUP BY user_id), "
+       "tot AS (SELECT count(*) AS n_tot FROM events) "
+       "SELECT user_id, CAST(c AS BIGINT) AS c, "
+       "round(c / n_tot, 6) AS share FROM c CROSS JOIN tot "
+       "ORDER BY c DESC, user_id LIMIT 20"),
+    DQ("dq135_curation_funnel", C.dq135_curation_funnel,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
+       "dr AS (SELECT DISTINCT d2 FROM p WHERE matches >= 2), "
+       "clean AS (SELECT doc_id, sha256(trim(regexp_replace(regexp_replace("
+       "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) "
+       "AS clean_sha FROM documents), "
+       "qw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+       "FROM documents), "
+       "qwc AS (SELECT doc_id, w, count(*) AS c FROM qw GROUP BY doc_id, w), "
+       "qsig AS (SELECT doc_id, sum(c) AS n_words, "
+       "log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy, "
+       "max(c) / sum(c) AS max_tok_frac FROM qwc GROUP BY doc_id), "
+       "qst AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
+       "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
+       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r "
+       "FROM qsig), "
+       "qual AS (SELECT doc_id FROM qsig CROSS JOIN qst "
+       "WHERE abs((n_words - m_n) / s_n) <= 2 "
+       "AND abs((entropy - m_e) / s_e) <= 2 "
+       "AND abs((max_tok_frac - m_r) / s_r) <= 2), "
+       "s1 AS (SELECT doc_id FROM documents "
+       "WHERE n_chars BETWEEN 100 AND 2000), "
+       "s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN "
+       "(SELECT doc_id FROM qual)), "
+       "s3 AS (SELECT min(doc_id) AS doc_id FROM s2 JOIN clean "
+       "USING (doc_id) GROUP BY clean_sha), "
+       "s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN "
+       "(SELECT d2 FROM dr)) "
+       "SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs "
+       "FROM documents "
+       "UNION ALL SELECT 's1_length', CAST(count(*) AS BIGINT) FROM s1 "
+       "UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT) FROM s2 "
+       "UNION ALL SELECT 's3_exact', CAST(count(*) AS BIGINT) FROM s3 "
+       "UNION ALL SELECT 's4_neardup', CAST(count(*) AS BIGINT) FROM s4 "
+       "ORDER BY stage"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

@@ -399,3 +399,80 @@ def dq115_epoch_plan(t: Tables, target_mult: float = 2.0,
         epochs.alias("epochs"),
         F.floor(epochs * F.col("n_tok")).cast("bigint").alias("planned_tok"),
     ).orderBy("source")
+
+
+def dq133_dedup_apply(t: Tables) -> DataFrame:
+    """Apply-side of near-dup dedup: drop every document that has a
+    smaller-id LSH near-duplicate (greedy local-min policy), reporting
+    survivorship counts.
+
+    Completes the find→decide→apply dedup chain (dq41 finds candidate
+    pairs, dq61 clusters them, this applies the drop). The greedy rule
+    "drop if any smaller-id near-dup exists" needs only the pair list —
+    no transitive closure — so it's one semi-join, no iteration, and at
+    100 TB it composes with dq41's banded join without adding a shuffle
+    of the corpus.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq41_minhash_lsh_pairs,
+    )
+
+    drop = dq41_minhash_lsh_pairs(t).select("d2").distinct()
+    docs = t["documents"].select("doc_id")
+    total = docs.agg(F.count("*").cast("bigint").alias("n_total"))
+    dropped = docs.join(
+        drop, docs.doc_id == F.col("d2"), "left_semi"
+    ).agg(F.count("*").cast("bigint").alias("n_dropped"))
+    return total.crossJoin(dropped).select(
+        "n_total", "n_dropped",
+        (F.col("n_total") - F.col("n_dropped")).alias("n_kept"),
+    )
+
+
+def dq135_curation_funnel(t: Tables) -> DataFrame:
+    """End-to-end curation survivorship funnel: raw → length band →
+    quality ensemble → exact dedup (normalized hash, keep min id) →
+    near-dup dedup (greedy LSH drop), one count per stage.
+
+    The flagship composition query: every stage is an operator that
+    already exists in the registry (dq86-family band filter, dq131
+    ensemble, dq84 normalization, dq41 LSH pairs) chained as semi/anti
+    joins on doc_id. At 100 TB each stage is a map-only filter or a
+    broadcast of the previous stage's tiny drop-list — the corpus is
+    never re-shuffled between stages.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq41_minhash_lsh_pairs,
+        dq84_normalize_text,
+        dq131_quality_ensemble,
+    )
+
+    docs = t["documents"]
+    s1 = docs.filter(F.col("n_chars").between(100, 2000)).select("doc_id")
+    qual = dq131_quality_ensemble(t).filter(F.col("keep") == 1) \
+        .select("doc_id")
+    s2 = s1.join(qual, "doc_id", "left_semi")
+    clean = dq84_normalize_text(t).select("doc_id", "clean_sha")
+    s3 = (
+        s2.join(clean, "doc_id")
+        .groupBy("clean_sha").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    drop = dq41_minhash_lsh_pairs(t).select("d2").distinct()
+    s4 = s3.join(drop, s3.doc_id == F.col("d2"), "left_anti")
+
+    stages = [
+        ("s0_raw", docs.select("doc_id")),
+        ("s1_length", s1),
+        ("s2_quality", s2),
+        ("s3_exact", s3),
+        ("s4_neardup", s4),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("stage")

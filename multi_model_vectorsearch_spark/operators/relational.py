@@ -717,3 +717,25 @@ def dq126_integrity_audit(t: Tables) -> DataFrame:
         "n_customers bigint, n_with_events bigint, n_without_events bigint, "
         "n_orphan_events bigint",
     )
+
+
+def dq134_heavy_hitters(t: Tables, k: int = 20) -> DataFrame:
+    """Join-key skew profiler: top-k heaviest `user_id` keys in `events`
+    with their share of the table — the measurement that decides between
+    a plain shuffle join, AQE skew handling, and explicit salting (dq116).
+
+    One aggregation plus a broadcast scalar; the top-k is a
+    TakeOrderedAndProject over the (already tiny) per-key counts.
+    """
+    ev = t["events"]
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    total = ev.agg(F.count("*").alias("n_tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id", "c",
+            F.round(F.col("c") / F.col("n_tot"), 6).alias("share"),
+        )
+        .orderBy(F.desc("c"), F.asc("user_id"))
+        .limit(k)
+    )
