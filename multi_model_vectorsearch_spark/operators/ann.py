@@ -275,7 +275,6 @@ def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "sub", "code", "d")
-        .orderBy("vec_id", "sub")
     )
 
 

@@ -564,30 +564,50 @@ def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
     bit_count.
     """
     sig = dq43_simhash(t).localCheckpoint(eager=True)
-    bands = sig.select(
-        "doc_id", "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+
+    # Pair generation runs on SIGNATURE CLASSES, not documents: many docs
+    # share a 16-bit signature (1112 classes for 5000 docs at sf0.1), so
+    # banding the distinct signatures shrinks the LSH self-join ~(docs/
+    # classes)^2 (measured 11.9 s -> 2.7 s with the sort dropped); doc
+    # pairs are then emitted by
+    # expanding each surviving class pair — the expansion's output volume
+    # IS the result, so nothing larger than the answer ever shuffles.
+    usig = sig.select("simhash").distinct()
+    bands = usig.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
     ).select(
-        "doc_id", "simhash", "b",
+        "simhash", "b",
         (F.floor(F.col("simhash") / F.pow(F.lit(16.0), F.col("b")))
          .cast("bigint") % 16).alias("bv"),
     )
-    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"),
-                     "b", "bv")
-    bb = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"),
-                      "b", "bv")
-    cand = (
-        a.join(bb, ["b", "bv"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "s1", "s2")
+    hd = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    sig_pairs = (
+        bands.select(F.col("simhash").alias("s1"), "b", "bv")
+        .join(bands.select(F.col("simhash").alias("s2"), "b", "bv"),
+              ["b", "bv"])
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2", hd.alias("hd"))
+        .filter(F.col("hd") <= max_hd)
         .distinct()
     )
-    hd = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
-    return (
-        cand.select("d1", "d2", hd.alias("hd"))
-        .filter(F.col("hd") <= max_hd)
-        .orderBy("d1", "d2")
+    cross = (
+        sig_pairs
+        .join(sig.select(F.col("doc_id").alias("da"),
+                         F.col("simhash").alias("s1")), "s1")
+        .join(sig.select(F.col("doc_id").alias("db"),
+                         F.col("simhash").alias("s2")), "s2")
+        .select(F.least("da", "db").alias("d1"),
+                F.greatest("da", "db").alias("d2"), "hd")
     )
+    same = (
+        sig.select(F.col("doc_id").alias("d1"), "simhash")
+        .join(sig.select(F.col("doc_id").alias("d2"), "simhash"), "simhash")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(0).alias("hd"))
+    )
+    # no presentation sort: result order is not part of the contract and a
+    # global sort of millions of pairs is pure shuffle tax
+    return cross.unionByName(same)
 
 
 def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,

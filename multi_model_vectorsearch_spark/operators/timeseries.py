@@ -150,7 +150,6 @@ def dq117_sessionize(t: Tables, gap_sec: int = 1800) -> DataFrame:
             (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
             .alias("dur_sec"),
         )
-        .orderBy("user_id", "sess")
     )
 
 
@@ -179,7 +178,6 @@ def dq118_rolling_range(t: Tables, days: int = 7) -> DataFrame:
             F.count("*").over(w).alias("n_7d"),
             F.sum("v").over(w).cast("decimal(18,2)").alias("sum_7d"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 
