@@ -434,9 +434,12 @@ def dq85_vocab_topk(t: Tables, k: int = 100) -> DataFrame:
     toks = t["documents"].select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
-    stats = toks.groupBy("tok").agg(
-        F.count("*").alias("tf"),
-        F.countDistinct("doc_id").alias("df"),
+    # two-level agg (see dq130): avoids the Expand that count+countDistinct
+    # in one pass would push through the shuffle
+    per_doc = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count("*").alias("df"),
     )
     return stats.orderBy(F.desc("tf"), F.asc("tok")).limit(k)
 
@@ -631,11 +634,15 @@ def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
         ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
         .select("doc_id", F.explode("ngrams").alias("g"))
     )
+    # two-level agg instead of count+countDistinct in one pass: the single
+    # pass plans as an Expand (2x rows through the shuffle); aggregating
+    # (g, doc_id) first gets full map-side combining on both levels
+    per_doc = grams.groupBy("g", "doc_id").agg(F.count("*").alias("c"))
     return (
-        grams.groupBy("g")
+        per_doc.groupBy("g")
         .agg(
-            F.count("*").alias("n_occ"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_occ"),
+            F.count("*").alias("n_docs"),
         )
         .filter(F.col("n_occ") >= min_count)
         .orderBy(F.desc("n_occ"), F.asc("g"))
