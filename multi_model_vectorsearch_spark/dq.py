@@ -1233,6 +1233,49 @@ _REGISTRY: list[DQ] = [
        "UNION ALL SELECT 's3_exact', CAST(count(*) AS BIGINT) FROM s3 "
        "UNION ALL SELECT 's4_neardup', CAST(count(*) AS BIGINT) FROM s4 "
        "ORDER BY stage"),
+    DQ("dq136_ivf_multiprobe", N.dq136_ivf_multiprobe,
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
+       "probes AS (SELECT cid FROM (SELECT cid, row_number() OVER "
+       "(ORDER BY cs DESC, cid) AS rn FROM scored0 WHERE vec_id = 0) p "
+       "WHERE rn <= 2), "
+       "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
+       "JOIN probes ON a.cid = probes.cid) "
+       "SELECT cand.vec_id, round(list_cosine_similarity("
+       "CAST(cand.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS s "
+       "FROM cand CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq137_dup_rate_by_source", C.dq137_dup_rate_by_source,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
+       "dr AS (SELECT DISTINCT d2 AS doc_id FROM p WHERE matches >= 2) "
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+       "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 "
+       "ELSE 0 END) AS BIGINT) AS n_dup, "
+       "round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 "
+       "ELSE 0 END) / count(*), 6) AS dup_rate "
+       "FROM documents GROUP BY source ORDER BY source"),
+    DQ("dq138_prenorm_dot_knn", V.dq138_prenorm_dot_knn,
+       "WITH unit AS (SELECT vec_id, list_transform("
+       "CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform("
+       "CAST(embedding AS DOUBLE[]), y -> y * y)))) AS nv FROM embeddings), "
+       "q AS (SELECT nv AS qnv FROM unit WHERE vec_id = 0) "
+       "SELECT u.vec_id, round(list_inner_product(u.nv, q.qnv), 6) AS s "
+       "FROM unit u CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq139_blocked_fuzzy_join", T.dq139_blocked_fuzzy_join,
+       "WITH d AS (SELECT doc_id, lower(substr(text, 1, 24)) AS p, "
+       "lower(substr(text, 1, 8)) AS blk FROM documents) "
+       "SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.p, b.p) AS lev "
+       "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+       "WHERE levenshtein(a.p, b.p) <= 8"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

@@ -351,3 +351,39 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
         .select("cid", "n", c_norm.alias("c_norm"))
         .orderBy("cid")
     )
+
+
+def dq136_ivf_multiprobe(t: Tables, query_vec_id: int = 0, k: int = 10,
+                         n_centroids: int = 8, n_probes: int = 2) -> DataFrame:
+    """Multi-probe IVF ANN: score the query against all centroids, probe
+    the ``n_probes`` nearest clusters, exact-rank inside them.
+
+    The recall/cost dial for dq47's single-probe IVF (dq120 measures the
+    gap): probing 2 of 8 clusters scans ~2/8 of the corpus instead of 1/8
+    and recovers most boundary-loss recall. The probe list is a k-row
+    broadcast, so the corpus-side plan is identical to dq47's — a pruned
+    scan plus TakeOrderedAndProject.
+    """
+    e = t["embeddings"]
+    cents = e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    qsims = q.crossJoin(F.broadcast(cents)).select(
+        "cid",
+        F.round(cosine_similarity(
+            F.col("qv").cast("array<double>"),
+            F.col("cv").cast("array<double>")), 6).alias("cs"),
+    )
+    probes = qsims.orderBy(F.desc("cs"), F.asc("cid")).limit(n_probes) \
+        .select("cid")
+    cand = assign_clusters(t, n_centroids).join(F.broadcast(probes), "cid")
+    sims = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(cosine_similarity(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv").cast("array<double>")), 6).alias("s"),
+    )
+    return sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)

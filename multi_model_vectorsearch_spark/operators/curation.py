@@ -476,3 +476,38 @@ def dq135_curation_funnel(t: Tables) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("stage")
+
+
+def dq137_dup_rate_by_source(t: Tables) -> DataFrame:
+    """Per-source near-duplicate rates: how much of each source the greedy
+    LSH dedup (dq133's policy) would drop.
+
+    The observability view a curation team actually watches — a source
+    whose dup rate jumps is a crawler bug or a licensing reprint. Rates
+    derive from the same pair list as dq133, grouped through one broadcast
+    join of the drop-set against the doc->source map.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq41_minhash_lsh_pairs,
+    )
+
+    drop = dq41_minhash_lsh_pairs(t).select(
+        F.col("d2").alias("doc_id")
+    ).distinct()
+    docs = t["documents"].select("doc_id", "source")
+    flagged = docs.join(
+        F.broadcast(drop.withColumn("is_dup", F.lit(1))), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "source", "n_docs", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -691,3 +691,31 @@ def dq131_quality_ensemble(t: Tables) -> DataFrame:
         F.round(zr, 6).alias("z_rep"),
         keep.cast("int").alias("keep"),
     )
+
+
+def dq139_blocked_fuzzy_join(t: Tables, prefix_len: int = 24,
+                             block_len: int = 8, max_lev: int = 8) -> DataFrame:
+    """Blocked fuzzy self-join: docs whose normalized 24-char prefixes are
+    within Levenshtein distance ``max_lev``, candidates generated by exact
+    match on the first ``block_len`` normalized chars.
+
+    The record-linkage pattern at scale: blocking turns the O(N²) edit-
+    distance join into per-block squares (one shuffle on the block key),
+    and the expensive levenshtein runs only inside blocks. Complements
+    dq119's sorted-neighborhood form — blocking catches pairs that sort
+    far apart; both miss pairs whose divergence is inside the blocking
+    key (the standard trade, fixed in practice by multiple passes with
+    different keys).
+    """
+    d = t["documents"].select(
+        "doc_id",
+        F.lower(F.substring("text", 1, prefix_len)).alias("p"),
+    ).withColumn("blk", F.substring("p", 1, block_len))
+    a = d.select(F.col("doc_id").alias("d1"), F.col("p").alias("p1"), "blk")
+    b = d.select(F.col("doc_id").alias("d2"), F.col("p").alias("p2"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.levenshtein("p1", "p2").alias("lev"))
+        .filter(F.col("lev") <= max_lev)
+    )

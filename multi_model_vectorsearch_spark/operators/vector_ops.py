@@ -225,3 +225,39 @@ def dq109_matryoshka_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def dq138_prenorm_dot_knn(t: Tables, query_vec_id: int = 0,
+                          k: int = 10) -> DataFrame:
+    """Exact cosine KNN over PRE-normalized vectors: normalize once at
+    write time, then every query is a pure dot product — the storage-side
+    trade every serving system makes (the reference normalizes at embed
+    time, app.py:14-15, for exactly this reason).
+
+    Same answer as dq29 (cosine ≡ dot of unit vectors); the per-query
+    saving is one norm computation per corpus row per query, which at
+    100 TB × many QPS is the difference between one FMA pass and two.
+    """
+    nrm = F.sqrt(F.aggregate(
+        "v", F.lit(0.0), lambda a, x: a + x * x
+    ))
+    unit = (
+        t["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.transform(
+            "v", lambda x: x / nrm
+        ).alias("nv"))
+    )
+    q = unit.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("nv").alias("qnv")
+    )
+    dot = F.aggregate(
+        F.zip_with("nv", "qnv", lambda x, y: x * y),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return (
+        unit.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot, 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )
