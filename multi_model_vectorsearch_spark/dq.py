@@ -1276,6 +1276,27 @@ _REGISTRY: list[DQ] = [
        "SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.p, b.p) AS lev "
        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
        "WHERE levenshtein(a.p, b.p) <= 8"),
+    DQ("dq140_approx_quantiles", R.dq140_approx_quantiles, None,
+       note="B20-family approx_percentile sketch — engine internals "
+            "differ; t1 bounds it against dq59's exact quantiles"),
+    DQ("dq141_bloom_screen", C.dq141_bloom_screen,
+       "WITH seeds AS (SELECT CAST(range AS INT) AS s FROM range(0, 4)), "
+       "mh AS (SELECT doc_id, s, sha256('bf' || CAST(s AS VARCHAR) || ':' "
+       "|| CAST(doc_id AS VARCHAR)) AS h FROM documents CROSS JOIN seeds "
+       "WHERE source = 'src0'), "
+       "bits AS (SELECT DISTINCT CAST((" + _HEXFOLD + ") AS BIGINT) % 4096 "
+       "AS b FROM mh), "
+       "ph AS (SELECT doc_id, source, s, sha256('bf' || CAST(s AS VARCHAR) "
+       "|| ':' || CAST(doc_id AS VARCHAR)) AS h FROM documents "
+       "CROSS JOIN seeds), "
+       "pr AS (SELECT doc_id, source, CAST((" + _HEXFOLD + ") AS BIGINT) "
+       "% 4096 AS b FROM ph), "
+       "v AS (SELECT doc_id, source, CAST(CASE WHEN sum(CASE WHEN b IN "
+       "(SELECT b FROM bits) THEN 1 ELSE 0 END) = 4 THEN 1 ELSE 0 END "
+       "AS INT) AS bloom_maybe FROM pr GROUP BY doc_id, source) "
+       "SELECT CAST(source = 'src0' AS INT) AS actual, bloom_maybe, "
+       "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY actual, bloom_maybe "
+       "ORDER BY actual, bloom_maybe"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

@@ -511,3 +511,51 @@ def dq137_dup_rate_by_source(t: Tables) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dq141_bloom_screen(t: Tables, m_bits: int = 4096,
+                       k_hashes: int = 4) -> DataFrame:
+    """Deterministic Bloom-filter membership screen, built and probed as
+    pure SQL: the held-out set (source src0) populates a 4096-bit / 4-hash
+    filter, every doc probes it, and the output is the confusion matrix
+    (actual membership × bloom verdict) with counts.
+
+    The set-membership sketch for 100 TB pipelines (benchmark URLs, seen
+    doc hashes): the bit table is a few KB broadcast to every probe task —
+    a semi-join without shuffling either side. sha2-based bit positions
+    make the filter reproducible across engines, so even the false-
+    positive count is oracle-checked exactly.
+    """
+    docs = t["documents"]
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("s")
+
+    def pos():
+        return _hash_bucket(
+            F.concat(F.lit("bf"), F.col("s").cast("string"), F.lit(":"),
+                     F.col("doc_id").cast("string")),
+            m_bits,
+        )
+
+    members = docs.filter(F.col("source") == "src0")
+    bits = (
+        members.select("doc_id", seeds).select(pos().alias("b")).distinct()
+    )
+    probes = docs.select("doc_id", "source", seeds).select(
+        "doc_id", "source", F.col("s"), pos().alias("b")
+    )
+    hit = probes.join(
+        F.broadcast(bits.withColumn("present", F.lit(1))), "b", "left"
+    )
+    verdict = (
+        hit.groupBy("doc_id", "source")
+        .agg((F.sum(F.coalesce("present", F.lit(0))) == k_hashes)
+             .cast("int").alias("bloom_maybe"))
+    )
+    return (
+        verdict.groupBy(
+            (F.col("source") == "src0").cast("int").alias("actual"),
+            "bloom_maybe",
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("actual", "bloom_maybe")
+    )

@@ -739,3 +739,18 @@ def dq134_heavy_hitters(t: Tables, k: int = 20) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def dq140_approx_quantiles(t: Tables) -> DataFrame:
+    """B20-family: approx_percentile (t-digest-like sketch) per return
+    flag — the constant-memory quantile path for 100 TB columns.
+
+    Sketch internals differ by engine, so this is a rows-only entry
+    (SURVEY §5.3 rule 5); t1 bounds the sketch against dq59's exact
+    quantiles instead.
+    """
+    li = t["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_quantity", 0.95, 10000).alias("p95_approx"),
+    )

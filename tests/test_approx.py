@@ -36,3 +36,19 @@ def test_blocked_neardup_matches_hof_form(tables):
     blocked = [tuple(r) for r in dq46_cosine_neardup_topk(tables).collect()]
     hof = [tuple(r) for r in cosine_neardup_hof(tables).collect()]
     assert blocked == hof
+
+
+def test_approx_quantiles_near_exact(tables):
+    """dq140: the sketch's p50 must sit within 2% of dq59's exact p50."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq59_percentiles,
+        dq140_approx_quantiles,
+    )
+
+    exact = {r["l_returnflag"]: r["q50"]
+             for r in dq59_percentiles(tables).collect()}
+    approx = {r["l_returnflag"]: r["p50_approx"]
+              for r in dq140_approx_quantiles(tables).collect()}
+    assert set(exact) == set(approx)
+    for flag, ex in exact.items():
+        assert abs(approx[flag] - ex) <= max(0.02 * abs(ex), 1e-9), flag
