@@ -1297,6 +1297,34 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(source = 'src0' AS INT) AS actual, bloom_maybe, "
        "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY actual, bloom_maybe "
        "ORDER BY actual, bloom_maybe"),
+    DQ("dq142_count_anomalies", TS.dq142_count_anomalies,
+       "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, "
+       "event_type, count(*) AS n FROM events GROUP BY day, event_type), "
+       "scored AS (SELECT day, event_type, n, "
+       "avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd, "
+       "count(n) OVER w AS n_base FROM daily "
+       "WINDOW w AS (PARTITION BY event_type ORDER BY day "
+       "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+       "SELECT day, event_type, CAST(n AS BIGINT) AS n, "
+       "round((n - mu) / sd, 6) AS z, "
+       "CAST(CASE WHEN abs((n - mu) / sd) > 2.0 THEN 1 ELSE 0 END AS INT) "
+       "AS anomaly FROM scored WHERE n_base >= 7 AND sd > 0"),
+    DQ("dq143_retention_cohorts", TS.dq143_retention_cohorts,
+       "WITH ev AS (SELECT DISTINCT user_id, "
+       "epoch_us(ts) // 604800000000 AS wk FROM events), "
+       "cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev "
+       "GROUP BY user_id) "
+       "SELECT cohort_wk, wk - cohort_wk AS wk_offset, "
+       "CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users "
+       "FROM ev JOIN cohort ON ev.user_id = cohort.user_id "
+       "GROUP BY cohort_wk, wk_offset"),
+    DQ("dq144_transition_matrix", TS.dq144_transition_matrix,
+       "WITH seq AS (SELECT user_id, event_type, "
+       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+       "AS prev_type FROM events) "
+       "SELECT prev_type AS from_type, event_type AS to_type, "
+       "CAST(count(*) AS BIGINT) AS n FROM seq "
+       "WHERE prev_type IS NOT NULL GROUP BY from_type, to_type"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

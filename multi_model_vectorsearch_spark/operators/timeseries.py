@@ -240,3 +240,87 @@ def dq132_latest_event(t: Tables) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+def dq142_count_anomalies(t: Tables, window_days: int = 7,
+                          z_thresh: float = 2.0) -> DataFrame:
+    """Volume anomaly detection: per (day, event_type), z-score the daily
+    event count against the trailing ``window_days`` baseline (excluding
+    the current day); flag |z| above threshold.
+
+    The ingest-monitoring primitive: a source whose daily volume z-spikes
+    is a crawler loop or an outage. Two stacked windows share one shuffle
+    on event_type; counts are integers so the baseline stats are exact
+    regardless of partition order.
+    """
+    day_us = F.lit(86400000000)
+    daily = (
+        t["events"]
+        .select((F.unix_micros("ts") / day_us).cast("bigint").alias("day"),
+                "event_type")
+        .groupBy("day", "event_type").agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    scored = daily.select(
+        "day", "event_type", "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count("n").over(w).alias("n_base"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(F.col("n_base") >= window_days)
+        .filter(F.col("sd") > 0)
+        .select(
+            "day", "event_type", "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > z_thresh).cast("int").alias("anomaly"),
+        )
+    )
+
+
+def dq143_retention_cohorts(t: Tables) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week, with
+    distinct active users at each later week offset — the classic
+    retention triangle.
+
+    Two aggregations over one fact scan: first-seen week per user (a
+    groupBy on user), broadcast back onto the user's weekly activity to
+    compute offsets. At 100 TB the cohort map is |users| rows — the only
+    reshuffle — and the triangle itself is tiny.
+    """
+    wk_us = F.lit(7 * 86400000000)
+    ev = t["events"].select(
+        "user_id",
+        (F.unix_micros("ts") / wk_us).cast("bigint").alias("wk"),
+    ).distinct()
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def dq144_transition_matrix(t: Tables) -> DataFrame:
+    """Event-type transition counts (first-order Markov matrix) over each
+    user's time-ordered stream — the sequence-modeling prep stat
+    (next-event prediction baselines, funnel leak analysis).
+
+    One window shuffle on user_id to order each stream, then a global
+    groupBy on the (from, to) pair — at most |types|² rows out.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
