@@ -1325,6 +1325,32 @@ _REGISTRY: list[DQ] = [
        "SELECT prev_type AS from_type, event_type AS to_type, "
        "CAST(count(*) AS BIGINT) AS n FROM seq "
        "WHERE prev_type IS NOT NULL GROUP BY from_type, to_type"),
+    DQ("dq145_filtered_knn", V.dq145_filtered_knn,
+       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+       "SELECT e.vec_id, round(" + _cos("e", "q") + ", 6) AS s "
+       "FROM embeddings e CROSS JOIN q WHERE e.label % 3 = 1 "
+       "ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq146_grouped_maxsim", V.dq146_grouped_maxsim,
+       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "scored AS (SELECT label, vec_id, round(" + _cos("e", "q") + ", 6) "
+       "AS s FROM embeddings e CROSS JOIN q), "
+       "best AS (SELECT label, vec_id AS best_vec, s FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY label "
+       "ORDER BY s DESC, vec_id) AS rn FROM scored) r WHERE rn = 1) "
+       "SELECT label, best_vec, s FROM best ORDER BY s DESC, label LIMIT 5"),
+    DQ("dq147_mutual_knn", V.dq147_mutual_knn,
+       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+       "WHERE vec_id < 20), "
+       "sims AS (SELECT q.qid, e.vec_id, round(CASE WHEN e.vec_id = q.qid "
+       "THEN 1.0 ELSE " + _cos("e", "q") + " END, 6) AS s "
+       "FROM embeddings e CROSS JOIN q), "
+       "ranked AS (SELECT qid, vec_id, s, CAST(row_number() OVER "
+       "(PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk "
+       "FROM sims), "
+       "topk AS (SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= 5) "
+       "SELECT x.qid AS a, x.vec_id AS b, x.rnk AS ra, y.rnk AS rb "
+       "FROM topk x JOIN topk y ON x.qid = y.vec_id AND x.vec_id = y.qid "
+       "WHERE x.qid < x.vec_id"),
     DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "

@@ -261,3 +261,79 @@ def dq138_prenorm_dot_knn(t: Tables, query_vec_id: int = 0,
         .orderBy(F.desc("s"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def dq145_filtered_knn(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Metadata-filtered exact KNN: top-k cosine among one modality only —
+    the pre-filter form of filtered vector search.
+
+    The predicate composes with the scan, so Catalyst pushes it below the
+    similarity computation: non-matching vectors are skipped before any
+    arithmetic (post-filtering a k-truncated result, the other common
+    form, silently under-fills k). At 100 TB with modality-partitioned
+    storage this prunes whole partitions, not just rows.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = e.filter(F.col("label") % 3 == 1)
+    s = F.round(cosine_similarity(
+        F.col("embedding").cast("array<double>"),
+        F.col("qv").cast("array<double>")), 6)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select("vec_id", s.alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def dq146_grouped_maxsim(t: Tables, query_vec_id: int = 0, k: int = 5) -> DataFrame:
+    """Late-interaction-style grouped retrieval: score each label group by
+    the MAX cosine of its member vectors to the query (MaxSim), return the
+    top-k groups with their best-matching member.
+
+    The multi-vector document shape (ColBERT-family scoring collapses to
+    max-per-group for a single query vector): one broadcast-query scan,
+    one window on the group key — the per-group argmax rides the same
+    shuffle as the max itself.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    s = F.round(cosine_similarity(
+        F.col("embedding").cast("array<double>"),
+        F.col("qv").cast("array<double>")), 6)
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "label", "vec_id", s.alias("s")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("s"), F.asc("vec_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("vec_id").alias("best_vec"), "s")
+    )
+    return best.orderBy(F.desc("s"), F.asc("label")).limit(k)
+
+
+def dq147_mutual_knn(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Reciprocal nearest neighbors: pairs where EACH vector appears in the
+    other's top-k — the stricter symmetric criterion semantic-dedup
+    pipelines use to avoid hub-vector false positives.
+
+    Built from the same ranked table as dq31 (one scan, one window);
+    mutuality is a self-join of that k·|Q|-row result on the swapped key,
+    which is negligible next to the scan.
+    """
+    ranked = dq31_knn_join(t, n_queries=n_queries, k=k)
+    a = ranked.select(F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+                      F.col("rnk").alias("ra"))
+    b = ranked.select(F.col("qid").alias("b2"), F.col("vec_id").alias("a2"),
+                      F.col("rnk").alias("rb"))
+    return (
+        a.join(b, (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ra", "rb")
+    )
