@@ -41,9 +41,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity in DOUBLE.
 
     The reference gets this from Redis as ``1 - vector_score`` (main.py:221);
-    here it is one expression the optimizer can inline anywhere.
+    here it is one expression the optimizer can inline anywhere. The norm
+    product is floored at 1e-12 so an all-zero embedding scores 0.0 instead
+    of NaN (NaN compares false everywhere and would silently vanish from
+    top-k results).
     """
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
 
 
 def l2_normalize(v: Column) -> Column:
@@ -51,9 +54,10 @@ def l2_normalize(v: Column) -> Column:
 
     Storing normalized vectors makes cosine == dot — the same trick the
     reference applies at embed time, kept as an engine convention so the KNN
-    scan can skip the per-row norm at query time.
+    scan can skip the per-row norm at query time. Zero vectors stay zero
+    (norm floored at 1e-12) rather than becoming NaN.
     """
-    norm = l2_norm(v)
+    norm = F.greatest(l2_norm(v), F.lit(1e-12))
     return F.transform(v, lambda x: _as_double(x) / norm)
 
 
@@ -74,4 +78,7 @@ def l2_norm_sql(v: str) -> str:
 
 
 def cosine_similarity_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / ({l2_norm_sql(a)} * {l2_norm_sql(b)}))"
+    return (
+        f"({dot_sql(a, b)} / "
+        f"greatest({l2_norm_sql(a)} * {l2_norm_sql(b)}, CAST(1e-12 AS DOUBLE)))"
+    )

@@ -44,6 +44,14 @@ def dq33_build_edges(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
     Pairs come from the top-k similarity join (self excluded, as the reference
     skips ``neighbor == key``, main.py:264-267); edges are canonicalized
     ``(least, greatest)`` and deduped keeping the max boosted score.
+
+    Intentional divergence: this declared query isolates the *edge-build*
+    stage over a plain top-k neighbor list so the oracle stays a pure-SQL
+    window. The reference's full submit path feeds edge build from the
+    modality-balanced ``search_knn`` selection (k*6 pool → k//2 per split,
+    main.py:206-253); that composition is what ``IngestPipeline.
+    knn_against_corpus`` + ``build_edges`` (streaming/ingest.py) implement
+    and test end-to-end.
     """
     from pyspark.sql import Window
 

@@ -11,7 +11,10 @@ stages declaratively:
 3. dedup: left-anti join against the corpus *and* within-batch
    dropDuplicates (the reference gets both for free from point-at-a-time);
 4. upsert: parquet append (Delta MERGE in production — same call site);
-5. KNN: broadcast the (small) fresh batch against the corpus scan;
+5. KNN: broadcast the fresh batch against the corpus scan, then the
+   reference's modality-balanced selection (k*6 pool → k//2 same-modality +
+   k//2 cross, main.py:206-253) — the same neighbor set search_knn hands to
+   update_graph_connections;
 6. edges: canonicalized append with the max(score, 0.8) cross-modal floor.
 
 State lives in two append-only parquet dirs (corpus/, edges/) — the
@@ -36,14 +39,26 @@ CORPUS_SCHEMA = (
 EDGE_SCHEMA = "src bigint, dst bigint, score double"
 
 
-class IngestPipeline:
-    """Stateful `/submit` pipeline over parquet-backed corpus + edge stores."""
+OVERFETCH = 6  # reference main.py:209: KNN pool is k*6 before the modality split
 
-    def __init__(self, spark: SparkSession, state_dir: str, k: int = 10):
+
+class IngestPipeline:
+    """Stateful `/submit` pipeline over parquet-backed corpus + edge stores.
+
+    ``max_collect`` is the driver-materialization guard: micro-batches at or
+    under it take the vectorized numpy-kernel KNN (one bounded ``collect`` of
+    the query vectors); larger batches switch to a pure DataFrame
+    broadcast-join path that never materializes the batch on the driver, so a
+    fat micro-batch cannot OOM the driver at ingest scale.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
+                 max_collect: int = 4096):
         self.spark = spark
         self.corpus_dir = os.path.join(state_dir, "corpus")
         self.edges_dir = os.path.join(state_dir, "edges")
         self.k = k
+        self.max_collect = max_collect
 
     def corpus(self) -> DataFrame:
         if os.path.isdir(self.corpus_dir) and any(
@@ -88,34 +103,58 @@ class IngestPipeline:
             edges.write.mode("append").parquet(self.edges_dir)
 
     def knn_against_corpus(self, fresh: DataFrame) -> DataFrame:
-        """Top-k corpus neighbors per fresh doc.
+        """Modality-balanced top-k corpus neighbors per fresh doc.
 
-        Serving-shape KNN: the micro-batch is bounded by the stream trigger,
-        so its vectors ship to every task in the ``mapInPandas`` closure (the
-        broadcast side of a broadcast join, without materializing the O(batch
-        × corpus) pair table). Each corpus partition computes one float64
-        matmul and emits only rows at-or-above its per-query k-th score —
-        ties included, so the global per-query window is exact — then a tiny
-        ``row_number`` pass trims to k. The corpus is scanned once, shuffles
-        only ~batch×k candidate rows, and the arithmetic is vectorized
-        instead of an interpreted per-pair lambda (measured 7.3 s → <1 s per
-        sf0.1 batch).
+        Mirrors the reference's submit-path KNN (main.py:206-253 search_knn):
+        a k*6 over-fetched candidate pool per query, split on query-vs-doc
+        modality, ``k//2`` kept from each split, union re-sorted descending.
+        The pool then feeds edge build exactly as ``update_graph_connections``
+        consumes ``search_knn``'s balanced output.
+
+        Two physical paths behind ``max_collect``:
+
+        * **kernel path** (batch ≤ max_collect rows): the query vectors ship
+          to every task inside a ``mapInPandas`` closure (broadcast side of a
+          broadcast join without the O(batch × corpus) pair table). Each
+          corpus partition does one float64 matmul and emits only rows
+          at-or-above its per-query pool threshold — ties included, so the
+          global per-query window is exact. One corpus scan, ~batch×k*6
+          shuffled candidate rows, vectorized arithmetic (7.3 s → <1 s per
+          sf0.1 batch).
+        * **join path** (fat batch): no driver ``collect`` at all —
+          ``corpus × broadcast(fresh)`` with the JVM-side cosine expression.
+          Slower per row but driver-safe at any batch size; at real scale
+          this is where an IVF-bucketed join would slot in.
         """
-        import numpy as np
-        import pandas as pd
-
         corpus = self.corpus()  # includes the batch just appended
         k = self.k
-        qrows = fresh.select("doc_id", "modality", "embedding").collect()
-        if not qrows:
+        pool_k = k * OVERFETCH
+        n_queries = fresh.count()
+        if n_queries == 0:
             return self.spark.createDataFrame(
                 [], "qid bigint, qm string, doc_id bigint, modality string, "
                     "s double, rn int")
+        if n_queries <= self.max_collect:
+            cand = self._knn_kernel(corpus, fresh, pool_k)
+        else:
+            cand = self._knn_join(corpus, fresh)
+        return self._balanced_select(cand, k, pool_k)
+
+    def _knn_kernel(self, corpus: DataFrame, fresh: DataFrame,
+                    pool_k: int) -> DataFrame:
+        """Vectorized candidate scorer; bounded collect (≤ max_collect)."""
+        import numpy as np
+        import pandas as pd
+
+        qrows = fresh.select("doc_id", "modality", "embedding").collect()
         qids = np.array([r.doc_id for r in qrows], dtype=np.int64)
         qms = [r.modality for r in qrows]
         qmat = np.stack([np.asarray(r.embedding, dtype=np.float64)
                          for r in qrows])
-        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        # zero-norm guard: an all-zero embedding scores 0 everywhere instead
+        # of NaN (NaN compares false and silently vanishes from top-k)
+        qn = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
 
         def score(batches):
             for pdf in batches:
@@ -123,14 +162,16 @@ class IngestPipeline:
                     continue
                 c = np.stack([np.asarray(v, dtype=np.float64)
                               for v in pdf["embedding"].values])
-                cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+                cn = c / np.maximum(
+                    np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
                 sims = np.round(cn @ qn.T, 6)  # (n_chunk, n_q)
                 docs = pdf["doc_id"].values.astype(np.int64)
                 pin = docs[:, None] == qids[None, :]
-                sims[pin] = 1.0
+                sims[pin] = 1.0  # self-pin (main.py:223-224)
                 n = sims.shape[0]
-                if n > k:
-                    thresh = np.partition(sims, n - k, axis=0)[n - k, :]
+                if n > pool_k:
+                    thresh = np.partition(
+                        sims, n - pool_k, axis=0)[n - pool_k, :]
                     keep = sims >= thresh[None, :]
                 else:
                     keep = np.ones_like(sims, dtype=bool)
@@ -143,14 +184,48 @@ class IngestPipeline:
                     "s": sims[ci, qi],
                 })
 
-        cand = corpus.mapInPandas(
+        return corpus.mapInPandas(
             score,
             schema="qid bigint, qm string, doc_id bigint, modality string, "
                    "s double",
         )
-        w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
-        return cand.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= k
+
+    def _knn_join(self, corpus: DataFrame, fresh: DataFrame) -> DataFrame:
+        """Driver-safe candidate scorer: corpus × broadcast(batch), cosine
+        in the JVM. No driver materialization of the batch."""
+        q = F.broadcast(fresh.select(
+            F.col("doc_id").alias("qid"),
+            F.col("modality").alias("qm"),
+            F.col("embedding").alias("qv"),
+        ))
+        return corpus.crossJoin(q).select(
+            "qid", "qm", "doc_id", "modality",
+            F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
+            .otherwise(
+                F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+            ).alias("s"),
+        )
+
+    @staticmethod
+    def _balanced_select(cand: DataFrame, k: int, pool_k: int) -> DataFrame:
+        """search_knn's selection (main.py:217-253): pool → modality split →
+        per-split sort → k//2 quotas → union → global re-sort."""
+        w_all = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        pool = (
+            cand.withColumn("prn", F.row_number().over(w_all))
+            .filter(F.col("prn") <= pool_k)
+        )
+        w_mod = Window.partitionBy(
+            "qid", F.col("qm") == F.col("modality")
+        ).orderBy(F.desc("s"), F.asc("doc_id"))
+        kept = (
+            pool.withColumn("mrn", F.row_number().over(w_mod))
+            .filter(F.col("mrn") <= k // 2)
+        )
+        return (
+            kept.withColumn("rn", F.row_number().over(w_all))
+            .filter(F.col("rn") <= k)
+            .select("qid", "qm", "doc_id", "modality", "s", "rn")
         )
 
     def build_edges(self, neighbors: DataFrame) -> DataFrame:
@@ -179,23 +254,29 @@ class IngestPipeline:
         q.awaitTermination()
         return q
 
-    def search(self, text: str, k: int | None = None) -> DataFrame:
-        """`/search` analog: embed the query text, KNN + 1-hop expansion."""
+    def search(self, text: str, k: int | None = None,
+               modality: str = "text") -> DataFrame:
+        """`/search` analog (main.py:90-125): embed the query, the same
+        modality-balanced ``search_knn`` selection as the submit path (no
+        self-pin — the query is not a stored doc), then 1-hop expansion."""
         from multi_model_vectorsearch_spark.operators.graph import (
             DECAY,
             expand_one_hop,
         )
 
         k = k or self.k
-        qdf = self.spark.createDataFrame([(int(-1), text, "text")],
+        qdf = self.spark.createDataFrame([(int(-1), text, modality)],
                                          "doc_id bigint, text string, modality string")
         q = qdf.select(hash_embed_udf("text").alias("qv"))
         corpus = self.corpus()
-        sims = corpus.crossJoin(F.broadcast(q)).select(
-            F.col("doc_id").alias("vec_id"),
+        cand = corpus.crossJoin(F.broadcast(q)).select(
+            F.lit(-1).cast("bigint").alias("qid"),
+            F.lit(modality).alias("qm"),
+            "doc_id", "modality",
             F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
         )
-        seeds = sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+        balanced = self._balanced_select(cand, k, k * OVERFETCH)
+        seeds = balanced.select(F.col("doc_id").alias("vec_id"), "s")
         return expand_one_hop(seeds, self.edges(), k=k, decay=DECAY)
 
 

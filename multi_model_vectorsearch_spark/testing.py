@@ -43,7 +43,11 @@ def _canon_value(v):
 
 
 def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # sort the permutation case-insensitively to match the lowercased schema
+    # comparison: Spark and DuckDB may case identical column names
+    # differently, and a case-sensitive sort would then order the two sides'
+    # columns differently and report a spurious value mismatch
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 

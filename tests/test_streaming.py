@@ -120,16 +120,20 @@ class TestIngestPipeline:
         edges = pipe.edges()
         assert edges.count() > 0
         e = edges.collect()
-        # canonicalized, no self-loops, scores in [~0, 1]
+        # canonicalized, no self-loops, scores are valid cosines (the
+        # same-modality quota can keep negative-cosine neighbors, exactly as
+        # the reference's same_mod[:k//2] list can — main.py:244-248)
         assert all(r.src < r.dst for r in e)
-        assert all(0.0 <= r.score <= 1.0 for r in e)
+        assert all(-1.0 <= r.score <= 1.0 for r in e)
 
     def test_search_end_to_end(self, spark, docs, tmp_path):
         pipe = IngestPipeline(spark, str(tmp_path / "state"), k=5)
         pipe.process_batch(docs, 0)
         sample_text = docs.orderBy("doc_id").first().text
         res = pipe.search(sample_text, k=5).collect()
-        assert len(res) == 5
+        # balanced selection keeps k//2 per modality split (main.py:248-249),
+        # so ≤ 2+2 seeds; expansion can add up to k total
+        assert 1 <= len(res) <= 5
         # the identical document must be the top hit with sim 1.0
         assert res[0].score == 1.0
 
@@ -145,6 +149,55 @@ class TestIngestPipeline:
         pipe.run_stream(stream, str(tmp_path / "ckpt"))
         assert pipe.corpus().count() == 40
         assert pipe.edges().count() > 0
+
+
+def test_knn_join_path_matches_kernel(spark, tables, tmp_path):
+    """Driver-materialization guard: a batch over ``max_collect`` takes the
+    broadcast-join path (zero driver collect of query vectors) and must
+    produce the same balanced neighbor set as the vectorized kernel."""
+    docs = tables["documents"].limit(30).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image")),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    kernel = IngestPipeline(spark, str(tmp_path / "a"), k=4)
+    joined = IngestPipeline(spark, str(tmp_path / "b"), k=4, max_collect=1)
+    kernel.process_batch(docs, 0)
+    joined.process_batch(docs, 0)
+
+    def snap(p):
+        fresh = p.corpus()
+        out = p.knn_against_corpus(fresh).collect()
+        return sorted((r.qid, r.doc_id, r.rn, round(r.s, 6)) for r in out)
+
+    assert snap(kernel) == snap(joined)
+    # and the stored edge sets agree
+    ek = sorted((r.src, r.dst, round(r.score, 6))
+                for r in kernel.edges().collect())
+    ej = sorted((r.src, r.dst, round(r.score, 6))
+                for r in joined.edges().collect())
+    assert ek == ej and len(ek) > 0
+
+
+def test_zero_norm_embedding_scores_zero_not_nan(spark):
+    """An all-zero embedding must score 0.0 (guarded norm), never NaN."""
+    import math
+
+    from multi_model_vectorsearch_spark.functions.vector import (
+        cosine_similarity,
+        l2_normalize,
+    )
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0])], "id int, z array<double>, v array<double>"
+    )
+    row = df.select(
+        cosine_similarity("z", "v").alias("c"),
+        l2_normalize(F.col("z")).alias("nz"),
+    ).first()
+    assert row.c == 0.0 and not math.isnan(row.c)
+    assert all(x == 0.0 for x in row.nz)
 
 
 def test_stateful_user_totals_batch_equivalence(spark, tables, replay):
@@ -176,7 +229,9 @@ def test_submit_and_graph_data_facade(spark, tmp_path):
     pipe.submit("broadcast the small build side", "text", doc_id=2)
     r3 = pipe.submit("spark shuffles the sort merge join", "image",
                      doc_id=3).collect()
-    assert r3[0].id == 3 and r3[0].s == 1.0 and len(r3) == 3
+    # balanced selection (main.py:248-249): k=3 → 1 same-modality (the
+    # self-pinned doc) + 1 cross-modality neighbor
+    assert r3[0].id == 3 and r3[0].s == 1.0 and len(r3) == 2
     nodes, edges = pipe.graph_data()
     n = {r.doc_id for r in nodes.collect()}
     e = edges.collect()
