@@ -1000,8 +1000,8 @@ _REGISTRY: list[DQ] = [
     DQ("dq119_edit_distance_neighbors", T.dq119_edit_distance_neighbors,
        "WITH d AS (SELECT doc_id, lower(substr(text, 1, 32)) AS p "
        "FROM documents WHERE doc_id < 200), "
-       "x AS (SELECT doc_id, levenshtein(p, lead(p) OVER (ORDER BY doc_id)) "
-       "AS lev FROM d) "
+       "x AS (SELECT doc_id, levenshtein(p, lead(p) OVER "
+       "(PARTITION BY substr(p, 1, 2) ORDER BY doc_id)) AS lev FROM d) "
        "SELECT doc_id, lev FROM x WHERE lev IS NOT NULL ORDER BY doc_id"),
     DQ("dq120_ivf_recall", N.dq120_ivf_recall,
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

@@ -81,20 +81,27 @@ def dq64_hybrid_rrf(t: Tables, query_vec_id: int = 0, k: int = 10,
     cross the fusion boundary, so the two arms' score scales never need
     calibration.
     """
+    # Each arm's top-k is orderBy().limit() — TakeOrderedAndProject, a
+    # per-partition heap + driver merge — NOT a global row_number() window,
+    # which would funnel every scored corpus row through one task. Ranks are
+    # then assigned by a window over the ≤ arm_k-row result, where a
+    # single-partition sort is free.
     wv = Window.orderBy(F.desc("s"), F.asc("vec_id"))
     vec_arm = (
         similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
         .select("vec_id", "s")
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(arm_k)
         .withColumn("rv", F.row_number().over(wv))
-        .filter(F.col("rv") <= arm_k)
         .select(F.col("vec_id").alias("id"), "rv")
     )
     wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     lex_arm = (
         _bm25_scores(t, terms)
         .select("doc_id", F.round("raw", 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(arm_k)
         .withColumn("rl", F.row_number().over(wl))
-        .filter(F.col("rl") <= arm_k)
         .select(F.col("doc_id").alias("id"), "rl")
     )
     fused = vec_arm.join(lex_arm, "id", "full_outer").select(

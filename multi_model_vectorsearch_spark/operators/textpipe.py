@@ -495,22 +495,26 @@ def dq111_word_entropy(t: Tables, n: int = 50) -> DataFrame:
 
 
 def dq119_edit_distance_neighbors(t: Tables, prefix_len: int = 32,
+                                  block_len: int = 2,
                                   max_docs: int = 200) -> DataFrame:
-    """Levenshtein distance between consecutive docs' normalized prefixes —
-    the fuzzy-title-match primitive of record-linkage dedup.
+    """Levenshtein distance between consecutive same-block docs' normalized
+    prefixes — the fuzzy-title-match primitive of record-linkage dedup.
 
     Edit distance is O(p²) per pair, so at scale you never run it all-pairs:
-    this shape (compare within a sorted neighborhood — here adjacent doc_ids
-    as the stand-in for a blocking key) is the standard sorted-neighborhood
-    method. The lead() window keeps it one shuffle + linear scan; the
-    builtin levenshtein stays JVM-side.
+    this is the sorted-neighborhood method with a blocking key. The window
+    partitions on the first ``block_len`` normalized chars (dq139's blocking
+    key), so no single task ever sees more than one block — a global
+    ``Window.orderBy`` would funnel the whole corpus through one partition.
+    The lead() is one shuffle on the block key + a per-block linear scan;
+    the builtin levenshtein stays JVM-side.
     """
     d = (
         t["documents"].filter(F.col("doc_id") < max_docs)
         .select("doc_id",
                 F.lower(F.substring("text", 1, prefix_len)).alias("p"))
+        .withColumn("blk", F.substring("p", 1, block_len))
     )
-    w = Window.orderBy("doc_id")
+    w = Window.partitionBy("blk").orderBy("doc_id")
     nxt = F.lead("p").over(w)
     return (
         d.select("doc_id", F.levenshtein(F.col("p"), nxt).alias("lev"))

@@ -174,6 +174,42 @@ def test_pq_codebook_broadcasts(tables):
     assert "EvalPython" not in plan
 
 
+def test_hybrid_rrf_arms_are_take_ordered(tables):
+    """dq64: each fusion arm's top-k must be TakeOrderedAndProject over the
+    scored corpus; the only window sort runs on the ≤ arm_k-row arm result,
+    never on the full corpus in a single partition."""
+    from multi_model_vectorsearch_spark.operators.retrieval import (
+        dq64_hybrid_rrf,
+    )
+
+    plan = explain_formatted(dq64_hybrid_rrf(tables))
+    # one TakeOrdered per arm (vector + lexical) — the corpus-sized sorts
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # the windows rank the arm results: every windowspecdefinition orders by
+    # an arm score alias, and none partitions/orders over raw corpus columns
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("text" not in s and "embedding" not in s for s in specs)
+
+
+def test_edit_distance_window_is_block_partitioned(tables):
+    """dq119: the sorted-neighborhood lead() must partition on the blocking
+    key — a global Window.orderBy funnels the corpus through one task."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq119_edit_distance_neighbors,
+    )
+
+    plan = explain_formatted(dq119_edit_distance_neighbors(tables))
+    assert "Window" in plan
+    assert "partitionBy" not in plan  # formatted plans spell it as a spec:
+    # the window spec must carry a partition expression (blk) — a global
+    # window renders as windowspecdefinition(doc_id ASC ...) with no
+    # partition column before the ordering
+    import re
+    spec = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert spec and spec.group(1).strip().startswith("blk")
+
+
 def test_profile_reads_only_orders_columns(tables):
     """dq125: six independent aggregates must not leak a join/shuffle of
     the fact table — each arm is scan + partial agg + single-row merge."""
