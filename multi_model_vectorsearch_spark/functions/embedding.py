@@ -52,6 +52,37 @@ def hash_embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield series.map(lambda s: hash_embed_text(s if s is not None else ""))
 
 
+@pandas_udf(ArrayType(DoubleType()))
+def hash_embed_media_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Deterministic stand-in for the *image* encoder (reference app.py's
+    CLIP image tower). Salted differently from the text encoder so the two
+    towers are distinguishable in tests, like the real model's are."""
+    for series in batches:
+        yield series.map(
+            lambda s: hash_embed_text(f"media:{s if s is not None else ''}"))
+
+
+def route_embedding(data, modality):
+    """The reference's modality router (vec.py:10-27) as one expression.
+
+    * ``text`` → text encoder;
+    * ``image`` **and** ``audio`` → the image encoder — vec.py:16-22 base64s
+      audio bytes into the ``image`` API field ("If you later add audio
+      embedding, adjust here"), so audio observably embeds through the image
+      tower. That pass-through quirk is part of the reference's behavior and
+      is preserved here;
+    * anything else → NULL (toVect returns None, vec.py:24-26); callers drop
+      the row exactly as the reference aborts the submit.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(modality == "text", hash_embed_udf(data))
+        .when(modality.isin("image", "audio"), hash_embed_media_udf(data))
+        .otherwise(F.lit(None).cast(ArrayType(DoubleType())))
+    )
+
+
 def clip_embed_udf():
     """Production CLIP text/image embedder (same plan shape as the stub).
 

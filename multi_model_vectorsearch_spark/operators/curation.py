@@ -414,10 +414,10 @@ def dq133_dedup_apply(t: Tables) -> DataFrame:
     of the corpus.
     """
     from multi_model_vectorsearch_spark.operators.textpipe import (
-        dq41_minhash_lsh_pairs,
+        minhash_lsh_pairs_shared,
     )
 
-    drop = dq41_minhash_lsh_pairs(t).select("d2").distinct()
+    drop = minhash_lsh_pairs_shared(t).select("d2").distinct()
     docs = t["documents"].select("doc_id")
     total = docs.agg(F.count("*").cast("bigint").alias("n_total"))
     dropped = docs.join(
@@ -442,9 +442,9 @@ def dq135_curation_funnel(t: Tables) -> DataFrame:
     never re-shuffled between stages.
     """
     from multi_model_vectorsearch_spark.operators.textpipe import (
-        dq41_minhash_lsh_pairs,
         dq84_normalize_text,
         dq131_quality_ensemble,
+        minhash_lsh_pairs_shared,
     )
 
     docs = t["documents"]
@@ -458,7 +458,7 @@ def dq135_curation_funnel(t: Tables) -> DataFrame:
         .groupBy("clean_sha").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    drop = dq41_minhash_lsh_pairs(t).select("d2").distinct()
+    drop = minhash_lsh_pairs_shared(t).select("d2").distinct()
     s4 = s3.join(drop, s3.doc_id == F.col("d2"), "left_anti")
 
     stages = [
@@ -488,10 +488,10 @@ def dq137_dup_rate_by_source(t: Tables) -> DataFrame:
     join of the drop-set against the doc->source map.
     """
     from multi_model_vectorsearch_spark.operators.textpipe import (
-        dq41_minhash_lsh_pairs,
+        minhash_lsh_pairs_shared,
     )
 
-    drop = dq41_minhash_lsh_pairs(t).select(
+    drop = minhash_lsh_pairs_shared(t).select(
         F.col("d2").alias("doc_id")
     ).distinct()
     docs = t["documents"].select("doc_id", "source")

@@ -297,6 +297,140 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
     return pr.select(F.col("v").alias("id"), F.round("p", 6).alias("pr"))
 
 
+# --- connected components ---------------------------------------------------
+
+def _neighbors(edges: DataFrame) -> DataFrame:
+    """Undirected adjacency (u, v) from an (src, dst) edge list."""
+    return (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+
+
+def _star_round(nbrs: DataFrame, small: bool) -> DataFrame:
+    """One large-star (small=False) or small-star (small=True) step.
+
+    Kiveris et al., "Connected Components in MapReduce and Beyond":
+    large-star(u) links every neighbor v > u to min(N(u) ∪ {u});
+    small-star(u) links u and its neighbors v < u to their minimum.
+    Alternating the two converges to component-min stars in O(log²) rounds
+    on any graph — the bound min-label propagation lacks on deep chains.
+    """
+    if small:
+        side = nbrs.filter(F.col("v") < F.col("u"))
+        grouped = side.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.array_min(F.col("vs"))
+        out = grouped.select(
+            F.explode(F.array_union("vs", F.array(F.col("u")))).alias("a"),
+            m.alias("b"),
+        )
+    else:
+        grouped = nbrs.groupBy("u").agg(F.collect_set("v").alias("vs"))
+        m = F.least(F.array_min("vs"), F.col("u"))
+        out = grouped.select(
+            F.explode(F.expr("filter(vs, x -> x > u)")).alias("a"),
+            m.alias("b"),
+        )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+def star_contract(pairs: DataFrame, max_rounds: int = 30
+                  ) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction → (labels, rounds).
+
+    ``pairs`` is an (src, dst) candidate-pair list; the result maps every
+    non-isolated vertex to its component minimum. Each round rewrites the
+    edge set (two shuffles) but the round count is O(log² n) even on
+    adversarial chains, versus O(diameter) for label propagation. The
+    fixed-point test is a (count, hash-sum) checksum of the edge set — one
+    tiny aggregate per round instead of a set-difference join.
+    """
+    nbrs = _neighbors(pairs).localCheckpoint(eager=True)
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        big = _star_round(nbrs, small=False)
+        small = _star_round(
+            big.union(big.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v")),
+            small=True,
+        )
+        nbrs = (
+            small.union(
+                small.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        sig = nbrs.agg(
+            F.count("*").alias("n"),
+            F.sum(F.hash("u", "v").cast("bigint")).alias("h"),
+        ).first()
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    labels = (
+        nbrs.filter(F.col("v") < F.col("u"))
+        .groupBy(F.col("u").alias("v"))
+        .agg(F.min("v").alias("comp"))
+    )
+    roots = (
+        _neighbors(pairs).select("u").distinct()
+        .join(labels.select(F.col("v").alias("u")), "u", "left_anti")
+        .select(F.col("u").alias("v"), F.col("u").alias("comp"))
+    )
+    return labels.union(roots), rounds
+
+
+def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
+                         max_star_rounds: int = 30) -> DataFrame:
+    """Component labels (v, comp=min id) for an (src, dst) pair list.
+
+    Two-phase: min-label propagation with pointer jumping first — for the
+    shallow clusters near-dup graphs actually have, it converges in a
+    handful of cheap rounds. If it has not converged within
+    ``max_prop_rounds`` (the depth heuristic: a component deeper than
+    2^rounds is pathological for propagation), restart with alternating
+    star contraction, whose round count is bounded O(log² n) regardless of
+    component shape.
+    """
+    adj = (
+        pairs.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(pairs.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("v").distinct().withColumn("comp", F.col("v"))
+    for _ in range(max_prop_rounds):
+        neighbor_labels = adj.join(
+            labels.withColumnRenamed("v", "n"), "n"
+        ).select("v", "comp")
+        jumped = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.v"))
+            .select(F.col("l1.v").alias("v"), F.col("l2.comp").alias("comp"))
+        )
+        new_labels = (
+            labels.union(neighbor_labels).union(jumped)
+            .groupBy("v")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "nc")
+            .join(labels, "v")
+            .filter(F.col("nc") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    labels, _ = star_contract(pairs, max_rounds=max_star_rounds)
+    return labels
+
+
 def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
     """BFS layer sizes from node 0 over the semantic KNN graph — the
     reachability profile that tells you how fast dq34-style expansion

@@ -94,6 +94,39 @@ def dq41_minhash_lsh_pairs(t: Tables, min_matches: int = 2) -> DataFrame:
     )
 
 
+# session-scoped cache of the LSH pair list: dq133/dq135/dq137 all consume
+# the same pairs, and each registry entry is standalone — without sharing,
+# one suite run derives the full signature pipeline three extra times
+# (~2 s each at sf0.1). Keyed on the analyzed-plan semanticHash of the
+# documents scan, so different sf_dirs / sessions never collide.
+_PAIR_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+
+
+def minhash_lsh_pairs_shared(t: Tables, min_matches: int = 2) -> DataFrame:
+    """dq41's pair list, persisted once per (session, corpus, threshold).
+
+    The cached object is the ≪corpus-sized pair list (docs sharing ≥2 of 8
+    signatures), not the signature table — the cheapest artifact that lets
+    every downstream dedup entry skip the shingle→minhash→band-join chain.
+    Falls back to an uncached build if the JVM plan handle is unavailable
+    (e.g. Spark Connect).
+    """
+    docs = t["documents"]
+    try:
+        key = (
+            id(docs.sparkSession),
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            min_matches,
+        )
+    except Exception:  # pragma: no cover - non-JVM backends
+        return dq41_minhash_lsh_pairs(t, min_matches)
+    hit = _PAIR_CACHE.get(key)
+    if hit is None:
+        hit = dq41_minhash_lsh_pairs(t, min_matches).persist()
+        _PAIR_CACHE[key] = hit
+    return hit
+
+
 def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     """B54: exact n-gram Jaccard — top-k most similar pairs.
 
@@ -278,12 +311,16 @@ def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
     Round-count trade-off (measured): pointer jumping accelerates pure
     pointer chains exponentially but stalls at local-minima plateaus, so
     real graphs converge in ~diameter rounds either way (13→11 at sf0.1).
-    Star-contraction algorithms (alternating large-star/small-star) bound
-    rounds at O(log²) for adversarial graphs at the cost of rewriting the
-    edge set each round — the right upgrade if production components turn
-    out deep; for shallow near-dup clusters the propagate+jump loop does
-    fewer total shuffles.
+    If propagation hasn't converged within ``max_iter`` rounds (deep,
+    adversarial components), ``connected_components`` falls back to
+    alternating large-star/small-star contraction with an O(log²) round
+    bound (graph.py:star_contract) — for shallow near-dup clusters the
+    propagate+jump loop does fewer total shuffles, so it stays primary.
     """
+    from multi_model_vectorsearch_spark.operators.graph import (
+        connected_components,
+    )
+
     # materialize signatures before the self-join: both join sides read the
     # checkpointed table instead of re-running the shingle+hash pipeline
     # (adjacency build measured 6.4 s -> 2.6 s at sf0.1)
@@ -296,43 +333,9 @@ def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").alias("matches"))
         .filter(F.col("matches") >= min_matches)
-        .select("d1", "d2")
+        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     )
-    adj = (
-        pairs.select(F.col("d1").alias("v"), F.col("d2").alias("n"))
-        .union(pairs.select(F.col("d2").alias("v"), F.col("d1").alias("n")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = adj.select("v").distinct().withColumn("comp", F.col("v"))
-    for _ in range(max_iter):
-        neighbor_labels = adj.join(
-            labels.withColumnRenamed("v", "n"), "n"
-        ).select("v", "comp")
-        # pointer jumping (path halving): also adopt comp(comp(v)), which
-        # squares the propagation distance per round — a 13-hop chain
-        # (measured at sf0.1) converges in ~4 rounds instead of 13
-        jumped = (
-            labels.alias("l1")
-            .join(labels.alias("l2"),
-                  F.col("l1.comp") == F.col("l2.v"))
-            .select(F.col("l1.v").alias("v"), F.col("l2.comp").alias("comp"))
-        )
-        new_labels = (
-            labels.union(neighbor_labels).union(jumped)
-            .groupBy("v")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.withColumnRenamed("comp", "nc")
-            .join(labels, "v")
-            .filter(F.col("nc") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = connected_components(pairs, max_prop_rounds=max_iter)
     return labels.select(F.col("v").alias("doc_id"), "comp")
 
 

@@ -28,7 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from multi_model_vectorsearch_spark.functions.embedding import hash_embed_udf
+from multi_model_vectorsearch_spark.functions.embedding import route_embedding
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.graph import CROSS_MODAL_FLOOR
 
@@ -82,7 +82,13 @@ class IngestPipeline:
             batch.dropDuplicates(["doc_id"])
             .withColumn("content_sha256", F.sha2("text", 256))
             .dropDuplicates(["content_sha256"])  # within-batch dedup
-            .withColumn("embedding", hash_embed_udf("text"))
+            .withColumn(
+                "embedding",
+                route_embedding(F.col("text"), F.col("modality")),
+            )
+            # unsupported modality → NULL embedding → dropped, as the
+            # reference aborts the submit when toVect returns None
+            .filter(F.col("embedding").isNotNull())
             .select("doc_id", "content_sha256", "modality", "embedding")
         )
         corpus = self.corpus()
@@ -267,7 +273,8 @@ class IngestPipeline:
         k = k or self.k
         qdf = self.spark.createDataFrame([(int(-1), text, modality)],
                                          "doc_id bigint, text string, modality string")
-        q = qdf.select(hash_embed_udf("text").alias("qv"))
+        q = qdf.select(
+            route_embedding(F.col("text"), F.col("modality")).alias("qv"))
         corpus = self.corpus()
         cand = corpus.crossJoin(F.broadcast(q)).select(
             F.lit(-1).cast("bigint").alias("qid"),

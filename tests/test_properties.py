@@ -51,3 +51,79 @@ def test_salted_join_property(spark, left_keys, right_keys):
     plain = sorted(map(tuple, left.join(right, "k").collect()))
     salted = sorted(map(tuple, salted_join(left, right, "k", n_salts=3).collect()))
     assert salted == plain
+
+
+def _brute_components(edges):
+    """Union-find ground truth: v -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_star_contraction_deep_chain_round_bound(spark):
+    """A 256-node chain (diameter 255, the propagation worst case) must
+    converge under star contraction in O(log² n) rounds — the bound that
+    motivates the fallback — and label every node with component min 0."""
+    import math as m
+
+    from multi_model_vectorsearch_spark.operators.graph import star_contract
+
+    n = 256
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    labels, rounds = star_contract(chain)
+    assert rounds <= m.ceil(m.log2(n)) ** 2
+    got = {r.v: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_falls_back_and_matches_bruteforce(spark):
+    """With the propagation budget squeezed to 1 round the star fallback
+    must engage and still produce exact labels on a multi-component graph
+    (chain + triangle + isolated pair)."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(40, 80)]          # deep chain
+        + [(0, 1), (1, 2), (2, 0)]                    # triangle
+        + [(100, 101)]                                # pair
+    )
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.v: r.comp
+           for r in connected_components(df, max_prop_rounds=1).collect()}
+    assert got == _brute_components(edges)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_random_graphs_match_bruteforce(spark, raw):
+    """star_contract == union-find on arbitrary graphs (self-loops and
+    duplicate edges included)."""
+    from multi_model_vectorsearch_spark.operators.graph import star_contract
+
+    edges = [(a, b) for a, b in raw if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    labels, _ = star_contract(df)
+    assert {r.v: r.comp for r in labels.collect()} == _brute_components(edges)
