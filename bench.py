@@ -79,14 +79,23 @@ def main() -> None:
     timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only the tail of stdout; a JSON line with 145 long
+    # query names overflows that window and fails to parse (BENCH_r01.json
+    # "parsed": null). Emit compact keys ("dq29" not "dq29_knn_topk") so the
+    # line stays well under 4 KB; full names go to bench_full.json on disk.
+    compact = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    compact["e2e"] = timings["e2e_submit_microbatch"]
+    compact.pop("e2e_submit_microbatch", None)
     line = {
         "metric": "dq_suite_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": compact,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(line))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        json.dump({"total_sec": total, "queries": timings}, fh, indent=1, sort_keys=True)
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":
