@@ -1414,6 +1414,116 @@ _REGISTRY: list[DQ] = [
        "AS valid_to, "
        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
        "AS INT) AS version FROM ch"),
+    # --- round-2 additions: semantic dedup, diversity, chunking, corpus QA --
+    DQ("dq148_semdedup", N.dq148_semdedup,
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
+       "pairs AS (SELECT b.vec_id, a.cid, a.vec_id AS keep_id, "
+       "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+       "CAST(a.embedding AS DOUBLE[])), 6) AS s "
+       "FROM assigned a JOIN assigned b "
+       "ON a.cid = b.cid AND a.vec_id < b.vec_id) "
+       "SELECT vec_id, cid, keep_id AS kept_by, s FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY s DESC, keep_id) AS rn FROM pairs WHERE s >= 0.30) q "
+       "WHERE rn = 1"),
+    DQ("dq149_diversity_filter", V.dq149_diversity_filter,
+       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "cand AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(q.qv AS DOUBLE[])), 6) AS s, e.embedding "
+       "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
+       "ORDER BY s DESC, e.vec_id LIMIT 50), "
+       "ranked AS (SELECT vec_id, s, embedding, "
+       "CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank "
+       "FROM cand), "
+       "blocked AS (SELECT DISTINCT lo.vec_id FROM ranked lo JOIN ranked hi "
+       "ON hi.rank < lo.rank "
+       "AND round(list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]), "
+       "CAST(hi.embedding AS DOUBLE[])), 6) >= 0.25) "
+       "SELECT vec_id, s, rank FROM ranked "
+       "WHERE vec_id NOT IN (SELECT vec_id FROM blocked)"),
+    DQ("dq150_doc_chunks", T.dq150_doc_chunks,
+       "WITH st AS (SELECT doc_id, text, "
+       "unnest(range(0, greatest(length(text), 1), 150)) AS s FROM documents) "
+       "SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id, "
+       "CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS INT) AS n_chars, "
+       "sha256(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_sha FROM st"),
+    DQ("dq151_zipf_slope", T.dq151_zipf_slope,
+       "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "counts AS (SELECT source, tok, count(*) AS c FROM toks "
+       "GROUP BY source, tok), "
+       "ranked AS (SELECT source, c, row_number() OVER "
+       "(PARTITION BY source ORDER BY c DESC, tok) AS rank FROM counts "
+       "QUALIFY rank <= 100) "
+       "SELECT source, CAST(count(*) AS INT) AS n_terms, "
+       "round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) "
+       "AS zipf_slope FROM ranked GROUP BY source"),
+    DQ("dq152_perplexity_buckets", C.dq152_perplexity_buckets,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+       "tot AS (SELECT sum(c) AS n_total FROM freq), "
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+       "GROUP BY doc_id, tok), "
+       "sc AS (SELECT doc_id, "
+       "round(-sum(tf * log2(c / n_total)) / sum(tf), 6) AS bits "
+       "FROM tf JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id), "
+       "b AS (SELECT d.lang, sc.bits, CAST(ntile(4) OVER "
+       "(PARTITION BY d.lang ORDER BY sc.bits DESC, sc.doc_id) AS INT) "
+       "AS bucket FROM sc JOIN documents d ON sc.doc_id = d.doc_id) "
+       "SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+       "round(avg(bits), 6) AS avg_bits FROM b GROUP BY lang, bucket"),
+    DQ("dq153_lsh_recall", T.dq153_lsh_recall,
+       "WITH " + _SIG_CTE + ", "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2), "
+       "truth AS (SELECT d1, d2 FROM inter "
+       "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 "
+       "WHERE i / (sa.n + sb.n - i) >= 0.25), "
+       "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "hit AS (SELECT t.d1, t.d2 FROM truth t "
+       "JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2) "
+       "SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true, "
+       "CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand, "
+       "CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit, "
+       "round((SELECT count(*) FROM hit) * 1.0 / "
+       "(SELECT count(*) FROM truth), 6) AS recall, "
+       "round((SELECT count(*) FROM hit) * 1.0 / "
+       "(SELECT count(*) FROM cand), 6) AS precision"),
+    DQ("dq154_centroid_drift", V.dq154_centroid_drift,
+       "WITH e AS (SELECT label, vec_id % 2 AS half, p AS pos, "
+       "CAST(embedding[p + 1] AS DOUBLE) AS v FROM embeddings "
+       "CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 64)) r), "
+       "dims AS (SELECT label, pos, "
+       "avg(CASE WHEN half = 0 THEN v END) AS a, "
+       "avg(CASE WHEN half = 1 THEN v END) AS b FROM e GROUP BY label, pos), "
+       "counts AS (SELECT label, "
+       "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+       "CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 "
+       "FROM embeddings GROUP BY label), "
+       "drift AS (SELECT label, round(sum(a * b) / sqrt(sum(a * a)) "
+       "/ sqrt(sum(b * b)), 6) AS drift_cos FROM dims GROUP BY label) "
+       "SELECT label, n0, n1, drift_cos FROM counts JOIN drift USING (label)"),
+    DQ("dq155_ngram_novelty", T.dq155_ngram_novelty,
+       "WITH " + _SH_CTE + ", "
+       "fs AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle), "
+       "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+       "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+       "AS n_novel FROM sh JOIN fs USING (shingle) GROUP BY doc_id) "
+       "SELECT doc_id, n_shingles, n_novel, "
+       "round(n_novel * 1.0 / n_shingles, 6) AS novelty FROM agg"),
 ]
 
 

@@ -387,3 +387,41 @@ def dq136_ivf_multiprobe(t: Tables, query_vec_id: int = 0, k: int = 10,
             F.col("qv").cast("array<double>")), 6).alias("s"),
     )
     return sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+
+
+def dq148_semdedup(t: Tables, n_centroids: int = 8,
+                   tau: float = 0.30) -> DataFrame:
+    """SemDeDup drop list: cluster the corpus (IVF assignment over broadcast
+    centroids), then inside each cluster drop every vector that has a
+    lower-id neighbor with cosine >= tau, recording which keeper it
+    duplicates (highest-similarity lower-id neighbor, ties to the lowest
+    vec_id).
+
+    This is the apply side of dq113's representative selection: pairwise
+    similarity is computed only within clusters (N²/k, not N², and each
+    cluster's square is one shuffle partition), so at 100 TB the cost is
+    bounded by the largest cluster — skew handled by splitting hot
+    clusters, not by widening the join.
+    """
+    assigned = assign_clusters(t, n_centroids)
+    a = assigned.select("cid", F.col("vec_id").alias("keep_id"),
+                        F.col("embedding").alias("kv"))
+    b = assigned.select("cid", F.col("vec_id").alias("vec_id"),
+                        F.col("embedding").alias("dv"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("vec_id"))
+        .select(
+            "cid", "vec_id", "keep_id",
+            F.round(cosine_similarity(
+                F.col("dv").cast("array<double>"),
+                F.col("kv").cast("array<double>")), 6).alias("s"),
+        )
+        .filter(F.col("s") >= tau)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("keep_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("keep_id").alias("kept_by"), "s")
+    )

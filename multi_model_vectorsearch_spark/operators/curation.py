@@ -559,3 +559,31 @@ def dq141_bloom_screen(t: Tables, m_bits: int = 4096,
         .agg(F.count("*").alias("n"))
         .orderBy("actual", "bloom_maybe")
     )
+
+
+def dq152_perplexity_buckets(t: Tables, n_buckets: int = 4) -> DataFrame:
+    """CCNet-style quality bucketing: per language, quartile documents by
+    unigram surprisal (the deterministic perplexity surrogate, dq127's
+    scorer) and report each bucket's size and mean bits/token. Training
+    mixtures then sample by (lang, bucket) — head for quality, tail for
+    diversity.
+
+    The scorer is two hash aggs + a broadcast join (textpipe.doc_surprisal);
+    the ntile window partitions by lang so no single-partition funnel —
+    per-language ordering is the declared semantics, and language
+    cardinality bounds the parallelism exactly as it would at 100 TB.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import doc_surprisal
+
+    scored = doc_surprisal(t).select(
+        "doc_id", F.round("bits", 6).alias("bits"))
+    langs = t["documents"].select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("bits"), F.asc("doc_id"))
+    bucketed = (
+        scored.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg("bits"), 6).alias("avg_bits"),
+    )

@@ -526,6 +526,28 @@ def dq119_edit_distance_neighbors(t: Tables, prefix_len: int = 32,
     )
 
 
+def doc_surprisal(t: Tables) -> DataFrame:
+    """Per-doc (doc_id, n_tok, bits): mean unigram surprisal under the
+    corpus-global word distribution. Shared by dq127 (top-n view) and
+    dq152 (per-language quality buckets)."""
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    return (
+        tf.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            (-F.sum(F.col("tf") * F.log2(F.col("c") / F.col("n_total")))
+             / F.sum("tf")).alias("bits"),
+        )
+    )
+
+
 def dq127_unigram_surprisal(t: Tables, n: int = 50) -> DataFrame:
     """Per-doc mean unigram surprisal (bits/token) under the corpus-global
     word distribution — the deterministic stand-in for the perplexity
@@ -538,22 +560,7 @@ def dq127_unigram_surprisal(t: Tables, n: int = 50) -> DataFrame:
     High-surprisal docs are rare-token-heavy (gibberish or OOD), low ones
     boilerplate.
     """
-    toks = t["documents"].select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("n_total"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    scored = (
-        tf.join(F.broadcast(freq), "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("n_tok"),
-            (-F.sum(F.col("tf") * F.log2(F.col("c") / F.col("n_total")))
-             / F.sum("tf")).alias("bits"),
-        )
-    )
+    scored = doc_surprisal(t)
     return (
         scored.select("doc_id", "n_tok", F.round("bits", 6).alias("bits_per_tok"))
         .orderBy(F.desc("bits_per_tok"), F.asc("doc_id"))
@@ -725,4 +732,128 @@ def dq139_blocked_fuzzy_join(t: Tables, prefix_len: int = 24,
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", F.levenshtein("p1", "p2").alias("lev"))
         .filter(F.col("lev") <= max_lev)
+    )
+
+
+def dq150_doc_chunks(t: Tables, chunk_size: int = 200,
+                     stride: int = 150) -> DataFrame:
+    """Sliding-window document chunking: fixed-size character chunks with
+    overlap (size 200, stride 150) — the standard pre-embedding splitter in
+    retrieval/training pipelines (long docs -> bounded model inputs, the
+    overlap preserving context across boundaries).
+
+    Map-only at any scale: `sequence` builds the start offsets per row and
+    `explode` fans them out — no shuffle, no UDF; chunk identity travels as
+    sha256 so downstream dedup/embedding joins never carry chunk text.
+    """
+    d = t["documents"]
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunks = d.select(
+        "doc_id", F.explode(starts).alias("s"), "text"
+    ).select(
+        "doc_id",
+        (F.col("s") / stride).cast("int").alias("chunk_id"),
+        F.substring(F.col("text"), F.col("s") + 1, F.lit(chunk_size))
+        .alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id", "chunk_id",
+        F.length("chunk").cast("int").alias("n_chars"),
+        F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+    )
+
+
+def dq151_zipf_slope(t: Tables, top_n: int = 100) -> DataFrame:
+    """Per-source Zipf slope: regr_slope(ln freq, ln rank) over the top-100
+    terms — a one-number corpus-health signal (natural text tracks ~-1;
+    template/boilerplate-heavy sources flatten, spam steepens).
+
+    Two-level aggregation (term counts, then a built-in linear regression
+    aggregate over <=100 rows per source) — the JVM-side regr_slope makes
+    the fit free; no driver round-trip, no UDF.
+    """
+    toks = t["documents"].select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= top_n)
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("c").cast("double")),
+                         F.log(F.col("rank").cast("double"))), 6
+        ).alias("zipf_slope"),
+    )
+
+
+def dq153_lsh_recall(t: Tables, j_min: float = 0.25) -> DataFrame:
+    """MinHash-LSH candidate quality vs exact n-gram Jaccard ground truth:
+    recall/precision of the dq41 candidate pairs against all pairs with
+    true Jaccard >= j_min — the eval loop that tunes band/threshold choices
+    before a dedup run is trusted at scale.
+
+    The exact arm reuses the inverted-index join (never the doc x doc
+    square); both sides reduce to one-row aggregates before the final
+    cross of two singleton frames.
+    """
+    sh = _shingles(t)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"),
+                                F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"),
+                           F.col("n").alias("nb")), "d2")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+                >= F.lit(j_min))
+        .select("d1", "d2")
+    )
+    cand = minhash_lsh_pairs_shared(t).select("d1", "d2")
+    hit = truth.join(cand, ["d1", "d2"], "left_semi")
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    n_hit = hit.agg(F.count("*").cast("bigint").alias("n_hit"))
+    return n_true.crossJoin(n_cand).crossJoin(n_hit).select(
+        "n_true", "n_cand", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+    )
+
+
+def dq155_ngram_novelty(t: Tables) -> DataFrame:
+    """Per-doc n-gram novelty: the share of a doc's distinct 3-gram shingles
+    whose corpus-wide first occurrence (min doc_id, the ingest-order
+    surrogate) is this doc — the freshness curve a crawl pipeline watches
+    to decide when a source is mined out.
+
+    Two hash aggregations over the shingle table (global first-seen, then
+    per-doc roll-up) — both map-side combinable; the broadcast-back join
+    keys on shingle, the only wide column, and drops it immediately.
+    """
+    sh = _shingles(t)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
     )

@@ -337,3 +337,84 @@ def dq147_mutual_knn(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "ra", "rb")
     )
+
+
+def dq149_diversity_filter(t: Tables, query_vec_id: int = 0, n_cand: int = 50,
+                           tau: float = 0.25) -> DataFrame:
+    """Leader-based diversity filter over a KNN candidate pool: fetch the
+    top-n candidates for the query, then drop any candidate within cosine
+    tau of a *higher-ranked* candidate — the one-pass (non-iterative)
+    MMR-style re-rank that keeps result lists from collapsing onto one
+    near-duplicate cluster.
+
+    The candidate pool is <=n rows by construction (TakeOrderedAndProject
+    on the corpus scan), so the pairwise stage is an n x n broadcast
+    self-join on the driver-sized pool — corpus touched once, exactly as
+    dq29.
+    """
+    cand = (
+        similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "s")
+        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .limit(n_cand)
+    )
+    e = t["embeddings"].select("vec_id", "embedding")
+    ranked = (
+        e.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id", "s", "embedding",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("vec_id"))).alias("rank"),
+        )
+    )
+    hi = ranked.select(F.col("rank").alias("hr"),
+                       F.col("embedding").alias("hv"))
+    lo = ranked.select("vec_id", "s", "rank", "embedding")
+    blocked = (
+        lo.join(F.broadcast(hi), F.col("hr") < F.col("rank"))
+        .filter(
+            F.round(cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                F.col("hv").cast("array<double>")), 6) >= tau)
+        .select("vec_id").distinct()
+    )
+    return (
+        lo.join(F.broadcast(blocked), "vec_id", "left_anti")
+        .select("vec_id", "s", "rank")
+    )
+
+
+def dq154_centroid_drift(t: Tables) -> DataFrame:
+    """Per-label embedding drift between two corpus halves (vec_id parity as
+    the batch surrogate): cosine between the half-0 and half-1 mean
+    vectors — the monitoring query that catches encoder or distribution
+    shift between ingest batches before it poisons retrieval.
+
+    Never materializes a mean vector: posexplode fans out (label, half,
+    dim) terms, one hash agg produces per-dim means for both halves via
+    conditional averages, and a second tiny agg folds the 64-dim dot
+    product and norms. Both shuffles key on (label, pos) — no skew, no
+    collect, scales with dims x labels not rows.
+    """
+    e = t["embeddings"].select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "v"),
+    )
+    dims = e.groupBy("label", "pos").agg(
+        F.avg(F.when(F.col("half") == 0, F.col("v"))).alias("a"),
+        F.avg(F.when(F.col("half") == 1, F.col("v"))).alias("b"),
+    )
+    counts = t["embeddings"].groupBy("label").agg(
+        F.sum((F.col("vec_id") % 2 == 0).cast("int")).cast("bigint").alias("n0"),
+        F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("bigint").alias("n1"),
+    )
+    drift = dims.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("a") * F.col("b"))
+            / F.sqrt(F.sum(F.col("a") * F.col("a")))
+            / F.sqrt(F.sum(F.col("b") * F.col("b"))), 6
+        ).alias("drift_cos"),
+    )
+    return counts.join(drift, "label").select("label", "n0", "n1", "drift_cos")

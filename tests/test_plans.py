@@ -218,3 +218,37 @@ def test_profile_reads_only_orders_columns(tables):
     plan = explain_formatted(R2.dq125_column_profile(tables))
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_diversity_filter_all_broadcast(tables):
+    # the candidate pool is <=50 rows: hydration, pairwise block, and the
+    # final anti-join must all broadcast — a sort-merge join here would
+    # shuffle the corpus for a driver-sized pool
+    plan = explain_formatted(V.dq149_diversity_filter(tables))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semdedup_pairs_join_on_cluster_key(tables):
+    # the within-cluster square must join on cid (bounded by cluster size),
+    # never a cartesian product over the corpus
+    plan = explain_formatted(N.dq148_semdedup(tables))
+    assert "CartesianProduct" not in plan
+    # centroid assignment broadcasts the centroid set
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_doc_chunks_is_map_only(tables):
+    # chunking is generate+project — any Exchange means a regression
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+    plan = explain_formatted(T.dq150_doc_chunks(tables))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_centroid_drift_never_collects_vectors(tables):
+    # drift folds to (label, pos) aggregates: no broadcast of the corpus,
+    # no Python, shuffles keyed on the tiny (label, pos) space
+    plan = explain_formatted(V.dq154_centroid_drift(tables))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
