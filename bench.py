@@ -67,8 +67,16 @@ def main() -> None:
     tables = load_tables(spark, sf_dir)
 
     registry = dq.registry()
-    # warm up JVM + parquet footer caches (not timed)
-    materialize(registry[0].builder(tables))
+    # Warm up JVM JIT + parquet footer caches on one cheap representative of
+    # each operator family (scan, join+agg, window, explode+agg, vector,
+    # graph) — not timed. Without this, whichever heavy queries happen to
+    # run first absorb the whole-stage-codegen compile cost and the suite
+    # total depends on registry order instead of plan quality.
+    by_name = {e.name: e for e in registry}
+    for w in ["dq01_scan_project", "dq04_join_broadcast", "dq15_topk_per_group",
+              "dq26_tokenize_explode", "dq29_knn_topk", "dq33_build_edges"]:
+        if w in by_name:
+            materialize(by_name[w].builder(tables))
 
     timings: dict[str, float] = {}
     for entry in registry:

