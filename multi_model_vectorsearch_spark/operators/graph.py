@@ -385,17 +385,46 @@ def star_contract(pairs: DataFrame, max_rounds: int = 30
 
 
 def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
-                         max_star_rounds: int = 30) -> DataFrame:
+                         max_star_rounds: int = 30,
+                         max_driver_edges: int = 1_000_000) -> DataFrame:
     """Component labels (v, comp=min id) for an (src, dst) pair list.
 
-    Two-phase: min-label propagation with pointer jumping first — for the
-    shallow clusters near-dup graphs actually have, it converges in a
-    handful of cheap rounds. If it has not converged within
-    ``max_prop_rounds`` (the depth heuristic: a component deeper than
-    2^rounds is pathological for propagation), restart with alternating
-    star contraction, whose round count is bounded O(log² n) regardless of
-    component shape.
+    Three-phase, cheapest first. The edge list of a near-dup graph is
+    orders of magnitude smaller than the corpus (it exists *because* LSH
+    pruned the pair space), so when it fits under ``max_driver_edges`` the
+    exact answer is a driver-side union-find — microseconds of CPU versus
+    5-10 multi-job Spark rounds, and the bound caps driver memory the same
+    way ``max_collect`` guards the ingest path. Above the bound:
+    min-label propagation with pointer jumping (converges in ~diameter
+    rounds, right for shallow dup clusters), and if that misses its round
+    budget, alternating star contraction with the O(log² n) worst-case
+    bound.
     """
+    spark = pairs.sparkSession
+    n_edges = pairs.count()
+    if n_edges <= max_driver_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.select("src", "dst").collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id so the root IS the component label
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(v, find(v)) for v in parent]
+        return spark.createDataFrame(rows, "v bigint, comp bigint")
     adj = (
         pairs.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(pairs.select(F.col("dst").alias("v"), F.col("src").alias("n")))

