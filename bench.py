@@ -74,7 +74,8 @@ def main() -> None:
     # total depends on registry order instead of plan quality.
     by_name = {e.name: e for e in registry}
     for w in ["dq01_scan_project", "dq04_join_broadcast", "dq15_topk_per_group",
-              "dq26_tokenize_explode", "dq29_knn_topk", "dq33_build_edges"]:
+              "dq26_tokenize_explode", "dq29_knn_topk", "dq33_build_edges",
+              "dq75_window_battery", "dq76_nullsafe_join"]:
         if w in by_name:
             materialize(by_name[w].builder(tables))
 

@@ -25,14 +25,23 @@ N_MINHASH = 8  # permutations in the MinHash family
 SHINGLE_W = 3  # words per shingle
 
 
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingles(t: Tables) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs; word 3-grams.
+    """Distinct (doc_id, shingle) pairs; word 3-grams. Session-cached —
+    the shingle table feeds the MinHash, Jaccard, novelty, and
+    contamination entries, each registered standalone.
 
     MLlib's NGram transformer (compiled Scala) builds the grams ~3× faster
     than the equivalent interpreted higher-order-function lambda — measured
     6.2 s → 1.9 s at sf0.1. Docs shorter than SHINGLE_W tokens yield an
     empty gram array (same semantics as the HOF form).
     """
+    return _session_cached(_SHINGLE_CACHE, t, _shingles_impl)
+
+
+def _shingles_impl(t: Tables) -> DataFrame:
     from pyspark.ml.feature import NGram
 
     d = t["documents"]
@@ -44,17 +53,20 @@ def _shingles(t: Tables) -> DataFrame:
     )
 
 
-def _session_cached(cache: dict, t: Tables, build, extra=()) -> DataFrame:
-    """Memoize a derived table per (session, corpus plan, extra) — the
-    signature/fingerprint tables feed many registry entries and each entry
-    is standalone, so without sharing a suite run re-derives the same
-    pipeline several times. Falls back to an uncached build when the JVM
-    plan handle is unavailable (e.g. Spark Connect)."""
-    docs = t["documents"]
+def _session_cached(cache: dict, t: Tables, build, extra=(),
+                    table: str = "documents") -> DataFrame:
+    """Memoize a derived table per (session, source plan, extra) — the
+    signature/fingerprint/edge tables feed many registry entries and each
+    entry is standalone, so without sharing a suite run re-derives the
+    same pipeline several times. Keyed on the analyzed-plan semanticHash
+    of the source ``table`` so different sf_dirs/sessions never collide;
+    falls back to an uncached build when the JVM plan handle is
+    unavailable (e.g. Spark Connect)."""
+    src = t[table]
     try:
         key = (
-            id(docs.sparkSession),
-            docs._jdf.queryExecution().analyzed().semanticHash(),
+            id(src.sparkSession),
+            src._jdf.queryExecution().analyzed().semanticHash(),
             *extra,
         )
     except Exception:  # pragma: no cover - non-JVM backends
@@ -155,7 +167,7 @@ def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     """
     # three consumers (two self-join sides + sizes): materialize the gram
     # build once instead of re-running NGram per branch (3.1 -> ~1.8 s)
-    sh = _shingles(t).localCheckpoint(eager=True)
+    sh = _shingles(t)  # session-cached + persisted
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -823,7 +835,7 @@ def dq153_lsh_recall(t: Tables, j_min: float = 0.25) -> DataFrame:
     square); both sides reduce to one-row aggregates before the final
     cross of two singleton frames.
     """
-    sh = _shingles(t).localCheckpoint(eager=True)
+    sh = _shingles(t)  # session-cached + persisted
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
