@@ -1653,6 +1653,24 @@ _REGISTRY: list[DQ] = [
        "CAST(count(*) AS BIGINT) AS n_docs, "
        "round(avg(score), 6) AS avg_score "
        "FROM q GROUP BY lang, is_dup"),
+    DQ("dq164_countmin_freq", C.dq164_countmin_freq,
+       "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+       "se AS (SELECT CAST(range AS INT) AS s FROM range(0, 4)), "
+       "hx AS (SELECT tok, c, s, "
+       "sha256('cm' || CAST(s AS VARCHAR) || ':' || tok) AS h "
+       "FROM counts CROSS JOIN se), "
+       "bu AS (SELECT tok, c, s, CAST((" + _HEXFOLD + ") AS BIGINT) % 512 "
+       "AS b FROM hx), "
+       "cells AS (SELECT s, b, sum(c) AS cell FROM bu GROUP BY s, b), "
+       "top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 20), "
+       "pr AS (SELECT bu.tok, bu.c, bu.s, bu.b FROM bu "
+       "JOIN top ON bu.tok = top.tok) "
+       "SELECT tok, CAST(c AS BIGINT) AS c, "
+       "CAST(min(cell) AS BIGINT) AS est, "
+       "CAST(min(cell) - c AS BIGINT) AS overcount "
+       "FROM pr JOIN cells USING (s, b) GROUP BY tok, c"),
 ]
 
 

@@ -699,3 +699,49 @@ def dq163_quality_by_dup_status(t: Tables) -> DataFrame:
             F.round(F.avg("score"), 6).alias("avg_score"),
         )
     )
+
+
+def dq164_countmin_freq(t: Tables, width: int = 512, depth: int = 4,
+                        k: int = 20) -> DataFrame:
+    """Deterministic count-min sketch over the token stream, audited
+    against exact counts: build a depth×width counter table from sha2-based
+    bucket hashes, estimate each of the top-k true-frequency tokens as the
+    min over its depth cells, and report the overcount. The
+    constant-memory frequency sketch for 100 TB streams — the sketch is
+    depth×width cells regardless of vocabulary, built in one aggregation,
+    and the broadcast probe joins are a few KB.
+
+    sha2 bucket hashing makes every cell (and therefore the estimate and
+    its error) bit-reproducible in the DuckDB oracle — the sketch's
+    *quality* is part of the checked contract, not just its shape.
+    """
+    toks = t["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))).alias("s")
+
+    def bucket():
+        return _hash_bucket(
+            F.concat(F.lit("cm"), F.col("s").cast("string"), F.lit(":"),
+                     F.col("tok")),
+            width,
+        )
+
+    cells = (
+        counts.select("tok", "c", seeds)
+        .select("c", F.col("s"), bucket().alias("b"))
+        .groupBy("s", "b").agg(F.sum("c").alias("cell"))
+    )
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(k)
+    probes = (
+        top.select("tok", "c", seeds)
+        .select("tok", "c", F.col("s"), bucket().alias("b"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["s", "b"])
+        .groupBy("tok", "c")
+        .agg(F.min("cell").cast("bigint").alias("est"))
+        .select("tok", F.col("c").cast("bigint").alias("c"), "est",
+                (F.col("est") - F.col("c")).cast("bigint").alias("overcount"))
+    )
