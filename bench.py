@@ -81,7 +81,9 @@ def main() -> None:
     by_name = {e.name: e for e in registry}
     for w in ["dq01_scan_project", "dq04_join_broadcast", "dq15_topk_per_group",
               "dq26_tokenize_explode", "dq29_knn_topk", "dq33_build_edges",
-              "dq75_window_battery", "dq76_nullsafe_join"]:
+              "dq75_window_battery", "dq76_nullsafe_join", "dq06_left_semi",
+              "dq07_left_anti", "dq52_centroid_applyinpandas",
+              "dq48_embed_stub"]:
         if w in by_name:
             materialize(by_name[w].builder(tables))
 

@@ -134,7 +134,7 @@ _SIG_CTE = (
     _SH_CTE + ", "
     "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
     "sig AS (SELECT doc_id, seed, "
-    "min(sha256(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh "
+    "min(substr(sha256(shingle), seed * 8 + 1, 8)) AS mh "
     "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)"
 )
 

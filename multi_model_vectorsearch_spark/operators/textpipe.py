@@ -82,11 +82,14 @@ _SIG_CACHE: dict = {}
 
 
 def dq40_minhash_signatures(t: Tables) -> DataFrame:
-    """B54: MinHash signatures — min over sha2(seed || ':' || shingle).
+    """B54: MinHash signatures — 8 independent 32-bit lanes of one sha256.
 
-    One row per (doc_id, seed); the per-seed minimum of a stable hash over
-    the shingle set is a classic permutation surrogate. Map-side partial
-    min aggregation keeps the shuffle tiny at scale. Session-cached: the
+    One row per (doc_id, seed); seed ``i``'s hash of a shingle is hex chars
+    ``[8i, 8i+8)`` of ``sha256(shingle)`` — eight independent uniform
+    hashes for ONE digest computation (the 8-hashes-per-shingle form spent
+    8× the CPU for the same min statistics). The per-seed minimum over the
+    shingle set is the classic permutation surrogate; map-side partial min
+    aggregation keeps the shuffle tiny at scale. Session-cached: the
     signature table feeds dq41 and the whole dedup chain.
     """
     return _session_cached(_SIG_CACHE, t, _minhash_signatures)
@@ -94,16 +97,11 @@ def dq40_minhash_signatures(t: Tables) -> DataFrame:
 
 def _minhash_signatures(t: Tables) -> DataFrame:
     sh = _shingles(t)
-    hs = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
-        lambda s: F.sha2(
-            F.concat(s.cast("string"), F.lit(":"), F.col("shingle")), 256),
-    )
-    per = sh.select("doc_id", hs.alias("hs"))
+    per = sh.select("doc_id", F.sha2(F.col("shingle"), 256).alias("h"))
     # 8 parallel min aggregates over one shuffle of N_shingle rows — vs the
     # seed-crossJoin form that shuffles N_MINHASH× the rows for the same mins
     agg = per.groupBy("doc_id").agg(
-        *[F.min(F.element_at("hs", i + 1)).alias(f"m{i}")
+        *[F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
           for i in range(N_MINHASH)]
     )
     return agg.select(
