@@ -1671,6 +1671,70 @@ _REGISTRY: list[DQ] = [
        "CAST(min(cell) AS BIGINT) AS est, "
        "CAST(min(cell) - c AS BIGINT) AS overcount "
        "FROM pr JOIN cells USING (s, b) GROUP BY tok, c"),
+    DQ("dq165_graph_ann", G.dq165_graph_ann,
+       "WITH " + _EDGES_CTE + ", "
+       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "adj AS (SELECT src AS v, dst AS n FROM edges "
+       "UNION ALL SELECT dst, src FROM edges), "
+       "f0 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
+       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
+       "JOIN f0 ON adj.v = f0.vec_id "
+       "UNION SELECT vec_id FROM f0), "
+       "f1 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
+       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
+       "JOIN f1 ON adj.v = f1.vec_id "
+       "UNION SELECT vec_id FROM f1), "
+       "f2 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
+       "ORDER BY s DESC, e.vec_id LIMIT 16) "
+       "SELECT vec_id, s FROM f2 ORDER BY s DESC, vec_id LIMIT 10"),
+    DQ("dq166_graph_ann_recall", G.dq166_graph_ann_recall,
+       "WITH " + _EDGES_CTE + ", "
+       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "adj AS (SELECT src AS v, dst AS n FROM edges "
+       "UNION ALL SELECT dst, src FROM edges), "
+       "f0 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
+       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
+       "JOIN f0 ON adj.v = f0.vec_id "
+       "UNION SELECT vec_id FROM f0), "
+       "f1 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
+       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
+       "JOIN f1 ON adj.v = f1.vec_id "
+       "UNION SELECT vec_id FROM f1), "
+       "f2 AS (SELECT e.vec_id, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
+       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "approx AS (SELECT vec_id FROM f2 ORDER BY s DESC, vec_id LIMIT 10), "
+       "exact AS (SELECT vec_id FROM (SELECT e.vec_id, "
+       "round(CASE WHEN e.vec_id = 0 THEN 1.0 ELSE "
+       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) END, 6) AS s "
+       "FROM embeddings e CROSS JOIN qq ORDER BY s DESC, e.vec_id LIMIT 10) x) "
+       "SELECT CAST(10 AS INT) AS k, "
+       "CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
+       "AS BIGINT) AS hits, "
+       "round((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
+       "/ 10.0, 6) AS recall"),
 ]
 
 

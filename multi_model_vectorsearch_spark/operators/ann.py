@@ -104,8 +104,25 @@ def dq46_cosine_neardup_topk(t: Tables, k: int = 20,
     return out.orderBy(F.desc("s"), F.asc("v1"), F.asc("v2")).limit(k)
 
 
+_ASSIGN_CACHE: dict = {}
+
+
 def assign_clusters(t: Tables, n_centroids: int = 8) -> DataFrame:
-    """IVF assignment: nearest centroid per vector (broadcast centroid set)."""
+    """IVF assignment: nearest centroid per vector (broadcast centroid set).
+
+    Session-cached — the assignment feeds the IVF probes, multi-probe,
+    recall gauge, representatives, and SemDeDup entries, each standalone.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        _session_cached,
+    )
+
+    return _session_cached(
+        _ASSIGN_CACHE, t, lambda tt: _assign_clusters_impl(tt, n_centroids),
+        extra=(n_centroids,), table="embeddings")
+
+
+def _assign_clusters_impl(t: Tables, n_centroids: int) -> DataFrame:
     e = t["embeddings"]
     cents = (
         e.filter(F.col("vec_id") < n_centroids)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.vector_ops import (
     dq29_knn_topk,
     similarity_scan,
@@ -523,4 +524,76 @@ def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
         frontier = nxt
     return (
         visited.groupBy("d").agg(F.count("*").alias("n_nodes")).orderBy("d")
+    )
+
+
+def dq165_graph_ann(t: Tables, query_vec_id: int = 0, beam: int = 16,
+                    rounds: int = 2, k: int = 10,
+                    n_entries: int = 8) -> DataFrame:
+    """Graph-based ANN (the HNSW/NSG family, single-layer): beam search
+    over the semantic KNN graph. Seed the beam with the fixed entry-point
+    vectors, then for a fixed number of rounds expand the beam's
+    neighbors, score them against the query, and keep the best ``beam``
+    candidates; answer is the final beam's top-k.
+
+    The search touches only entry points + visited neighborhoods — never
+    the corpus — so query cost is O(rounds x beam x degree) regardless of
+    corpus size; the graph itself is the dq33 edge list the ingest
+    pipeline already maintains. Fixed rounds + lexicographic tie-breaks
+    make the walk deterministic, so unlike production HNSW this variant
+    is oracle-checkable by unrolling the rounds as SQL CTEs.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"))
+    edges = dq33_build_edges(t)
+    adj = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+    )
+
+    def score(cands: DataFrame) -> DataFrame:
+        return (
+            cands.join(e, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(cosine_similarity(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("qv").cast("array<double>")), 6).alias("s"),
+            )
+        )
+
+    frontier = (
+        score(e.filter(F.col("vec_id") < n_entries).select("vec_id"))
+        .orderBy(F.desc("s"), F.asc("vec_id")).limit(beam)
+    )
+    for _ in range(rounds):
+        cand = (
+            adj.join(frontier.select(F.col("vec_id").alias("v")), "v")
+            .select(F.col("n").alias("vec_id"))
+            .union(frontier.select("vec_id"))
+            .distinct()
+        )
+        frontier = (
+            score(cand).orderBy(F.desc("s"), F.asc("vec_id")).limit(beam)
+        )
+    return frontier.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+
+
+def dq166_graph_ann_recall(t: Tables, query_vec_id: int = 0,
+                           k: int = 10) -> DataFrame:
+    """Recall of the graph-ANN walk against the exact KNN answer — the
+    dq120-style audit that decides whether the graph (and its beam/round
+    budget) is good enough to serve. One row: k, hits, recall.
+    """
+    approx = dq165_graph_ann(t, query_vec_id, k=k).select("vec_id")
+    exact = dq29_knn_topk(t, query_vec_id, k).select("vec_id")
+    hits = approx.join(exact, "vec_id", "left_semi")
+    return (
+        hits.agg(F.count("*").cast("bigint").alias("hits"))
+        .select(
+            F.lit(k).cast("int").alias("k"), "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+        )
     )
