@@ -1735,6 +1735,30 @@ _REGISTRY: list[DQ] = [
        "AS BIGINT) AS hits, "
        "round((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
        "/ 10.0, 6) AS recall"),
+    DQ("dq167_dataset_card", C.dq167_dataset_card,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
+       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "dup AS (SELECT DISTINCT d2 AS doc_id FROM p), "
+       "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "stats AS (SELECT doc_id, count(*) AS n_tok, "
+       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
+       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
+       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
+       "q AS (SELECT d.doc_id, d.source, d.lang, stats.n_tok, "
+       "round(0.4 * least(stats.n_tok / 100.0, 1.0) "
+       "+ 0.3 * round(sw_hits / stats.n_tok, 6) "
+       "+ 0.3 * least(round(tok_chars / stats.n_tok, 6) / 8.0, 1.0), 6) "
+       "AS score FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+       "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+       "round(avg(score), 6) AS avg_quality, "
+       "round(sum(CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
+       "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate, "
+       "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
+       "FROM q GROUP BY source"),
 ]
 
 

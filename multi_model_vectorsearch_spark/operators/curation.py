@@ -745,3 +745,44 @@ def dq164_countmin_freq(t: Tables, width: int = 512, depth: int = 4,
         .select("tok", F.col("c").cast("bigint").alias("c"), "est",
                 (F.col("est") - F.col("c")).cast("bigint").alias("overcount"))
     )
+
+
+def dq167_dataset_card(t: Tables) -> DataFrame:
+    """Per-source dataset card: the manifest row a curation run publishes —
+    doc and token counts, mean quality score (dq45's ensemble), near-dup
+    rate (shared LSH pair list), and language spread. One stop for "what
+    is in this source and should it ship?".
+
+    Composition query: every input is an already-scale-shaped pipeline
+    (map-only token counts, broadcast dup flags, two hash aggs), so the
+    card costs one pass over the corpus plus tiny joins — this is the
+    query you run after every curation round, so its plan shape matters
+    as much as any single operator's.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq45_quality, minhash_lsh_pairs_shared,
+    )
+
+    docs = t["documents"]
+    base = docs.select(
+        "doc_id", "source", "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    q = dq45_quality(t).select("doc_id", "score")
+    dup = minhash_lsh_pairs_shared(t).select(
+        F.col("d2").alias("doc_id")).distinct().withColumn("d", F.lit(1))
+    joined = (
+        base.join(q, "doc_id")
+        .join(F.broadcast(dup), "doc_id", "left")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("score"), 6).alias("avg_quality"),
+            F.round(F.sum(F.coalesce("d", F.lit(0)))
+                    / F.count("*"), 6).alias("dup_rate"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
