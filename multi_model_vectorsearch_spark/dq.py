@@ -147,7 +147,11 @@ _HEXFOLD = " + ".join(
 # hash_embed pseudo-embeddings per (doc_id, p), normalized
 _EMB_CTE = (
     "pos AS (SELECT CAST(range AS INT) AS p FROM range(0, 16)), "
-    "hx AS (SELECT doc_id, p, sha256(text || ':' || CAST(p AS VARCHAR)) AS h "
+    # lane p of the stub embedding = hex chars [8*(p%8), 8*(p%8)+8) of
+    # sha256(text || ':' || p//8) — mirrors hash_embed_text's digest lanes
+    "hx AS (SELECT doc_id, p, "
+    "substr(sha256(text || ':' || CAST(p // 8 AS VARCHAR)), "
+    "(p % 8) * 8 + 1, 8) AS h "
     "FROM documents CROSS JOIN pos), "
     "v AS (SELECT doc_id, p, ((" + _HEXFOLD + ") / 4294967296.0) * 2 - 1 AS vj "
     "FROM hx), "

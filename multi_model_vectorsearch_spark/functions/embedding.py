@@ -33,11 +33,15 @@ CLIP_DIM = 512  # reference: main.py:25, app.py:10
 
 
 def hash_embed_text(text: str, dim: int = HASH_DIM) -> list[float]:
-    """Deterministic pseudo-embedding: dim sha256 draws in [-1, 1), unit norm."""
+    """Deterministic pseudo-embedding: dim sha256-derived draws in [-1, 1),
+    unit norm. Each digest yields eight independent 32-bit lanes (8 hex
+    chars each), so a 16-dim vector costs 2 digests instead of 16 — the
+    hashing is the whole 'model', so this is the stub's inference cost."""
     vals = []
-    for j in range(dim):
-        h = hashlib.sha256(f"{text}:{j}".encode()).hexdigest()
-        vals.append(int(h[:8], 16) / 2.0**32 * 2.0 - 1.0)
+    for d in range((dim + 7) // 8):
+        h = hashlib.sha256(f"{text}:{d}".encode()).hexdigest()
+        for j in range(min(8, dim - d * 8)):
+            vals.append(int(h[j * 8:j * 8 + 8], 16) / 2.0**32 * 2.0 - 1.0)
     norm = math.sqrt(math.fsum(v * v for v in vals))
     return [v / norm for v in vals]
 
