@@ -252,3 +252,22 @@ def test_centroid_drift_never_collects_vectors(tables):
     plan = explain_formatted(V.dq154_centroid_drift(tables))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_graph_ann_touches_only_candidates(tables):
+    # the beam walk must score candidate sets against a broadcast query —
+    # a sort-merge join or corpus-wide cartesian means the walk degraded
+    # to a scan and the ANN property is gone
+    from multi_model_vectorsearch_spark.operators import graph as G
+    plan = explain_formatted(G.dq165_graph_ann(tables))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_countmin_cells_broadcast(tables):
+    # the sketch table is depth x width cells: probing it must broadcast,
+    # never shuffle the token stream against it
+    from multi_model_vectorsearch_spark.operators import curation as C
+    plan = explain_formatted(C.dq164_countmin_freq(tables))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan

@@ -145,3 +145,17 @@ def test_star_contraction_random_graphs_match_bruteforce(spark, raw):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     labels, _ = star_contract(df)
     assert {r.v: r.comp for r in labels.collect()} == _brute_components(edges)
+
+
+def test_countmin_estimates_never_undercount(spark, tables):
+    """Count-min property: est >= true count for every audited token, and
+    the top-1 token's estimate is exact or above."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq164_countmin_freq,
+    )
+
+    rows = dq164_countmin_freq(tables).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.est >= r.c, (r.tok, r.c, r.est)
+        assert r.overcount == r.est - r.c
