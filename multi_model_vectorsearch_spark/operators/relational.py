@@ -600,7 +600,7 @@ def dq81_sql_text(t: Tables) -> DataFrame:
         t[name].createOrReplaceTempView(f"sql_{name}")
     return spark.sql(
         "SELECT n_name, "
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
         "AS total, count(*) AS n_orders "
         "FROM sql_orders JOIN sql_customer ON o_custkey = c_custkey "
         "JOIN sql_nation ON c_nationkey = n_nationkey "

@@ -129,12 +129,13 @@ def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
     )
     merged = partial.groupBy("event_type").agg(
         F.sum("pc").cast("bigint").alias("n"),
-        F.sum("ps").cast("decimal(18,2)").alias("sum_value"),
+        F.sum("ps").cast("decimal(18,2)").alias("sum_d"),
     )
     return merged.select(
-        "event_type", "n", "sum_value",
+        "event_type", "n",
+        F.round(F.col("sum_d").cast("double"), 2).alias("sum_value"),
         # derived from the exact decimal sum, so both engines divide the
         # same number — no FP summation-order exposure
-        F.round(F.col("sum_value").cast("double") / F.col("n"), 6)
+        F.round(F.col("sum_d").cast("double") / F.col("n"), 6)
         .alias("avg_value"),
     ).orderBy("event_type")

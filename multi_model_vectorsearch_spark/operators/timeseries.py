@@ -31,8 +31,8 @@ def dq70_gapfill(t: Tables) -> DataFrame:
         "value",
     )
     hourly = ev.groupBy("user_id", "hb").agg(
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").alias("sv")
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("sv")
     )
     bounds = ev.groupBy("user_id").agg(
         F.min("hb").alias("lo"), F.max("hb").alias("hi")
@@ -176,7 +176,7 @@ def dq118_rolling_range(t: Tables, days: int = 7) -> DataFrame:
         ev.select(
             "user_id", "event_id",
             F.count("*").over(w).alias("n_7d"),
-            F.sum("v").over(w).cast("decimal(18,2)").alias("sum_7d"),
+            F.round(F.sum("v").over(w).cast("double"), 2).alias("sum_7d"),
         )
     )
 
@@ -207,7 +207,7 @@ def dq129_reagg_rollup(t: Tables) -> DataFrame:
         .groupBy("wk", "event_type")
         .agg(
             F.sum("pn").cast("bigint").alias("n"),
-            F.sum("ps").cast("decimal(18,2)").alias("sum_value"),
+            F.round(F.sum("ps").cast("double"), 2).alias("sum_value"),
         )
     )
     return weekly.orderBy("wk", "event_type")
@@ -235,7 +235,7 @@ def dq132_latest_event(t: Tables) -> DataFrame:
         .agg(
             F.max_by("event_id", key).alias("last_event_id"),
             F.unix_micros(F.max("ts")).alias("last_ts_us"),
-            F.max_by(F.col("value").cast("decimal(18,2)"), key)
+            F.max_by(F.col("value").cast("decimal(18,2)").cast("double"), key)
             .alias("last_value"),
         )
         .orderBy("user_id", "event_type")

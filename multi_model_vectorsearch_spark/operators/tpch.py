@@ -4,10 +4,15 @@ The canonical analytics workloads every engine is judged on, adapted to the
 fixture columns (orders has no shippriority; dates span 1995-2001). Money
 arithmetic goes through DECIMAL casts per SURVEY.md §5.3 rule 2 so sums are
 exact and order-independent; result scales equal the product scale (2+2 -> 4,
-+2 -> 6) so no final rounding happens — Spark rounds DECIMAL casts half-up
-while DuckDB rounds half-even, so any lossy cast is a latent mismatch; averages divide the exact sums in double and
-round. All four plans are broadcast/partial-agg shapes Catalyst handles with
-no hints beyond the dimension broadcasts.
++2 -> 6) so no lossy cast happens — Spark rounds DECIMAL casts half-up
+while DuckDB rounds half-even, so any lossy cast is a latent mismatch.
+Final projections cast the exact decimals to DOUBLE (rounded at their scale):
+the correctness gate's hasher is dtype-sensitive — a pandas round-trip turns
+DECIMAL into float64 ("253942.00" -> "253942.0"), so DECIMAL output columns
+hash-mismatch whenever a value's last scale digit is 0, while the
+decimal->double conversion itself is deterministic on both engines.
+All plans are broadcast/partial-agg shapes Catalyst handles with no hints
+beyond the dimension broadcasts.
 """
 
 from __future__ import annotations
@@ -38,8 +43,11 @@ def dq77_tpch_q1(t: Tables) -> DataFrame:
         F.count("*").alias("n"),
     )
     return agg.select(
-        "l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc",
-        "sum_charge",
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sum_base").cast("double"), 2).alias("sum_base"),
+        F.round(F.col("sum_disc").cast("double"), 4).alias("sum_disc"),
+        F.round(F.col("sum_charge").cast("double"), 6).alias("sum_charge"),
         F.round(F.col("sum_qty").cast("double") / F.col("n"), 6).alias("avg_qty"),
         "n",
     )
@@ -60,9 +68,11 @@ def dq78_tpch_q3(t: Tables) -> DataFrame:
     )
     return (
         j.groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(rev).cast("decimal(18,4)").alias("rev_d"))
+        .orderBy(F.desc("rev_d"), F.asc("l_orderkey"))
         .limit(10)
+        .select("l_orderkey", "o_orderdate",
+                F.round(F.col("rev_d").cast("double"), 4).alias("revenue"))
     )
 
 
@@ -87,7 +97,9 @@ def dq79_tpch_q5(t: Tables) -> DataFrame:
         .join(F.broadcast(t["nation"]),
               F.col("c_nationkey") == F.col("n_nationkey"))
     )
-    return j.groupBy("n_name").agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(rev).cast("double"), 4).alias("revenue")
+    )
 
 
 def dq80_tpch_q6(t: Tables) -> DataFrame:
@@ -99,7 +111,7 @@ def dq80_tpch_q6(t: Tables) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     rev = F.col("l_extendedprice").cast(_D) * F.col("l_discount").cast(_D)
-    return li.agg(F.sum(rev).cast("decimal(18,4)").alias("revenue"))
+    return li.agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
 
 
 def _rev() -> F.Column:
@@ -146,9 +158,11 @@ def dq88_tpch_q10(t: Tables) -> DataFrame:
     )
     return (
         j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("rev_d"))
+        .orderBy(F.desc("rev_d"), F.asc("c_custkey"))
         .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name",
+                F.round(F.col("rev_d").cast("double"), 4).alias("revenue"))
     )
 
 
@@ -213,7 +227,9 @@ def dq91_tpch_q15(t: Tables) -> DataFrame:
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(t["supplier"]),
               F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .select("s_suppkey", "s_name",
+                F.round(F.col("total_rev").cast("double"), 4)
+                .alias("total_rev"))
     )
 
 
@@ -228,7 +244,8 @@ def dq92_tpch_q18(t: Tables) -> DataFrame:
     return (
         big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "sum_qty")
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"))
     )
 
 
@@ -251,7 +268,7 @@ def dq93_tpch_q19(t: Tables) -> DataFrame:
            & F.col("l_quantity").between(25, 35))
     )
     return j.filter(cond).agg(
-        F.sum(_rev()).cast("decimal(18,4)").alias("revenue")
+        F.round(F.sum(_rev()).cast("double"), 4).alias("revenue")
     )
 
 
@@ -280,7 +297,8 @@ def dq94_tpch_q22(t: Tables) -> DataFrame:
     )
     return inactive.groupBy("c_nationkey").agg(
         F.count("*").alias("numcust"),
-        F.sum(F.col("c_acctbal").cast(_D)).cast(_D).alias("totacctbal"),
+        F.round(F.sum(F.col("c_acctbal").cast(_D)).cast("double"), 2)
+        .alias("totacctbal"),
     )
 
 
@@ -322,7 +340,7 @@ def dq156_tpch_q7(t: Tables) -> DataFrame:
     return (
         j.groupBy("supp_nation", "cust_nation",
                   F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
     )
 
 

@@ -8,7 +8,11 @@ exactly these results.
 
 Window starts are exposed as epoch seconds (tumbling/sliding) or epoch micros
 (session) so the DuckDB oracle can reproduce them with integer bucket math.
-Money-ish sums go through DECIMAL(18,2) (order-independent exactness).
+Money-ish sums go through DECIMAL(18,2) (order-independent exactness), then
+the final projection casts to DOUBLE: the correctness gate's hasher treats
+DECIMAL cells dtype-sensitively (a pandas round-trip turns DECIMAL into
+float64, so "253942.00" vs "253942.0" mismatches), while an exact decimal
+cast to double is bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ Tables = dict
 def _agg_cols(df):
     return [
         F.count("*").alias("c"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sv"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sv"),
     ]
 
 

@@ -49,6 +49,12 @@ def _events(spark: SparkSession, path: str) -> DataFrame:
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":  # nanosAsLong path (Spark 4.x)
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        # TIMESTAMP_NTZ; with the pinned UTC session timezone the cast is a
+        # bit-identical reinterpretation, and downstream epoch math
+        # (unix_micros) requires the instant type.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

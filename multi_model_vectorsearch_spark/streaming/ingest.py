@@ -190,6 +190,16 @@ class IngestPipeline:
             np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
 
         def score(batches):
+            if finish_k is not None:
+                # The balanced finish needs the ENTIRE partition as one pool:
+                # mapInPandas splits a partition into Arrow batches of
+                # spark.sql.execution.arrow.maxRecordsPerBatch rows, and an
+                # independent "final" top-k per batch would emit duplicate
+                # (qid, rn) rows. Concatenate first — this path is gated to a
+                # single coalesced partition of < 200k rows, so the matrix is
+                # bounded (~800 MB float64 at dim 512).
+                whole = [b for b in batches if len(b)]
+                batches = [pd.concat(whole, ignore_index=True)] if whole else []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue

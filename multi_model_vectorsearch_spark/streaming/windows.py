@@ -40,7 +40,9 @@ def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
 def _agg(df_grouped):
     return df_grouped.agg(
         F.count("*").alias("c"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sv"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sv"),
     )
 
 

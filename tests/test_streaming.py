@@ -276,3 +276,21 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
     a = sorted(map(tuple, finish.collect()))
     b = sorted(map(tuple, window.collect()))
     assert a == b and len(a) > 0
+
+    # Arrow splits a partition into maxRecordsPerBatch-row pandas batches;
+    # the finish kernel must still see ONE pool per partition (a per-batch
+    # "final" top-k would emit duplicate (qid, rn) rows). Force 3 splits of
+    # the 120-row corpus and require the identical result.
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "40")
+    try:
+        split = pipe._knn_kernel(corpus.coalesce(1), fresh, pool_k,
+                                 finish_k=pipe.k)
+        c = sorted(map(tuple, split.collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert c == a
