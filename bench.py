@@ -87,11 +87,22 @@ def main() -> None:
         if w in by_name:
             materialize(by_name[w].builder(tables))
 
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        session_cache_len,
+    )
+
     timings: dict[str, float] = {}
+    cache_builders: set[str] = set()
     for entry in registry:
+        n_cached = session_cache_len()
         t0 = time.perf_counter()
         materialize(entry.builder(tables))
         timings[entry.name] = round(time.perf_counter() - t0, 3)
+        if session_cache_len() > n_cached:
+            # first derivation of a shared (persisted) intermediate happened
+            # inside this timing — a re-run would ride the warm cache and
+            # silently under-report the entry, so it is retry-ineligible
+            cache_builders.add(entry.name)
 
     # Transient-stall guard: the build host's CPU allocation can collapse
     # for minutes at a time (observed: a 0.2 s JSON-extract query measured
@@ -105,7 +116,8 @@ def main() -> None:
     # entries into it would undercount shared-pipeline build cost
     med = sorted(timings.values())[len(timings) // 2]
     suspects = sorted(
-        (n for n, v in timings.items() if v > max(8.0, 20 * med)),
+        (n for n, v in timings.items()
+         if v > max(8.0, 20 * med) and n not in cache_builders),
         key=lambda n: -timings[n],
     )[:20]
     for name in suspects:
@@ -118,13 +130,17 @@ def main() -> None:
     timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
     total = round(sum(timings.values()), 3)
-    # The driver captures only the tail of stdout; a JSON line with 145 long
-    # query names overflows that window and fails to parse (BENCH_r01.json
-    # "parsed": null). Emit compact keys ("dq29" not "dq29_knn_topk") so the
-    # line stays well under 4 KB; full names go to bench_full.json on disk.
-    compact = {n.split("_", 1)[0]: t for n, t in timings.items()}
-    compact["e2e"] = timings["e2e_submit_microbatch"]
-    compact.pop("e2e_submit_microbatch", None)
+    # The driver captures only the last 2000 chars of stdout (BENCH_r02.json:
+    # even compact keys for 165 queries overflowed it, clipping the line's
+    # head and failing the parse). Emit ONLY the BASELINE.md headline queries
+    # plus the slowest entries — ~35 keys, line ≈ 700 chars; every timing
+    # still goes to bench_full.json on disk.
+    headline = ["dq29", "dq31", "dq33", "dq34", "dq36", "dq37", "dq38",
+                "dq46", "dq61", "dq77", "e2e"]
+    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    slowest = sorted(short, key=lambda n: -short[n])[:25]
+    compact = {n: short[n] for n in short
+               if n in headline or n in slowest or n == "e2e"}
     line = {
         "metric": "dq_suite_total",
         "value": total,

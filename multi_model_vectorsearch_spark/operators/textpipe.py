@@ -53,6 +53,51 @@ def _shingles_impl(t: Tables) -> DataFrame:
     )
 
 
+#: Every _session_cached dict registers here so clear/size work globally.
+_ALL_CACHES: list[dict] = []
+
+#: Max memoized plans per cache dict; oldest is unpersisted and evicted.
+#: A suite run touches one corpus per sf_dir, so 8 covers realistic use
+#: while bounding executor storage memory across many corpora.
+_CACHE_CAP = 8
+
+
+def _session_token(session) -> str:
+    """Stable per-SparkSession identity. ``id()`` can be recycled after an
+    old session is GC'd (a stale persisted table would be served); a uuid
+    pinned on the Python session object never is."""
+    import uuid
+
+    tok = getattr(session, "_mmvs_cache_token", None)
+    if tok is None:
+        tok = uuid.uuid4().hex
+        try:
+            session._mmvs_cache_token = tok
+        except Exception:  # pragma: no cover - frozen session proxies
+            return f"id{id(session)}"
+    return tok
+
+
+def session_cache_len() -> int:
+    """Total memoized plans across every registered cache."""
+    return sum(len(c) for c in _ALL_CACHES)
+
+
+def clear_session_caches() -> None:
+    """Unpersist and drop every memoized derived table.
+
+    Call between table (re)loads: the cache key is the analyzed-plan
+    semanticHash, which cannot see the files under an unchanged source path
+    being rewritten mid-session."""
+    for cache in _ALL_CACHES:
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+        cache.clear()
+
+
 def _session_cached(cache: dict, t: Tables, build, extra=(),
                     table: str = "documents") -> DataFrame:
     """Memoize a derived table per (session, source plan, extra) — the
@@ -61,11 +106,14 @@ def _session_cached(cache: dict, t: Tables, build, extra=(),
     same pipeline several times. Keyed on the analyzed-plan semanticHash
     of the source ``table`` so different sf_dirs/sessions never collide;
     falls back to an uncached build when the JVM plan handle is
-    unavailable (e.g. Spark Connect)."""
+    unavailable (e.g. Spark Connect). Capped at _CACHE_CAP entries with
+    unpersist-on-evict so memory cannot grow unboundedly across corpora."""
+    if cache not in _ALL_CACHES:
+        _ALL_CACHES.append(cache)
     src = t[table]
     try:
         key = (
-            id(src.sparkSession),
+            _session_token(src.sparkSession),
             src._jdf.queryExecution().analyzed().semanticHash(),
             *extra,
         )
@@ -74,6 +122,12 @@ def _session_cached(cache: dict, t: Tables, build, extra=(),
     hit = cache.get(key)
     if hit is None:
         hit = build(t).persist()
+        while len(cache) >= _CACHE_CAP:  # insertion order = age
+            old = cache.pop(next(iter(cache)))
+            try:
+                old.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
         cache[key] = hit
     return hit
 
