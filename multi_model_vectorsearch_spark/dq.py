@@ -1766,6 +1766,45 @@ _REGISTRY: list[DQ] = [
        "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate, "
        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
        "FROM q GROUP BY source"),
+    DQ("dq168_dup_spans", T.dq168_dup_spans,
+       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+       "FROM documents), "
+       "grams AS (SELECT doc_id, p, sha256(tk[p] || ' ' || tk[p+1] || ' ' "
+       "|| tk[p+2]) AS h FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(p)), "
+       "hv AS (SELECT doc_id, p, " + _HEXFOLD + " AS hb FROM grams), "
+       "wins AS (SELECT doc_id, p, CAST(min(hb) OVER (PARTITION BY doc_id "
+       "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
+       "AS fp FROM hv), "
+       "runs AS (SELECT doc_id, p, fp FROM (SELECT doc_id, p, fp, "
+       "lag(fp) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM wins) x "
+       "WHERE prev IS NULL OR prev != fp), "
+       "rare AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd "
+       "FROM runs GROUP BY fp) t WHERE nd BETWEEN 2 AND 20), "
+       "fp2 AS (SELECT r.doc_id, r.p, r.fp FROM runs r JOIN rare USING (fp)), "
+       "anchors AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+       "a.p AS p1, b.p - a.p AS diag "
+       "FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.doc_id < b.doc_id), "
+       "flagged AS (SELECT d1, d2, diag, p1, "
+       "CASE WHEN lag(p1) OVER w IS NULL OR p1 - lag(p1) OVER w > 7 "
+       "THEN 1 ELSE 0 END AS new_span FROM anchors "
+       "WINDOW w AS (PARTITION BY d1, d2, diag ORDER BY p1)), "
+       "sp AS (SELECT d1, d2, diag, p1, sum(new_span) OVER "
+       "(PARTITION BY d1, d2, diag ORDER BY p1 ROWS UNBOUNDED PRECEDING) "
+       "AS span_id FROM flagged), "
+       "spans AS (SELECT d1, d2, diag, span_id, count(*) AS n_anchor, "
+       "max(p1) - min(p1) + 1 AS span_grams FROM sp "
+       "GROUP BY d1, d2, diag, span_id) "
+       "SELECT d1, d2, CAST(sum(n_anchor) AS BIGINT) AS n_anchors, "
+       "CAST(count(*) AS BIGINT) AS n_spans, "
+       "CAST(max(span_grams) AS BIGINT) AS max_span_grams "
+       "FROM spans GROUP BY d1, d2 ORDER BY d1, d2"),
+    DQ("dq169_source_cap", C.dq169_source_cap,
+       "SELECT doc_id, source, rn FROM "
+       "(SELECT doc_id, source, CAST(row_number() OVER "
+       "(PARTITION BY source ORDER BY "
+       "substr(sha256('cap:' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) "
+       "AS INT) AS rn FROM documents) t "
+       "WHERE rn <= 400 ORDER BY source, rn"),
 ]
 
 

@@ -786,3 +786,31 @@ def dq167_dataset_card(t: Tables) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+def dq169_source_cap(t: Tables, cap: int = 400) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` docs per source by a
+    deterministic hash priority — the crawl-curation guard that stops one
+    giant domain from dominating a training mix (the per-domain cap every
+    CommonCrawl-scale pipeline applies before mixing).
+
+    The priority is sha256-derived, so the survivors are a uniform random
+    subset of each source, reproducible across runs and engines. One
+    shuffle on ``source``; for a pathologically skewed source the same
+    selection runs as a two-phase pre-cap (cap per (source, salt) then
+    re-cap per source, both map-side bounded) — the single-window form is
+    the readable default.
+    """
+    pri = F.substring(
+        F.sha2(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")), 256),
+        1, 16,
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "source", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    )

@@ -360,16 +360,20 @@ def dq53_bpe_tokens(t: Tables) -> DataFrame:
 WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive k-grams
 
 
-def dq62_winnow_fingerprint(t: Tables, w: int = WINNOW_W) -> DataFrame:
-    """Document fingerprinting by winnowing (local-min rolling hash).
+_WINNOW_CACHE: dict = {}
 
-    The MOSS scheme: hash every word 3-gram (stable sha2 fold → bigint),
-    slide a window of ``w`` consecutive grams, keep each window's minimum,
-    dedup. Guarantees shared fingerprints for any match of ≥ w+2 words
-    while storing ~2/(w+1) of the grams — the sublinear fingerprint store
-    a 100 TB plagiarism/near-dup index needs. Pure window functions: one
-    shuffle by doc_id.
-    """
+
+def _winnow_pos(t: Tables, w: int = WINNOW_W) -> DataFrame:
+    """Positional winnowed fingerprints: (doc_id, pos, fp) — each gram
+    position's local-min rolling hash over the next ``w`` grams. The
+    position-keeping variant feeds span merging (dq168); dq62 is its
+    DISTINCT (doc_id, fp) projection. Session-cached: dq168 scans it
+    three times (doc-frequency count + both self-join legs)."""
+    return _session_cached(_WINNOW_CACHE, t,
+                           lambda tt: _winnow_pos_impl(tt, w), extra=(w,))
+
+
+def _winnow_pos_impl(t: Tables, w: int) -> DataFrame:
     from pyspark.ml.feature import NGram
 
     d = t["documents"]
@@ -380,11 +384,89 @@ def dq62_winnow_fingerprint(t: Tables, w: int = WINNOW_W) -> DataFrame:
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
     return (
         pe.withColumn("h", h)
         .withColumn("fp", F.min("h").over(win))
-        .select("doc_id", "fp")
-        .distinct()
+        # classic winnowing records each selected min ONCE per run: the same
+        # min repeats over ~w consecutive windows, and keeping every repeat
+        # inflates the dq168 self-join ~10x for zero information
+        .withColumn("prev_fp", F.lag("fp").over(wp))
+        .filter(F.col("prev_fp").isNull() | (F.col("prev_fp") != F.col("fp")))
+        .select("doc_id", "pos", "fp")
+    )
+
+
+def dq62_winnow_fingerprint(t: Tables, w: int = WINNOW_W) -> DataFrame:
+    """Document fingerprinting by winnowing (local-min rolling hash).
+
+    The MOSS scheme: hash every word 3-gram (stable sha2 fold → bigint),
+    slide a window of ``w`` consecutive grams, keep each window's minimum,
+    dedup. Guarantees shared fingerprints for any match of ≥ w+2 words
+    while storing ~2/(w+1) of the grams — the sublinear fingerprint store
+    a 100 TB plagiarism/near-dup index needs. Pure window functions: one
+    shuffle by doc_id.
+    """
+    return _winnow_pos(t, w).select("doc_id", "fp").distinct()
+
+
+def dq168_dup_spans(t: Tables, w: int = WINNOW_W, max_df: int = 20,
+                    gap: int = WINNOW_W + SHINGLE_W) -> DataFrame:
+    """Cross-document duplicated-span detection — the substring-dedup pass
+    (train-data staple: long verbatim overlaps between pages) built on the
+    positional winnowed fingerprints.
+
+    Matching fingerprints anchor (d1, p1, d2, p2) position pairs; anchors
+    on one diagonal (p2 − p1 constant) belong to one contiguous shared
+    substring, so islands of near-consecutive p1 per (pair, diagonal) merge
+    into spans. Per doc pair: anchor count, span count, and the longest
+    span in grams — the evidence a dedup policy thresholds on.
+
+    Scale shape: the fingerprint store is ~2/(w+1) of the grams; stop-grams
+    (fingerprints in > ``max_df`` docs — boilerplate) are dropped before
+    the self-join, which caps the join fan-out the way frequent-shingle
+    pruning does for LSH. Everything is equi-join + window — no UDFs.
+    """
+    fps = _winnow_pos(t, w)  # (doc_id, pos) unique by construction
+    df_count = fps.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("ndocs"))
+    rare = df_count.filter(
+        (F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df)).select("fp")
+    fp2 = fps.join(rare, "fp")
+    a = fp2.select(F.col("doc_id").alias("d1"), F.col("pos").alias("p1"),
+                   "fp")
+    b = fp2.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
+                   "fp")
+    anchors = a.join(b, "fp").filter(F.col("d1") < F.col("d2")).select(
+        "d1", "d2", "p1", "p2", (F.col("p2") - F.col("p1")).alias("diag")
+    ).distinct()
+    wd = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    spans = (
+        anchors.withColumn("prev", F.lag("p1").over(wd))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull()
+             | (F.col("p1") - F.col("prev") > gap)).cast("int"),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("d1", "d2", "diag", "span_id")
+        .agg(
+            F.count("*").alias("n_anchor"),
+            (F.max("p1") - F.min("p1") + 1).alias("span_grams"),
+        )
+    )
+    return (
+        spans.groupBy("d1", "d2")
+        .agg(
+            F.sum("n_anchor").cast("bigint").alias("n_anchors"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.max("span_grams").cast("bigint").alias("max_span_grams"),
+        )
+        .orderBy("d1", "d2")
     )
 
 

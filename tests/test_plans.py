@@ -271,3 +271,25 @@ def test_countmin_cells_broadcast(tables):
     plan = explain_formatted(C.dq164_countmin_freq(tables))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_dup_spans_join_is_equi_on_fp(tables):
+    # the anchor build must be an equi-join on the fingerprint, never a
+    # cartesian pair enumeration, and stay JVM-side end to end
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+
+    plan = explain_formatted(T.dq168_dup_spans(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "fp" in plan
+
+
+def test_source_cap_single_window_exchange(tables):
+    # per-source cap: one hash partitioning on source, no global
+    # single-partition window
+    from multi_model_vectorsearch_spark.operators import curation as C
+
+    plan = explain_formatted(C.dq169_source_cap(tables))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan
