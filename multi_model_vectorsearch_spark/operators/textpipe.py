@@ -1005,22 +1005,25 @@ def dq155_ngram_novelty(t: Tables) -> DataFrame:
     surrogate) is this doc — the freshness curve a crawl pipeline watches
     to decide when a source is mined out.
 
-    Two hash aggregations over the shingle table (global first-seen, then
-    per-doc roll-up) — both map-side combinable; the broadcast-back join
-    keys on shingle, the only wide column, and drops it immediately.
+    Aggregate-only: a doc's novel-shingle count is just how many rows of
+    the first-seen table name it — groupBy(min-doc) — so the per-doc sizes
+    and the novelty counts reduce independently (both map-side combinable)
+    and meet in a doc-count-sized join. The earlier form joined the full
+    shingle table back on the wide string key (~9 s at sf0.1 → ~1 s).
     """
     sh = _shingles(t)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    sizes = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"))
+    novel = (
+        sh.groupBy("shingle").agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd").agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
     return (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
-            .cast("bigint").alias("n_novel"),
-        )
+        sizes.join(novel, sizes.doc_id == novel.fd, "left")
         .select(
-            "doc_id", "n_shingles", "n_novel",
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+            "doc_id", "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(F.coalesce("n_novel", F.lit(0))
+                    / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
