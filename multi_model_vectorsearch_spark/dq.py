@@ -1775,29 +1775,35 @@ _REGISTRY: list[DQ] = [
        "wins AS (SELECT doc_id, p, CAST(min(hb) OVER (PARTITION BY doc_id "
        "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
        "AS fp FROM hv), "
-       "runs AS (SELECT doc_id, p, fp FROM (SELECT doc_id, p, fp, "
-       "lag(fp) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM wins) x "
-       "WHERE prev IS NULL OR prev != fp), "
+       "marked AS (SELECT doc_id, p, fp, CASE WHEN lag(fp) OVER "
+       "(PARTITION BY doc_id ORDER BY p) IS NULL OR lag(fp) OVER "
+       "(PARTITION BY doc_id ORDER BY p) != fp THEN 1 ELSE 0 END AS chg "
+       "FROM wins), "
+       "rid AS (SELECT doc_id, p, fp, sum(chg) OVER (PARTITION BY doc_id "
+       "ORDER BY p ROWS UNBOUNDED PRECEDING) AS r FROM marked), "
+       "runs AS (SELECT doc_id, min(p) AS ps, max(p) AS pe, min(fp) AS fp "
+       "FROM rid GROUP BY doc_id, r), "
        "rare AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd "
        "FROM runs GROUP BY fp) t WHERE nd BETWEEN 2 AND 20), "
-       "fp2 AS (SELECT r.doc_id, r.p, r.fp FROM runs r JOIN rare USING (fp)), "
-       "anchors AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
-       "a.p AS p1, b.p - a.p AS diag "
-       "FROM fp2 a JOIN fp2 b ON a.fp = b.fp AND a.doc_id < b.doc_id), "
-       "flagged AS (SELECT d1, d2, diag, p1, "
-       "CASE WHEN lag(p1) OVER w IS NULL OR p1 - lag(p1) OVER w > 7 "
-       "THEN 1 ELSE 0 END AS new_span FROM anchors "
-       "WINDOW w AS (PARTITION BY d1, d2, diag ORDER BY p1)), "
-       "sp AS (SELECT d1, d2, diag, p1, sum(new_span) OVER "
-       "(PARTITION BY d1, d2, diag ORDER BY p1 ROWS UNBOUNDED PRECEDING) "
+       "r2 AS (SELECT r.doc_id, r.ps, r.pe, r.fp FROM runs r "
+       "JOIN rare USING (fp)), "
+       "anchors AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.ps AS ps1, "
+       "a.pe AS pe1, b.ps - a.ps AS diag "
+       "FROM r2 a JOIN r2 b ON a.fp = b.fp AND a.doc_id < b.doc_id), "
+       "flagged AS (SELECT d1, d2, ps1, pe1, diag, "
+       "CASE WHEN lag(pe1) OVER w IS NULL OR ps1 - lag(pe1) OVER w > 7 "
+       "OR abs(diag - lag(diag) OVER w) > 4 THEN 1 ELSE 0 END AS new_span "
+       "FROM anchors WINDOW w AS (PARTITION BY d1, d2 ORDER BY ps1, diag)), "
+       "sp AS (SELECT d1, d2, ps1, pe1, sum(new_span) OVER "
+       "(PARTITION BY d1, d2 ORDER BY ps1, diag ROWS UNBOUNDED PRECEDING) "
        "AS span_id FROM flagged), "
-       "spans AS (SELECT d1, d2, diag, span_id, count(*) AS n_anchor, "
-       "max(p1) - min(p1) + 1 AS span_grams FROM sp "
-       "GROUP BY d1, d2, diag, span_id) "
+       "spans AS (SELECT d1, d2, span_id, count(*) AS n_anchor, "
+       "max(pe1) - min(ps1) + 1 AS span_grams FROM sp "
+       "GROUP BY d1, d2, span_id) "
        "SELECT d1, d2, CAST(sum(n_anchor) AS BIGINT) AS n_anchors, "
        "CAST(count(*) AS BIGINT) AS n_spans, "
        "CAST(max(span_grams) AS BIGINT) AS max_span_grams "
-       "FROM spans GROUP BY d1, d2 ORDER BY d1, d2"),
+       "FROM spans GROUP BY d1, d2"),
     DQ("dq169_source_cap", C.dq169_source_cap,
        "SELECT doc_id, source, rn FROM "
        "(SELECT doc_id, source, CAST(row_number() OVER "

@@ -363,17 +363,21 @@ WINNOW_W = 4  # winnowing window: one fingerprint per w consecutive k-grams
 _WINNOW_CACHE: dict = {}
 
 
-def _winnow_pos(t: Tables, w: int = WINNOW_W) -> DataFrame:
-    """Positional winnowed fingerprints: (doc_id, pos, fp) — each gram
-    position's local-min rolling hash over the next ``w`` grams. The
-    position-keeping variant feeds span merging (dq168); dq62 is its
-    DISTINCT (doc_id, fp) projection. Session-cached: dq168 scans it
-    three times (doc-frequency count + both self-join legs)."""
+def _winnow_runs(t: Tables, w: int = WINNOW_W) -> DataFrame:
+    """Run-length-encoded winnowed fingerprints: (doc_id, ps, pe, fp) — the
+    contiguous position range over which one selected min persists. Classic
+    winnowing records each selected min once per run; keeping the extent
+    (not just the start) lets span merging measure coverage and bound gaps
+    exactly (consecutive runs partition the position axis). One row per run
+    is ~w× smaller than one row per position, which caps the dq168
+    self-join fan-out. Session-cached: dq168 scans it three times
+    (doc-frequency count + both self-join legs); dq62 is its DISTINCT
+    (doc_id, fp) projection."""
     return _session_cached(_WINNOW_CACHE, t,
-                           lambda tt: _winnow_pos_impl(tt, w), extra=(w,))
+                           lambda tt: _winnow_runs_impl(tt, w), extra=(w,))
 
 
-def _winnow_pos_impl(t: Tables, w: int) -> DataFrame:
+def _winnow_runs_impl(t: Tables, w: int) -> DataFrame:
     from pyspark.ml.feature import NGram
 
     d = t["documents"]
@@ -388,12 +392,23 @@ def _winnow_pos_impl(t: Tables, w: int) -> DataFrame:
     return (
         pe.withColumn("h", h)
         .withColumn("fp", F.min("h").over(win))
-        # classic winnowing records each selected min ONCE per run: the same
-        # min repeats over ~w consecutive windows, and keeping every repeat
-        # inflates the dq168 self-join ~10x for zero information
-        .withColumn("prev_fp", F.lag("fp").over(wp))
-        .filter(F.col("prev_fp").isNull() | (F.col("prev_fp") != F.col("fp")))
-        .select("doc_id", "pos", "fp")
+        .withColumn(
+            "chg",
+            (F.lag("fp").over(wp).isNull()
+             | (F.lag("fp").over(wp) != F.col("fp"))).cast("int"),
+        )
+        .withColumn(
+            "rid",
+            F.sum("chg").over(
+                wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("doc_id", "rid")
+        .agg(
+            F.min("pos").alias("ps"),
+            F.max("pos").alias("pe"),
+            F.first("fp").alias("fp"),  # constant within a run
+        )
+        .select("doc_id", "ps", "pe", "fp")
     )
 
 
@@ -407,7 +422,7 @@ def dq62_winnow_fingerprint(t: Tables, w: int = WINNOW_W) -> DataFrame:
     a 100 TB plagiarism/near-dup index needs. Pure window functions: one
     shuffle by doc_id.
     """
-    return _winnow_pos(t, w).select("doc_id", "fp").distinct()
+    return _winnow_runs(t, w).select("doc_id", "fp").distinct()
 
 
 def dq168_dup_spans(t: Tables, w: int = WINNOW_W, max_df: int = 20,
@@ -416,47 +431,53 @@ def dq168_dup_spans(t: Tables, w: int = WINNOW_W, max_df: int = 20,
     (train-data staple: long verbatim overlaps between pages) built on the
     positional winnowed fingerprints.
 
-    Matching fingerprints anchor (d1, p1, d2, p2) position pairs; anchors
-    on one diagonal (p2 − p1 constant) belong to one contiguous shared
-    substring, so islands of near-consecutive p1 per (pair, diagonal) merge
-    into spans. Per doc pair: anchor count, span count, and the longest
-    span in grams — the evidence a dedup policy thresholds on.
+    Matching fingerprints anchor run pairs (d1 run × d2 run); anchors of
+    one contiguous shared substring sit on one alignment diagonal
+    (ps2 − ps1 ≈ constant) at adjacent positions, so islands over ps1 —
+    split where the gap from the previous run's END exceeds ``gap`` or the
+    diagonal jumps by more than ``w`` (run boundaries jitter up to the
+    winnow window near match edges) — merge into spans. Per doc pair:
+    anchor count, span count, and the longest span in grams — the evidence
+    a dedup policy thresholds on.
 
     Scale shape: the fingerprint store is ~2/(w+1) of the grams; stop-grams
     (fingerprints in > ``max_df`` docs — boilerplate) are dropped before
     the self-join, which caps the join fan-out the way frequent-shingle
     pruning does for LSH. Everything is equi-join + window — no UDFs.
     """
-    fps = _winnow_pos(t, w)  # (doc_id, pos) unique by construction
-    df_count = fps.groupBy("fp").agg(
+    runs = _winnow_runs(t, w)
+    df_count = runs.groupBy("fp").agg(
         F.count_distinct("doc_id").alias("ndocs"))
     rare = df_count.filter(
         (F.col("ndocs") >= 2) & (F.col("ndocs") <= max_df)).select("fp")
-    fp2 = fps.join(rare, "fp")
-    a = fp2.select(F.col("doc_id").alias("d1"), F.col("pos").alias("p1"),
-                   "fp")
-    b = fp2.select(F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
-                   "fp")
+    r2 = runs.join(rare, "fp")
+    a = r2.select(F.col("doc_id").alias("d1"), F.col("ps").alias("ps1"),
+                  F.col("pe").alias("pe1"), "fp")
+    b = r2.select(F.col("doc_id").alias("d2"), F.col("ps").alias("ps2"),
+                  "fp")
     anchors = a.join(b, "fp").filter(F.col("d1") < F.col("d2")).select(
-        "d1", "d2", "p1", "p2", (F.col("p2") - F.col("p1")).alias("diag")
-    ).distinct()
-    wd = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+        "d1", "d2", "ps1", "pe1",
+        (F.col("ps2") - F.col("ps1")).alias("diag"),
+    )
+    wd = Window.partitionBy("d1", "d2").orderBy("ps1", "diag")
     spans = (
-        anchors.withColumn("prev", F.lag("p1").over(wd))
+        anchors.withColumn("prev_pe", F.lag("pe1").over(wd))
+        .withColumn("prev_diag", F.lag("diag").over(wd))
         .withColumn(
             "new_span",
-            (F.col("prev").isNull()
-             | (F.col("p1") - F.col("prev") > gap)).cast("int"),
+            (F.col("prev_pe").isNull()
+             | (F.col("ps1") - F.col("prev_pe") > gap)
+             | (F.abs(F.col("diag") - F.col("prev_diag")) > w)).cast("int"),
         )
         .withColumn(
             "span_id",
             F.sum("new_span").over(
                 wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         )
-        .groupBy("d1", "d2", "diag", "span_id")
+        .groupBy("d1", "d2", "span_id")
         .agg(
             F.count("*").alias("n_anchor"),
-            (F.max("p1") - F.min("p1") + 1).alias("span_grams"),
+            (F.max("pe1") - F.min("ps1") + 1).alias("span_grams"),
         )
     )
     return (
@@ -466,7 +487,6 @@ def dq168_dup_spans(t: Tables, w: int = WINNOW_W, max_df: int = 20,
             F.count("*").cast("bigint").alias("n_spans"),
             F.max("span_grams").cast("bigint").alias("max_span_grams"),
         )
-        .orderBy("d1", "d2")
     )
 
 

@@ -159,3 +159,51 @@ def test_countmin_estimates_never_undercount(spark, tables):
     for r in rows:
         assert r.est >= r.c, (r.tok, r.c, r.est)
         assert r.overcount == r.est - r.c
+
+
+def test_dup_spans_finds_planted_overlap(spark):
+    """A planted 40-word verbatim overlap between two docs must surface as
+    one long span; unrelated docs must not pair. Oracle-independent: the
+    DuckDB oracle mirrors the fingerprint math, so a shared logic bug
+    would pass the gate — this pins the semantics to a known plant."""
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+
+    shared = " ".join(f"tok{i}x" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "omega " + shared + " psi chi phi"),
+            (3, " ".join(f"other{i}" for i in range(50))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = T.dq168_dup_spans({"documents": docs}).collect()
+    pairs = {(r.d1, r.d2): r for r in out}
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    # 40 shared words = 38 shared 3-grams; winnowed anchors must merge into
+    # ONE span covering most of the diagonal (>= w+2 guarantee, minus edges)
+    assert r.n_spans == 1
+    assert r.max_span_grams >= 20
+    assert r.n_anchors >= 3
+
+
+def test_source_cap_uniform_and_capped(spark):
+    from multi_model_vectorsearch_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(600)],
+        "doc_id bigint, source string",
+    )
+    out = C.dq169_source_cap({"documents": docs}, cap=50).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # every source capped exactly (each has 200 candidates)
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "s0": 50, "s1": 50, "s2": 50}
+    # ranks are 1..cap and the selection is deterministic across runs
+    assert all(sorted(x.rn for x in v) == list(range(1, 51))
+               for v in by_src.values())
+    again = C.dq169_source_cap({"documents": docs}, cap=50).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
