@@ -82,3 +82,37 @@ def cosine_similarity_sql(a: str, b: str) -> str:
         f"({dot_sql(a, b)} / "
         f"greatest({l2_norm_sql(a)} * {l2_norm_sql(b)}, CAST(1e-12 AS DOUBLE)))"
     )
+
+
+# --- named SQL surface (CREATE TEMPORARY FUNCTION) --------------------------
+
+def register_sql_functions(spark) -> None:
+    """Expose the vector battery to pure-SQL users as named scalar
+    functions (Spark 4 SQL UDFs): ``vec_dot``, ``vec_l2_norm``,
+    ``vec_l2_normalize``, ``vec_cosine``.
+
+    SQL UDFs are inlined expressions — Catalyst substitutes the body at
+    analysis, so they run inside whole-stage codegen exactly like the
+    Column builders above (NOT Python UDFs; no serialization boundary).
+    Idempotent (CREATE OR REPLACE), session-scoped.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vec_dot("
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE "
+        f"RETURN {dot_sql('a', 'b')}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vec_l2_norm(v ARRAY<FLOAT>) "
+        f"RETURNS DOUBLE RETURN {l2_norm_sql('v')}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vec_l2_normalize("
+        "v ARRAY<FLOAT>) RETURNS ARRAY<DOUBLE> "
+        "RETURN transform(v, x -> CAST(x AS DOUBLE) / "
+        f"greatest({l2_norm_sql('v')}, CAST(1e-12 AS DOUBLE)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION vec_cosine("
+        "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE "
+        f"RETURN {cosine_similarity_sql('a', 'b')}"
+    )

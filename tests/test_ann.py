@@ -70,3 +70,40 @@ def test_ivf_recall_vs_exact(tables):
     ivf = {r.vec_id for r in dq47_ivf_knn(tables, 0, 10).collect()}
     assert 0 in ivf  # query itself survives the probe
     assert len(ivf & exact) >= 3, (ivf, exact)
+
+
+def test_sql_named_vector_functions_match_builders(spark, tables):
+    """The named SQL surface (CREATE TEMPORARY FUNCTION) must produce the
+    same values as the Column builders and stay JVM-inlined (SQL UDFs are
+    substituted at analysis — never Python-evaluated)."""
+    from multi_model_vectorsearch_spark.functions.vector import (
+        cosine_similarity, register_sql_functions,
+    )
+    from pyspark.sql import functions as F
+
+    register_sql_functions(spark)
+    tables["embeddings"].select("vec_id", "embedding").limit(50) \
+        .createOrReplaceTempView("sqlfn_emb")
+    via_sql = spark.sql(
+        "SELECT a.vec_id AS i, b.vec_id AS j, "
+        "round(vec_cosine(a.embedding, b.embedding), 6) AS s "
+        "FROM sqlfn_emb a JOIN sqlfn_emb b ON a.vec_id < b.vec_id"
+    )
+    e = tables["embeddings"].select("vec_id", "embedding").limit(50)
+    a, b = e.alias("a"), e.alias("b")
+    via_col = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("j"),
+            F.round(cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")), 6).alias("s"),
+        )
+    )
+    assert sorted(map(tuple, via_sql.collect())) == \
+        sorted(map(tuple, via_col.collect()))
+    plan = via_sql._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    norm1 = spark.sql(
+        "SELECT round(vec_l2_norm(vec_l2_normalize(embedding)), 6) AS n "
+        "FROM sqlfn_emb").collect()
+    assert all(abs(r.n - 1.0) < 1e-5 for r in norm1)
