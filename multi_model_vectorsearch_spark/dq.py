@@ -1811,6 +1811,25 @@ _REGISTRY: list[DQ] = [
        "substr(sha256('cap:' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) "
        "AS INT) AS rn FROM documents) t "
        "WHERE rn <= 400 ORDER BY source, rn"),
+    DQ("dq170_knn_label_prop", V.dq170_knn_label_prop,
+       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl "
+       "FROM embeddings WHERE vec_id % 5 = 0), "
+       "l AS (SELECT vec_id, embedding, label FROM embeddings "
+       "WHERE vec_id % 5 != 0), "
+       "sims AS (SELECT q.qid, q.tl, l.vec_id, l.label, "
+       "round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
+       "CAST(q.qv AS DOUBLE[])), 3) AS s FROM l CROSS JOIN q), "
+       "top AS (SELECT * FROM (SELECT qid, tl, vec_id, label, s, "
+       "row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn "
+       "FROM sims) t WHERE rn <= 5), "
+       "votes AS (SELECT qid, tl, label, CAST(count(*) AS INT) AS n_votes, "
+       "round(sum(CAST(round(s * 1000) AS BIGINT)) "
+       "/ (count(*) * 1000.0), 6) AS mean_sim "
+       "FROM top GROUP BY qid, tl, label) "
+       "SELECT qid, label AS pred_label, tl AS true_label, n_votes, mean_sim "
+       "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
+       "n_votes DESC, mean_sim DESC, label) AS vr FROM votes) v "
+       "WHERE vr = 1"),
 ]
 
 

@@ -418,3 +418,60 @@ def dq154_centroid_drift(t: Tables) -> DataFrame:
         ).alias("drift_cos"),
     )
     return counts.join(drift, "label").select("label", "n0", "n1", "drift_cos")
+
+
+def dq170_knn_label_prop(t: Tables, holdout_mod: int = 5,
+                         k: int = 5) -> DataFrame:
+    """kNN label propagation (weak supervision): every held-out vector
+    (vec_id % ``holdout_mod`` == 0) takes the majority label of its ``k``
+    nearest labeled neighbors by cosine — the standard cheap labeler for
+    bootstrapping training data from a small annotated seed set.
+
+    Plan shape: the held-out set is the broadcast side; the labeled corpus
+    streams through one scan (never shuffled, never collected) and each
+    partition emits only window-local candidates. Ties break on
+    (votes desc, mean sim desc, label asc) — fully deterministic.
+    """
+    e = t["embeddings"]
+    q = (
+        e.filter(F.col("vec_id") % holdout_mod == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    labeled = e.filter(F.col("vec_id") % holdout_mod != 0).select(
+        "vec_id", "embedding", "label"
+    )
+    # 3-decimal similarity: engines sum the cosine fold in different orders
+    # (~1e-13 spread), and across query_count × corpus sims a 6th-decimal
+    # round boundary WILL flip somewhere — 3 decimals puts the boundary
+    # 1000× further away while ties stay deterministic on vec_id
+    sims = labeled.crossJoin(F.broadcast(q)).select(
+        "qid", "true_label", "vec_id", "label",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 3)
+        .alias("s"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    top = sims.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= k
+    )
+    votes = top.groupBy("qid", "true_label", "label").agg(
+        F.count("*").cast("int").alias("n_votes"),
+        # exact mean: sum scaled integers (order-independent), divide once
+        F.round(
+            F.sum(F.round(F.col("s") * 1e3).cast("bigint"))
+            / (F.count("*") * F.lit(1000.0)), 6,
+        ).alias("mean_sim"),
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.desc("mean_sim"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "qid", F.col("label").alias("pred_label"), "true_label",
+            "n_votes", "mean_sim",
+        )
+    )

@@ -293,3 +293,13 @@ def test_source_cap_single_window_exchange(tables):
     plan = explain_formatted(C.dq169_source_cap(tables))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_label_prop_broadcasts_heldout_side(tables):
+    # the labeled corpus must stream (never shuffle); the held-out query
+    # set is the broadcast side, exactly like the KNN join
+    from multi_model_vectorsearch_spark.operators import vector_ops as VO
+
+    plan = explain_formatted(VO.dq170_knn_label_prop(tables))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
