@@ -1830,6 +1830,9 @@ _REGISTRY: list[DQ] = [
        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
        "n_votes DESC, mean_sim DESC, label) AS vr FROM votes) v "
        "WHERE vr = 1"),
+    DQ("dq171_global_ntile_scalable", S.dq171_global_ntile_scalable,
+       "SELECT c_custkey, CAST(ntile(4) OVER "
+       "(ORDER BY c_acctbal, c_custkey) AS INT) AS q FROM customer"),
 ]
 
 

@@ -139,3 +139,54 @@ def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
         F.round(F.col("sum_d").cast("double") / F.col("n"), 6)
         .alias("avg_value"),
     ).orderBy("event_type")
+
+
+def dq171_global_ntile_scalable(t: dict, n_tiles: int = 4,
+                                n_ranges: int = 32) -> DataFrame:
+    """Global ntile without a single-partition window — the two-pass
+    range-partition form of dq18, producing IDENTICAL output.
+
+    ``Window.orderBy(...)`` (dq18) funnels every row through one task; at
+    100 TB that task never finishes. The scalable plan: (1) range-partition
+    on the sort key so partitions hold disjoint, ordered key ranges,
+    (2) count rows per partition — a ``n_ranges``-row aggregate collected
+    to the driver — and broadcast the running offsets back, (3) rank =
+    per-partition row_number + the partition's offset (windows partitioned
+    by range id run fully parallel), (4) the ntile bucket is closed-form
+    arithmetic on (rank, N). The only driver materialization is one row
+    per range partition.
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        t["customer"].select("c_custkey", "c_acctbal")
+        .repartitionByRange(n_ranges, F.col("c_acctbal"), F.col("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    keyed = keyed.localCheckpoint(eager=True)  # pin partitioning for both passes
+    sizes = sorted(
+        keyed.groupBy("pid").count().collect(), key=lambda r: r.pid
+    )
+    offsets, acc = {}, 0
+    for r in sizes:
+        offsets[r.pid] = acc
+        acc += r["count"]
+    n_total = acc
+    off_col = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("pid"),
+    )
+    wp = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    ranked = keyed.withColumn(
+        "r", F.row_number().over(wp) + off_col
+    )
+    base, rem = n_total // n_tiles, n_total % n_tiles
+    big = base + 1
+    q = (
+        F.when(F.col("r") <= rem * big, (F.col("r") - 1) / big)
+        .otherwise(rem + (F.col("r") - 1 - rem * big) / F.greatest(
+            F.lit(base), F.lit(1)))
+    )
+    return ranked.select(
+        "c_custkey", (F.floor(q) + 1).cast("int").alias("q")
+    )

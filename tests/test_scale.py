@@ -125,3 +125,17 @@ def test_merge_upsert_semantics(spark, tmp_path):
     assert merge_upsert(spark, p, upd, "k") == 3
     rows2 = {r.k: r.v for r in spark.read.parquet(p).collect()}
     assert rows2 == rows
+
+
+def test_scalable_ntile_matches_window_form(tables):
+    """The two-pass range-partition ntile must equal the single-window dq18
+    exactly, and its plan must contain no single-partition exchange."""
+    from multi_model_vectorsearch_spark.operators import relational as R
+    from multi_model_vectorsearch_spark.operators import scale as S
+    from multi_model_vectorsearch_spark.plans import explain_formatted
+
+    a = sorted(map(tuple, R.dq18_ntile(tables).collect()))
+    b = sorted(map(tuple, S.dq171_global_ntile_scalable(tables).collect()))
+    assert a == b and len(a) > 0
+    plan = explain_formatted(S.dq171_global_ntile_scalable(tables))
+    assert "SinglePartition" not in plan
