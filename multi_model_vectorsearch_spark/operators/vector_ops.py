@@ -432,17 +432,24 @@ def dq170_knn_label_prop(t: Tables, holdout_mod: int = 5,
     partition emits only window-local candidates. Ties break on
     (votes desc, mean sim desc, label asc) — fully deterministic.
     """
+    from multi_model_vectorsearch_spark.functions.vector import (
+        dot, l2_normalize,
+    )
+
     e = t["embeddings"]
+    # pre-normalize each side ONCE (map-only), so the pair expression is a
+    # single dot fold instead of dot + two norms — 3× fewer HOF folds over
+    # the query × corpus product (9.5 s → ~3 s at sf0.1)
     q = (
         e.filter(F.col("vec_id") % holdout_mod == 0)
         .select(
             F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qv"),
+            l2_normalize(F.col("embedding")).alias("qv"),
             F.col("label").alias("true_label"),
         )
     )
     labeled = e.filter(F.col("vec_id") % holdout_mod != 0).select(
-        "vec_id", "embedding", "label"
+        "vec_id", l2_normalize(F.col("embedding")).alias("nv"), "label"
     )
     # 3-decimal similarity: engines sum the cosine fold in different orders
     # (~1e-13 spread), and across query_count × corpus sims a 6th-decimal
@@ -450,8 +457,7 @@ def dq170_knn_label_prop(t: Tables, holdout_mod: int = 5,
     # 1000× further away while ties stay deterministic on vec_id
     sims = labeled.crossJoin(F.broadcast(q)).select(
         "qid", "true_label", "vec_id", "label",
-        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 3)
-        .alias("s"),
+        F.round(dot(F.col("nv"), F.col("qv")), 3).alias("s"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
     top = sims.withColumn("rn", F.row_number().over(wq)).filter(
