@@ -266,23 +266,24 @@ def _simhash(t: Tables) -> DataFrame:
             F.conv(F.substring(F.sha2("tok", 256), 1, 4), 16, 10).cast("bigint"),
         )
     )
-    pos = toks.sparkSession.range(16).select(F.col("id").cast("int").alias("p"))
-    bits = toks.crossJoin(F.broadcast(pos)).select(
+    # 16 bit-position votes as parallel aggregates over ONE shuffle of the
+    # token rows (the same lanes-not-crossJoin trick as the MinHash
+    # signatures) — the position-crossJoin form shuffled 16× the rows
+    # through two groupBys for identical votes.
+    def bit(p: int) -> F.Column:
+        return (F.floor(F.col("thv") / F.lit(2 ** (15 - p))).cast("bigint")
+                % 2).cast("int")
+
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(bit(p) * 2 - 1).alias(f"v{p}") for p in range(16)]
+    )
+    return votes.select(
         "doc_id",
-        "p",
-        (
-            F.floor(F.col("thv") / F.pow(F.lit(2), 15 - F.col("p"))).cast("bigint")
-            % 2
-        ).cast("int").alias("bit"),
-    )
-    votes = bits.groupBy("doc_id", "p").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("v")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.pow(F.lit(2), 15 - F.col("p")).cast("bigint"))
-            .otherwise(F.lit(0))
-        ).cast("bigint").alias("simhash")
+        sum(
+            [F.when(F.col(f"v{p}") >= 0, F.lit(2 ** (15 - p)))
+             .otherwise(F.lit(0)).cast("bigint") for p in range(16)],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
     )
 
 
