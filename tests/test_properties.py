@@ -207,3 +207,47 @@ def test_source_cap_uniform_and_capped(spark):
                for v in by_src.values())
     again = C.dq169_source_cap({"documents": docs}, cap=50).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_scalable_ntile_edge_sizes(spark):
+    """N < tiles and N % tiles != 0 must match the window ntile exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from multi_model_vectorsearch_spark.operators import scale as S
+
+    for n in (3, 5, 9, 17):
+        df = spark.createDataFrame(
+            [(i, float((i * 7919) % 97)) for i in range(n)],
+            "c_custkey bigint, c_acctbal double",
+        )
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        want = sorted(map(tuple, df.select(
+            "c_custkey", F.ntile(4).over(w).cast("int").alias("q")
+        ).collect()))
+        got = sorted(map(tuple, S.dq171_global_ntile_scalable(
+            {"customer": df}).collect()))
+        assert got == want, f"n={n}"
+
+
+def test_label_prop_recovers_planted_clusters(spark):
+    """Vectors planted in well-separated clusters must receive their
+    cluster's label — the semantic check the oracle (which mirrors the
+    implementation) cannot provide."""
+    import math
+    from multi_model_vectorsearch_spark.operators import vector_ops as VO
+
+    rows = []
+    for i in range(60):
+        c = i % 3  # cluster = label
+        base = [0.0] * 6
+        base[c * 2] = 1.0
+        # small deterministic jitter, well inside the cluster margin
+        jit = [(((i * 31 + d) % 7) - 3) * 0.01 for d in range(6)]
+        vec = [b + j for b, j in zip(base, jit)]
+        n = math.sqrt(sum(x * x for x in vec))
+        rows.append((i, [float(x / n) for x in vec], c))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint")
+    out = VO.dq170_knn_label_prop({"embeddings": emb}).collect()
+    assert len(out) == 12  # 60/5 held out
+    assert all(r.pred_label == r.true_label for r in out)
