@@ -1833,6 +1833,23 @@ _REGISTRY: list[DQ] = [
     DQ("dq171_global_ntile_scalable", S.dq171_global_ntile_scalable,
        "SELECT c_custkey, CAST(ntile(4) OVER "
        "(ORDER BY c_acctbal, c_custkey) AS INT) AS q FROM customer"),
+    DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "iv AS (SELECT p.d1, p.d2, count(*) AS i FROM p "
+       "JOIN sh x ON x.doc_id = p.d1 "
+       "JOIN sh y ON y.doc_id = p.d2 AND y.shingle = x.shingle "
+       "GROUP BY p.d1, p.d2) "
+       "SELECT p.d1, p.d2, CAST(p.matches AS INT) AS matches, "
+       "round(p.matches / 8.0, 6) AS est_j, "
+       "round(iv.i * 1.0 / (sa.n + sb.n - iv.i), 6) AS exact_j, "
+       "round(abs(p.matches / 8.0 - iv.i * 1.0 / (sa.n + sb.n - iv.i)), 6) "
+       "AS abs_err "
+       "FROM p JOIN iv ON p.d1 = iv.d1 AND p.d2 = iv.d2 "
+       "JOIN sz sa ON sa.doc_id = p.d1 JOIN sz sb ON sb.doc_id = p.d2"),
 ]
 
 

@@ -1048,3 +1048,43 @@ def dq155_ngram_novelty(t: Tables) -> DataFrame:
                     / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def dq172_minhash_estimate_audit(t: Tables) -> DataFrame:
+    """Sketch-quality audit: MinHash Jaccard estimate (matches/8) vs exact
+    n-gram Jaccard, per LSH candidate pair — the companion to dq153 (which
+    scores the candidate SET) that scores the ESTIMATOR itself; together
+    they justify trusting matches/8 as the dedup-policy threshold.
+
+    The exact arm only touches candidate pairs: the tiny pair list
+    broadcasts against the shingle table twice (d1 leg, then (d2, shingle)
+    equi-join), so cost scales with candidates × doc-shingles, never the
+    corpus square.
+    """
+    pairs = minhash_lsh_pairs_shared(t)
+    sh = _shingles(t)
+    cand = pairs.select("d1", "d2")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        F.broadcast(cand).join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("i"))
+    )
+    est = F.col("matches") / F.lit(8.0)
+    exact = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        pairs.join(inter, ["d1", "d2"])
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("d1"),
+                                       F.col("n").alias("na"))), "d1")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("d2"),
+                                       F.col("n").alias("nb"))), "d2")
+        .select(
+            "d1", "d2", F.col("matches").cast("int").alias("matches"),
+            F.round(est, 6).alias("est_j"),
+            F.round(exact, 6).alias("exact_j"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )
