@@ -251,3 +251,32 @@ def test_label_prop_recovers_planted_clusters(spark):
     out = VO.dq170_knn_label_prop({"embeddings": emb}).collect()
     assert len(out) == 12  # 60/5 held out
     assert all(r.pred_label == r.true_label for r in out)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    L=st.integers(min_value=15, max_value=60),
+    off1=st.integers(min_value=0, max_value=30),
+    off2=st.integers(min_value=0, max_value=30),
+)
+def test_dup_spans_detects_random_planted_overlaps(spark, L, off1, off2):
+    """Fuzz the span detector: a planted L-word overlap at arbitrary
+    offsets must always be reported for the planted pair (winnowing
+    guarantees shared fingerprints for any match of >= w+2 words), with a
+    span covering a reasonable fraction of it; disjoint-vocabulary docs
+    must never pair."""
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+
+    shared = " ".join(f"s{i}q" for i in range(L))
+    d1 = " ".join(f"a{i}z" for i in range(off1)) + " " + shared
+    d2 = " ".join(f"b{i}z" for i in range(off2)) + " " + shared + " tail1 tail2"
+    d3 = " ".join(f"c{i}z" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, d1.strip()), (2, d2.strip()), (3, d3)],
+        "doc_id bigint, text string",
+    )
+    out = {(r.d1, r.d2): r for r in T.dq168_dup_spans({"documents": docs}).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)].max_span_grams >= max(1, (L - 2) // 3)
+    assert all(k == (1, 2) for k in out)
