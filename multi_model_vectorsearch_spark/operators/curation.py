@@ -795,21 +795,30 @@ def dq169_source_cap(t: Tables, cap: int = 400) -> DataFrame:
     CommonCrawl-scale pipeline applies before mixing).
 
     The priority is sha256-derived, so the survivors are a uniform random
-    subset of each source, reproducible across runs and engines. One
-    shuffle on ``source``; for a pathologically skewed source the same
-    selection runs as a two-phase pre-cap (cap per (source, salt) then
-    re-cap per source, both map-side bounded) — the single-window form is
-    the readable default.
+    subset of each source, reproducible across runs and engines. Sources
+    are power-law by nature, so the selection is two-phase: a salted
+    pre-cap bounds any one task to ``cap`` survivors per (source, salt) —
+    a giant domain spreads over ``n_salts`` reducers — and the final
+    per-source window re-ranks at most ``n_salts × cap`` rows per source.
+    The result is identical to the single-window form by construction
+    (the global per-source top-``cap`` by priority survives both phases).
     """
     pri = F.substring(
         F.sha2(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")), 256),
         1, 16,
     )
-    w = Window.partitionBy("source").orderBy("pri", "doc_id")
-    return (
+    n_salts = 16
+    w1 = Window.partitionBy("source", "salt").orderBy("pri", "doc_id")
+    pre = (
         t["documents"]
         .select("doc_id", "source", pri.alias("pri"))
-        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .withColumn("salt", F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+        .withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= cap)
+    )
+    w = Window.partitionBy("source").orderBy("pri", "doc_id")
+    return (
+        pre.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= cap)
         .select("doc_id", "source", "rn")
         .orderBy("source", "rn")
