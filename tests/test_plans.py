@@ -303,3 +303,30 @@ def test_label_prop_broadcasts_heldout_side(tables):
     plan = explain_formatted(VO.dq170_knn_label_prop(tables))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_registry_wide_plan_hygiene(tables):
+    """Every declared query must plan without a cartesian product, and
+    Python evaluation may appear ONLY in the entries that are intentionally
+    kernel/UDTF/UDF surfaces — a new operator that silently falls off the
+    JVM path fails here."""
+    from multi_model_vectorsearch_spark import dq
+
+    python_ok = {
+        "dq46_cosine_neardup_topk",   # blocked-matmul exact arm
+        "dq48_embed_stub",            # pandas-UDF embedding surface (B56)
+        "dq49_embed_knn",             # consumes the embed UDF
+        "dq52_centroid_applyinpandas",  # UDAF surface (B57)
+        "dq56_bigram_udtf",           # UDTF surface (B58)
+        "dq148_semdedup",             # per-cluster numpy pair kernel
+    }
+    offenders = []
+    for e in dq.registry():
+        plan = explain_formatted(e.builder(tables))
+        if "CartesianProduct" in plan:
+            offenders.append((e.name, "cartesian"))
+        uses_py = ("EvalPython" in plan or "MapInPandas" in plan
+                   or "FlatMapGroupsInPandas" in plan)
+        if uses_py and e.name not in python_ok:
+            offenders.append((e.name, "python"))
+    assert not offenders, offenders
