@@ -139,3 +139,37 @@ def test_scalable_ntile_matches_window_form(tables):
     assert a == b and len(a) > 0
     plan = explain_formatted(S.dq171_global_ntile_scalable(tables))
     assert "SinglePartition" not in plan
+
+
+def test_ivf_index_persists_bucketed_with_bucket_pruning(spark, tables,
+                                                         tmp_path):
+    """Build-once / query-many ANN: the IVF assignment persists bucketed by
+    cluster id, and a probe-cluster equality query prunes to the matching
+    buckets at scan time (SelectedBucketsCount in the plan) — the 100 TB
+    serving pattern where a query touches 1/n_clusters of the index."""
+    from multi_model_vectorsearch_spark.operators.ann import assign_clusters
+    from multi_model_vectorsearch_spark.operators.scale import write_bucketed
+
+    assigned = assign_clusters(tables, n_centroids=8).select(
+        "vec_id", "cid")
+    write_bucketed(assigned, "ivf_index", "cid", n_buckets=8,
+                   path=str(tmp_path / "ivf_index"))
+    # DisableUnnecessaryBucketedScan only weighs output distribution, not
+    # bucket pruning — pin the bucketed scan on so the equality filter
+    # prunes at file-listing time
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        probe = spark.table("ivf_index").filter("cid = 3")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        sel = plan.split("SelectedBucketsCount:")[1].split("\n")[0]
+        assert "1 out of 8" in sel, sel
+        # the pruned scan returns exactly the cluster's members
+        want = sorted(
+            r.vec_id for r in assigned.filter("cid = 3").collect())
+        got = sorted(r.vec_id for r in probe.collect())
+        assert got == want
+    finally:
+        spark.conf.set(key, prev)
