@@ -1894,6 +1894,38 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+def _driver_verified_now() -> frozenset[str]:
+    """The static set plus every green row found in CORRECTNESS_r*.json.
+
+    Reading the driver's own result files makes the rotation hands-free:
+    when a new round's CORRECTNESS lands in the repo root, its green
+    entries automatically stop occupying the next round's gate window.
+    A green name is one with rows+schema+hash all matching, or a
+    rows-only-by-design entry (err == "no_oracle")."""
+    import glob
+    import json
+    import os
+
+    names = set(_DRIVER_VERIFIED)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:  # pragma: no cover - malformed driver output
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, res in rows.items():
+            if not isinstance(res, dict):
+                continue
+            green = (res.get("rows_match") and res.get("schema_match")
+                     and res.get("hash_match"))
+            if green or res.get("err") == "no_oracle":
+                names.add(name)
+    return frozenset(names)
+
+
 def registry() -> list[DQ]:
     """Registry with not-yet-driver-verified entries rotated to the front.
 
@@ -1903,8 +1935,9 @@ def registry() -> list[DQ]:
     "locally green" to "driver-verified".  Relative order within each group
     is preserved so results remain deterministic.
     """
-    pending = [dq for dq in _REGISTRY if dq.name not in _DRIVER_VERIFIED]
-    done = [dq for dq in _REGISTRY if dq.name in _DRIVER_VERIFIED]
+    verified = _driver_verified_now()
+    pending = [dq for dq in _REGISTRY if dq.name not in verified]
+    done = [dq for dq in _REGISTRY if dq.name in verified]
     return pending + done
 
 
