@@ -144,6 +144,17 @@ _HEXFOLD = " + ".join(
     for c in range(1, 9)
 )
 
+# partsupp surrogate for the Q2/Q9/Q11/Q16/Q20 shapes (the fixtures ship no
+# partsupp table): availqty = total quantity shipped for the pair,
+# supplycost = min observed unit price as exact integer cents.
+_PS_CTE = (
+    "ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
+    "CAST(sum(l_quantity) AS BIGINT) AS ps_availqty, "
+    "CAST(min(floor(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "/ CAST(l_quantity AS BIGINT))) AS BIGINT) AS ps_cost_cents "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey)"
+)
+
 # hash_embed pseudo-embeddings per (doc_id, p), normalized
 _EMB_CTE = (
     "pos AS (SELECT CAST(range AS INT) AS p FROM range(0, 16)), "
@@ -1833,6 +1844,66 @@ _REGISTRY: list[DQ] = [
     DQ("dq171_global_ntile_scalable", S.dq171_global_ntile_scalable,
        "SELECT c_custkey, CAST(ntile(4) OVER "
        "(ORDER BY c_acctbal, c_custkey) AS INT) AS q FROM customer"),
+    DQ("dq173_tpch_q2", Q.dq173_tpch_q2,
+       "WITH " + _PS_CTE + ", "
+       "j AS (SELECT p_partkey, ps_suppkey, s_name, s_acctbal, n_name, "
+       "ps_cost_cents FROM ps "
+       "JOIN part ON ps_partkey = p_partkey "
+       "JOIN supplier ON ps_suppkey = s_suppkey "
+       "JOIN nation ON s_nationkey = n_nationkey "
+       "JOIN region ON n_regionkey = r_regionkey "
+       "WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 "
+       "AND p_type = 'STANDARD') "
+       "SELECT p_partkey, ps_suppkey AS s_suppkey, s_name, "
+       "round(s_acctbal, 2) AS s_acctbal, n_name, "
+       "round(ps_cost_cents / 100.0, 2) AS supplycost "
+       "FROM (SELECT *, min(ps_cost_cents) OVER (PARTITION BY p_partkey) "
+       "AS mc FROM j) x WHERE ps_cost_cents = mc"),
+    DQ("dq174_tpch_q9", Q.dq174_tpch_q9,
+       "WITH " + _PS_CTE + " "
+       "SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year, "
+       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
+       "AS DOUBLE) - sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) "
+       "/ 100.0, 2) AS profit "
+       "FROM lineitem "
+       "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' "
+       "JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
+       "JOIN supplier ON l_suppkey = s_suppkey "
+       "JOIN nation ON s_nationkey = n_nationkey "
+       "GROUP BY n_name, o_year"),
+    DQ("dq175_tpch_q11", Q.dq175_tpch_q11,
+       "WITH " + _PS_CTE + ", "
+       "vals AS (SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS v "
+       "FROM ps JOIN supplier ON ps_suppkey = s_suppkey "
+       "JOIN nation ON s_nationkey = n_nationkey "
+       "WHERE n_name = 'NATION_1' GROUP BY ps_partkey), "
+       "tot AS (SELECT sum(v) AS tv FROM vals) "
+       "SELECT ps_partkey, round(v / 100.0, 2) AS value "
+       "FROM vals CROSS JOIN tot WHERE v > 0.0001 * tv"),
+    DQ("dq176_tpch_q16", Q.dq176_tpch_q16,
+       "WITH " + _PS_CTE + " "
+       "SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size, "
+       "CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
+       "FROM ps JOIN part ON ps_partkey = p_partkey "
+       "WHERE p_brand != 'Brand#2' AND p_type NOT LIKE 'PROMO%' "
+       "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+       "AND ps_suppkey NOT IN "
+       "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+       "GROUP BY p_brand, p_type, p_size"),
+    DQ("dq177_tpch_q20", Q.dq177_tpch_q20,
+       "WITH " + _PS_CTE + ", "
+       "shipped AS (SELECT l_partkey, l_suppkey, "
+       "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem "
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+       "AND l_shipdate < TIMESTAMP '1997-01-01' "
+       "GROUP BY l_partkey, l_suppkey) "
+       "SELECT DISTINCT ps_suppkey AS s_suppkey, s_name FROM ps "
+       "JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%' "
+       "JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
+       "JOIN supplier ON ps_suppkey = s_suppkey "
+       "JOIN nation ON s_nationkey = n_nationkey "
+       "WHERE n_name = 'NATION_2' AND ps_availqty > 0.5 * qty"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "

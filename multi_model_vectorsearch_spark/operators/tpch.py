@@ -463,3 +463,173 @@ def dq160_tpch_q21(t: Tables) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# --- partsupp-dependent shapes (Q2/Q9/Q11/Q16/Q20) ---------------------------
+# The fixtures ship no partsupp table, so these five shapes run over a
+# deterministic surrogate derived from lineitem: availqty = total quantity
+# ever shipped for the (part, supplier) pair, supplycost = the minimum
+# observed unit price. Costs travel as integer cents (bigint) so every
+# aggregate is exact and order-independent in both engines.
+
+
+def _partsupp(t: Tables) -> DataFrame:
+    li = t["lineitem"]
+    # unit cost in cents via integer floor division: rounding the FP
+    # quotient hits exact .xx5 halves (Spark rounds the decimal repr
+    # HALF_UP, DuckDB rounds the binary double — they disagree), while
+    # floor(line_cents / qty) is the same exact integer in both engines
+    # (2-decimal prices make line_cents a true integer; the double
+    # quotient's error is orders below the 1/qty step).
+    line_cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    unit_cents = F.floor(line_cents / F.col("l_quantity").cast("bigint"))
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
+        F.min(unit_cents).cast("bigint").alias("ps_cost_cents"),
+    )
+
+
+def dq173_tpch_q2(t: Tables) -> DataFrame:
+    """Q2 shape: min-cost supplier per qualifying part within a region.
+
+    Cost ties keep every minimal supplier (as TPC-H does); the min is an
+    exact integer-cents comparison, so tie semantics are engine-stable.
+    """
+    from pyspark.sql import Window
+
+    ps = _partsupp(t)
+    j = (
+        ps.join(F.broadcast(
+            t["part"].filter(F.col("p_size").between(10, 20)
+                             & (F.col("p_type") == "STANDARD"))),
+            F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("mc", F.min("ps_cost_cents").over(w))
+        .filter(F.col("ps_cost_cents") == F.col("mc"))
+        .select(
+            "p_partkey", F.col("ps_suppkey").alias("s_suppkey"), "s_name",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name",
+            F.round(F.col("ps_cost_cents") / 100.0, 2).alias("supplycost"),
+        )
+    )
+
+
+def dq174_tpch_q9(t: Tables) -> DataFrame:
+    """Q9 shape: product-line profit by supplier nation and year.
+
+    Revenue sums exactly in DECIMAL; cost sums exactly in integer cents —
+    the final profit is one subtraction of two exact sums, so the result
+    is bit-stable under any aggregation order.
+    """
+    ps = _partsupp(t)
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_name").like("%red%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(t["supplier"]),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    rev = (F.col("l_extendedprice").cast(_D)
+           * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D)))
+    cost_cents = F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
+    return (
+        j.groupBy("n_name",
+                  F.year("l_shipdate").cast("int").alias("o_year"))
+        .agg(F.round(
+            F.sum(rev).cast("double") - F.sum(cost_cents) / 100.0, 2)
+            .alias("profit"))
+    )
+
+
+def dq175_tpch_q11(t: Tables, nation: str = "NATION_1",
+                   frac: float = 0.0001) -> DataFrame:
+    """Q11 shape: inventory-value concentration for one nation's suppliers.
+
+    Part values and the grand total are exact bigint cents; the threshold
+    compare multiplies the total by ``frac`` once, so no accumulation
+    noise can flip membership.
+    """
+    ps = _partsupp(t)
+    natsupp = (
+        t["supplier"].join(F.broadcast(t["nation"]),
+                           F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == nation).select("s_suppkey")
+    )
+    vals = (
+        ps.join(F.broadcast(natsupp),
+                F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"))
+    )
+    tot = vals.agg(F.sum("v").alias("tv"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") > F.lit(frac) * F.col("tv"))
+        .select("ps_partkey", F.round(F.col("v") / 100.0, 2).alias("value"))
+    )
+
+
+def dq176_tpch_q16(t: Tables) -> DataFrame:
+    """Q16 shape: supplier counts per part attribute, excluding flagged
+    suppliers (fixture-adapted: negative account balance stands in for the
+    complaint filter). Pure integer counting — no FP anywhere."""
+    ps = _partsupp(t)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    j = (
+        ps.join(F.broadcast(t["part"]),
+                F.col("ps_partkey") == F.col("p_partkey"))
+        .filter((F.col("p_brand") != "Brand#2")
+                & ~F.col("p_type").like("PROMO%")
+                & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+    )
+    return (
+        j.groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("ps_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
+
+
+def dq177_tpch_q20(t: Tables, nation: str = "NATION_2",
+                   year: str = "1996") -> DataFrame:
+    """Q20 shape: suppliers holding excess stock of qualifying parts —
+    availqty must exceed half the quantity they shipped of that part in
+    the target year. Integer quantities both sides of the compare."""
+    ps = _partsupp(t)
+    shipped = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= f"{year}-01-01")
+                & (F.col("l_shipdate") < f"{int(year) + 1}-01-01"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    j = (
+        ps.join(F.broadcast(
+            t["part"].filter(F.col("p_name").like("small%"))),
+            F.col("ps_partkey") == F.col("p_partkey"))
+        .join(shipped, (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .join(F.broadcast(t["supplier"]),
+              F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == nation)
+    )
+    return j.select("s_suppkey", "s_name").distinct()
