@@ -27,7 +27,11 @@ def test_dq_matches_oracle(entry, tables, oracle_con):
     res = compare(entry.name, entry.builder(tables), entry.oracle, SF_SMOKE,
                   oracle_con)
     assert res.ok, res.detail
-    assert res.spark_rows > 0 or entry.name in {"dq07_left_anti"}, (
+    # dq175/dq177 are threshold queries (value concentration, excess stock)
+    # whose predicates legitimately select nothing from the 500-doc smoke
+    # fixture; the sf0.01 oracle gate sees 1125 / 4 rows respectively.
+    may_be_empty = {"dq07_left_anti", "dq175_tpch_q11", "dq177_tpch_q20"}
+    assert res.spark_rows > 0 or entry.name in may_be_empty, (
         "declared query returned no rows — not exercising the operator"
     )
 
