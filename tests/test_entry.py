@@ -36,3 +36,24 @@ def test_queries_run_at_smoke_sf(spark):
     for name in ["dq29_knn_topk", "dq34_expand", "dq38_session"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         assert df.count() > 0
+
+
+def test_query_index_is_fresh():
+    """QUERIES.md must list exactly the registered queries — regenerate
+    with scripts/gen_query_index.py after adding an entry."""
+    import os
+
+    from multi_model_vectorsearch_spark import dq
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    listed = {
+        line.split("|")[1].strip()
+        for line in open(path)
+        if line.startswith("| dq")
+    }
+    registered = {e.name for e in dq.registry()}
+    assert listed == registered, (
+        f"missing: {sorted(registered - listed)[:5]} "
+        f"stale: {sorted(listed - registered)[:5]}"
+    )
