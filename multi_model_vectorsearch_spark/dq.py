@@ -1904,6 +1904,34 @@ _REGISTRY: list[DQ] = [
        "JOIN supplier ON ps_suppkey = s_suppkey "
        "JOIN nation ON s_nationkey = n_nationkey "
        "WHERE n_name = 'NATION_2' AND ps_availqty > 0.5 * qty"),
+    DQ("dq178_interpolate", TS.dq178_interpolate,
+       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
+       "FROM events), "
+       "hourly AS (SELECT user_id, hb, "
+       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "FROM ev GROUP BY user_id, hb), "
+       "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
+       "GROUP BY user_id), "
+       "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb "
+       "FROM bounds), "
+       "j AS (SELECT g.user_id, g.hb, h.sv FROM grid g "
+       "LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hb = h.hb), "
+       "n AS (SELECT user_id, hb, sv, "
+       "last_value(sv IGNORE NULLS) OVER wb AS pv, "
+       "last_value(CASE WHEN sv IS NOT NULL THEN hb END IGNORE NULLS) "
+       "OVER wb AS ph, "
+       "first_value(sv IGNORE NULLS) OVER wf AS nv, "
+       "first_value(CASE WHEN sv IS NOT NULL THEN hb END IGNORE NULLS) "
+       "OVER wf AS nh FROM j "
+       "WINDOW wb AS (PARTITION BY user_id ORDER BY hb "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
+       "wf AS (PARTITION BY user_id ORDER BY hb "
+       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
+       "SELECT user_id, hb, floor((CASE WHEN sv IS NOT NULL THEN sv "
+       "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+       "ELSE pv + (nv - pv) * ((hb - ph) * 1.0 / (nh - ph)) END) "
+       "* 10000 + 0.5) / 10000.0 AS v "
+       "FROM n"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "

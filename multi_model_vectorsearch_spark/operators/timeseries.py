@@ -324,3 +324,58 @@ def dq144_transition_matrix(t: Tables) -> DataFrame:
                  F.col("event_type").alias("to_type"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def dq178_interpolate(t: Tables) -> DataFrame:
+    """Linear interpolation over hourly gaps per user — the dq70 follow-on
+    every time-series stack needs (forward fill biases toward the past;
+    interpolation weights both known neighbors by distance).
+
+    The spine join and all four neighbor lookups share one hash partition
+    on user_id (single Exchange); the interpolation itself is a fixed
+    scalar expression of two exact 2-decimal endpoints and an integer
+    ratio, so both engines evaluate the identical IEEE operation sequence.
+    Edges hold their nearest known value.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "hb").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+        .alias("sv")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    j = grid.join(hourly, ["user_id", "hb"], "left")
+    wb = (Window.partitionBy("user_id").orderBy("hb")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("hb")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known_hb = F.when(F.col("sv").isNotNull(), F.col("hb"))
+    e = (
+        j.withColumn("pv", F.last("sv", ignorenulls=True).over(wb))
+        .withColumn("ph", F.last(known_hb, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("sv", ignorenulls=True).over(wf))
+        .withColumn("nh", F.first(known_hb, ignorenulls=True).over(wf))
+    )
+    frac = (F.col("hb") - F.col("ph")) / (F.col("nh") - F.col("ph"))
+    interp = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    # explicit half-up via floor: interpolated midpoints of 2-decimal
+    # endpoints land on exact .xxxx5 halves, where Spark (decimal-repr
+    # HALF_UP) and DuckDB (binary round) disagree — floor(x*1e4 + 0.5) is
+    # the same IEEE sequence in both engines
+    return e.select(
+        "user_id", "hb",
+        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("v"),
+    )
