@@ -1932,6 +1932,14 @@ _REGISTRY: list[DQ] = [
        "ELSE pv + (nv - pv) * ((hb - ph) * 1.0 / (nh - ph)) END) "
        "* 10000 + 0.5) / 10000.0 AS v "
        "FROM n"),
+    DQ("dq179_rolling_median", TS.dq179_rolling_median,
+       "SELECT user_id, event_id, "
+       "CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2] "
+       "ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS med_5 "
+       "FROM (SELECT user_id, event_id, "
+       "list_sort(list(value) OVER (PARTITION BY user_id "
+       "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
+       "AS a FROM events) t"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "

@@ -379,3 +379,29 @@ def dq178_interpolate(t: Tables) -> DataFrame:
         "user_id", "hb",
         (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("v"),
     )
+
+
+def dq179_rolling_median(t: Tables, n: int = 5) -> DataFrame:
+    """Exact rolling median of each user's last ``n`` event values — the
+    robust-location rolling statistic (rolling mean chases outliers; ops
+    dashboards want the median).
+
+    Spark has no median window function, but for a small fixed frame the
+    sorted-array form is exact and cheap: collect the frame, sort, index.
+    The even-count midpoint is written as (a + b) / 2 in BOTH engines (the
+    quantile-interpolation form a + (b-a)*0.5 is a different IEEE sequence
+    and can differ in the last ulp). One window partition on user_id.
+    """
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list(F.col("value")).over(w))
+    sz = F.size(arr)
+    mid = F.element_at(arr, ((sz + 1) / 2).cast("int"))  # odd: exact middle
+    lo = F.element_at(arr, (sz / 2).cast("int"))
+    hi = F.element_at(arr, (sz / 2).cast("int") + 1)
+    med = F.when(sz % 2 == 1, mid).otherwise((lo + hi) / 2)
+    return t["events"].select(
+        "user_id", "event_id", med.alias("med_5")
+    )
