@@ -353,16 +353,24 @@ def dq178_interpolate(t: Tables) -> DataFrame:
         "user_id", F.explode(F.sequence("lo", "hi")).alias("hb")
     )
     j = grid.join(hourly, ["user_id", "hb"], "left")
+    # Both neighbor lookups use GROWING frames (unboundedPreceding →
+    # currentRow), which Spark's window processor maintains as O(1)
+    # running state per row. The naive "next known" form — first() over
+    # currentRow → unboundedFollowing — re-scans to the partition end
+    # from every row (O(span²) per user; 20.9 s at sf0.1, quadratic in
+    # activity span). Ordering the frame DESCENDING turns the forward
+    # lookup into the same linear running-state shape: the partitioning
+    # key is identical, so both sorts share one Exchange.
     wb = (Window.partitionBy("user_id").orderBy("hb")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    wf = (Window.partitionBy("user_id").orderBy("hb")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    wf = (Window.partitionBy("user_id").orderBy(F.col("hb").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     known_hb = F.when(F.col("sv").isNotNull(), F.col("hb"))
     e = (
         j.withColumn("pv", F.last("sv", ignorenulls=True).over(wb))
         .withColumn("ph", F.last(known_hb, ignorenulls=True).over(wb))
-        .withColumn("nv", F.first("sv", ignorenulls=True).over(wf))
-        .withColumn("nh", F.first(known_hb, ignorenulls=True).over(wf))
+        .withColumn("nv", F.last("sv", ignorenulls=True).over(wf))
+        .withColumn("nh", F.last(known_hb, ignorenulls=True).over(wf))
     )
     frac = (F.col("hb") - F.col("ph")) / (F.col("nh") - F.col("ph"))
     interp = (
