@@ -130,6 +130,16 @@ _SH_CTE = (
     "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d) s)"
 )
 
+# df-capped shingles for the exact-Jaccard arms (mirrors
+# textpipe.jaccard_pairs_shared / JACCARD_MAX_DF): stop-grams present in more
+# than max_df docs are dropped before the inverted-index self-join.
+_SHC_CTE = (
+    _SH_CTE + ", "
+    "shk AS (SELECT shingle FROM sh GROUP BY shingle "
+    f"HAVING count(*) <= {T.JACCARD_MAX_DF}), "
+    "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shk USING (shingle))"
+)
+
 _SIG_CTE = (
     _SH_CTE + ", "
     "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
@@ -730,10 +740,10 @@ _REGISTRY: list[DQ] = [
        "SELECT d1, d2, matches, round(matches / 8.0, 6) AS est_j FROM p "
        "WHERE matches >= 2"),
     DQ("dq42_ngram_jaccard_topk", T.dq42_ngram_jaccard_topk,
-       "WITH " + _SH_CTE + ", "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "WITH " + _SHC_CTE + ", "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
        "GROUP BY d1, d2) "
        "SELECT d1, d2, round(i / (sa.n + sb.n - i), 6) AS j "
        "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
@@ -1501,9 +1511,12 @@ _REGISTRY: list[DQ] = [
        "round(avg(bits), 6) AS avg_bits FROM b GROUP BY lang, bucket"),
     DQ("dq153_lsh_recall", T.dq153_lsh_recall,
        "WITH " + _SIG_CTE + ", "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "shk AS (SELECT shingle FROM sh GROUP BY shingle "
+       f"HAVING count(*) <= {T.JACCARD_MAX_DF}), "
+       "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shk USING (shingle)), "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
        "GROUP BY d1, d2), "
        "truth AS (SELECT d1, d2 FROM inter "
        "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 "

