@@ -1836,15 +1836,20 @@ _REGISTRY: list[DQ] = [
        "AS INT) AS rn FROM documents) t "
        "WHERE rn <= 400 ORDER BY source, rn"),
     DQ("dq170_knn_label_prop", V.dq170_knn_label_prop,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS tl "
-       "FROM embeddings WHERE vec_id % 5 = 0), "
-       "l AS (SELECT vec_id, embedding, label FROM embeddings "
-       "WHERE vec_id % 5 != 0), "
-       "sims AS (SELECT q.qid, q.tl, l.vec_id, l.label, "
-       "round(list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), "
-       "CAST(q.qv AS DOUBLE[])), 3) AS s FROM l CROSS JOIN q), "
-       "top AS (SELECT * FROM (SELECT qid, tl, vec_id, label, s, "
-       "row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn "
+       # normalize-then-dot, mirroring the engine's prenormalized fold
+       # (dq138's pattern) — list_cosine_similarity on the raw vectors is
+       # a different IEEE sequence and can flip a rounded half-boundary
+       "WITH unit AS (SELECT vec_id, label, list_transform("
+       "CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform("
+       "CAST(embedding AS DOUBLE[]), y -> y * y)))) AS nv FROM embeddings), "
+       "s AS (SELECT vec_id AS sid, label, nv AS sv FROM unit "
+       "WHERE vec_id < 100), "
+       "c AS (SELECT vec_id AS qid, label AS tl, nv AS qv FROM unit "
+       "WHERE vec_id >= 100), "
+       "sims AS (SELECT c.qid, c.tl, s.sid, s.label, "
+       "round(list_inner_product(c.qv, s.sv), 3) AS s FROM c CROSS JOIN s), "
+       "top AS (SELECT * FROM (SELECT qid, tl, sid, label, s, "
+       "row_number() OVER (PARTITION BY qid ORDER BY s DESC, sid) AS rn "
        "FROM sims) t WHERE rn <= 5), "
        "votes AS (SELECT qid, tl, label, CAST(count(*) AS INT) AS n_votes, "
        "round(sum(CAST(round(s * 1000) AS BIGINT)) "

@@ -420,64 +420,88 @@ def dq154_centroid_drift(t: Tables) -> DataFrame:
     return counts.join(drift, "label").select("label", "n0", "n1", "drift_cos")
 
 
-def dq170_knn_label_prop(t: Tables, holdout_mod: int = 5,
+def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
                          k: int = 5) -> DataFrame:
-    """kNN label propagation (weak supervision): every held-out vector
-    (vec_id % ``holdout_mod`` == 0) takes the majority label of its ``k``
-    nearest labeled neighbors by cosine — the standard cheap labeler for
-    bootstrapping training data from a small annotated seed set.
+    """kNN label propagation (weak supervision): every out-of-seed vector
+    takes the majority label of its ``k`` nearest members of a bounded
+    annotated seed (vec_id < ``seed_size``) by cosine — the standard
+    cheap labeler for bootstrapping training data from a small annotated
+    sample. ``true_label`` is carried through for eval.
 
-    Plan shape: the held-out set is the broadcast side; the labeled corpus
-    streams through one scan (never shuffled, never collected) and each
-    partition emits only window-local candidates. Ties break on
-    (votes desc, mean sim desc, label asc) — fully deterministic.
+    Plan shape: MAP-ONLY. The seed (a fixed constant in corpus size — an
+    earlier form broadcast a mod-selected 20% of the corpus, an executor
+    OOM at 100 TB) collapses to a single broadcast array-of-structs row;
+    every sim for a given query is then produced from its one corpus row,
+    so top-k selection and majority voting run as in-array expressions
+    with ZERO Exchange on the corpus (the window/groupBy form shuffled
+    corpus × seed rows on qid for data that was already row-local —
+    2.8 s → 0.4 s warm at sf0.1). Ties break on (votes desc, mean sim
+    desc, label asc) — fully deterministic; the mean-sim comparison
+    cross-multiplies exact scaled-integer sums (ssum_a·n_b vs ssum_b·n_a,
+    denominators positive), which agrees with the oracle's ordering on
+    the rounded mean because distinct means over k ≤ 5 are ≥ 1/60000
+    apart — far beyond the 1e-6 rounding grid.
     """
-    from multi_model_vectorsearch_spark.functions.vector import (
-        dot, l2_normalize,
-    )
+    from multi_model_vectorsearch_spark.functions.vector import l2_normalize
 
     e = t["embeddings"]
     # pre-normalize each side ONCE (map-only), so the pair expression is a
     # single dot fold instead of dot + two norms — 3× fewer HOF folds over
-    # the query × corpus product (9.5 s → ~3 s at sf0.1)
-    q = (
-        e.filter(F.col("vec_id") % holdout_mod == 0)
+    # the corpus × seed product
+    seed = e.filter(F.col("vec_id") < seed_size).select(
+        F.col("vec_id").alias("sid"), "label",
+        l2_normalize(F.col("embedding")).alias("sv"),
+    )
+    seed_arr = seed.agg(
+        F.collect_list(F.struct("sid", "label", "sv")).alias("sarr"))
+    corpus = (
+        e.filter(F.col("vec_id") >= seed_size)
         .select(
             F.col("vec_id").alias("qid"),
             l2_normalize(F.col("embedding")).alias("qv"),
             F.col("label").alias("true_label"),
         )
     )
-    labeled = e.filter(F.col("vec_id") % holdout_mod != 0).select(
-        "vec_id", l2_normalize(F.col("embedding")).alias("nv"), "label"
-    )
+    j = corpus.crossJoin(F.broadcast(seed_arr))
+
+    def pair_dot(qv, m):
+        return F.aggregate(
+            F.zip_with(qv, m["sv"], lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
     # 3-decimal similarity: engines sum the cosine fold in different orders
-    # (~1e-13 spread), and across query_count × corpus sims a 6th-decimal
-    # round boundary WILL flip somewhere — 3 decimals puts the boundary
-    # 1000× further away while ties stay deterministic on vec_id
-    sims = labeled.crossJoin(F.broadcast(q)).select(
-        "qid", "true_label", "vec_id", "label",
-        F.round(dot(F.col("nv"), F.col("qv")), 3).alias("s"),
-    )
-    wq = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
-    top = sims.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= k
-    )
-    votes = top.groupBy("qid", "true_label", "label").agg(
-        F.count("*").cast("int").alias("n_votes"),
-        # exact mean: sum scaled integers (order-independent), divide once
-        F.round(
-            F.sum(F.round(F.col("s") * 1e3).cast("bigint"))
-            / (F.count("*") * F.lit(1000.0)), 6,
-        ).alias("mean_sim"),
-    )
-    wv = Window.partitionBy("qid").orderBy(
-        F.desc("n_votes"), F.desc("mean_sim"), F.asc("label"))
-    return (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
-        .select(
-            "qid", F.col("label").alias("pred_label"), "true_label",
-            "n_votes", "mean_sim",
-        )
+    # (~1e-13 spread), and across corpus × seed sims a 6th-decimal round
+    # boundary WILL flip somewhere — 3 decimals puts the boundary 1000×
+    # further away while ties stay deterministic on sid
+    sims = F.transform(F.col("sarr"), lambda m: F.struct(
+        F.round(pair_dot(F.col("qv"), m), 3).alias("s"),
+        m["sid"].alias("sid"), m["label"].alias("label")))
+    cmp = lambda a, b: (  # noqa: E731 — (s desc, sid asc)
+        F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1)
+        .when(a["sid"] < b["sid"], -1).when(a["sid"] > b["sid"], 1)
+        .otherwise(0))
+    top = F.slice(F.array_sort(sims, cmp), 1, k)
+    labels = F.array_distinct(F.transform(top, lambda x: x["label"]))
+    # exact per-label stats: count + scaled-integer sum (order-independent)
+    votes = F.transform(labels, lambda l: F.struct(
+        F.size(F.filter(top, lambda x: x["label"] == l))
+        .cast("int").alias("n_votes"),
+        F.aggregate(F.filter(top, lambda x: x["label"] == l),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.round(x["s"] * 1000)
+                    .cast("bigint")).alias("ssum"),
+        l.alias("label")))
+    vcmp = lambda a, b: (  # noqa: E731 — (votes desc, mean desc, label asc)
+        F.when(a["n_votes"] > b["n_votes"], -1)
+        .when(a["n_votes"] < b["n_votes"], 1)
+        .when(a["ssum"] * b["n_votes"] > b["ssum"] * a["n_votes"], -1)
+        .when(a["ssum"] * b["n_votes"] < b["ssum"] * a["n_votes"], 1)
+        .when(a["label"] < b["label"], -1).when(a["label"] > b["label"], 1)
+        .otherwise(0))
+    best = F.element_at(F.array_sort(votes, vcmp), 1)
+    return j.select(
+        "qid", best["label"].alias("pred_label"), "true_label",
+        best["n_votes"].alias("n_votes"),
+        F.round(best["ssum"] / (best["n_votes"] * 1000.0), 6)
+        .alias("mean_sim"),
     )

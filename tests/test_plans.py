@@ -295,14 +295,26 @@ def test_source_cap_single_window_exchange(tables):
     assert "hashpartitioning(source" in plan
 
 
-def test_label_prop_broadcasts_heldout_side(tables):
-    # the labeled corpus must stream (never shuffle); the held-out query
-    # set is the broadcast side, exactly like the KNN join
+def test_label_prop_broadcasts_seed_side(tables):
+    # the unlabeled corpus must stream (never shuffle, never broadcast);
+    # the broadcast operand must be the bounded seed (vec_id < seed_size),
+    # whose size is constant in corpus size. In the simple plan string the
+    # broadcast subtree is everything printed after BroadcastExchange, so
+    # the seed filter must appear there and the corpus filter must not.
     from multi_model_vectorsearch_spark.operators import vector_ops as VO
 
-    plan = explain_formatted(VO.dq170_knn_label_prop(tables))
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    df = VO.dq170_knn_label_prop(tables)
+    plan = explain_formatted(df)
     assert "EvalPython" not in plan
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in simple
+    bcast_subtree = simple.split("BroadcastExchange", 1)[1]
+    assert "< 100" in bcast_subtree
+    assert ">= 100" not in bcast_subtree
+    # map-only on the corpus: top-k + voting are in-array expressions, so
+    # the only Exchange is the seed collapse (SinglePartition) — a
+    # regression to the window/groupBy form reintroduces hashpartitioning
+    assert "hashpartitioning" not in simple
 
 
 def test_registry_wide_plan_hygiene(tables):
