@@ -120,12 +120,21 @@ def main() -> None:
          if v > max(8.0, 20 * med) and n not in cache_builders),
         key=lambda n: -timings[n],
     )[:20]
+    retries: dict[str, dict[str, float]] = {}
     for name in suspects:
         entry = next(e for e in registry if e.name == name)
+        n_cached = session_cache_len()
         t0 = time.perf_counter()
         materialize(entry.builder(tables))
-        timings[name] = min(timings[name],
-                            round(time.perf_counter() - t0, 3))
+        retry = round(time.perf_counter() - t0, 3)
+        if session_cache_len() > n_cached:
+            # the retry itself built (and now rides) a fresh shared cache —
+            # using it would understate the entry; keep the first timing
+            continue
+        # both measurements go to bench_full.json so a kept minimum is
+        # auditable against the stall-victim first run
+        retries[name] = {"first": timings[name], "retry": retry}
+        timings[name] = min(timings[name], retry)
 
     timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
@@ -149,7 +158,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
-        json.dump({"total_sec": total, "queries": timings}, fh, indent=1, sort_keys=True)
+        json.dump({"total_sec": total, "queries": timings,
+                   "retries": retries}, fh, indent=1, sort_keys=True)
     print(json.dumps(line, separators=(",", ":")))
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2026,14 +2027,29 @@ def _driver_verified_now() -> frozenset[str]:
     when a new round's CORRECTNESS lands in the repo root, its green
     entries automatically stop occupying the next round's gate window.
     A green name is one with rows+schema+hash all matching, or a
-    rows-only-by-design entry (err == "no_oracle")."""
+    rows-only-by-design entry (err == "no_oracle").
+
+    Memoized on the (path, mtime) list of the driver files: registry() is
+    called repeatedly by tests and the entry contract, and re-globbing +
+    re-parsing every file per call made registry ORDER depend on repeated
+    filesystem reads. Note the rotation still depends on which
+    CORRECTNESS_r*.json files exist in the workspace — content is
+    unaffected, only run order / bench entry rotation."""
     import glob
-    import json
     import os
 
-    names = set(_DRIVER_VERIFIED)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    key = tuple((p, os.path.getmtime(p)) for p in paths)
+    return _parse_driver_files(key)
+
+
+@lru_cache(maxsize=8)
+def _parse_driver_files(key: tuple) -> frozenset[str]:
+    import json
+
+    names = set(_DRIVER_VERIFIED)
+    for path, _mtime in key:
         try:
             with open(path) as fh:
                 rows = json.load(fh)

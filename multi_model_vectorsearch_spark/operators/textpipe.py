@@ -108,7 +108,10 @@ def _session_cached(cache: dict, t: Tables, build, extra=(),
     falls back to an uncached build when the JVM plan handle is
     unavailable (e.g. Spark Connect). Capped at _CACHE_CAP entries with
     unpersist-on-evict so memory cannot grow unboundedly across corpora."""
-    if cache not in _ALL_CACHES:
+    # identity, not equality: empty dicts are all ==, so an equality test
+    # would skip registering a cache whose first population happens inside
+    # another cache's build while a different empty cache is already listed
+    if not any(c is cache for c in _ALL_CACHES):
         _ALL_CACHES.append(cache)
     src = t[table]
     try:

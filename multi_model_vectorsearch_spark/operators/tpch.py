@@ -546,12 +546,18 @@ def dq174_tpch_q9(t: Tables) -> DataFrame:
     )
     rev = (F.col("l_extendedprice").cast(_D)
            * (F.lit(1).cast(_D) - F.col("l_discount").cast(_D)))
-    cost_cents = F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint")
+    # sum the cents products as decimal(38,0): Spark's bigint sum wraps
+    # silently at 2^63 while the DuckDB oracle promotes to HUGEINT — at
+    # fixture scale both paths give the identical integer (and the same
+    # double after conversion), but only the decimal sum survives 100 TB
+    cost_cents = (F.col("ps_cost_cents")
+                  * F.col("l_quantity").cast("bigint")).cast("decimal(38,0)")
     return (
         j.groupBy("n_name",
                   F.year("l_shipdate").cast("int").alias("o_year"))
         .agg(F.round(
-            F.sum(rev).cast("double") - F.sum(cost_cents) / 100.0, 2)
+            F.sum(rev).cast("double")
+            - F.sum(cost_cents).cast("double") / 100.0, 2)
             .alias("profit"))
     )
 
@@ -574,13 +580,20 @@ def dq175_tpch_q11(t: Tables, nation: str = "NATION_1",
         ps.join(F.broadcast(natsupp),
                 F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
-        .agg(F.sum(F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"))
+        # decimal(38,0) sum: overflow-safe at any scale (the oracle's
+        # BIGINT sum promotes to HUGEINT; Spark's would wrap silently)
+        .agg(F.sum((F.col("ps_cost_cents") * F.col("ps_availqty"))
+                   .cast("decimal(38,0)")).alias("v"))
     )
     tot = vals.agg(F.sum("v").alias("tv"))
     return (
         vals.crossJoin(F.broadcast(tot))
-        .filter(F.col("v") > F.lit(frac) * F.col("tv"))
-        .select("ps_partkey", F.round(F.col("v") / 100.0, 2).alias("value"))
+        .filter(F.col("v").cast("double")
+                > F.lit(frac) * F.col("tv").cast("double"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("v").cast("double") / 100.0, 2).alias("value"),
+        )
     )
 
 

@@ -177,9 +177,14 @@ class IngestPipeline:
                 (F.row_number().over(ws) - 1).cast("int").alias("cid"),
                 F.col("embedding").alias("cvec"),
             ).localCheckpoint(eager=True)
-            cents.write.mode("overwrite").parquet(self.centroids_dir)
+            # index BEFORE centroids: the two writes are not atomic, and
+            # search_ivf gates probing on centroids-present — this order
+            # makes centroids-present imply index-present, so a crash
+            # between the writes degrades to a full scan instead of
+            # silently semi-joining every query to an empty member set
             self._assign(self.corpus(), cents).write.mode(
                 "overwrite").parquet(self.index_dir)
+            cents.write.mode("overwrite").parquet(self.centroids_dir)
         else:
             self._assign(fresh, cents).write.mode(
                 "append").parquet(self.index_dir)
@@ -198,7 +203,12 @@ class IngestPipeline:
         q = qdf.select(
             route_embedding(F.col("text"), F.col("modality")).alias("qv"))
         corpus = self.corpus()
-        if not cents.isEmpty():
+        idx = self.ivf_index() if not cents.isEmpty() else None
+        # probe only when BOTH halves of the index exist — _update_index
+        # orders its writes so centroids imply members, but a reader of a
+        # half-built external directory still degrades to the full scan
+        # rather than semi-joining everything to an empty member set
+        if idx is not None and not idx.isEmpty():
             probe_cids = (
                 cents.crossJoin(F.broadcast(q))
                 .select("cid", cosine_similarity(
@@ -206,7 +216,7 @@ class IngestPipeline:
                 .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
                 .select("cid")
             )
-            members = self.ivf_index().join(
+            members = idx.join(
                 F.broadcast(probe_cids), "cid").select("doc_id")
             corpus = corpus.join(F.broadcast(members), "doc_id", "left_semi")
         return (

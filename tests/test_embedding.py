@@ -57,10 +57,17 @@ def test_clip_udf_constructs_and_normalizes(spark):
     """Production-path invariants (reference app.py:14-15,26): 512-d,
     unit-norm text embeddings. Runs only where the ML stack exists."""
     udf = clip_embed_udf()
-    df = spark.createDataFrame([("a small test sentence",)], "text string")
-    v = df.select(udf("text").alias("v")).first().v
-    assert len(v) == CLIP_DIM
-    assert math.isclose(math.fsum(x * x for x in v), 1.0, rel_tol=1e-4)
+    # three strings of different lengths: exercises the batch padding +
+    # truncation path, not just a singleton forward pass
+    df = spark.createDataFrame(
+        [("a cat",), ("a small test sentence",),
+         ("a much longer sentence about a red car driving north",)],
+        "text string")
+    rows = df.select(udf("text").alias("v")).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r.v) == CLIP_DIM
+        assert math.isclose(math.fsum(x * x for x in r.v), 1.0, rel_tol=1e-4)
 
 
 @pytest.mark.skipif(_torch_available(),

@@ -296,6 +296,45 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
     assert c == a
 
 
+def test_balanced_finish_beyond_default_arrow_batch(spark, tmp_path):
+    """Round-2's finish_k bug (independent per-Arrow-batch top-k emitting
+    duplicate (qid, rn) rows) was invisible because the test corpus fit one
+    Arrow batch. Drive the REAL entry point (knn_against_corpus, which
+    picks the target==1 finish_k path itself) with a corpus larger than the
+    default spark.sql.execution.arrow.maxRecordsPerBatch (10k), so the
+    kernel provably sees multiple pandas batches under production confs."""
+    batch_cap = int(spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"))
+    n_corpus = batch_cap + 2500
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: ((F.col("doc_id") * 31 + i.cast("bigint")) % 97)
+        .cast("double") / 97.0)
+    corpus = spark.range(n_corpus).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content_sha256"),
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("id") % 3 + 1).cast("int")).alias("modality"),
+        emb.alias("embedding"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "bigstate"), k=6)
+    corpus.write.parquet(pipe.corpus_dir)
+    fresh = pipe.corpus().filter(F.col("doc_id") % 2501 == 0)  # 6 queries
+    out = pipe.knn_against_corpus(fresh)
+    rows = out.collect()
+    assert len(rows) > 0
+    # the finish path must have produced each (qid, rn) exactly once
+    pairs = [(r.qid, r.rn) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate (qid, rn) — per-batch finish"
+    # and be byte-for-byte the window-based selection over the same pool
+    pool_k = pipe.k * 6
+    window = pipe._balanced_select(
+        pipe._knn_kernel(pipe.corpus().repartition(7), fresh, pool_k),
+        pipe.k, pool_k)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, window.collect()))
+
+
 def test_ivf_index_maintained_incrementally(spark, tables, tmp_path):
     """The coarse IVF index must track the corpus exactly across micro-
     batches (bootstrap at 64 docs, then append-only assignment of fresh
