@@ -434,13 +434,27 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
     every sim for a given query is then produced from its one corpus row,
     so top-k selection and majority voting run as in-array expressions
     with ZERO Exchange on the corpus (the window/groupBy form shuffled
-    corpus × seed rows on qid for data that was already row-local —
-    2.8 s → 0.4 s warm at sf0.1). Ties break on (votes desc, mean sim
-    desc, label asc) — fully deterministic; the mean-sim comparison
-    cross-multiplies exact scaled-integer sums (ssum_a·n_b vs ssum_b·n_a,
-    denominators positive), which agrees with the oracle's ordering on
-    the rounded mean because distinct means over k ≤ 5 are ≥ 1/60000
-    apart — far beyond the 1e-6 rounding grid.
+    corpus × seed rows on qid for data that was already row-local).
+
+    Two interpreter-cost rules shape the expression pipeline (HOFs are
+    CodegenFallback, so nothing here is codegen'd):
+
+    * each expensive step is staged through its own ``withColumn`` —
+      referenced-more-than-once aliases stop CollapseProject from inlining
+      (and hence re-evaluating) the whole upstream tree per consumer;
+      the single-Project form re-computed the 100-dot pipeline ~4×;
+    * both sorts use NATURAL struct ordering over exact negated integer
+      sort keys instead of lambda comparators (a JVM compare per element
+      vs an interpreted when-chain per comparison): sims order by
+      ``(-round(s·1000), sid)`` ≡ (s desc, sid asc); votes order by
+      ``(-n, -ssum·(60/n), label)`` ≡ (votes desc, mean desc, label asc),
+      exact because 60 = lcm(1..5) makes ssum·(60/n) an integer.
+      Together: 10.7 s → 2.4 s warm at sf0.1 (honest noop-sink timing).
+
+    Ties break on (votes desc, mean sim desc, label asc) — fully
+    deterministic and identical to the oracle's ordering on the rounded
+    mean, because distinct means over k ≤ 5 are ≥ 1/60000 apart — far
+    beyond the 1e-6 rounding grid.
     """
     from multi_model_vectorsearch_spark.functions.vector import l2_normalize
 
@@ -472,36 +486,34 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
     # 3-decimal similarity: engines sum the cosine fold in different orders
     # (~1e-13 spread), and across corpus × seed sims a 6th-decimal round
     # boundary WILL flip somewhere — 3 decimals puts the boundary 1000×
-    # further away while ties stay deterministic on sid
+    # further away while ties stay deterministic on sid. The two-step
+    # round (to 3 decimals, then scale) matches the oracle's exactly.
     sims = F.transform(F.col("sarr"), lambda m: F.struct(
-        F.round(pair_dot(F.col("qv"), m), 3).alias("s"),
+        (-F.round(F.round(pair_dot(F.col("qv"), m), 3) * 1000))
+        .cast("bigint").alias("negs"),
         m["sid"].alias("sid"), m["label"].alias("label")))
-    cmp = lambda a, b: (  # noqa: E731 — (s desc, sid asc)
-        F.when(a["s"] > b["s"], -1).when(a["s"] < b["s"], 1)
-        .when(a["sid"] < b["sid"], -1).when(a["sid"] > b["sid"], 1)
-        .otherwise(0))
-    top = F.slice(F.array_sort(sims, cmp), 1, k)
-    labels = F.array_distinct(F.transform(top, lambda x: x["label"]))
-    # exact per-label stats: count + scaled-integer sum (order-independent)
-    votes = F.transform(labels, lambda l: F.struct(
-        F.size(F.filter(top, lambda x: x["label"] == l))
-        .cast("int").alias("n_votes"),
-        F.aggregate(F.filter(top, lambda x: x["label"] == l),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + F.round(x["s"] * 1000)
-                    .cast("bigint")).alias("ssum"),
+    staged = (
+        j.withColumn("sims", sims)
+        .withColumn("top", F.slice(F.array_sort(F.col("sims")), 1, k))
+        .withColumn("labels", F.array_distinct(
+            F.transform(F.col("top"), lambda x: x["label"])))
+    )
+
+    def nvotes(l):
+        return F.size(F.filter(F.col("top"), lambda x: x["label"] == l))
+
+    votes = F.transform(F.col("labels"), lambda l: F.struct(
+        (-nvotes(l)).cast("int").alias("negn"),
+        (F.aggregate(F.filter(F.col("top"), lambda x: x["label"] == l),
+                     F.lit(0).cast("bigint"),
+                     lambda acc, x: acc + x["negs"])
+         * (60 / nvotes(l)).cast("bigint")).alias("negmean"),
         l.alias("label")))
-    vcmp = lambda a, b: (  # noqa: E731 — (votes desc, mean desc, label asc)
-        F.when(a["n_votes"] > b["n_votes"], -1)
-        .when(a["n_votes"] < b["n_votes"], 1)
-        .when(a["ssum"] * b["n_votes"] > b["ssum"] * a["n_votes"], -1)
-        .when(a["ssum"] * b["n_votes"] < b["ssum"] * a["n_votes"], 1)
-        .when(a["label"] < b["label"], -1).when(a["label"] > b["label"], 1)
-        .otherwise(0))
-    best = F.element_at(F.array_sort(votes, vcmp), 1)
-    return j.select(
+    staged = staged.withColumn("best", F.element_at(F.array_sort(votes), 1))
+    best = F.col("best")
+    # mean_sim = ssum/(n·1000) = (-negmean·n/60)/(n·1000) = -negmean/60000
+    return staged.select(
         "qid", best["label"].alias("pred_label"), "true_label",
-        best["n_votes"].alias("n_votes"),
-        F.round(best["ssum"] / (best["n_votes"] * 1000.0), 6)
-        .alias("mean_sim"),
+        (-best["negn"]).alias("n_votes"),
+        F.round(-best["negmean"] / 60000.0, 6).alias("mean_sim"),
     )
