@@ -136,6 +136,14 @@ def main() -> None:
         retries[name] = {"first": timings[name], "retry": retry}
         timings[name] = min(timings[name], retry)
 
+    # free the suite's persisted shared tables first: the e2e row measures
+    # a serving pipeline, not how it fares while 178 analytics entries'
+    # caches occupy executor storage memory (measured 8.3 vs 2.6 s/batch)
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        clear_session_caches,
+    )
+
+    clear_session_caches()
     timings["e2e_submit_microbatch"] = bench_e2e_ingest(spark, tables)
 
     total = round(sum(timings.values()), 3)

@@ -1959,6 +1959,27 @@ _REGISTRY: list[DQ] = [
        "list_sort(list(value) OVER (PARTITION BY user_id "
        "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
        "AS a FROM events) t"),
+    DQ("dq180_tfidf_top_terms", T.dq180_tfidf_top_terms,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
+       "GROUP BY doc_id, tok), "
+       "dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+       "nn AS (SELECT count(*) AS n FROM documents), "
+       "scored AS (SELECT doc_id, tok, tf, "
+       "round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf "
+       "FROM tf JOIN dfs USING (tok) CROSS JOIN nn) "
+       "SELECT doc_id, tok, tf, tfidf, CAST(rank AS INT) AS rank FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY doc_id "
+       "ORDER BY tfidf DESC, tok) AS rank FROM scored) r WHERE rank <= 5"),
+    DQ("dq181_neardup_first_occurrence", T.dq181_neardup_first_occurrence,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "dup AS (SELECT d2, min(d1) AS dup_of FROM p GROUP BY d2) "
+       "SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of "
+       "FROM documents d LEFT JOIN dup ON d.doc_id = dup.d2"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "

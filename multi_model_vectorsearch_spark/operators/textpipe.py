@@ -1126,3 +1126,87 @@ def dq172_minhash_estimate_audit(t: Tables) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+def dq180_tfidf_top_terms(t: Tables, top_n: int = 5) -> DataFrame:
+    """Per-document top-``top_n`` TF-IDF terms — the keyword-extraction
+    pass a curation pipeline runs for topic tagging, index previews, and
+    lexical-drift monitoring. Smooth IDF (sklearn's formula):
+    idf = ln((N + 1)/(df + 1)) + 1.
+
+    Scale shape: term frequencies reduce map-side on (doc_id, tok); the
+    document-frequency table derives FROM the tf aggregate (count of tf
+    rows per tok — never a second pass over the corpus) and joins back
+    co-partitioned on tok; the final per-doc top-n is one window on
+    doc_id. Three shuffles total, all map-combinable or key-aligned; no
+    broadcast of the vocabulary-sized df table is attempted.
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfs = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n"))
+    idf = F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.join(dfs, "tok").crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "tok", "tf",
+                F.round(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "tok", "tf", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def dq181_neardup_first_occurrence(t: Tables) -> DataFrame:
+    """Per-document near-dup flag against every EARLIER document: is_dup
+    iff some lower-doc_id doc shares ≥2 of the 8 MinHash lanes, with
+    ``dup_of`` the earliest such predecessor — the flag table an
+    ingest-ordered dedup pass publishes (flag-then-decide; signatures of
+    flagged docs stay in the store, so the semantics are replay-order
+    independent and IDENTICAL whether computed in one batch or
+    incrementally per micro-batch — pinned by the streaming-equivalence
+    test).
+
+    One projection over the session-shared dq41 candidate pairs (banded
+    LSH join — never doc×doc) plus a left join back to the corpus.
+    """
+    pairs = minhash_lsh_pairs_shared(t)  # (d1 < d2, matches >= 2)
+    dupof = pairs.groupBy("d2").agg(F.min("d1").alias("dup_of"))
+    docs = t["documents"].select("doc_id")
+    return (
+        docs.join(dupof, docs.doc_id == dupof.d2, "left")
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of")
+    )
+
+
+def neardup_flags_incremental(sig_fresh: DataFrame,
+                              sig_store: DataFrame,
+                              min_matches: int = 2) -> DataFrame:
+    """Streaming form of dq181 for one micro-batch: flag each fresh doc
+    against the signature STORE (all earlier docs) plus earlier docs
+    within the same batch. Returns (doc_id, is_dup, dup_of); appending
+    ``sig_fresh`` to the store afterwards reproduces dq181's batch
+    output exactly, because flagged docs' signatures are retained.
+    """
+    prior = sig_store.select(F.col("doc_id").alias("d1"), "seed", "mh")
+    mine = sig_fresh.select(F.col("doc_id").alias("d2"), "seed", "mh")
+    within = sig_fresh.select(F.col("doc_id").alias("d1"), "seed", "mh")
+    cand = (
+        prior.unionAll(within)
+        .join(mine, ["seed", "mh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2").agg(F.count("*").alias("matches"))
+        .filter(F.col("matches") >= min_matches)
+    )
+    dupof = cand.groupBy("d2").agg(F.min("d1").alias("dup_of"))
+    docs = sig_fresh.select("doc_id").distinct()
+    return (
+        docs.join(dupof, docs.doc_id == dupof.d2, "left")
+        .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"),
+                "dup_of")
+    )

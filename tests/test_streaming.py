@@ -296,6 +296,44 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
     assert c == a
 
 
+def test_neardup_incremental_matches_batch(spark, tables):
+    """dq181's flag table is replay-order independent: computing flags
+    per micro-batch against an accumulating signature store (flagged
+    docs' signatures retained) reproduces the one-shot batch output
+    exactly."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq40_minhash_signatures,
+        dq181_neardup_first_occurrence,
+        neardup_flags_incremental,
+    )
+
+    sig = dq40_minhash_signatures(tables).localCheckpoint(eager=True)
+    n_batches = 4
+    # contiguous doc_id ranges: "earlier" in dq181 means lower doc_id, so
+    # the replay must present documents in ingest (doc_id) order
+    hi = sig.agg(F.max("doc_id")).first()[0] + 1
+    step = (hi + n_batches - 1) // n_batches
+    incremental = []
+    store = None
+    for b in range(n_batches):
+        fresh = sig.filter((F.col("doc_id") >= b * step)
+                           & (F.col("doc_id") < (b + 1) * step))
+        if store is None:
+            empty = sig.filter(F.lit(False))
+            incremental.append(neardup_flags_incremental(fresh, empty))
+            store = fresh
+        else:
+            incremental.append(neardup_flags_incremental(fresh, store))
+            store = store.unionAll(fresh)
+    got = sorted(map(tuple, incremental[0].unionAll(incremental[1])
+                     .unionAll(incremental[2]).unionAll(incremental[3])
+                     .collect()))
+    want = sorted(map(tuple,
+                      dq181_neardup_first_occurrence(tables).collect()))
+    assert got == want and len(got) > 0
+    assert any(r[1] for r in got)  # fixtures do contain near-dups
+
+
 def test_balanced_finish_beyond_default_arrow_batch(spark, tmp_path):
     """Round-2's finish_k bug (independent per-Arrow-batch top-k emitting
     duplicate (qid, rn) rows) was invisible because the test corpus fit one
