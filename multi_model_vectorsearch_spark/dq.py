@@ -1369,7 +1369,7 @@ _REGISTRY: list[DQ] = [
        "SELECT label, best_vec, s FROM best ORDER BY s DESC, label LIMIT 5"),
     DQ("dq147_mutual_knn", V.dq147_mutual_knn,
        "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
-       "WHERE vec_id < 20), "
+       "WHERE vec_id < 100), "
        "sims AS (SELECT q.qid, e.vec_id, round(CASE WHEN e.vec_id = q.qid "
        "THEN 1.0 ELSE " + _cos("e", "q") + " END, 6) AS s "
        "FROM embeddings e CROSS JOIN q), "

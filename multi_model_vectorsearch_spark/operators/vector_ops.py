@@ -318,14 +318,16 @@ def dq146_grouped_maxsim(t: Tables, query_vec_id: int = 0, k: int = 5) -> DataFr
     return best.orderBy(F.desc("s"), F.asc("label")).limit(k)
 
 
-def dq147_mutual_knn(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
+def dq147_mutual_knn(t: Tables, n_queries: int = 100, k: int = 5) -> DataFrame:
     """Reciprocal nearest neighbors: pairs where EACH vector appears in the
     other's top-k — the stricter symmetric criterion semantic-dedup
     pipelines use to avoid hub-vector false positives.
 
     Built from the same ranked table as dq31 (one scan, one window);
     mutuality is a self-join of that k·|Q|-row result on the swapped key,
-    which is negligible next to the scan.
+    which is negligible next to the scan. n_queries=100 (not dq31's 20)
+    so the fixture corpora actually contain mutual pairs — at 20 the
+    gate compared two empty results, which checks nothing.
     """
     ranked = dq31_knn_join(t, n_queries=n_queries, k=k)
     a = ranked.select(F.col("qid").alias("a"), F.col("vec_id").alias("b"),

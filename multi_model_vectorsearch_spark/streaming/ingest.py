@@ -137,6 +137,43 @@ class IngestPipeline:
         if self.maintain_ivf:
             self._update_index(fresh)
 
+    # --- state maintenance ---------------------------------------------------
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict[str, int]:
+        """Rewrite the append-accumulated state directories into
+        right-sized files.
+
+        Every micro-batch appends at least one parquet file to the corpus
+        and edges directories, so a long-running ingest accumulates
+        thousands of tiny files — the classic small-files problem: scan
+        parallelism degenerates to one task per tiny file and the
+        NameNode/listing cost grows linearly per query. Run this on an
+        ops cadence (e.g. nightly). Per directory: read, coalesce to
+        ceil(rows / target_rows_per_file) files, write beside, swap
+        atomically-enough for a single-writer pipeline (rename old →
+        .old, new → live, delete .old). Returns {dir_name: n_files}.
+        """
+        import shutil
+
+        done: dict[str, int] = {}
+        for path, schema in ((self.corpus_dir, CORPUS_SCHEMA),
+                             (self.edges_dir, EDGE_SCHEMA),
+                             (self.index_dir, INDEX_SCHEMA)):
+            if not (os.path.isdir(path) and any(
+                    f.endswith(".parquet") for f in os.listdir(path))):
+                continue
+            df = self.spark.read.schema(schema).parquet(path)
+            n = df.count()
+            files = max(1, -(-n // target_rows_per_file))
+            tmp = path + ".compact"
+            old = path + ".old"
+            df.coalesce(files).write.mode("overwrite").parquet(tmp)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+            done[os.path.basename(path)] = files
+        return done
+
     # --- incremental IVF index maintenance ---------------------------------
 
     def _assign(self, docs: DataFrame, cents: DataFrame) -> DataFrame:

@@ -248,8 +248,10 @@ def test_label_prop_recovers_planted_clusters(spark):
         rows.append((i, [float(x / n) for x in vec], c))
     emb = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label bigint")
-    out = VO.dq170_knn_label_prop({"embeddings": emb}).collect()
-    assert len(out) == 12  # 60/5 held out
+    # seed = first 15 vectors (5 annotated per cluster); the other 45
+    # are propagation targets
+    out = VO.dq170_knn_label_prop({"embeddings": emb}, seed_size=15).collect()
+    assert len(out) == 45
     assert all(r.pred_label == r.true_label for r in out)
 
 

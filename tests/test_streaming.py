@@ -296,6 +296,37 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
     assert c == a
 
 
+def test_compact_rewrites_small_files(spark, tables, tmp_path):
+    """Per-batch appends accumulate tiny parquet files; compact() must
+    rewrite each state dir to ceil(rows/target) files with identical
+    contents and leave the pipeline fully functional."""
+    import glob
+
+    docs = tables["documents"].limit(90).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "cstate"), k=4)
+    for b in range(3):
+        pipe.process_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    before_corpus = sorted(map(tuple, pipe.corpus().collect()))
+    before_edges = sorted(map(tuple, pipe.edges().collect()))
+    n_files = len(glob.glob(str(tmp_path / "cstate" / "corpus" / "*.parquet")))
+    assert n_files >= 3  # one-plus appended file per batch
+    done = pipe.compact()
+    assert done["corpus"] == 1 and done["edges"] == 1
+    assert len(glob.glob(
+        str(tmp_path / "cstate" / "corpus" / "*.parquet"))) == 1
+    assert sorted(map(tuple, pipe.corpus().collect())) == before_corpus
+    assert sorted(map(tuple, pipe.edges().collect())) == before_edges
+    # pipeline still ingests + serves after the swap
+    pipe.process_batch(docs.limit(0), 99)
+    assert pipe.search("anything", k=3).count() <= 3
+
+
 def test_neardup_incremental_matches_batch(spark, tables):
     """dq181's flag table is replay-order independent: computing flags
     per micro-batch against an accumulating signature store (flagged
