@@ -1980,6 +1980,16 @@ _REGISTRY: list[DQ] = [
        "dup AS (SELECT d2, min(d1) AS dup_of FROM p GROUP BY d2) "
        "SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of "
        "FROM documents d LEFT JOIN dup ON d.doc_id = dup.d2"),
+    DQ("dq182_hard_negatives", V.dq182_hard_negatives,
+       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel "
+       "FROM embeddings WHERE vec_id < 20), "
+       "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label AS neg_label, "
+       "round(" + _cos("e", "q") + ", 6) AS s "
+       "FROM embeddings e CROSS JOIN q WHERE e.label != q.qlabel), "
+       "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid "
+       "ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims) "
+       "SELECT qid, qlabel, rnk, vec_id, neg_label, s FROM ranked "
+       "WHERE rnk <= 5"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "

@@ -341,6 +341,43 @@ def dq147_mutual_knn(t: Tables, n_queries: int = 100, k: int = 5) -> DataFrame:
     )
 
 
+def dq182_hard_negatives(t: Tables, n_queries: int = 20,
+                         k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the ``k`` highest-cosine corpus vectors with a DIFFERENT label — the
+    negatives that actually move an embedding model (random negatives are
+    trivially separable; the informative ones sit just across the
+    decision boundary).
+
+    Same physical shape as the KNN join (B49): bounded query set
+    broadcast, corpus streams through one scan, label filter applied
+    BEFORE the similarity evaluation so mismatched pairs never pay the
+    dot product, per-query top-k via one window on qid.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid", "qlabel", "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "qlabel", "rnk", "vec_id", "neg_label", "s")
+    )
+
+
 def dq149_diversity_filter(t: Tables, query_vec_id: int = 0, n_cand: int = 50,
                            tau: float = 0.25) -> DataFrame:
     """Leader-based diversity filter over a KNN candidate pool: fetch the
