@@ -183,6 +183,16 @@ _EMB_CTE = (
 )
 
 
+def _spread_sql(x: str, bits: int = 10) -> str:
+    """DuckDB expression: Morton bit-spread of ``x`` (mirrors
+    scale.dq189_zorder_layout's magic-mask interleave)."""
+    e = f"({x} & {(1 << bits) - 1})"
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                  (2, 0x33333333), (1, 0x55555555)):
+        e = f"((({e}) | (({e}) << {sh})) & {m})"
+    return e
+
+
 _REGISTRY: list[DQ] = [
     DQ("dq01_scan_project", R.dq01_scan_project,
        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"),
@@ -2007,6 +2017,103 @@ _REGISTRY: list[DQ] = [
        "AS abs_err "
        "FROM p JOIN iv ON p.d1 = iv.d1 AND p.d2 = iv.d2 "
        "JOIN sz sa ON sa.doc_id = p.d1 JOIN sz sb ON sb.doc_id = p.d2"),
+    DQ("dq183_prefix_filter_join", T.dq183_prefix_filter_join,
+       # Oracle = brute-force all-pairs: equality proves the prefix filter
+       # is lossless.
+       "WITH " + _SH_CTE + ", "
+       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+       "iv AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM sh a JOIN sh b ON a.shingle = b.shingle "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
+       "j AS (SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 6) "
+       "AS jaccard FROM iv JOIN sz sa ON sa.doc_id = d1 "
+       "JOIN sz sb ON sb.doc_id = d2) "
+       "SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6"),
+    DQ("dq184_ohlc_bars", TS.dq184_ohlc_bars,
+       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, "
+       "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
+       "printf('%020d%020d', epoch_us(ts), event_id) AS k FROM events) "
+       "SELECT user_id, hb, arg_min(v, k) AS open, max(v) AS high, "
+       "min(v) AS low, arg_max(v, k) AS close, "
+       "round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume, "
+       "count(*) AS n FROM ev GROUP BY user_id, hb"),
+    DQ("dq185_inverted_index", RT.dq185_inverted_index,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "tf AS (SELECT tok, doc_id, count(*) AS tf FROM toks "
+       "GROUP BY tok, doc_id), "
+       "r AS (SELECT tok, doc_id, "
+       "count(*) OVER (PARTITION BY tok) AS df, "
+       "CAST(sum(tf) OVER (PARTITION BY tok) AS BIGINT) AS total_tf, "
+       "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM tf) "
+       "SELECT tok, max(df) AS df, max(total_tf) AS total_tf, "
+       "list_sort(list(doc_id)) AS postings_head "
+       "FROM r WHERE df >= 5 AND rn <= 8 GROUP BY tok"),
+    DQ("dq186_basket_lift", R.dq186_basket_lift,
+       "WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand "
+       "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+       "no AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders), "
+       "marg AS (SELECT brand, count(*) AS nb FROM items GROUP BY brand), "
+       "pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS pair_n "
+       "FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand "
+       "GROUP BY b1, b2 HAVING count(*) >= 5) "
+       "SELECT b1, b2, pair_n, round(pair_n / n, 6) AS support, "
+       "round(pair_n * n / (m1.nb * m2.nb), 6) AS lift "
+       "FROM pairs JOIN marg m1 ON m1.brand = b1 "
+       "JOIN marg m2 ON m2.brand = b2 CROSS JOIN no "
+       "ORDER BY lift DESC, b1, b2 LIMIT 30"),
+    DQ("dq187_changelog_compact", TS.dq187_changelog_compact,
+       "SELECT user_id, count(*) AS n_ops, "
+       "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), k) "
+       "AS last_value, "
+       "arg_max(epoch_us(ts), k) AS last_ts_us "
+       "FROM (SELECT *, printf('%020d%020d', epoch_us(ts), event_id) AS k "
+       "FROM events) e GROUP BY user_id "
+       "HAVING NOT arg_max(event_type = 'purchase', k)"),
+    DQ("dq188_psi_drift", TS.dq188_psi_drift,
+       "WITH ev AS (SELECT event_type, event_id % 2 = 0 AS is_ref, "
+       "CAST(value AS DOUBLE) AS v FROM events), "
+       "bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM ev "
+       "WHERE is_ref GROUP BY event_type), "
+       "bk AS (SELECT e.event_type, is_ref, least(9, greatest(0, "
+       "CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS b "
+       "FROM ev e JOIN bounds bo ON e.event_type = bo.event_type), "
+       "counts AS (SELECT event_type, is_ref, b, count(*) AS c FROM bk "
+       "GROUP BY event_type, is_ref, b), "
+       "tot AS (SELECT event_type, is_ref, sum(c) AS n FROM counts "
+       "GROUP BY event_type, is_ref), "
+       "sm AS (SELECT c.event_type, c.b, c.is_ref, "
+       "(c.c + 0.5) / (t.n + 5.0) AS p FROM counts c JOIN tot t "
+       "ON c.event_type = t.event_type AND c.is_ref = t.is_ref), "
+       "tots AS (SELECT event_type, "
+       "max(CASE WHEN is_ref THEN n END) AS n_ref, "
+       "max(CASE WHEN NOT is_ref THEN n END) AS n_cur FROM tot "
+       "GROUP BY event_type), "
+       "grid AS (SELECT s.event_type, s.b, "
+       "coalesce(max(CASE WHEN s.is_ref THEN s.p END), "
+       "max(0.5 / (tt.n_ref + 5.0))) AS p, "
+       "coalesce(max(CASE WHEN NOT s.is_ref THEN s.p END), "
+       "max(0.5 / (tt.n_cur + 5.0))) AS q "
+       "FROM sm s JOIN tots tt ON s.event_type = tt.event_type "
+       "GROUP BY s.event_type, s.b) "
+       "SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi, "
+       "count(*) AS n_buckets_hit FROM grid GROUP BY event_type"),
+    DQ("dq189_zorder_layout", S.dq189_zorder_layout,
+       "WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk, "
+       "CAST(l_suppkey AS BIGINT) AS sk FROM lineitem), "
+       "bounds AS (SELECT min(pk) AS pk_lo, max(pk) AS pk_hi, "
+       "min(sk) AS sk_lo, max(sk) AS sk_hi FROM li), "
+       "binned AS (SELECT pk, sk, "
+       "CAST(floor((pk - pk_lo) * 1024 / (pk_hi - pk_lo + 1)) AS BIGINT) "
+       "AS px, "
+       "CAST(floor((sk - sk_lo) * 1024 / (sk_hi - sk_lo + 1)) AS BIGINT) "
+       "AS sx FROM li CROSS JOIN bounds), "
+       "zed AS (SELECT pk, sk, "
+       "((" + _spread_sql("px") + ") | ((" + _spread_sql("sx") + ") << 1)) "
+       ">> 16 AS zb FROM binned) "
+       "SELECT CAST(zb AS INT) AS zbucket, count(*) AS n_rows, "
+       "min(pk) AS pk_min, max(pk) AS pk_max, "
+       "min(sk) AS sk_min, max(sk) AS sk_max FROM zed GROUP BY zb"),
 ]
 
 

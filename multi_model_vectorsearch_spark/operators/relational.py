@@ -760,3 +760,51 @@ def dq140_approx_quantiles(t: Tables) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_quantity", 0.95, 10000).alias("p95_approx"),
     )
+
+
+def dq186_basket_lift(t: Tables, min_pair_n: int = 5, k: int = 30) -> DataFrame:
+    """Market-basket association mining: top-k brand pairs co-purchased in
+    the same order, scored by lift = P(ab) / (P(a)·P(b)) with support
+    floor ``min_pair_n`` — the 2-itemset core of Apriori as one
+    declarative plan.
+
+    The pair generator self-joins per-order DISTINCT brand sets on
+    o_orderkey with b1 < b2: fan-out is items-per-basket squared (small,
+    bounded by order size), never corpus-squared — the same
+    key-locality argument as the LSH band join. Brand marginals are a
+    tiny aggregate, broadcast back onto the pair counts; final top-k is
+    TakeOrderedAndProject. At 100 TB everything shuffles on
+    o_orderkey / brand keys only.
+    """
+    items = (
+        t["lineitem"].join(t["part"],
+                           F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = t["orders"].select(F.countDistinct("o_orderkey").alias("n"))
+    marg = items.groupBy("brand").agg(F.count("*").alias("nb"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey"))
+               & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_n)
+    )
+    scored = (
+        pairs.join(F.broadcast(marg.select(F.col("brand").alias("b1"),
+                                           F.col("nb").alias("n1"))), "b1")
+        .join(F.broadcast(marg.select(F.col("brand").alias("b2"),
+                                      F.col("nb").alias("n2"))), "b2")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "b1", "b2", "pair_n",
+            F.round(F.col("pair_n") / F.col("n"), 6).alias("support"),
+            F.round(F.col("pair_n") * F.col("n")
+                    / (F.col("n1") * F.col("n2")), 6).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "b1", "b2").limit(k)

@@ -153,3 +153,40 @@ def dq123_tfidf_keywords(t: Tables, top: int = 3, max_doc: int = 100) -> DataFra
         .select("doc_id", "tok", "score", "rn")
         .orderBy("doc_id", "rn")
     )
+
+
+def dq185_inverted_index(t: Tables, min_df: int = 5,
+                         max_postings: int = 8) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and the first ``max_postings`` doc_ids of the (sorted)
+    posting list — the materialization BM25 (dq63) notes a deployment
+    would persist via ``write_bucketed(tok)``.
+
+    One tf aggregation on (doc_id, tok), then df/total_tf/rank in a single
+    window pass over the tok partitioning, and a final collect of ONLY the
+    ``rn <= max_postings`` survivors — the collect is bounded per term, so
+    a stop-word's million-doc posting list can't blow up a reducer (the
+    naive ``slice(sort_array(collect_list()))`` form buffers the full list
+    before slicing). The groupBy after the window reuses the same tok
+    hash partitioning, so the whole build is two exchanges of the token
+    stream. ``min_df`` prunes the hapax tail, which at 100 TB is most of
+    the vocabulary.
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("tok")
+    ranked = tf.select(
+        "tok", "doc_id",
+        F.count("*").over(w).alias("df"),
+        F.sum("tf").over(w).alias("total_tf"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).filter((F.col("df") >= min_df) & (F.col("rn") <= max_postings))
+    return (
+        ranked.groupBy("tok")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("total_tf").alias("total_tf"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings_head"),
+        )
+    )

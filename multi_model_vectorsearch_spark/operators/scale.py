@@ -190,3 +190,66 @@ def dq171_global_ntile_scalable(t: dict, n_tiles: int = 4,
     return ranked.select(
         "c_custkey", (F.floor(q) + 1).cast("int").alias("q")
     )
+
+
+def dq189_zorder_layout(t: dict, bits: int = 10, bucket_bits: int = 4) -> DataFrame:
+    """Z-order (Morton) data layout for multi-column data skipping: interleave
+    the bits of (l_partkey, l_suppkey) into one clustering key, bucket rows
+    by the key's top ``bucket_bits`` bits, and report each bucket's min/max
+    range of BOTH columns — the per-file zone-map stats a lakehouse
+    OPTIMIZE ZORDER BY publishes, which let a scan prune files for
+    predicates on EITHER column (a linear sort only prunes its leading
+    column).
+
+    Coordinates are range-binned into the ``bits``-bit domain first (the
+    monotonic min/max rescale real OPTIMIZE ZORDER uses), so a bucket's
+    rows genuinely cluster in BOTH original key ranges. The bounds are a
+    one-row aggregate broadcast back; the Morton spread is pure bit
+    arithmetic (shift/and/or), fully JVM-side and map-only; bucketing by
+    the key's top bits needs no sort at all — at 100 TB the layout pass is
+    `repartition(zbucket)` + write, and this query is its zone-map audit.
+    Stats prove the point: every bucket covers ~1/2^(bucket_bits/2) of
+    each key's domain instead of one full domain.
+    """
+    def spread(col: F.Column) -> F.Column:
+        # 16-bit → 32-bit bit-spread (classic magic-mask interleave).
+        x = col.bitwiseAND(F.lit((1 << bits) - 1))
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    li = t["lineitem"].select(
+        F.col("l_partkey").cast("bigint").alias("pk"),
+        F.col("l_suppkey").cast("bigint").alias("sk"),
+    )
+    bounds = li.agg(
+        F.min("pk").alias("pk_lo"), F.max("pk").alias("pk_hi"),
+        F.min("sk").alias("sk_lo"), F.max("sk").alias("sk_hi"),
+    )
+
+    def binned(col: str, lo: str, hi: str) -> F.Column:
+        # monotonic rescale into [0, 2^bits): floor((v-lo)*2^bits/(hi-lo+1))
+        return F.floor(
+            (F.col(col) - F.col(lo)) * (1 << bits)
+            / (F.col(hi) - F.col(lo) + 1)
+        ).cast("bigint")
+
+    z = spread(binned("pk", "pk_lo", "pk_hi")).bitwiseOR(
+        F.shiftleft(spread(binned("sk", "sk_lo", "sk_hi")), 1)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            "pk", "sk",
+            F.shiftrightunsigned(z, 2 * bits - bucket_bits).cast("int")
+            .alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("pk_min"), F.max("pk").alias("pk_max"),
+            F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"),
+        )
+    )

@@ -1210,3 +1210,85 @@ def neardup_flags_incremental(sig_fresh: DataFrame,
         .select("doc_id", F.col("dup_of").isNotNull().alias("is_dup"),
                 "dup_of")
     )
+
+
+def dq183_prefix_filter_join(t: Tables, tau: float = 0.6) -> DataFrame:
+    """Set-similarity self-join with PREFIX FILTERING (the AllPairs/PPJoin
+    family, Bayardo et al. 2007): all document pairs whose shingle-set
+    Jaccard is >= ``tau``, found without ever comparing all pairs.
+
+    Each doc orders its shingles by ascending global document frequency
+    (rarest first) and keeps only the first ``n - ceil(tau*n) + 1`` as its
+    *prefix*; two sets with Jaccard >= tau MUST share at least one prefix
+    shingle, so joining on prefix shingles is a LOSSLESS candidate
+    generator. The oracle is the brute-force all-pairs scan — equality
+    with it is the losslessness proof.
+
+    Scale story: the candidate join touches only the rare end of the df
+    spectrum (a prefix shingle appears in few docs by construction), so
+    the join fans out ~df_prefix^2 per shingle instead of d^2 per corpus —
+    the pruning that df-capping (dq42) approximates, made exact. The df
+    table is aggregated once and joined back by shingle (an equi-shuffle,
+    never a crossJoin); verification joins only the surviving candidate
+    pairs back to the per-doc shingle arrays.
+    """
+    cand = prefix_filter_candidates(t, tau)
+    sh = _shingles(t)
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("s")
+    )
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("d1"),
+                              F.col("s").alias("s1")), "d1")
+        .join(sets.select(F.col("doc_id").alias("d2"),
+                          F.col("s").alias("s2")), "d2")
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("s1", "s2")).alias("i"),
+            "n1", "n2",
+        )
+        .select(
+            "d1", "d2",
+            F.round(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    return verified
+
+
+def prefix_filter_candidates(t: Tables, tau: float) -> DataFrame:
+    """dq183's candidate generator: (d1, d2, n1, n2) pairs sharing a
+    rarest-first prefix shingle, length-filtered. Exposed standalone so
+    the pruning claim (|candidates| << all pairs) is testable."""
+    sh = _shingles(t)
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = sh.join(dfs, "shingle")
+    # Per-doc shingle array sorted rarest-first: (df, shingle) struct sort.
+    arrs = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle")))
+            .alias("ordered"),
+            F.count("*").alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
+    pref = arrs.select(
+        "doc_id", "n",
+        F.explode(F.slice(F.col("ordered"), 1, plen)).alias("p"),
+    ).select("doc_id", "n", F.col("p.shingle").alias("shingle"))
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+            F.col("a.n").alias("n1"), F.col("b.n").alias("n2"),
+        )
+        .distinct()
+        # Length filter: |y| >= tau*|x| is necessary for Jaccard >= tau.
+        .filter(F.greatest("n1", "n2") * tau <= F.least("n1", "n2"))
+    )
+    return cand

@@ -413,3 +413,151 @@ def dq179_rolling_median(t: Tables, n: int = 5) -> DataFrame:
     return t["events"].select(
         "user_id", "event_id", med.alias("med_5")
     )
+
+
+def dq184_ohlc_bars(t: Tables) -> DataFrame:
+    """Per-user hourly OHLC downsampling: open/high/low/close/sum/count of
+    `value` per (user, hour) — the candle-bar resample every metrics and
+    market-data pipeline runs.
+
+    One partial-aggregating groupBy: open/close ride ``min_by``/``max_by``
+    on the (ts, event_id) total order (associative, so map-side combine
+    applies), high/low/volume are plain min/max/sum — no window sort, no
+    second pass. At 100 TB this is a single shuffle keyed on
+    (user_id, hour), and hour inherits the natural time-partitioning of
+    the source so AQE coalesces cleanly.
+    """
+    ev = t["events"]
+    key = F.format_string(
+        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    v = F.col("value").cast("decimal(18,2)").cast("double")
+    return (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+            v.alias("v"), key.alias("k"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(
+            F.min_by("v", "k").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "k").alias("close"),
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("volume"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def dq187_changelog_compact(t: Tables) -> DataFrame:
+    """Changelog compaction with tombstones: replay `events` as a CDC
+    stream keyed by user_id — 'purchase' rows are DELETE tombstones,
+    everything else an upsert carrying `value` — and emit the final
+    surviving state (Kafka log-compaction / Delta MERGE semantics as one
+    batch query).
+
+    Last-writer-wins on the (ts, event_id) total order via max_by, so the
+    whole compaction is ONE partial-aggregating groupBy: each map task
+    pre-compacts its partition and the reduce merges winners — no window
+    sort, no join. Tombstoned keys are filtered after the merge (the
+    tombstone must win the order race, not short-circuit it).
+    """
+    ev = t["events"]
+    key = F.format_string(
+        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    tomb = (F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.max_by(tomb, key).alias("deleted"),
+            F.max_by(F.col("value").cast("decimal(18,2)").cast("double"), key)
+            .alias("last_value"),
+            F.max_by(F.unix_micros("ts"), key).alias("last_ts_us"),
+        )
+        .filter(~F.col("deleted"))
+        .select("user_id", "n_ops", "last_value", "last_ts_us")
+    )
+
+
+def dq188_psi_drift(t: Tables, n_buckets: int = 10) -> DataFrame:
+    """Population Stability Index per event_type between two corpus halves
+    (event_id parity as the snapshot key, as dq154 does for embeddings):
+    the standard drift monitor a training pipeline runs between data
+    refreshes. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over ``n_buckets``
+    equal-width value buckets whose bounds come from the REFERENCE half,
+    with +0.5 Laplace smoothing so empty buckets stay finite.
+
+    Two aggregations end-to-end: per-type reference bounds (tiny → rejoined
+    by type, broadcast at any scale), then one groupBy over (type, half,
+    bucket) and a final reshape — no window, no self-join; every pass is
+    map-side combinable. At 100 TB the value scan dominates and it's one
+    pass.
+    """
+    ev = t["events"].select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("is_ref"),
+        F.col("value").cast("double").alias("v"),
+    )
+    bounds = (
+        ev.filter("is_ref")
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    nb = F.lit(n_buckets)
+    bucket = F.least(
+        nb - 1,
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo")) * nb).cast("int"),
+        ),
+    )
+    counts = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", "is_ref", bucket.alias("b"))
+        .groupBy("event_type", "is_ref", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("event_type", "is_ref").agg(F.sum("c").alias("n"))
+    sm = (
+        counts.join(tot, ["event_type", "is_ref"])
+        .select(
+            "event_type", "b", "is_ref",
+            ((F.col("c") + 0.5) / (F.col("n") + 0.5 * n_buckets)).alias("p"),
+        )
+    )
+    # Reshape halves side-by-side; a bucket absent from one half gets the
+    # smoothed floor 0.5/(n + 0.5*nb) — join totals back for that.
+    grid = (
+        sm.groupBy("event_type", "b")
+        .agg(
+            F.max(F.when(F.col("is_ref"), F.col("p"))).alias("p_ref"),
+            F.max(F.when(~F.col("is_ref"), F.col("p"))).alias("p_cur"),
+        )
+        .join(
+            tot.groupBy("event_type").agg(
+                F.max(F.when(F.col("is_ref"), F.col("n"))).alias("n_ref"),
+                F.max(F.when(~F.col("is_ref"), F.col("n"))).alias("n_cur"),
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type", "b",
+            F.coalesce("p_ref", 0.5 / (F.col("n_ref") + 0.5 * n_buckets))
+            .alias("p"),
+            F.coalesce("p_cur", 0.5 / (F.col("n_cur") + 0.5 * n_buckets))
+            .alias("q"),
+        )
+    )
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.round(F.sum((F.col("p") - F.col("q"))
+                          * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+            F.count("*").alias("n_buckets_hit"),
+        )
+    )

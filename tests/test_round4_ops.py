@@ -1,0 +1,127 @@
+"""Semantics tests for the round-4 operator batch (dq183-dq189).
+
+Hash-equality with the DuckDB oracle is pinned in test_correctness; these
+tests pin the properties the oracle can't see — the prefix filter actually
+PRUNES, OHLC bars are internally consistent, tombstones delete, PSI is
+non-negative, and z-order buckets are tight in BOTH clustering columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.operators.relational import dq186_basket_lift
+from multi_model_vectorsearch_spark.operators.retrieval import dq185_inverted_index
+from multi_model_vectorsearch_spark.operators.scale import dq189_zorder_layout
+from multi_model_vectorsearch_spark.operators.textpipe import (
+    dq183_prefix_filter_join,
+    prefix_filter_candidates,
+)
+from multi_model_vectorsearch_spark.operators.timeseries import (
+    dq184_ohlc_bars,
+    dq187_changelog_compact,
+    dq188_psi_drift,
+)
+
+
+def test_prefix_filter_prunes(tables):
+    """The candidate set must be a small fraction of all doc pairs — the
+    whole point of the AllPairs prefix filter — while dq183 (oracle-equal
+    to brute force) proves no qualifying pair is pruned away."""
+    n_docs = tables["documents"].count()
+    all_pairs = n_docs * (n_docs - 1) // 2
+    n_cand = prefix_filter_candidates(tables, 0.6).count()
+    n_result = dq183_prefix_filter_join(tables).count()
+    assert n_result > 0
+    assert n_cand >= n_result  # candidates are a superset of the answer
+    assert n_cand < 0.2 * all_pairs, (
+        f"prefix filter kept {n_cand}/{all_pairs} pairs — not pruning"
+    )
+
+
+def test_ohlc_internal_consistency(tables):
+    bars = dq184_ohlc_bars(tables)
+    bad = bars.filter(
+        (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+        | (F.col("n") < 1)
+    ).count()
+    assert bad == 0
+    # single-event bars collapse: open == close == high == low
+    solo_bad = bars.filter(
+        (F.col("n") == 1) & ((F.col("open") != F.col("close"))
+                             | (F.col("high") != F.col("low")))
+    ).count()
+    assert solo_bad == 0
+
+
+def test_inverted_index_postings_bounded(tables):
+    idx = dq185_inverted_index(tables, min_df=5, max_postings=8).collect()
+    assert len(idx) > 0
+    for r in idx:
+        assert r.df >= 5
+        assert 1 <= len(r.postings_head) <= 8
+        assert r.postings_head == sorted(r.postings_head)
+        assert r.total_tf >= r.df  # every posting has tf >= 1
+
+
+def test_basket_lift_shape(tables):
+    rows = dq186_basket_lift(tables, min_pair_n=2, k=50).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.b1 < r.b2
+        assert 0 < r.support <= 1
+        assert r.lift > 0
+
+
+def test_changelog_tombstones_delete(tables, spark):
+    """A user survives compaction iff their LAST op (ts, event_id order)
+    is not a purchase tombstone — re-derived via an independent window
+    plan and compared as sets."""
+    from pyspark.sql import Window
+
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    expect_alive = {
+        r.user_id for r in last.filter("event_type != 'purchase'").collect()
+    }
+    got_alive = {r.user_id for r in dq187_changelog_compact(tables).collect()}
+    assert got_alive == expect_alive
+    assert len(got_alive) > 0
+
+
+def test_psi_nonnegative(tables):
+    """Each PSI term (p-q)ln(p/q) is >= 0 (same-sign factors), so the sum
+    must be too; buckets are capped at n_buckets."""
+    rows = dq188_psi_drift(tables).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.psi >= 0
+        assert 1 <= r.n_buckets_hit <= 10
+
+
+def test_zorder_buckets_tight_in_both_columns(tables):
+    """Top-4-bit z-buckets hold ~2 bits of EACH coordinate, so a bucket's
+    per-column range must be well under the full domain — the data-skipping
+    property a linear sort only gives its leading column."""
+    li = tables["lineitem"]
+    lo_pk, hi_pk, lo_sk, hi_sk = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    pk_dom = hi_pk - lo_pk + 1
+    sk_dom = hi_sk - lo_sk + 1
+    stats = dq189_zorder_layout(tables).collect()
+    assert len(stats) == 16
+    worst_pk = max((r.pk_max - r.pk_min + 1) / pk_dom for r in stats)
+    worst_sk = max((r.sk_max - r.sk_min + 1) / sk_dom for r in stats)
+    # 2 bits of each coordinate -> each bucket spans ~1/4 of each domain
+    # (binning slop allowed); a linear sort would put ~1.0 on one side.
+    assert worst_pk <= 0.35, worst_pk
+    assert worst_sk <= 0.35, worst_sk
