@@ -768,30 +768,32 @@ def dq186_basket_lift(t: Tables, min_pair_n: int = 5, k: int = 30) -> DataFrame:
     floor ``min_pair_n`` — the 2-itemset core of Apriori as one
     declarative plan.
 
-    The pair generator self-joins per-order DISTINCT brand sets on
-    o_orderkey with b1 < b2: fan-out is items-per-basket squared (small,
-    bounded by order size), never corpus-squared — the same
-    key-locality argument as the LSH band join. Brand marginals are a
-    tiny aggregate, broadcast back onto the pair counts; final top-k is
-    TakeOrderedAndProject. At 100 TB everything shuffles on
-    o_orderkey / brand keys only.
+    Baskets are built with ONE map-side-combinable ``collect_set`` per
+    order (bounded by basket size), and pairs explode in-array — the
+    same bounded-combinations move as the df-capped Jaccard build, with
+    no self-join shuffle at all. Fan-out is items-per-basket squared,
+    never corpus-squared. Brand marginals are a tiny aggregate,
+    broadcast back onto the pair counts; final top-k is
+    TakeOrderedAndProject. At 100 TB everything shuffles once on
+    o_orderkey and once on the (b1, b2) pair key.
     """
-    items = (
+    baskets = (
         t["lineitem"].join(t["part"],
                            F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("okey"),
-                F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
     )
     n_orders = t["orders"].select(F.countDistinct("o_orderkey").alias("n"))
-    marg = items.groupBy("brand").agg(F.count("*").alias("nb"))
-    a = items.alias("a")
-    b = items.alias("b")
+    marg = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand").agg(F.count("*").alias("nb"))
+    )
     pairs = (
-        a.join(b, (F.col("a.okey") == F.col("b.okey"))
-               & (F.col("a.brand") < F.col("b.brand")))
-        .groupBy(F.col("a.brand").alias("b1"), F.col("b.brand").alias("b2"))
-        .agg(F.count("*").alias("pair_n"))
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(bs, (x, i) -> "
+            "transform(slice(bs, i + 2, size(bs) - i - 1), "
+            "y -> struct(x AS b1, y AS b2))))")).alias("p"))
+        .groupBy("p.b1", "p.b2").agg(F.count("*").alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_n)
     )
     scored = (
