@@ -183,6 +183,34 @@ _EMB_CTE = (
 )
 
 
+def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
+    """DuckDB oracle for dq190: the identical unrolled peeling rounds."""
+    parts = ["e0 AS (SELECT src, dst FROM edges)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS (SELECT v, count(*) AS d FROM "
+            f"(SELECT src AS v FROM e{p} UNION ALL SELECT dst FROM e{p}) u "
+            f"GROUP BY v)")
+        parts.append(f"k{r} AS (SELECT v FROM d{r} WHERE d >= {k})")
+        parts.append(
+            f"e{r} AS (SELECT e.src, e.dst FROM e{p} e "
+            f"JOIN k{r} a ON e.src = a.v JOIN k{r} b ON e.dst = b.v)")
+    parts.append(
+        f"fd AS (SELECT v, count(*) AS core_deg FROM "
+        f"(SELECT src AS v FROM e{rounds} UNION ALL "
+        f"SELECT dst FROM e{rounds}) u GROUP BY v)")
+    parts.append(
+        "nodes AS (SELECT DISTINCT v AS id FROM "
+        "(SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) u)")
+    return (
+        ", ".join(parts)
+        + " SELECT id, CAST(coalesce(fd.core_deg, 0) AS BIGINT) AS core_deg, "
+        "fd.core_deg IS NOT NULL AS in_kcore "
+        "FROM nodes LEFT JOIN fd ON nodes.id = fd.v"
+    )
+
+
 def _spread_sql(x: str, bits: int = 10) -> str:
     """DuckDB expression: Morton bit-spread of ``x`` (mirrors
     scale.dq189_zorder_layout's magic-mask interleave)."""
@@ -2114,6 +2142,47 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(zb AS INT) AS zbucket, count(*) AS n_rows, "
        "min(pk) AS pk_min, max(pk) AS pk_max, "
        "min(sk) AS sk_min, max(sk) AS sk_max FROM zed GROUP BY zb"),
+    DQ("dq190_kcore", G.dq190_kcore,
+       "WITH " + _EDGES_CTE + ", " + _kcore_sql()),
+    DQ("dq191_pit_features", TS.dq191_pit_features,
+       "WITH ev AS (SELECT user_id, event_id, event_type, "
+       "epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v FROM events), "
+       "f AS (SELECT user_id, event_id, event_type, "
+       "last_value(CASE WHEN event_type = 'view' THEN v END IGNORE NULLS) "
+       "OVER (PARTITION BY user_id ORDER BY us, event_id "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+       "AS last_view_value, "
+       "count(CASE WHEN event_type = 'view' THEN 1 END) OVER wr "
+       "AS views_24h, "
+       "round(CAST(coalesce(sum(CASE WHEN event_type = 'view' "
+       "THEN CAST(v AS DECIMAL(18,2)) END) OVER wr, 0) AS DOUBLE), 2) "
+       "AS view_spend_24h, "
+       "CAST(floor((us - min(us) OVER (PARTITION BY user_id "
+       "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+       "CURRENT ROW)) / 86400000000) AS INT) AS days_active "
+       "FROM ev WINDOW wr AS (PARTITION BY user_id ORDER BY us "
+       "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)) "
+       "SELECT user_id, event_id, last_view_value, views_24h, "
+       "view_spend_24h, days_active FROM f "
+       "WHERE event_type = 'purchase'"),
+    DQ("dq192_source_kl", C.dq192_source_kl,
+       "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "st AS (SELECT source, tok, count(*) AS c_sw FROM toks "
+       "GROUP BY source, tok), "
+       "ct AS (SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w FROM st "
+       "GROUP BY tok), "
+       "stot AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM st "
+       "GROUP BY source), "
+       "scal AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_c, count(*) AS v "
+       "FROM ct) "
+       "SELECT source, max(n_s) AS n_tokens, count(*) AS vocab_used, "
+       "round(CAST(sum(CAST((c_sw + 0.5) / (n_s + 0.5 * v) * "
+       "ln(((c_sw + 0.5) / (n_s + 0.5 * v)) / "
+       "((c_w + 0.5) / (n_c + 0.5 * v))) AS DECIMAL(28,18))) AS DOUBLE), 6) "
+       "AS kl "
+       "FROM st JOIN ct USING (tok) JOIN stot USING (source) "
+       "CROSS JOIN scal GROUP BY source"),
 ]
 
 

@@ -833,3 +833,45 @@ def dq169_source_cap(t: Tables, cap: int = 400) -> DataFrame:
         .select("doc_id", "source", "rn")
         .orderBy("source", "rn")
     )
+
+
+def dq192_source_kl(t: Tables) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus distribution —
+    the mixture-health monitor a pretraining pipeline tracks per data
+    source (a source drifting lexically from the mix shows up here before
+    it shows up in loss curves). Truncated to each source's OBSERVED
+    vocabulary with +0.5 Laplace smoothing over the corpus vocab ``V``:
+    KL ≈ Σ_w p_s(w)·ln(p_s(w)/p_c(w)).
+
+    Two token-stream aggregations (per-(source, tok) and per-tok) meeting
+    in one shuffle join on tok; the scalar sides (per-source totals,
+    corpus total, V) broadcast. Every KL term is cast to DECIMAL(28,18)
+    before the final sum so the reduction is order-independent —
+    double summation over a source's whole vocabulary would otherwise be
+    partition-order-sensitive (cf. the per-doc sums of dq111, which stay
+    within one doc's tiny term count).
+    """
+    toks = t["documents"].select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_sw"))
+    ct = st.groupBy("tok").agg(F.sum("c_sw").alias("c_w"))
+    stot = st.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    scal = ct.agg(
+        F.sum("c_w").alias("n_c"),
+        F.count("*").alias("v"),
+    )
+    p_s = (F.col("c_sw") + 0.5) / (F.col("n_s") + 0.5 * F.col("v"))
+    p_c = (F.col("c_w") + 0.5) / (F.col("n_c") + 0.5 * F.col("v"))
+    term = (p_s * F.log(p_s / p_c)).cast("decimal(28,18)")
+    return (
+        st.join(ct, "tok")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab_used"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl"),
+        )
+    )

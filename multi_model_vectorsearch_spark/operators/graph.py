@@ -597,3 +597,52 @@ def dq166_graph_ann_recall(t: Tables, query_vec_id: int = 0,
             F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def dq190_kcore(t: Tables, k: int = 2, rounds: int = 3) -> DataFrame:
+    """k-core decomposition of the semantic edge graph by ``rounds``
+    unrolled peeling iterations: repeatedly delete nodes of degree < k
+    (with their edges), then report each original node's surviving degree
+    and core membership — the standard "dense part of the graph" filter a
+    graph-ANN index build runs before committing to neighbor lists.
+
+    Same fixed-round unrolling contract as dq72's PageRank and dq121's
+    BFS: each round is degree-aggregate + two vertex-key joins (a shuffle
+    on the vertex id, no driver iteration), so ``rounds`` is a static
+    plan-depth knob, not a convergence loop — at 100 TB each extra round
+    is one more join stage over an always-shrinking edge list. The small
+    fixture graph converges well inside 3 rounds; the oracle replays the
+    identical unrolled rounds.
+    """
+    edges0 = dq33_build_edges(t).select("src", "dst")
+    alive = edges0
+    for _ in range(rounds):
+        # each round references `alive` three times (two degree legs + the
+        # restriction join) — checkpoint so the plan stays one round deep
+        # instead of exploding 3^rounds scan legs
+        alive = alive.localCheckpoint(eager=False)
+        deg = (
+            alive.select(F.col("src").alias("v"))
+            .unionAll(alive.select(F.col("dst").alias("v")))
+            .groupBy("v").agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        alive = (
+            alive.join(keep.withColumnRenamed("v", "src"), "src")
+            .join(keep.withColumnRenamed("v", "dst"), "dst")
+            .select("src", "dst")
+        )
+    fdeg = (
+        alive.select(F.col("src").alias("v"))
+        .unionAll(alive.select(F.col("dst").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("core_deg"))
+    )
+    nodes = (
+        edges0.select(F.col("src").alias("id"))
+        .union(edges0.select("dst")).distinct()
+    )
+    return nodes.join(fdeg, nodes.id == fdeg.v, "left").select(
+        "id",
+        F.coalesce("core_deg", F.lit(0)).cast("bigint").alias("core_deg"),
+        F.col("core_deg").isNotNull().alias("in_kcore"),
+    )

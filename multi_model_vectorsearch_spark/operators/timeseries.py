@@ -561,3 +561,62 @@ def dq188_psi_drift(t: Tables, n_buckets: int = 10) -> DataFrame:
             F.count("*").alias("n_buckets_hit"),
         )
     )
+
+
+def dq191_pit_features(t: Tables) -> DataFrame:
+    """Point-in-time-correct feature assembly (the feature-store join):
+    for every `purchase` event, attach features computed ONLY from the
+    user's strictly-earlier history — last prior `view` value, count and
+    exact sum of `view` values in the trailing 24 h, and days since first
+    activity. PIT discipline is what keeps training features free of
+    label leakage; the as-of join (dq09) is its two-table special case.
+
+    One window pass per frame type over the (user_id, time) ordering:
+    the last-prior feature is a running ``last(ignorenulls)`` ROWS frame,
+    the trailing-24 h features are a RANGE frame on epoch-micros — both
+    linear running-state frames (never the O(n²) unbounded-following
+    kind dq178 had to dodge). The 24 h sum accumulates in DECIMAL so the
+    result is independent of row order within equal timestamps. Filtering
+    to purchases happens AFTER the windows (features must see all rows)
+    but Spark still prunes columns to the 5 used. At 100 TB this is one
+    shuffle on user_id.
+    """
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("double").alias("v"),
+    )
+    is_view = F.col("event_type") == "view"
+    w_rows = (
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_range = (
+        Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    w_all = (
+        Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feat = ev.select(
+        "user_id", "event_id", "event_type", "us",
+        F.last(F.when(is_view, F.col("v")), ignorenulls=True)
+        .over(w_rows).alias("last_view_value"),
+        F.count(F.when(is_view, F.lit(1))).over(w_range)
+        .alias("views_24h"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(is_view, F.col("v").cast("decimal(18,2)")))
+                .over(w_range),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double"), 2
+        ).alias("view_spend_24h"),
+        F.floor((F.col("us") - F.min("us").over(w_all)) / 86_400_000_000)
+        .cast("int").alias("days_active"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "last_view_value",
+                "views_24h", "view_spend_24h", "days_active")
+    )

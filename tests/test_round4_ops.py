@@ -125,3 +125,85 @@ def test_zorder_buckets_tight_in_both_columns(tables):
     # (binning slop allowed); a linear sort would put ~1.0 on one side.
     assert worst_pk <= 0.35, worst_pk
     assert worst_sk <= 0.35, worst_sk
+
+
+def test_kcore_peels_low_degree_nodes(tables):
+    """No node whose ORIGINAL degree is < k can be in the core (round 1
+    removes it); core degrees never exceed original degrees."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        dq190_kcore,
+        dq33_build_edges,
+    )
+
+    edges = dq33_build_edges(tables).select("src", "dst")
+    orig = {}
+    for r in edges.collect():
+        orig[r.src] = orig.get(r.src, 0) + 1
+        orig[r.dst] = orig.get(r.dst, 0) + 1
+    rows = dq190_kcore(tables, k=2).collect()
+    assert len(rows) == len(orig)
+    assert any(r.in_kcore for r in rows)
+    for r in rows:
+        assert r.core_deg <= orig[r.id]
+        if orig[r.id] < 2:
+            assert not r.in_kcore
+
+
+def test_pit_features_no_leakage(tables):
+    """Re-derive the PIT features in pure Python for a handful of users:
+    only strictly-earlier events may contribute."""
+    from decimal import Decimal
+
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq191_pit_features,
+    )
+
+    got = {
+        (r.user_id, r.event_id): r
+        for r in dq191_pit_features(tables).collect()
+        if r.user_id < 5
+    }
+    assert got, "no purchases for users 0-4 in the smoke fixture"
+    ev = sorted(
+        ((r.user_id, int(r.ts.timestamp() * 1_000_000), r.event_id,
+          r.event_type, r.value)
+         for r in tables["events"].filter("user_id < 5").collect()),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    for uid, us, eid, etype, val in ev:
+        if etype != "purchase":
+            continue
+        hist = [e for e in ev if e[0] == uid
+                and (e[1], e[2]) < (us, eid)]
+        views_prior = [e for e in hist if e[3] == "view"]
+        v24 = [e for e in ev if e[0] == uid and e[3] == "view"
+               and us - 86_400_000_000 <= e[1] <= us - 1]
+        r = got[(uid, eid)]
+        assert r.views_24h == len(v24)
+        exp_spend = float(sum(
+            Decimal(str(round(e[4], 2))) for e in v24)) if v24 else 0.0
+        assert abs(r.view_spend_24h - round(exp_spend, 2)) < 1e-6
+        if views_prior:
+            assert r.last_view_value == views_prior[-1][4]
+        else:
+            assert r.last_view_value is None
+
+
+def test_source_kl_accounting(tables):
+    """Per-source token totals must add to the corpus total and vocab_used
+    can't exceed n_tokens; KL is finite (smoothing forbids inf/nan)."""
+    import math
+
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq192_source_kl,
+    )
+    from pyspark.sql import functions as F
+
+    rows = dq192_source_kl(tables).collect()
+    assert len(rows) > 1
+    total = tables["documents"].select(
+        F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert r.vocab_used <= r.n_tokens
+        assert math.isfinite(r.kl)
