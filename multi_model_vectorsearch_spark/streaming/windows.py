@@ -167,3 +167,38 @@ def dedup_within_watermark_stream(events: DataFrame,
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def ohlc_stream(events: DataFrame) -> DataFrame:
+    """dq184's streaming twin: per-user hourly OHLC bars as a streaming
+    aggregation. min_by/max_by/min/max/sum are all algebraic aggregates,
+    so the incremental state per open (user, hour) group is one partial
+    row — the same map-side-combine property that makes the batch form
+    one shuffle makes the streaming form bounded-state (add a watermark
+    in production to evict closed hours, as session_stream does).
+    """
+    key = F.format_string(
+        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    v = F.col("value").cast("decimal(18,2)").cast("double")
+    g = (
+        events.select(
+            "user_id", "ts", v.alias("v"), key.alias("k"),
+        )
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("v", "k").alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", "k").alias("close"),
+            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("volume"),
+            F.count("*").alias("n"),
+        )
+    )
+    return g.select(
+        "user_id",
+        F.floor(F.unix_micros(F.col("w.start")) / 3_600_000_000)
+        .cast("bigint").alias("hb"),
+        "open", "high", "low", "close", "volume", "n",
+    )

@@ -435,3 +435,15 @@ def test_ivf_index_maintained_incrementally(spark, tables, tmp_path):
     # narrow probe returns k rows drawn from the probed clusters only
     rows = probed.collect()
     assert len(rows) == 6 and rows[0].s == 1.0
+
+
+def test_ohlc_batch_equivalence(spark, tables, replay):
+    """dq184's bars from the file-replay stream equal the batch bars:
+    every OHLC aggregate is algebraic, so incremental merge order can't
+    change the result."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq184_ohlc_bars,
+    )
+
+    _stream_equals_batch(spark, replay, SW.ohlc_stream,
+                         dq184_ohlc_bars(tables), "t_ohlc")
