@@ -2183,6 +2183,22 @@ _REGISTRY: list[DQ] = [
        "AS kl "
        "FROM st JOIN ct USING (tok) JOIN stot USING (source) "
        "CROSS JOIN scal GROUP BY source"),
+    DQ("dq193_user_trend", TS.dq193_user_trend,
+       "WITH ev AS (SELECT user_id, "
+       "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x, "
+       "CAST(value AS DECIMAL(18,2)) AS y FROM events), "
+       "a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, "
+       "sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy, "
+       "sum(y * y) AS syy FROM ev GROUP BY user_id) "
+       "SELECT user_id, CAST(n AS BIGINT) AS n, "
+       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+       "/ CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope, "
+       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+       "* CAST(n * sxy - sx * sy AS DOUBLE) "
+       "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
+       "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2 "
+       "FROM a WHERE n >= 5 AND n * sxx - sx * sx > 0 "
+       "AND n * syy - sy * sy > 0"),
 ]
 
 

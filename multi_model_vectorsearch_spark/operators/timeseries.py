@@ -620,3 +620,48 @@ def dq191_pit_features(t: Tables) -> DataFrame:
         .select("user_id", "event_id", "last_view_value",
                 "views_24h", "view_spend_24h", "days_active")
     )
+
+
+def dq193_user_trend(t: Tables, min_n: int = 5) -> DataFrame:
+    """Per-user value trend: closed-form OLS slope and R² of value vs
+    event day, from EXACT sufficient statistics — the entity-level trend
+    scan (spend drifting up? engagement decaying?) a behavioral pipeline
+    runs over every user every day.
+
+    One partial-aggregating groupBy computes the five moments (Σx, Σx²,
+    Σy, Σxy, Σy²) with x as integer days and y in DECIMAL — all exact and
+    commutative, so the result is independent of partition count and
+    merge order, where the built-in ``regr_slope``/``regr_r2``
+    accumulate doubles whose merge order varies by engine. The closed
+    forms divide two exactly-computed numbers in double at the very end.
+    Degenerate users (one active day, or constant value) are filtered by
+    the variance guards, not div-by-zero'd.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    a = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    num_d = num.cast("double")
+    den_x_d = den_x.cast("double")
+    den_y_d = den_y.cast("double")
+    return (
+        a.filter((F.col("n") >= min_n) & (den_x > 0) & (den_y > 0))
+        .select(
+            "user_id", "n",
+            F.round(num_d / den_x_d, 6).alias("slope"),
+            F.round(num_d * num_d / (den_x_d * den_y_d), 6).alias("r2"),
+        )
+    )

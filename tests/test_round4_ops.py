@@ -207,3 +207,26 @@ def test_source_kl_accounting(tables):
     for r in rows:
         assert r.vocab_used <= r.n_tokens
         assert math.isfinite(r.kl)
+
+
+def test_user_trend_matches_numpy(tables):
+    """The exact-moment closed form must agree with numpy's least squares
+    on a sampled user (same x=day, y=value inputs)."""
+    import numpy as np
+
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq193_user_trend,
+    )
+
+    rows = dq193_user_trend(tables).collect()
+    assert rows
+    r = max(rows, key=lambda r: r.n)  # most active user: stable fit
+    ev = tables["events"].filter(f"user_id = {r.user_id}").collect()
+    x = np.array([int(e.ts.timestamp() * 1e6) // 86_400_000_000
+                  for e in ev], dtype=float)
+    y = np.array([round(e.value, 2) for e in ev])
+    slope = np.polyfit(x, y, 1)[0]
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert abs(r.slope - slope) < 1e-6
+    assert abs(r.r2 - r2) < 1e-6
+    assert 0 <= r.r2 <= 1
