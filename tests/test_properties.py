@@ -282,3 +282,46 @@ def test_dup_spans_detects_random_planted_overlaps(spark, L, off1, off2):
     assert (1, 2) in out
     assert out[(1, 2)].max_span_grams >= max(1, (L - 2) // 3)
     assert all(k == (1, 2) for k in out)
+
+
+@given(
+    st.lists(  # corpus: each doc is a list of word-ids; short docs allowed
+        st.lists(st.integers(0, 12), min_size=0, max_size=18),
+        min_size=2, max_size=12,
+    ),
+    st.sampled_from([0.4, 0.6, 0.8]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_filter_lossless_property(spark, docs, tau):
+    """dq183's prefix+positional filters must find EXACTLY the pairs the
+    brute-force O(n²) scan finds, for random corpora — including docs too
+    short to shingle, duplicate docs, and tau edge values."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        SHINGLE_W,
+        dq183_prefix_filter_join,
+    )
+
+    rows = [(i, " ".join(f"w{w}" for w in ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in dq183_prefix_filter_join({"documents": d}, tau=tau).collect()
+    }
+    # brute force in pure Python over the same shingle definition
+    sets = {}
+    for i, ws in enumerate(docs):
+        toks = [f"w{w}" for w in ws]
+        sets[i] = {
+            " ".join(toks[j:j + SHINGLE_W])
+            for j in range(len(toks) - SHINGLE_W + 1)
+        }
+    expect = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] and sets[j]:
+                inter = len(sets[i] & sets[j])
+                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+                if jac >= tau:
+                    expect[(i, j)] = jac
+    assert got == expect
