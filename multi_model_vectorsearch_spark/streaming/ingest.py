@@ -39,6 +39,8 @@ CORPUS_SCHEMA = (
 EDGE_SCHEMA = "src bigint, dst bigint, score double"
 CENTROID_SCHEMA = "cid int, cvec array<double>"
 INDEX_SCHEMA = "doc_id bigint, cid int"
+SIG_SCHEMA = "doc_id bigint, seed int, mh string"
+FLAG_SCHEMA = "doc_id bigint, is_dup boolean, dup_of bigint"
 
 
 OVERFETCH = 6  # reference main.py:209: KNN pool is k*6 before the modality split
@@ -56,12 +58,15 @@ class IngestPipeline:
 
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
                  max_collect: int = 4096, n_centroids: int = 8,
-                 ivf_bootstrap: int = 64, maintain_ivf: bool = False):
+                 ivf_bootstrap: int = 64, maintain_ivf: bool = False,
+                 maintain_neardup: bool = False):
         self.spark = spark
         self.corpus_dir = os.path.join(state_dir, "corpus")
         self.edges_dir = os.path.join(state_dir, "edges")
         self.centroids_dir = os.path.join(state_dir, "centroids")
         self.index_dir = os.path.join(state_dir, "ivf")
+        self.sig_dir = os.path.join(state_dir, "signatures")
+        self.flags_dir = os.path.join(state_dir, "neardup_flags")
         self.k = k
         self.max_collect = max_collect
         self.n_centroids = n_centroids
@@ -70,6 +75,10 @@ class IngestPipeline:
         # default batch path stays faithful (and the e2e bench comparable);
         # serving deployments that call search_ivf turn this on
         self.maintain_ivf = maintain_ivf
+        # opt-in: per-batch MinHash near-dup flagging against the running
+        # signature store (dq181's incremental form) — a curation ingest
+        # turns this on; the faithful /submit analog keeps it off
+        self.maintain_neardup = maintain_neardup
 
     def corpus(self) -> DataFrame:
         if os.path.isdir(self.corpus_dir) and any(
@@ -99,6 +108,20 @@ class IngestPipeline:
         ):
             return self.spark.read.schema(INDEX_SCHEMA).parquet(self.index_dir)
         return self.spark.createDataFrame([], INDEX_SCHEMA)
+
+    def signatures(self) -> DataFrame:
+        if os.path.isdir(self.sig_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.sig_dir)
+        ):
+            return self.spark.read.schema(SIG_SCHEMA).parquet(self.sig_dir)
+        return self.spark.createDataFrame([], SIG_SCHEMA)
+
+    def neardup_flags(self) -> DataFrame:
+        if os.path.isdir(self.flags_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(self.flags_dir)
+        ):
+            return self.spark.read.schema(FLAG_SCHEMA).parquet(self.flags_dir)
+        return self.spark.createDataFrame([], FLAG_SCHEMA)
 
     # --- the foreachBatch body ---------------------------------------------
 
@@ -136,6 +159,8 @@ class IngestPipeline:
         edges.write.mode("append").parquet(self.edges_dir)
         if self.maintain_ivf:
             self._update_index(fresh)
+        if self.maintain_neardup:
+            self._update_neardup(batch, fresh)
 
     # --- state maintenance ---------------------------------------------------
 
@@ -173,6 +198,59 @@ class IngestPipeline:
             shutil.rmtree(old)
             done[os.path.basename(path)] = files
         return done
+
+    # --- incremental near-dup flagging --------------------------------------
+
+    def _batch_signatures(self, docs: DataFrame) -> DataFrame:
+        """MinHash signatures (8 sha256 lanes over word-3-gram shingles) for
+        one micro-batch — the dq40 family (operators/textpipe.py) rebuilt
+        uncached: batch plans are one-shot, so the session cache would
+        churn its slots without ever hitting."""
+        from multi_model_vectorsearch_spark.operators.textpipe import (
+            N_MINHASH,
+            SHINGLE_W,
+        )
+
+        toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+        grams = toks.select(
+            "doc_id",
+            F.explode(F.expr(
+                # greatest(…, 0): docs shorter than the shingle width get an
+                # empty gram array (negative slice length is an error)
+                f"transform(slice(toks, 1, "
+                f"greatest(size(toks) - {SHINGLE_W - 1}, 0)), "
+                f"(x, i) -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_W})))"
+            )).alias("shingle"),
+        ).distinct()
+        per = grams.select("doc_id", F.sha2(F.col("shingle"), 256).alias("h"))
+        agg = per.groupBy("doc_id").agg(
+            *[F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
+              for i in range(N_MINHASH)]
+        )
+        return agg.select(
+            "doc_id",
+            F.posexplode(F.array(*[f"m{i}" for i in range(N_MINHASH)])),
+        ).toDF("doc_id", "seed", "mh").select(
+            "doc_id", F.col("seed").cast("int"), "mh"
+        )
+
+    def _update_neardup(self, batch: DataFrame, fresh: DataFrame) -> None:
+        """Flag the batch's fresh docs against the running signature store
+        (dq181's incremental form, streaming-equivalence-tested): append
+        flags and the fresh signatures, so replay order cannot change any
+        flag. Signatures of flagged dups are RETAINED — that is what makes
+        the incremental output identical to the one-shot batch pass."""
+        from multi_model_vectorsearch_spark.operators.textpipe import (
+            neardup_flags_incremental,
+        )
+
+        sig_fresh = self._batch_signatures(
+            batch.join(fresh.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        flags = neardup_flags_incremental(sig_fresh, self.signatures())
+        flags.write.mode("append").parquet(self.flags_dir)
+        sig_fresh.write.mode("append").parquet(self.sig_dir)
 
     # --- incremental IVF index maintenance ---------------------------------
 

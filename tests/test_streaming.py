@@ -447,3 +447,44 @@ def test_ohlc_batch_equivalence(spark, tables, replay):
 
     _stream_equals_batch(spark, replay, SW.ohlc_stream,
                          dq184_ohlc_bars(tables), "t_ohlc")
+
+
+def test_ingest_neardup_flags_match_batch(spark, tables, tmp_path):
+    """maintain_neardup=True: flags accumulated over two micro-batches
+    equal dq181's one-shot batch pass over the same corpus — signature
+    state persists across batches and flagged dups stay in the store.
+    Exact-unique texts only (the pipeline's sha dedup would drop exact
+    dups before signature time, which dq181 does not model)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq181_neardup_first_occurrence,
+    )
+    from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+
+    docs = (
+        tables["documents"]
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+        .filter("rn = 1")
+        .select("doc_id", "text", F.lit("text").alias("modality"))
+        .localCheckpoint(eager=True)
+    )
+    expect = {
+        (r.doc_id, r.is_dup, r.dup_of)
+        for r in dq181_neardup_first_occurrence(
+            {"documents": docs}).collect()
+    }
+    pipe = IngestPipeline(spark, str(tmp_path / "state"),
+                          maintain_neardup=True)
+    # replay in doc_id order: "earlier doc" must mean lower doc_id, as in
+    # the batch pass
+    mid = docs.approxQuantile("doc_id", [0.5], 0)[0]
+    pipe.process_batch(docs.filter(F.col("doc_id") <= mid), 0)
+    pipe.process_batch(docs.filter(F.col("doc_id") > mid), 1)
+    got = {
+        (r.doc_id, r.is_dup, r.dup_of)
+        for r in pipe.neardup_flags().collect()
+    }
+    assert got == expect
