@@ -183,7 +183,9 @@ class IngestPipeline:
         done: dict[str, int] = {}
         for path, schema in ((self.corpus_dir, CORPUS_SCHEMA),
                              (self.edges_dir, EDGE_SCHEMA),
-                             (self.index_dir, INDEX_SCHEMA)):
+                             (self.index_dir, INDEX_SCHEMA),
+                             (self.sig_dir, SIG_SCHEMA),
+                             (self.flags_dir, FLAG_SCHEMA)):
             if not (os.path.isdir(path) and any(
                     f.endswith(".parquet") for f in os.listdir(path))):
                 continue
