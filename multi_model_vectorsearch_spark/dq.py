@@ -2199,6 +2199,20 @@ _REGISTRY: list[DQ] = [
        "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2 "
        "FROM a WHERE n >= 5 AND n * sxx - sx * sx > 0 "
        "AND n * syy - sy * sy > 0"),
+    DQ("dq194_training_triplets", V.dq194_training_triplets,
+       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel "
+       "FROM embeddings WHERE vec_id < 20), "
+       "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, "
+       "e.label = q.qlabel AS same, "
+       "round(" + _cos("e", "q") + ", 6) AS s "
+       "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid), "
+       "best AS (SELECT * FROM (SELECT *, row_number() OVER "
+       "(PARTITION BY qid, same ORDER BY s DESC, vec_id) AS rn FROM sims) r "
+       "WHERE rn = 1) "
+       "SELECT p.qid, p.qlabel, p.vec_id AS pos_id, p.s AS pos_s, "
+       "n.vec_id AS neg_id, n.s AS neg_s, round(p.s - n.s, 6) AS margin "
+       "FROM (SELECT * FROM best WHERE same) p "
+       "JOIN (SELECT * FROM best WHERE NOT same) n ON p.qid = n.qid"),
 ]
 
 

@@ -556,3 +556,47 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
         (-best["negn"]).alias("n_votes"),
         F.round(-best["negmean"] / 60000.0, 6).alias("mean_sim"),
     )
+
+
+def dq194_training_triplets(t: Tables, n_queries: int = 20) -> DataFrame:
+    """Contrastive training-pair emitter: for each anchor vector, the
+    hardest POSITIVE (nearest same-label neighbor, self excluded) and the
+    hardest NEGATIVE (nearest different-label vector — dq182's top-1),
+    plus the margin between them — the (anchor, positive, negative)
+    triplet table an embedding-model fine-tune consumes, with margin the
+    curriculum key (small margin = hard triplet).
+
+    One corpus scan scores both arms: the anchor set broadcasts, a single
+    similarity projection feeds TWO rank windows split by the label
+    predicate — no second scan, no join between the arms until the final
+    one-row-per-anchor assembly. At 100 TB: corpus never shuffles;
+    windows partition on the bounded anchor id.
+    """
+    e = t["embeddings"]
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel", "vec_id", "label",
+            (F.col("label") == F.col("qlabel")).alias("same"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("qid", "same").orderBy(F.desc("s"), F.asc("vec_id"))
+    best = sims.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    pos = best.filter("same").select(
+        "qid", "qlabel",
+        F.col("vec_id").alias("pos_id"), F.col("s").alias("pos_s"))
+    neg = best.filter("NOT same").select(
+        "qid",
+        F.col("vec_id").alias("neg_id"), F.col("s").alias("neg_s"))
+    return pos.join(neg, "qid").select(
+        "qid", "qlabel", "pos_id", "pos_s", "neg_id", "neg_s",
+        F.round(F.col("pos_s") - F.col("neg_s"), 6).alias("margin"),
+    )
