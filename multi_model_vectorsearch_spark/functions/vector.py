@@ -116,3 +116,19 @@ def register_sql_functions(spark) -> None:
         "a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE "
         f"RETURN {cosine_similarity_sql('a', 'b')}"
     )
+
+
+def cosine_with_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """Cosine similarity with the norm folds HOISTED: callers compute
+    ``l2_norm`` once per row on each join side and pass the columns in,
+    so the per-pair expression is a single dot fold instead of three —
+    a cross-join CSE Catalyst cannot perform across the join boundary.
+
+    BIT-IDENTICAL to ``cosine_similarity(a, b)``: the norm columns carry
+    the same doubles the inline folds would produce (same expression over
+    the same rows), and the final divide is the same IEEE sequence — the
+    oracle gate re-verifies equality wherever this replaces the inline
+    form.
+    """
+    return dot(a, b) / F.greatest(norm_a * norm_b, F.lit(1e-12))

@@ -39,22 +39,36 @@ def similarity_scan(t: Tables, query_pred: str, pin_self: bool = True) -> DataFr
     """Corpus × queries similarity table: (qid, qm, vec_id, modality, s).
 
     ``query_pred`` is a SQL predicate selecting query rows from embeddings.
-    The query side is broadcast; the corpus side streams.
+    The query side is broadcast; the corpus side streams. Norms are
+    hoisted out of the pair expression (computed once per corpus row and
+    once per query, not once per PAIR) — bit-identical to the inline
+    cosine, ~3× less interpreted higher-order-function work in the join.
     """
-    e = t["embeddings"]
+    from multi_model_vectorsearch_spark.functions.vector import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    e = t["embeddings"].withColumn("_ne", l2_norm(F.col("embedding")))
     q = (
         e.filter(query_pred)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
             F.col("modality").alias("qm"),
+            F.col("_ne").alias("_nq"),
         )
     )
     joined = e.crossJoin(F.broadcast(q))
+    cos = cosine_with_norms(F.col("embedding"), F.col("qv"),
+                            F.col("_ne"), F.col("_nq"))
     if pin_self:
-        s = _pinned_sim(F.col("vec_id"), F.col("qid"), F.col("embedding"), F.col("qv"))
+        s = F.round(
+            F.when(F.col("vec_id") == F.col("qid"), F.lit(1.0)).otherwise(cos),
+            6,
+        )
     else:
-        s = F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+        s = F.round(cos, 6)
     return joined.select("qid", "qm", "vec_id", "modality", s.alias("s"))
 
 
@@ -352,13 +366,20 @@ def dq182_hard_negatives(t: Tables, n_queries: int = 20,
     Same physical shape as the KNN join (B49): bounded query set
     broadcast, corpus streams through one scan, label filter applied
     BEFORE the similarity evaluation so mismatched pairs never pay the
-    dot product, per-query top-k via one window on qid.
+    dot product, per-query top-k via one window on qid. Norms hoisted to
+    the per-row projections (bit-identical, one fold per pair).
     """
-    e = t["embeddings"]
+    from multi_model_vectorsearch_spark.functions.vector import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    e = t["embeddings"].withColumn("_ne", l2_norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("_ne").alias("_nq"),
     )
     sims = (
         e.crossJoin(F.broadcast(q))
@@ -366,7 +387,8 @@ def dq182_hard_negatives(t: Tables, n_queries: int = 20,
         .select(
             "qid", "qlabel", "vec_id",
             F.col("label").alias("neg_label"),
-            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+            F.round(cosine_with_norms(F.col("embedding"), F.col("qv"),
+                                      F.col("_ne"), F.col("_nq")), 6)
             .alias("s"),
         )
     )
@@ -572,11 +594,17 @@ def dq194_training_triplets(t: Tables, n_queries: int = 20) -> DataFrame:
     one-row-per-anchor assembly. At 100 TB: corpus never shuffles;
     windows partition on the bounded anchor id.
     """
-    e = t["embeddings"]
+    from multi_model_vectorsearch_spark.functions.vector import (
+        cosine_with_norms,
+        l2_norm,
+    )
+
+    e = t["embeddings"].withColumn("_ne", l2_norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("_ne").alias("_nq"),
     )
     sims = (
         e.crossJoin(F.broadcast(q))
@@ -584,7 +612,8 @@ def dq194_training_triplets(t: Tables, n_queries: int = 20) -> DataFrame:
         .select(
             "qid", "qlabel", "vec_id", "label",
             (F.col("label") == F.col("qlabel")).alias("same"),
-            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
+            F.round(cosine_with_norms(F.col("embedding"), F.col("qv"),
+                                      F.col("_ne"), F.col("_nq")), 6)
             .alias("s"),
         )
     )
