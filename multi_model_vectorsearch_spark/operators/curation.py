@@ -100,18 +100,22 @@ def dq98_contamination(t: Tables) -> DataFrame:
 
     The bench shingle set is orders of magnitude smaller than the corpus,
     so the join broadcasts it and the screen is one map-side hash probe per
-    train shingle — no shuffle of the 100 TB side. The source filters are
-    applied *before* shingling so the bench side only ever explodes the
-    held-out docs (at scale: a partition-pruned scan of one source), not
-    the whole corpus. Reports every contaminated train doc with its
-    overlap size.
+    train shingle — no shuffle of the 100 TB side. Both sides are
+    projections of the ONE session-cached corpus shingle table (a doc's
+    shingles don't depend on other docs, so splitting after shingling is
+    identical to shingling each split) — filtering the documents first
+    would rebuild the explode+distinct pipeline per split and miss the
+    cache. Reports every contaminated train doc with its overlap size.
     """
     from multi_model_vectorsearch_spark.operators.textpipe import _shingles
 
-    docs = t["documents"]
-    bench = _shingles({**t, "documents": docs.filter(F.col("source") == "src0")}) \
+    src = t["documents"].select("doc_id", "source")
+    sh = _shingles(t).join(src, "doc_id")
+    bench = (
+        sh.filter(F.col("source") == "src0")
         .select(F.col("shingle").alias("b_shingle")).distinct()
-    train = _shingles({**t, "documents": docs.filter(F.col("source") != "src0")})
+    )
+    train = sh.filter(F.col("source") != "src0")
     hits = train.join(
         F.broadcast(bench), train.shingle == bench.b_shingle
     )
