@@ -1,4 +1,4 @@
-"""Semantics tests for the round-4 operator batch (dq183-dq189).
+"""Semantics tests for the round-4 operator batch (dq183-dq194).
 
 Hash-equality with the DuckDB oracle is pinned in test_correctness; these
 tests pin the properties the oracle can't see — the prefix filter actually
