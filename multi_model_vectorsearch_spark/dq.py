@@ -1237,11 +1237,11 @@ _REGISTRY: list[DQ] = [
        "AS keep FROM sig CROSS JOIN st"),
     DQ("dq132_latest_event", TS.dq132_latest_event,
        "SELECT user_id, event_type, "
-       "arg_max(event_id, printf('%020d%020d', epoch_us(ts), event_id)) "
+       "arg_max(event_id, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
        "AS last_event_id, "
        "max(epoch_us(ts)) AS last_ts_us, "
        "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), "
-       "printf('%020d%020d', epoch_us(ts), event_id)) "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
        "AS last_value "
        "FROM events GROUP BY user_id, event_type "
        "ORDER BY user_id, event_type"),
@@ -2060,7 +2060,7 @@ _REGISTRY: list[DQ] = [
     DQ("dq184_ohlc_bars", TS.dq184_ohlc_bars,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, "
        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
-       "printf('%020d%020d', epoch_us(ts), event_id) AS k FROM events) "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k FROM events) "
        "SELECT user_id, hb, arg_min(v, k) AS open, max(v) AS high, "
        "min(v) AS low, arg_max(v, k) AS close, "
        "round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume, "
@@ -2095,7 +2095,7 @@ _REGISTRY: list[DQ] = [
        "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), k) "
        "AS last_value, "
        "arg_max(epoch_us(ts), k) AS last_ts_us "
-       "FROM (SELECT *, printf('%020d%020d', epoch_us(ts), event_id) AS k "
+       "FROM (SELECT *, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k "
        "FROM events) e GROUP BY user_id "
        "HAVING NOT arg_max(event_type = 'purchase', k)"),
     DQ("dq188_psi_drift", TS.dq188_psi_drift,
@@ -2103,8 +2103,9 @@ _REGISTRY: list[DQ] = [
        "CAST(value AS DOUBLE) AS v FROM events), "
        "bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM ev "
        "WHERE is_ref GROUP BY event_type), "
-       "bk AS (SELECT e.event_type, is_ref, least(9, greatest(0, "
-       "CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) AS b "
+       "bk AS (SELECT e.event_type, is_ref, "
+       "CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, "
+       "CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) END AS b "
        "FROM ev e JOIN bounds bo ON e.event_type = bo.event_type), "
        "counts AS (SELECT event_type, is_ref, b, count(*) AS c FROM bk "
        "GROUP BY event_type, is_ref, b), "

@@ -153,8 +153,15 @@ def dq40_minhash_signatures(t: Tables) -> DataFrame:
 
 
 def _minhash_signatures(t: Tables) -> DataFrame:
-    sh = _shingles(t)
-    per = sh.select("doc_id", F.sha2(F.col("shingle"), 256).alias("h"))
+    return signature_lanes(_shingles(t))
+
+
+def signature_lanes(shingles: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh) MinHash lanes from a (doc_id, shingle) table —
+    THE single definition of the lane packing (8 hex-substring lanes of
+    one sha256), shared by the batch dq40 family and the streaming
+    signature store so the two can never desynchronize."""
+    per = shingles.select("doc_id", F.sha2(F.col("shingle"), 256).alias("h"))
     # 8 parallel min aggregates over one shuffle of N_shingle rows — vs the
     # seed-crossJoin form that shuffles N_MINHASH× the rows for the same mins
     agg = per.groupBy("doc_id").agg(
@@ -1280,16 +1287,23 @@ def prefix_filter_candidates(t: Tables, tau: float) -> DataFrame:
     dropped BEFORE the dedup/verify stages. Measured at sf0.1 this cuts
     the verified-candidate set ~6x vs the plain prefix filter, and both
     filters are per-row predicates on the join output — no extra shuffle.
+
+    All three pruning filters use ``tau - 5e-7`` instead of ``tau``: the
+    verify stage (and the oracle) accept ``round(jaccard, 6) >= tau``, so
+    a pair whose true Jaccard sits in [tau − 5e-7, tau) still rounds in —
+    pruning with exact tau would drop it from candidates and break
+    losslessness for giant sets where the half-ulp band is reachable.
     """
+    tau_eps = tau - 5e-7  # relax: candidates must be a SUPERSET of verify
     arrs = _prefix_arrays(t, tau)
-    plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
+    plen = (F.col("n") - F.ceil(F.lit(tau_eps) * F.col("n")) + 1).cast("int")
     pref = arrs.select(
         "doc_id", "n",
         F.posexplode(F.slice(F.col("ordered"), 1, plen)).alias("pos", "p"),
     ).select("doc_id", "n", "pos", F.col("p.shingle").alias("shingle"))
     a = pref.alias("a")
     b = pref.alias("b")
-    alpha = F.ceil(F.lit(tau / (1.0 + tau))
+    alpha = F.ceil(F.lit(tau_eps / (1.0 + tau_eps))
                    * (F.col("a.n") + F.col("b.n")))
     ubound = 1 + F.least(F.col("a.n") - F.col("a.pos") - 1,
                          F.col("b.n") - F.col("b.pos") - 1)
@@ -1303,7 +1317,7 @@ def prefix_filter_candidates(t: Tables, tau: float) -> DataFrame:
         )
         .distinct()
         # Length filter: |y| >= tau*|x| is necessary for Jaccard >= tau.
-        .filter(F.greatest("n1", "n2") * tau <= F.least("n1", "n2"))
+        .filter(F.greatest("n1", "n2") * tau_eps <= F.least("n1", "n2"))
     )
     return cand
 

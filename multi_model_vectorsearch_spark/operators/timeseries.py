@@ -23,6 +23,18 @@ Tables = dict
 HOUR_US = 3_600_000_000
 
 
+def _event_order_key() -> "F.Column":
+    """Zero-padded (epoch_us, event_id) string: a total order usable as a
+    min_by/max_by key in BOTH engines (DuckDB arg_min/arg_max can't take
+    struct keys). epoch_us is offset by 2^62 so pre-1970 (negative)
+    timestamps still sort correctly — a bare '%020d' of a negative value
+    breaks the lexicographic = numeric equivalence ('-…009' < '-…123'
+    although -9 > -123)."""
+    return F.format_string(
+        "%020d%020d", F.unix_micros("ts") + (1 << 62), F.col("event_id")
+    )
+
+
 def dq70_gapfill(t: Tables) -> DataFrame:
     """Hourly resample per user with forward fill over activity gaps."""
     ev = t["events"].select(
@@ -227,9 +239,7 @@ def dq132_latest_event(t: Tables) -> DataFrame:
     ev = t["events"]
     # composite key as a zero-padded string: engine-portable total order
     # (DuckDB's arg_max can't take struct/list keys)
-    key = F.format_string(
-        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
-    )
+    key = _event_order_key()
     return (
         ev.groupBy("user_id", "event_type")
         .agg(
@@ -428,9 +438,7 @@ def dq184_ohlc_bars(t: Tables) -> DataFrame:
     the source so AQE coalesces cleanly.
     """
     ev = t["events"]
-    key = F.format_string(
-        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
-    )
+    key = _event_order_key()
     v = F.col("value").cast("decimal(18,2)").cast("double")
     return (
         ev.select(
@@ -465,9 +473,7 @@ def dq187_changelog_compact(t: Tables) -> DataFrame:
     tombstone must win the order race, not short-circuit it).
     """
     ev = t["events"]
-    key = F.format_string(
-        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
-    )
+    key = _event_order_key()
     tomb = (F.col("event_type") == "purchase")
     return (
         ev.groupBy("user_id")
@@ -508,13 +514,17 @@ def dq188_psi_drift(t: Tables, n_buckets: int = 10) -> DataFrame:
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     )
     nb = F.lit(n_buckets)
-    bucket = F.least(
-        nb - 1,
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("v") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo")) * nb).cast("int"),
-        ),
+    # hi == lo (constant-valued reference half) → everything in bucket 0;
+    # without the guard Spark's null-division and DuckDB's inf diverge
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            nb - 1,
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * nb).cast("int"),
+            ),
+        )
     )
     counts = (
         ev.join(F.broadcast(bounds), "event_type")

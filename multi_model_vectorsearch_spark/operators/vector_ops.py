@@ -28,13 +28,6 @@ from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 Tables = dict
 
 
-def _pinned_sim(vec_id: Column, qid: Column, emb: Column, qv: Column) -> Column:
-    """Cosine similarity with the reference's self-match pin (main.py:223-224)."""
-    return F.round(
-        F.when(vec_id == qid, F.lit(1.0)).otherwise(cosine_similarity(emb, qv)), 6
-    )
-
-
 def similarity_scan(t: Tables, query_pred: str, pin_self: bool = True) -> DataFrame:
     """Corpus × queries similarity table: (qid, qm, vec_id, modality, s).
 
@@ -63,6 +56,7 @@ def similarity_scan(t: Tables, query_pred: str, pin_self: bool = True) -> DataFr
     cos = cosine_with_norms(F.col("embedding"), F.col("qv"),
                             F.col("_ne"), F.col("_nq"))
     if pin_self:
+        # self-match pinned to exactly 1.0 (reference main.py:223-224)
         s = F.round(
             F.when(F.col("vec_id") == F.col("qid"), F.lit(1.0)).otherwise(cos),
             6,

@@ -80,55 +80,46 @@ class IngestPipeline:
         # turns this on; the faithful /submit analog keeps it off
         self.maintain_neardup = maintain_neardup
 
-    def corpus(self) -> DataFrame:
-        if os.path.isdir(self.corpus_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.corpus_dir)
+    def _read_state(self, path: str, schema: str) -> DataFrame:
+        """Read an append-only parquet state dir, or an empty frame before
+        its first write — the one definition of 'state exists'."""
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
         ):
-            return self.spark.read.schema(CORPUS_SCHEMA).parquet(self.corpus_dir)
-        return self.spark.createDataFrame([], CORPUS_SCHEMA)
+            return self.spark.read.schema(schema).parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def corpus(self) -> DataFrame:
+        return self._read_state(self.corpus_dir, CORPUS_SCHEMA)
 
     def edges(self) -> DataFrame:
-        if os.path.isdir(self.edges_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.edges_dir)
-        ):
-            return self.spark.read.schema(EDGE_SCHEMA).parquet(self.edges_dir)
-        return self.spark.createDataFrame([], EDGE_SCHEMA)
+        return self._read_state(self.edges_dir, EDGE_SCHEMA)
 
     def centroids(self) -> DataFrame:
-        if os.path.isdir(self.centroids_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.centroids_dir)
-        ):
-            return self.spark.read.schema(CENTROID_SCHEMA).parquet(
-                self.centroids_dir)
-        return self.spark.createDataFrame([], CENTROID_SCHEMA)
+        return self._read_state(self.centroids_dir, CENTROID_SCHEMA)
 
     def ivf_index(self) -> DataFrame:
-        if os.path.isdir(self.index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.index_dir)
-        ):
-            return self.spark.read.schema(INDEX_SCHEMA).parquet(self.index_dir)
-        return self.spark.createDataFrame([], INDEX_SCHEMA)
+        return self._read_state(self.index_dir, INDEX_SCHEMA)
 
     def signatures(self) -> DataFrame:
-        if os.path.isdir(self.sig_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.sig_dir)
-        ):
-            return self.spark.read.schema(SIG_SCHEMA).parquet(self.sig_dir)
-        return self.spark.createDataFrame([], SIG_SCHEMA)
+        return self._read_state(self.sig_dir, SIG_SCHEMA)
 
     def neardup_flags(self) -> DataFrame:
-        if os.path.isdir(self.flags_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(self.flags_dir)
-        ):
-            return self.spark.read.schema(FLAG_SCHEMA).parquet(self.flags_dir)
-        return self.spark.createDataFrame([], FLAG_SCHEMA)
+        return self._read_state(self.flags_dir, FLAG_SCHEMA)
 
     # --- the foreachBatch body ---------------------------------------------
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """batch: (doc_id bigint, text string, modality string)."""
+        batch = batch.dropDuplicates(["doc_id"])
+        if self.maintain_neardup:
+            # pin the arbitrary per-doc_id pick: the signature pass re-reads
+            # `batch`, and an unpinned dropDuplicates could keep a DIFFERENT
+            # row on recomputation, storing a signature for text the corpus
+            # doesn't hold
+            batch = batch.localCheckpoint(eager=False)
         embedded = (
-            batch.dropDuplicates(["doc_id"])
+            batch
             .withColumn("content_sha256", F.sha2("text", 256))
             .dropDuplicates(["content_sha256"])  # within-batch dedup
             .withColumn(
@@ -204,35 +195,17 @@ class IngestPipeline:
     # --- incremental near-dup flagging --------------------------------------
 
     def _batch_signatures(self, docs: DataFrame) -> DataFrame:
-        """MinHash signatures (8 sha256 lanes over word-3-gram shingles) for
-        one micro-batch — the dq40 family (operators/textpipe.py) rebuilt
-        uncached: batch plans are one-shot, so the session cache would
-        churn its slots without ever hitting."""
+        """MinHash signatures for one micro-batch via the SAME shingle and
+        lane-packing definitions as the batch dq40 family
+        (textpipe._shingles_impl + signature_lanes) — called uncached:
+        batch plans are one-shot, so the session cache would churn its
+        slots without ever hitting."""
         from multi_model_vectorsearch_spark.operators.textpipe import (
-            N_MINHASH,
-            SHINGLE_W,
+            _shingles_impl,
+            signature_lanes,
         )
 
-        toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-        grams = toks.select(
-            "doc_id",
-            F.explode(F.expr(
-                # greatest(…, 0): docs shorter than the shingle width get an
-                # empty gram array (negative slice length is an error)
-                f"transform(slice(toks, 1, "
-                f"greatest(size(toks) - {SHINGLE_W - 1}, 0)), "
-                f"(x, i) -> concat_ws(' ', slice(toks, i + 1, {SHINGLE_W})))"
-            )).alias("shingle"),
-        ).distinct()
-        per = grams.select("doc_id", F.sha2(F.col("shingle"), 256).alias("h"))
-        agg = per.groupBy("doc_id").agg(
-            *[F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
-              for i in range(N_MINHASH)]
-        )
-        return agg.select(
-            "doc_id",
-            F.posexplode(F.array(*[f"m{i}" for i in range(N_MINHASH)])),
-        ).toDF("doc_id", "seed", "mh").select(
+        return signature_lanes(_shingles_impl({"documents": docs})).select(
             "doc_id", F.col("seed").cast("int"), "mh"
         )
 

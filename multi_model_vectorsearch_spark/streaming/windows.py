@@ -177,9 +177,11 @@ def ohlc_stream(events: DataFrame) -> DataFrame:
     one shuffle makes the streaming form bounded-state (add a watermark
     in production to evict closed hours, as session_stream does).
     """
-    key = F.format_string(
-        "%020d%020d", F.unix_micros("ts"), F.col("event_id")
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        _event_order_key,
     )
+
+    key = _event_order_key()
     v = F.col("value").cast("decimal(18,2)").cast("double")
     g = (
         events.select(

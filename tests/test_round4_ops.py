@@ -230,3 +230,57 @@ def test_user_trend_matches_numpy(tables):
     assert abs(r.slope - slope) < 1e-6
     assert abs(r.r2 - r2) < 1e-6
     assert 0 <= r.r2 <= 1
+
+
+def test_ohlc_pre_epoch_timestamps(spark):
+    """The (ts, event_id) order key must stay correct for NEGATIVE
+    epoch-us timestamps (pre-1970): a bare zero-padded '%020d' of a
+    negative number inverts the order; the 2^62 offset fixes it."""
+    import datetime as dt
+
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq184_ohlc_bars,
+    )
+
+    utc = dt.timezone.utc
+    rows = [
+        # one pre-epoch hour, three events: order 1 -> 2 -> 3
+        (1, dt.datetime(1969, 12, 31, 10, 0, 5, tzinfo=utc), 7, "view", 10.0, ""),
+        (2, dt.datetime(1969, 12, 31, 10, 20, 0, tzinfo=utc), 7, "view", 50.0, ""),
+        (3, dt.datetime(1969, 12, 31, 10, 59, 0, tzinfo=utc), 7, "view", 30.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    bars = dq184_ohlc_bars({"events": ev}).collect()
+    assert len(bars) == 1
+    b = bars[0]
+    assert b.open == 10.0, b   # earliest event, not lexicographic victim
+    assert b.close == 30.0, b  # latest event
+    assert b.high == 50.0 and b.low == 10.0
+
+
+def test_psi_constant_reference_half(spark):
+    """A constant-valued reference half (hi == lo) must bucket everything
+    into bucket 0 instead of null-dividing — and still emit a finite
+    PSI row."""
+    import datetime as dt
+    import math
+
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq188_psi_drift,
+    )
+
+    utc = dt.timezone.utc
+    t0 = dt.datetime(2024, 1, 1, tzinfo=utc)
+    rows = []
+    for i in range(20):
+        # even event_id (reference): constant 5.0; odd (current): varies
+        v = 5.0 if i % 2 == 0 else float(i)
+        rows.append((i, t0, i % 3, "click", v, ""))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = dq188_psi_drift({"events": ev}).collect()
+    assert len(out) == 1
+    assert math.isfinite(out[0].psi) and out[0].psi >= 0
