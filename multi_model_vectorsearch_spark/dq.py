@@ -590,7 +590,8 @@ _REGISTRY: list[DQ] = [
     DQ("dq74_histogram", R.dq74_histogram,
        "WITH stats AS (SELECT min(l_extendedprice) AS lo, "
        "max(l_extendedprice) AS hi FROM lineitem) "
-       "SELECT CAST(least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) "
+       "SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE "
+       "least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) END "
        "AS INT) AS bucket, count(*) AS c "
        "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
     DQ("dq82_correlated_subquery", R.dq82_correlated_subquery,

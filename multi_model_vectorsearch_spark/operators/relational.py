@@ -538,12 +538,16 @@ def dq74_histogram(t: Tables, n_bins: int = 10) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
-    bucket = F.least(
-        F.lit(n_bins - 1),
-        F.floor(
-            (F.col("l_extendedprice") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / n_bins)
-        ),
+    # hi == lo (constant column) → one bucket; without the guard Spark's
+    # null-division and DuckDB's inf/nan diverge on degenerate input
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_bins)
+            ),
+        )
     ).cast("int")
     return (
         li.crossJoin(F.broadcast(stats))
