@@ -1229,13 +1229,15 @@ _REGISTRY: list[DQ] = [
        "st AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
        "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
        "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r FROM sig) "
-       "SELECT doc_id, round((n_words - m_n) / s_n, 6) AS z_len, "
-       "round((entropy - m_e) / s_e, 6) AS z_entropy, "
-       "round((max_tok_frac - m_r) / s_r, 6) AS z_rep, "
-       "CAST(CASE WHEN abs((n_words - m_n) / s_n) <= 2 "
-       "AND abs((entropy - m_e) / s_e) <= 2 "
-       "AND abs((max_tok_frac - m_r) / s_r) <= 2 THEN 1 ELSE 0 END AS INT) "
-       "AS keep FROM sig CROSS JOIN st"),
+       "zs AS (SELECT doc_id, "
+       "CASE WHEN s_n = 0 THEN 0.0 ELSE (n_words - m_n) / s_n END AS zn, "
+       "CASE WHEN s_e = 0 THEN 0.0 ELSE (entropy - m_e) / s_e END AS ze, "
+       "CASE WHEN s_r = 0 THEN 0.0 ELSE (max_tok_frac - m_r) / s_r END "
+       "AS zr FROM sig CROSS JOIN st) "
+       "SELECT doc_id, round(zn, 6) AS z_len, round(ze, 6) AS z_entropy, "
+       "round(zr, 6) AS z_rep, "
+       "CAST(CASE WHEN abs(zn) <= 2 AND abs(ze) <= 2 AND abs(zr) <= 2 "
+       "THEN 1 ELSE 0 END AS INT) AS keep FROM zs"),
     DQ("dq132_latest_event", TS.dq132_latest_event,
        "SELECT user_id, event_type, "
        "arg_max(event_id, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "

@@ -942,7 +942,10 @@ def dq131_quality_ensemble(t: Tables) -> DataFrame:
     )
 
     def z(col: str, m: str, s: str):
-        return (F.col(col) - F.col(m)) / F.col(s)
+        # zero-variance signal (fully uniform corpus) → z = 0 on both
+        # engines, instead of Spark null vs DuckDB inf/nan
+        return F.when(F.col(s) == 0, F.lit(0.0)).otherwise(
+            (F.col(col) - F.col(m)) / F.col(s))
 
     zn, ze, zr = z("n_words", "m_n", "s_n"), z("entropy", "m_e", "s_e"), \
         z("max_tok_frac", "m_r", "s_r")
