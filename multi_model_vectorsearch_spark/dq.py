@@ -1228,7 +1228,7 @@ _REGISTRY: list[DQ] = [
        "max(c) / sum(c) AS max_tok_frac FROM wc GROUP BY doc_id), "
        "st AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
        "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
-       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r FROM sig) "
+       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r FROM sig), "
        "zs AS (SELECT doc_id, "
        "CASE WHEN s_n = 0 THEN 0.0 ELSE (n_words - m_n) / s_n END AS zn, "
        "CASE WHEN s_e = 0 THEN 0.0 ELSE (entropy - m_e) / s_e END AS ze, "
