@@ -2217,6 +2217,27 @@ _REGISTRY: list[DQ] = [
        "n.vec_id AS neg_id, n.s AS neg_s, round(p.s - n.s, 6) AS margin "
        "FROM (SELECT * FROM best WHERE same) p "
        "JOIN (SELECT * FROM best WHERE NOT same) n ON p.qid = n.qid"),
+    DQ("dq195_winsorized_stats", R.dq195_winsorized_stats,
+       "WITH b AS (SELECT l_returnflag, "
+       "quantile_cont(l_extendedprice, 0.05) AS p05, "
+       "quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem "
+       "GROUP BY l_returnflag), "
+       "c AS (SELECT l.l_returnflag, p05, p95, "
+       "least(greatest(l_extendedprice, p05), p95) AS cv, "
+       "CAST(l_extendedprice < p05 AS INT) AS lo, "
+       "CAST(l_extendedprice > p95 AS INT) AS hi "
+       "FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag) "
+       "SELECT l_returnflag, round(max(p05), 6) AS p05, "
+       "round(max(p95), 6) AS p95, "
+       "round(CAST(sum(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) "
+       "AS wins_mean, "
+       "CAST(sum(lo) AS BIGINT) AS n_clipped_lo, "
+       "CAST(sum(hi) AS BIGINT) AS n_clipped_hi, count(*) AS n "
+       "FROM c GROUP BY l_returnflag"),
+    DQ("dq196_hll_rollup", R.dq196_hll_rollup, None,
+       note="mergeable-sketch distinct rollup — DataSketches HLL bits are "
+            "engine-specific (SURVEY.md §5.3 rule 5, like dq57); "
+            "estimate-vs-exact bound asserted in t1"),
 ]
 
 

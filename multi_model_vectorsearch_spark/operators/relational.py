@@ -814,3 +814,83 @@ def dq186_basket_lift(t: Tables, min_pair_n: int = 5, k: int = 30) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), "b1", "b2").limit(k)
+
+
+def dq195_winsorized_stats(t: Tables) -> DataFrame:
+    """Winsorized robust statistics per return flag: clip l_extendedprice
+    at its group [p05, p95] (exact interpolated percentiles), then report
+    the clipped mean, the clip bounds, and how many rows hit each side —
+    the outlier-robust profile a feature pipeline publishes instead of
+    raw means that one fat-finger row can move arbitrarily.
+
+    Two passes by necessity (bounds, then clip): the per-group bounds
+    table is group-count-sized and broadcasts back onto the scan, so the
+    second pass is map-only. The clipped mean accumulates DECIMAL terms —
+    order-independent, where a double sum over a 100 TB group would be
+    partition-order-sensitive.
+    """
+    li = t["lineitem"].select("l_returnflag",
+                              F.col("l_extendedprice").alias("v"))
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(v, array(0.05D, 0.95D))").alias("b"))
+        .select(
+            "l_returnflag",
+            F.col("b")[0].alias("p05"), F.col("b")[1].alias("p95"),
+        )
+    )
+    clipped = (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_returnflag", "p05", "p95",
+            F.least(F.greatest(F.col("v"), F.col("p05")), F.col("p95"))
+            .alias("cv"),
+            (F.col("v") < F.col("p05")).cast("int").alias("lo"),
+            (F.col("v") > F.col("p95")).cast("int").alias("hi"),
+        )
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("p05"), 6).alias("p05"),
+            F.round(F.max("p95"), 6).alias("p95"),
+            F.round(
+                (F.sum(F.col("cv").cast("decimal(28,10)")).cast("double")
+                 / F.count("*")), 6).alias("wins_mean"),
+            F.sum("lo").cast("bigint").alias("n_clipped_lo"),
+            F.sum("hi").cast("bigint").alias("n_clipped_hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def dq196_hll_rollup(t: Tables) -> DataFrame:
+    """Mergeable-sketch distinct rollup: per-day HyperLogLog sketches of
+    active users, unioned into period estimates — THE scalable pattern
+    for "distinct users this month" at 100 TB: daily sketches are tiny,
+    additive, and computed once, where exact monthly count-distinct
+    re-shuffles every event every time the window moves.
+
+    ``hll_sketch_agg`` per day → ``hll_union_agg`` across days →
+    ``hll_sketch_estimate``; the audit columns carry the exact global
+    distinct for the error bound asserted in t1. Sketch bits are
+    engine-specific (Apache DataSketches), so this entry is rows-only by
+    declared contract (SURVEY §5.3 rule 5), like dq57.
+    """
+    ev = t["events"].select(
+        F.date_trunc("DAY", "ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_daily"),
+    )
+    return daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
+        .alias("est_distinct"),
+        F.sum("exact_daily").cast("bigint").alias("sum_daily_distinct"),
+    ).crossJoin(
+        F.broadcast(ev.agg(
+            F.count_distinct("user_id").cast("bigint")
+            .alias("exact_distinct")))
+    )

@@ -52,3 +52,18 @@ def test_approx_quantiles_near_exact(tables):
     assert set(exact) == set(approx)
     for flag, ex in exact.items():
         assert abs(approx[flag] - ex) <= max(0.02 * abs(ex), 1e-9), flag
+
+
+def test_hll_rollup_bound(tables):
+    """dq196: the unioned-sketch estimate must sit within HLL error of the
+    exact global distinct, and per-day distinct counts must over-count it
+    (users active on multiple days)."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq196_hll_rollup,
+    )
+
+    r = dq196_hll_rollup(tables).first()
+    assert r.n_days >= 1
+    assert r.sum_daily_distinct >= r.exact_distinct
+    rel_err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+    assert rel_err <= 0.05, (r.est_distinct, r.exact_distinct)
