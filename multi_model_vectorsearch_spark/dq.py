@@ -2238,6 +2238,14 @@ _REGISTRY: list[DQ] = [
        note="mergeable-sketch distinct rollup — DataSketches HLL bits are "
             "engine-specific (SURVEY.md §5.3 rule 5, like dq57); "
             "estimate-vs-exact bound asserted in t1"),
+    DQ("dq197_skyline", R.dq197_skyline,
+       # brute-force NOT EXISTS dominance: equality proves the sort-based
+       # rewrite in the engine
+       "SELECT a.p_partkey, a.p_retailprice AS price, a.p_size AS size "
+       "FROM part a WHERE NOT EXISTS (SELECT 1 FROM part b "
+       "WHERE b.p_retailprice <= a.p_retailprice "
+       "AND b.p_size <= a.p_size "
+       "AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))"),
 ]
 
 

@@ -894,3 +894,40 @@ def dq196_hll_rollup(t: Tables) -> DataFrame:
             F.count_distinct("user_id").cast("bigint")
             .alias("exact_distinct")))
     )
+
+
+def dq197_skyline(t: Tables) -> DataFrame:
+    """Skyline (Pareto frontier) of parts minimizing (p_retailprice,
+    p_size): every part not dominated by another that is <= on both
+    attributes and < on at least one — the multi-criteria shortlist
+    query (cheapest-AND-smallest tradeoff curve).
+
+    Sort-based skyline, not the O(n²) dominance join: collapse to one
+    min-size row per DISTINCT price (an aggregation), take a running
+    strictly-before minimum over the price order, and a part survives
+    iff it has its price's min size AND beats every cheaper price's
+    size. The global window runs over the distinct-price table only —
+    the dq171 range-partition trick applies verbatim if even that is too
+    wide at 100 TB. The oracle is the brute-force NOT EXISTS dominance
+    scan: equality proves the sort-based rewrite.
+    """
+    p = t["part"].select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    per_price = p.groupBy("price").agg(F.min("size").alias("mp"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_price
+        .withColumn("prev_run", F.min("mp").over(w))
+        # dominated by a strictly-cheaper price iff its min size <= mp
+        .filter(F.col("prev_run").isNull()
+                | (F.col("mp") < F.col("prev_run")))
+        .select("price", "mp")
+    )
+    return (
+        p.join(F.broadcast(frontier), "price")
+        .filter(F.col("size") == F.col("mp"))
+        .select("p_partkey", "price", "size")
+    )
