@@ -166,8 +166,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
+        # cache_builders: entries whose timing absorbed the FIRST build of a
+        # shared session cache (retry-ineligible by design) — their rows
+        # include one-off cost that repeat runs don't pay
         json.dump({"total_sec": total, "queries": timings,
-                   "retries": retries}, fh, indent=1, sort_keys=True)
+                   "retries": retries,
+                   "cache_builders": sorted(cache_builders)}, fh,
+                  indent=1, sort_keys=True)
     print(json.dumps(line, separators=(",", ":")))
 
 
