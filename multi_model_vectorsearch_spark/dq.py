@@ -2246,6 +2246,42 @@ _REGISTRY: list[DQ] = [
        "WHERE b.p_retailprice <= a.p_retailprice "
        "AND b.p_size <= a.p_size "
        "AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))"),
+    DQ("dq198_ewma", TS.dq198_ewma,
+       # rn-range self-join replays the bounded trailing frame; weights
+       # 2^(19-lag) and integer cents keep both engines in exact bigint
+       # arithmetic until one shared IEEE division
+       "WITH h AS (SELECT user_id, "
+       "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb, "
+       "SUM(CAST(round(value * 100) AS BIGINT)) AS v "
+       "FROM events GROUP BY user_id, hb), "
+       "r AS (SELECT user_id, hb, v, "
+       "row_number() OVER (PARTITION BY user_id ORDER BY hb) AS rn FROM h), "
+       "j AS (SELECT a.user_id, a.hb, b.v AS bv, a.rn - b.rn AS d "
+       "FROM r a JOIN r b ON a.user_id = b.user_id "
+       "AND b.rn BETWEEN a.rn - 19 AND a.rn), "
+       "s AS (SELECT user_id, hb, "
+       "SUM(bv * CAST(pow(2, 19 - d) AS BIGINT)) AS num, "
+       "SUM(CAST(pow(2, 19 - d) AS BIGINT)) AS den "
+       "FROM j GROUP BY user_id, hb) "
+       "SELECT user_id, hb, "
+       "round(CAST(num AS DOUBLE) / den / 100.0, 6) AS ewma FROM s"),
+    DQ("dq199_weighted_median", R.dq199_weighted_median,
+       "WITH g AS (SELECT l_returnflag, l_extendedprice AS price, "
+       "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w "
+       "FROM lineitem GROUP BY l_returnflag, price), "
+       "c AS (SELECT l_returnflag, price, "
+       "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw, "
+       "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
+       "SELECT l_returnflag, min(price) AS wmedian FROM c "
+       "WHERE 2 * cw >= tw GROUP BY l_returnflag"),
+    DQ("dq201_compaction_plan", S.dq201_compaction_plan,
+       "WITH s AS (SELECT o_orderdate AS d, count(*) AS n FROM orders "
+       "GROUP BY o_orderdate), "
+       "b AS (SELECT d, n, CAST(floor(COALESCE(SUM(n) OVER "
+       "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+       "/ 500) AS BIGINT) AS bin FROM s) "
+       "SELECT bin, count(*) AS n_partitions, SUM(n) AS total_rows, "
+       "min(d) AS d_min, max(d) AS d_max FROM b GROUP BY bin"),
 ]
 
 

@@ -931,3 +931,37 @@ def dq197_skyline(t: Tables) -> DataFrame:
         .filter(F.col("size") == F.col("mp"))
         .select("p_partkey", "price", "size")
     )
+
+
+def dq199_weighted_median(t: Tables) -> DataFrame:
+    """Exact weighted median per return flag: the smallest l_extendedprice
+    whose cumulative l_quantity weight reaches half the group total — the
+    robust 'typical price weighted by volume' statistic (quantity-weighted
+    p50), which a plain median misstates whenever cheap items ship in bulk.
+
+    Weights collapse onto DISTINCT price first (groupBy), so the cumulative
+    window runs over the distinct-value table, not the raw scan — at 100 TB
+    that is shuffle-once to (flag, price), map-side-combined, then a
+    partition-local running sum over a group-cardinality-sized frame.
+    Quantities are integral doubles cast to bigint, so every comparison is
+    exact integer arithmetic; the output price is carried untouched (no
+    float summation anywhere).
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    per_price = li.groupBy("l_returnflag", "price").agg(
+        F.sum("q").alias("w"))
+    wp = Window.partitionBy("l_returnflag")
+    cum = (
+        per_price
+        .withColumn("cw", F.sum("w").over(wp.orderBy("price")))
+        .withColumn("tw", F.sum("w").over(wp))
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("wmedian"))
+    )

@@ -253,3 +253,42 @@ def dq189_zorder_layout(t: dict, bits: int = 10, bucket_bits: int = 4) -> DataFr
             F.min("sk").alias("sk_min"), F.max("sk").alias("sk_max"),
         )
     )
+
+
+def dq201_compaction_plan(t: dict, target_rows: int = 500) -> DataFrame:
+    """Small-file compaction planner: pack per-day `orders` partitions
+    (the many-small-files shape a daily ingest leaves behind) into
+    sequential compaction bins of ~``target_rows`` rows each, preserving
+    date order so each output file stays range-prunable on o_orderdate —
+    the plan an OPTIMIZE/compact job executes.
+
+    Streaming next-fit chunker: bin = floor(exclusive-cumulative-size /
+    target) over the date-ordered partition list. The window runs over
+    the PARTITION LIST (one row per day — 100 TB of data is still only
+    thousands of partitions), never the data, so the global sort is over
+    a trivially small table; the data movement it plans is
+    repartitionByRange on the emitted bin id. All arithmetic is exact
+    bigint counts.
+    """
+    from pyspark.sql import Window
+
+    sizes = (
+        t["orders"]
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    binned = sizes.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / target_rows)
+        .cast("bigint"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.sum("n").alias("total_rows"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )

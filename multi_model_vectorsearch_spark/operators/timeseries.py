@@ -675,3 +675,63 @@ def dq193_user_trend(t: Tables, min_n: int = 5) -> DataFrame:
             F.round(num_d * num_d / (den_x_d * den_y_d), 6).alias("r2"),
         )
     )
+
+
+def dq198_ewma(t: Tables, span: int = 20) -> DataFrame:
+    """Per-user hourly EWMA (alpha = 0.5) of event value, the smoothing
+    pass behind every anomaly monitor and feature store — computed over a
+    bounded ``span``-row trailing frame (the finite-impulse form feature
+    pipelines actually ship: beyond 20 half-lives the dropped tail weighs
+    2^-20 of the estimate).
+
+    Exactness trick: alpha = 1/2 makes weights powers of two, so with
+    values held as integer cents the weighted numerator
+    sum(cents_i << (span-1-lag_i)) and denominator sum(1 << (span-1-lag))
+    are EXACT bigints on both engines; one IEEE division at the end is
+    identical everywhere — no float-summation-order hazard at all, where
+    a naive double fold would diverge between Spark's frame order and the
+    oracle's group-by order. The frame is rows-bounded, so the window is
+    linear per partition (none of dq178's pre-fix O(n^2) frame hazard)
+    and partition-local after one shuffle on user_id.
+    """
+    ev = t["events"]
+    hourly = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "hb")
+        .agg(F.sum("cents").alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hb")
+        .rowsBetween(-(span - 1), Window.currentRow)
+    )
+    # arr is frame-ordered oldest->newest; fold newest-first so lag i
+    # (from the current row) carries weight 2^(span-1-i)
+    arr = F.collect_list("v").over(w)
+    sized = F.size(F.col("arr"))
+    # pow(2, k) for k <= span is integer-exact in a double, so the cast
+    # back to bigint is lossless (shiftleft's numBits must be a Python
+    # int, not a per-row Column — hence pow here)
+    num = F.aggregate(
+        F.sequence(F.lit(0), sized - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.element_at(F.col("arr"), sized - i)
+        * F.pow(F.lit(2.0), (F.lit(span - 1) - i).cast("double"))
+        .cast("bigint"),
+    )
+    den = (
+        F.lit(1 << span).cast("bigint")
+        - F.pow(F.lit(2.0), (F.lit(span) - sized).cast("double"))
+        .cast("bigint")
+    )
+    return (
+        hourly.withColumn("arr", arr)
+        .select(
+            "user_id", "hb",
+            F.round(num.cast("double") / den / 100.0, 6).alias("ewma"),
+        )
+    )

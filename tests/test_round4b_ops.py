@@ -1,0 +1,109 @@
+"""Semantics tests for the round-4b operator batch (dq198+).
+
+Hash-equality with the DuckDB oracle is pinned in test_correctness; these
+tests pin the properties the oracle can't see — the EWMA stays inside its
+frame's value envelope, the weighted median actually balances cumulative
+weight, and the compaction plan conserves rows and keeps bins date-contiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.operators.relational import (
+    dq199_weighted_median,
+)
+from multi_model_vectorsearch_spark.operators.scale import dq201_compaction_plan
+from multi_model_vectorsearch_spark.operators.timeseries import HOUR_US, dq198_ewma
+
+
+def test_ewma_inside_frame_envelope(tables):
+    """An EWMA is a convex combination of its frame, so it must lie within
+    [min, max] of the trailing 20 hourly values (tolerance for the cent
+    quantization + final rounding)."""
+    hourly = (
+        tables["events"]
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "hb")
+        .agg((F.sum("cents") / 100.0).alias("hv"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("hb")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    env = hourly.select(
+        "user_id", "hb",
+        F.min("hv").over(w).alias("lo"), F.max("hv").over(w).alias("hi"),
+    )
+    joined = dq198_ewma(tables).join(env, ["user_id", "hb"])
+    bad = joined.filter(
+        (F.col("ewma") < F.col("lo") - 1e-6)
+        | (F.col("ewma") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
+    assert joined.count() > 0
+
+
+def test_ewma_single_row_group_is_identity(spark):
+    """A user with one hourly bucket has EWMA == that bucket's value."""
+    rows = [(1, "2024-01-01 00:10:00", 7, "view", 12.34, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dq198_ewma({"events": df}).collect()
+    assert len(out) == 1
+    assert abs(out[0]["ewma"] - 12.34) < 1e-9
+
+
+def test_weighted_median_balances_weight(tables_sf001):
+    """For each flag the reported median m must satisfy the defining
+    inequalities: weight(price <= m) >= half AND weight(price >= m) >= half
+    of total quantity."""
+    li = tables_sf001["lineitem"].select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    med = dq199_weighted_median(tables_sf001)
+    j = li.join(med, "l_returnflag")
+    chk = j.groupBy("l_returnflag").agg(
+        F.sum("q").alias("tw"),
+        F.sum(F.when(F.col("p") <= F.col("wmedian"), F.col("q"))
+              .otherwise(F.lit(0))).alias("w_le"),
+        F.sum(F.when(F.col("p") >= F.col("wmedian"), F.col("q"))
+              .otherwise(F.lit(0))).alias("w_ge"),
+    ).collect()
+    assert len(chk) > 0
+    for r in chk:
+        assert 2 * r["w_le"] >= r["tw"], r
+        assert 2 * r["w_ge"] >= r["tw"], r
+
+
+def test_compaction_plan_conserves_and_orders(tables):
+    plan = dq201_compaction_plan(tables, target_rows=500)
+    rows = sorted(plan.collect(), key=lambda r: r["bin"])
+    assert len(rows) > 1
+    total = tables["orders"].count()
+    assert sum(r["total_rows"] for r in rows) == total
+    # bins are date-contiguous: each bin's range ends before the next begins
+    for a, b in zip(rows, rows[1:]):
+        assert a["d_max"] < b["d_min"]
+    # next-fit bound: a bin's partitions all start (exclusive cumsum)
+    # inside one target-sized window, so it can overshoot the target by
+    # at most one partition's rows
+    max_part = (
+        tables["orders"].groupBy("o_orderdate").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    for r in rows:
+        assert r["total_rows"] <= 500 + max_part - 1, r
+    # bin ids are dense from 0
+    assert rows[0]["bin"] == 0
+    assert rows[-1]["bin"] == len(rows) - 1
