@@ -2282,6 +2282,52 @@ _REGISTRY: list[DQ] = [
        "/ 500) AS BIGINT) AS bin FROM s) "
        "SELECT bin, count(*) AS n_partitions, SUM(n) AS total_rows, "
        "min(d) AS d_min, max(d) AS d_max FROM b GROUP BY bin"),
+    DQ("dq200_sorted_neighborhood", T.dq200_sorted_neighborhood,
+       "WITH k AS (SELECT doc_id, "
+       "substr(replace(text, ' ', ''), 1, 24) AS key, "
+       "list_distinct(string_split(text, ' ')) AS toks FROM documents), "
+       "r AS (SELECT doc_id, key, toks, substr(key, 1, 2) AS blk, "
+       "row_number() OVER (PARTITION BY substr(key, 1, 2) "
+       "ORDER BY key, doc_id) AS rn FROM k), "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+       "len(list_intersect(a.toks, b.toks)) AS i, "
+       "len(a.toks) AS na, len(b.toks) AS nb "
+       "FROM r a JOIN r b ON a.blk = b.blk "
+       "AND b.rn > a.rn AND b.rn <= a.rn + 5) "
+       # filter on the ROUNDED value, same as the engine: the round output
+       # is bit-identical across engines, the raw ratio comparison is not
+       "SELECT d1, d2, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jacc "
+       "FROM p WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.2"),
+    DQ("dq202_bigram_lm", T.dq202_bigram_lm,
+       "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+       "generate_subscripts(string_split(text, ' '), 1) AS idx "
+       "FROM documents), "
+       "bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, a.tok AS w1 "
+       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1), "
+       "per_doc AS (SELECT doc_id, bg, w1, count(*) AS tf "
+       "FROM bg GROUP BY doc_id, bg, w1), "
+       "c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg), "
+       "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), "
+       "v AS (SELECT count(DISTINCT tok) AS v FROM tk) "
+       "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
+       "round(sum(tf * ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))) / sum(tf), 6)"
+       " AS mean_logp "
+       "FROM per_doc JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v "
+       "GROUP BY doc_id"),
+    DQ("dq203_containment_join", T.dq203_containment_join,
+       "WITH " + _SHC_CTE + ", "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
+       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2), "
+       "p AS (SELECT d1, d2, i, sa.n AS na, sb.n AS nb "
+       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+       "JOIN sizes sb ON sb.doc_id = d2), "
+       "directed AS (SELECT d1 AS src, d2 AS dst, "
+       "round(CAST(i AS DOUBLE) / na, 6) AS containment FROM p "
+       "UNION ALL SELECT d2 AS src, d1 AS dst, "
+       "round(CAST(i AS DOUBLE) / nb, 6) AS containment FROM p) "
+       "SELECT src, dst, containment FROM directed WHERE containment >= 0.5"),
 ]
 
 

@@ -1350,3 +1350,121 @@ def _prefix_arrays_impl(t: Tables) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+def dq200_sorted_neighborhood(t: Tables, window: int = 5,
+                              j_min: float = 0.2) -> DataFrame:
+    """Sorted-neighborhood dedup (the classic SNM entity-resolution pass):
+    sort docs by a normalized blocking key, compare each doc only to its
+    ``window`` successors in sort order, and keep pairs whose token-set
+    Jaccard clears ``j_min`` — the linear-candidate alternative to LSH
+    when near-dups share prefixes (ingest batches, boilerplate headers).
+
+    The sort runs WITHIN 2-char key blocks (partitionBy(blk)), so no
+    global single-partition window exists at any scale; candidates come
+    from an rn-range self-join inside the block (≤ window · n rows
+    total). Token sets ride along as per-doc arrays, so the verify step
+    is a map-side array_intersect — the candidate pairs never re-join
+    the corpus token table. Jaccard is an exact integer ratio: one IEEE
+    division, identical on both engines.
+    """
+    d = t["documents"]
+    keyed = d.select(
+        "doc_id",
+        F.substring(F.replace(F.col("text"), F.lit(" "), F.lit("")), 1, 24)
+        .alias("key"),
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("blk", F.substring("key", 1, 2))
+    w = Window.partitionBy("blk").orderBy("key", "doc_id")
+    r = keyed.withColumn("rn", F.row_number().over(w))
+    a = r.select("blk", F.col("doc_id").alias("d1"),
+                 F.col("rn").alias("rn1"), F.col("toks").alias("ta"))
+    b = r.select("blk", F.col("doc_id").alias("d2"),
+                 F.col("rn").alias("rn2"), F.col("toks").alias("tb"))
+    pairs = a.join(
+        b,
+        (a["blk"] == b["blk"])
+        & (b["rn2"] > a["rn1"]) & (b["rn2"] <= a["rn1"] + window),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        pairs.select(
+            "d1", "d2",
+            F.round(
+                inter.cast("double")
+                / (F.size("ta") + F.size("tb") - inter), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= j_min)
+    )
+
+
+def dq202_bigram_lm(t: Tables, add_k: float = 0.5) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing: train exact
+    bigram/left-context counts on the corpus itself, then score every doc
+    by its mean log P(w_i | w_{i-1}) — the trained upgrade of dq127's
+    unigram surprisal and the deterministic stand-in for a KenLM-style
+    perplexity filter (same plan shape: count tables broadcast onto a
+    per-doc scan).
+
+    Three count aggregates (bigrams, left contexts, vocab size — each
+    map-side combinable) broadcast back over the per-doc bigram counts;
+    the corpus is never re-shuffled by the model. Low scores flag
+    improbable token transitions (gibberish), high ones boilerplate.
+    """
+    d = t["documents"]
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    bg = toks.select(
+        "doc_id",
+        # bracket indexing is 0-based in Spark SQL; x sits at 0-based
+        # position i, so its successor is w[i + 1]
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> concat(x, ' ', w[i + 1]))")).alias("bg"),
+    )
+    per_doc = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
+    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    lp = F.log((F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v")))
+    return (
+        per_doc.join(F.broadcast(c2), "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6)
+            .alias("mean_logp"),
+        )
+    )
+
+
+def dq203_containment_join(t: Tables, c_min: float = 0.5) -> DataFrame:
+    """Asymmetric containment join: containment(A in B) = |S(A)∩S(B)| /
+    |S(A)| over word shingles — the partial-duplication detector Jaccard
+    misses (a short doc quoted inside a long one scores near-zero Jaccard
+    but containment ≈ 1), the signal used for quote/boilerplate-inclusion
+    curation.
+
+    Pure projection of the session-cached df-capped pair table
+    (jaccard_pairs_shared): candidates come from the same inverted-index
+    build as dq42/dq153 — never a doc×doc product — and each symmetric
+    candidate emits its two directed containments. Exact integer ratio,
+    one IEEE division.
+    """
+    p = jaccard_pairs_shared(t)
+    directed = p.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst"),
+        F.round(F.col("i") / F.col("na"), 6).alias("containment"),
+    ).unionAll(p.select(
+        F.col("d2").alias("src"), F.col("d1").alias("dst"),
+        F.round(F.col("i") / F.col("nb"), 6).alias("containment"),
+    ))
+    return directed.filter(F.col("containment") >= c_min)

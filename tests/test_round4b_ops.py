@@ -107,3 +107,55 @@ def test_compaction_plan_conserves_and_orders(tables):
     # bin ids are dense from 0
     assert rows[0]["bin"] == 0
     assert rows[-1]["bin"] == len(rows) - 1
+
+
+def test_sorted_neighborhood_candidates_bounded(tables):
+    """SNM emits at most window·n candidate pairs and never a self-pair;
+    Jaccard is in (0, 1]."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq200_sorted_neighborhood,
+    )
+
+    out = dq200_sorted_neighborhood(tables, window=5, j_min=0.0)
+    n_docs = tables["documents"].count()
+    rows = out.collect()
+    assert 0 < len(rows) <= 5 * n_docs
+    for r in rows:
+        assert r["d1"] != r["d2"]
+        assert 0.0 <= r["jacc"] <= 1.0
+
+
+def test_bigram_lm_scores_every_doc_negative(tables):
+    """Every doc gets a score; smoothed log-probs are strictly negative
+    and n_bigrams is exactly token_count - 1."""
+    from multi_model_vectorsearch_spark.operators.textpipe import dq202_bigram_lm
+
+    out = dq202_bigram_lm(tables)
+    docs = tables["documents"].select(
+        "doc_id", (F.size(F.split("text", " ")) - 1).alias("want")
+    )
+    j = out.join(docs, "doc_id").collect()
+    assert len(j) == tables["documents"].count()
+    for r in j:
+        assert r["mean_logp"] < 0.0
+        assert r["n_bigrams"] == r["want"]
+
+
+def test_containment_dominates_jaccard(tables):
+    """For any pair, containment(A in B) >= Jaccard(A, B): the asymmetric
+    measure can only be larger (its denominator is smaller)."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq203_containment_join,
+        jaccard_pairs_shared,
+    )
+
+    cont = dq203_containment_join(tables, c_min=0.0)
+    p = jaccard_pairs_shared(tables).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst"),
+        (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+    )
+    j = cont.join(p, ["src", "dst"])
+    assert j.count() > 0
+    # containment comes back rounded to 6 decimals; allow that quantum
+    bad = j.filter(F.col("containment") < F.col("j") - 5e-7).count()
+    assert bad == 0
