@@ -2328,6 +2328,41 @@ _REGISTRY: list[DQ] = [
        "UNION ALL SELECT d2 AS src, d1 AS dst, "
        "round(CAST(i AS DOUBLE) / nb, 6) AS containment FROM p) "
        "SELECT src, dst, containment FROM directed WHERE containment >= 0.5"),
+    DQ("dq204_grid_dbscan", N.dq204_grid_dbscan,
+       # brute-force O(N^2) epsilon join: equality proves the engine's
+       # grid-cell pruning lossless. Distance expr is written identically
+       # (two mults, one add) so both engines produce bit-equal doubles.
+       "WITH pts AS (SELECT vec_id, "
+       "CAST(embedding[1] AS DOUBLE) AS x, "
+       "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), "
+       "nbrs AS (SELECT a.vec_id AS qid, b.vec_id AS nid "
+       "FROM pts a JOIN pts b ON "
+       "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
+       "<= 0.05 * 0.05), "
+       "counts AS (SELECT qid, count(*) AS n_nbrs FROM nbrs GROUP BY qid), "
+       "flags AS (SELECT qid, n_nbrs, n_nbrs >= 5 AS is_core FROM counts), "
+       "cn AS (SELECT n.qid, max(CASE WHEN f.is_core THEN 1 ELSE 0 END) "
+       "AS has_core_nbr FROM nbrs n JOIN flags f ON f.qid = n.nid "
+       "WHERE n.qid <> n.nid GROUP BY n.qid) "
+       "SELECT f.qid AS vec_id, f.n_nbrs, "
+       "CASE WHEN f.is_core THEN 'core' "
+       "WHEN COALESCE(cn.has_core_nbr, 0) = 1 THEN 'border' "
+       "ELSE 'noise' END AS label "
+       "FROM flags f LEFT JOIN cn ON cn.qid = f.qid"),
+    DQ("dq205_feature_auc", C.dq205_feature_auc,
+       "WITH d AS (SELECT source, n_chars AS score, "
+       "CAST(lang = 'en' AS BIGINT) AS pos FROM documents), "
+       "g AS (SELECT source, score, SUM(pos) AS p, "
+       "count(*) - SUM(pos) AS n FROM d GROUP BY source, score), "
+       "s AS (SELECT source, score, p, n, "
+       "COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg "
+       "FROM g), "
+       "a AS (SELECT source, SUM(p) AS n_pos, SUM(n) AS n_neg, "
+       "SUM(p * (2 * cum_neg + n)) AS num2 FROM s GROUP BY source) "
+       "SELECT source, n_pos, n_neg, "
+       "round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc "
+       "FROM a WHERE n_pos > 0 AND n_neg > 0"),
 ]
 
 

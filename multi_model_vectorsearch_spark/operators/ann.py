@@ -451,3 +451,78 @@ def dq148_semdedup(t: Tables, n_centroids: int = 8,
 
     return assigned.groupBy("cid").applyInPandas(
         drops, schema="vec_id bigint, cid bigint, kept_by bigint, s double")
+
+
+def dq204_grid_dbscan(t: Tables, eps: float = 0.05,
+                      min_pts: int = 5) -> DataFrame:
+    """DBSCAN density labels (core / border / noise) over the first two
+    embedding dimensions — the density-outlier triage a curation pipeline
+    runs on a 2-D projection to spot low-density (likely junk or OOD)
+    regions before expensive per-point review.
+
+    Grid-blocked epsilon join, never the O(N²) product: each point lands
+    in an eps-sized cell, probes replicate each point into its 3×3 cell
+    neighborhood (a 9× map-side explode), and the equi-join on cell key
+    finds all candidates that can possibly be within eps — the standard
+    cell-list trick that turns DBSCAN's neighbor search into one
+    shuffle-on-cell-key join, linear in points × local density at any
+    scale. The exact distance filter keeps the semantics identical to
+    brute force (the ORACLE IS brute force, proving the pruning lossless).
+    Distance arithmetic is plain IEEE (two mults, one add, one compare,
+    same expression both engines), so no rounding hazard exists.
+
+    Core = ≥ min_pts neighbors within eps (self included); border =
+    non-core with a core neighbor; else noise.
+    """
+    e = t["embeddings"]
+    pts = e.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    ).select(
+        "*",
+        F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
+    )
+    off = F.explode(F.expr(
+        "flatten(transform(sequence(-1, 1), dx -> "
+        "transform(sequence(-1, 1), dy -> struct(dx, dy))))"))
+    probes = pts.select(
+        F.col("vec_id").alias("qid"), F.col("x").alias("qx"),
+        F.col("y").alias("qy"), "cx", "cy", off.alias("o"),
+    ).select(
+        "qid", "qx", "qy",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (
+        (F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x"))
+        + (F.col("qy") - F.col("y")) * (F.col("qy") - F.col("y"))
+    )
+    nbrs = (
+        probes.join(pts.select("vec_id", "x", "y", "cx", "cy"), ["cx", "cy"])
+        .filter(d2 <= F.lit(eps * eps))
+        .select("qid", F.col("vec_id").alias("nid"))
+    )
+    counts = nbrs.groupBy("qid").agg(F.count("*").alias("n_nbrs"))
+    flags = counts.select(
+        "qid", "n_nbrs", (F.col("n_nbrs") >= min_pts).alias("is_core"))
+    core_nbr = (
+        nbrs.join(
+            flags.select(F.col("qid").alias("nid"),
+                         F.col("is_core").alias("nbr_core")),
+            "nid")
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid")
+        .agg(F.max("nbr_core").alias("has_core_nbr"))
+    )
+    return (
+        flags.join(core_nbr, "qid", "left")
+        .select(
+            F.col("qid").alias("vec_id"), "n_nbrs",
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.coalesce(F.col("has_core_nbr"), F.lit(False)),
+                  F.lit("border"))
+            .otherwise(F.lit("noise")).alias("label"),
+        )
+    )

@@ -879,3 +879,50 @@ def dq192_source_kl(t: Tables) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("kl"),
         )
     )
+
+
+def dq205_feature_auc(t: Tables) -> DataFrame:
+    """Per-source ROC AUC of a cheap feature (n_chars) as a classifier for
+    a label (lang = 'en') — the eval every heuristic-quality-signal
+    pipeline runs before trusting a filter: 'does this score actually
+    rank the positives above the negatives, per data source?'
+
+    Exact Mann-Whitney AUC with midrank tie handling, in pure integer
+    arithmetic until one final division: scores collapse to DISTINCT
+    (source, score) counts first, the exclusive cumulative negative count
+    runs in a source-partitioned window over that (small) distinct-score
+    table, and 2·numerator = Σ p_s · (2·cum_neg_before + n_s) stays a
+    bigint. AUC = num2 / (2·P·N). No ranks over raw rows, no global
+    window, no float summation — the plan is one shuffle to (source,
+    score) plus a per-source window over distinct scores.
+    """
+    d = t["documents"].select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    g = d.groupBy("source", "score").agg(
+        F.sum("pos").alias("p"),
+        (F.count("*") - F.sum("pos")).alias("n"),
+    )
+    w = (
+        Window.partitionBy("source").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = g.withColumn(
+        "cum_neg", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    agg = staged.groupBy("source").agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cum_neg") + F.col("n")))
+        .alias("num2"),
+    )
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source", "n_pos", "n_neg",
+            F.round(
+                F.col("num2").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+        )
+    )

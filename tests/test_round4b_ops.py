@@ -159,3 +159,67 @@ def test_containment_dominates_jaccard(tables):
     # containment comes back rounded to 6 decimals; allow that quantum
     bad = j.filter(F.col("containment") < F.col("j") - 5e-7).count()
     assert bad == 0
+
+
+def test_grid_dbscan_micro_fixture(spark):
+    """A 6-point dense blob is all core; a far-away isolated point is
+    noise; a point eps-adjacent to the blob's edge but itself sparse is
+    border."""
+    from multi_model_vectorsearch_spark.operators.ann import dq204_grid_dbscan
+
+    blob = [(i, [0.001 * i, 0.0], 0) for i in range(6)]       # within eps
+    # 0.0545 is within eps only of the blob's edge point (0.005 -> d=0.0495)
+    # so it has 2 neighbors (< min_pts) but a core one -> border
+    border = [(10, [0.0545, 0.0], 0)]
+    noise = [(20, [5.0, 5.0], 0)]
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in v], l) for i, v, l in blob + border + noise],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r["label"]
+           for r in dq204_grid_dbscan({"embeddings": df},
+                                      eps=0.05, min_pts=5).collect()}
+    for i in range(6):
+        assert out[i] == "core", (i, out)
+    assert out[10] == "border", out
+    assert out[20] == "noise", out
+
+
+def test_grid_dbscan_labels_partition(tables):
+    """Labels cover every vector exactly once and all three classes have
+    sane counts (no degenerate all-noise / all-core split at smoke sf)."""
+    from multi_model_vectorsearch_spark.operators.ann import dq204_grid_dbscan
+
+    out = dq204_grid_dbscan(tables)
+    n = tables["embeddings"].count()
+    assert out.count() == n
+    labels = dict(out.groupBy("label").count().collect())
+    assert set(labels) <= {"core", "border", "noise"}
+    # every core satisfies the density contract
+    bad = out.filter((F.col("label") == "core") & (F.col("n_nbrs") < 5)).count()
+    assert bad == 0
+
+
+def test_feature_auc_perfect_and_inverted(spark):
+    """AUC mechanics on a known fixture: a perfectly separating score
+    gives 1.0, a perfectly inverted one 0.0, and all-tied scores 0.5."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq205_feature_auc,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, "t", lang, src, n) for i, (lang, src, n) in enumerate(rows)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+
+    perfect = docs([("en", "a", 100), ("en", "a", 90),
+                    ("fr", "a", 10), ("fr", "a", 20)])
+    inverted = docs([("en", "a", 10), ("en", "a", 20),
+                     ("fr", "a", 100), ("fr", "a", 90)])
+    tied = docs([("en", "a", 50), ("fr", "a", 50)])
+    get = lambda df: dq205_feature_auc({"documents": df}).collect()[0]["auc"]
+    assert get(perfect) == 1.0
+    assert get(inverted) == 0.0
+    assert get(tied) == 0.5
