@@ -2363,6 +2363,56 @@ _REGISTRY: list[DQ] = [
        "SELECT source, n_pos, n_neg, "
        "round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc "
        "FROM a WHERE n_pos > 0 AND n_neg > 0"),
+    DQ("dq206_mutual_info", C.dq206_mutual_info,
+       "WITH j AS (SELECT source, lang, count(*) AS n_sl FROM documents "
+       "GROUP BY source, lang), "
+       "ms AS (SELECT source, SUM(n_sl) AS n_s FROM j GROUP BY source), "
+       "ml AS (SELECT lang, SUM(n_sl) AS n_l FROM j GROUP BY lang), "
+       "tot AS (SELECT SUM(n_sl) AS n FROM j) "
+       "SELECT source, max(n_s) AS n_docs, count(*) AS n_langs, "
+       "round(CAST(SUM(CAST((n_sl / n) * ln(n_sl * n / (n_s * n_l)) "
+       "AS DECIMAL(28,18))) AS DOUBLE), 6) AS mi_part "
+       "FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot "
+       "GROUP BY source"),
+    DQ("dq207_ks_test", TS.dq207_ks_test,
+       # integer KS: max|c1*n2 - c2*n1| over distinct values, one shared
+       # IEEE division at the end
+       "WITH pv AS (SELECT event_type, value AS v, "
+       "SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a, "
+       "SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS b "
+       "FROM events GROUP BY event_type, v), "
+       "st AS (SELECT event_type, v, "
+       "SUM(a) OVER (PARTITION BY event_type ORDER BY v) AS c1, "
+       "SUM(b) OVER (PARTITION BY event_type ORDER BY v) AS c2, "
+       "SUM(a) OVER (PARTITION BY event_type) AS n1, "
+       "SUM(b) OVER (PARTITION BY event_type) AS n2 FROM pv), "
+       "g AS (SELECT event_type, v, n1, n2, "
+       "abs(c1 * n2 - c2 * n1) AS gap FROM st), "
+       "p AS (SELECT event_type, max(gap) AS maxgap FROM g "
+       "GROUP BY event_type) "
+       "SELECT g.event_type, max(g.n1) AS n1, max(g.n2) AS n2, "
+       "round(CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2)), 6) "
+       "AS ks, min(g.v) AS v_at "
+       "FROM g JOIN p ON g.event_type = p.event_type AND g.gap = p.maxgap "
+       "GROUP BY g.event_type"),
+    DQ("dq208_cusum", TS.dq208_cusum,
+       "WITH ev AS (SELECT event_type, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "st AS (SELECT event_type, "
+       "row_number() OVER (PARTITION BY event_type ORDER BY k) AS rn, "
+       "SUM(cents) OVER (PARTITION BY event_type ORDER BY k) AS sk, "
+       "COUNT(*) OVER (PARTITION BY event_type) AS n, "
+       "SUM(cents) OVER (PARTITION BY event_type) AS sn FROM ev), "
+       "g AS (SELECT event_type, rn, n, abs(n * sk - rn * sn) AS dev "
+       "FROM st), "
+       "p AS (SELECT event_type, max(dev) AS maxdev FROM g "
+       "GROUP BY event_type) "
+       "SELECT g.event_type, max(g.n) AS n, min(g.rn) AS k_at, "
+       "round(CAST(max(p.maxdev) AS DOUBLE) / (max(g.n) * 100.0), 6) "
+       "AS cusum "
+       "FROM g JOIN p ON g.event_type = p.event_type AND g.dev = p.maxdev "
+       "GROUP BY g.event_type"),
 ]
 
 

@@ -926,3 +926,38 @@ def dq205_feature_auc(t: Tables) -> DataFrame:
                 / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
         )
     )
+
+
+def dq206_mutual_info(t: Tables) -> DataFrame:
+    """Per-source mutual-information contribution between the `source` and
+    `lang` columns — the dataset-composition audit that catches a source
+    whose language mix diverges from the corpus (high MI = source strongly
+    predicts language = a skew the mixture planner must know about).
+
+    mi_part(s) = Σ_l p(s,l)·ln(p(s,l)·N / (n_s·n_l)) from exact contingency
+    counts: one groupBy on (source, lang) plus two marginal aggregates
+    broadcast back — the corpus is scanned once, everything downstream is
+    contingency-table-sized. Terms are cast to DECIMAL before the per-source
+    sum (order-independent, dq192's pattern), then rounded once.
+    """
+    d = t["documents"].select("source", "lang")
+    joint = d.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    ms = joint.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    ml = joint.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = joint.agg(F.sum("n_sl").alias("n"))
+    term = (
+        (F.col("n_sl") / F.col("n"))
+        * F.log(F.col("n_sl") * F.col("n")
+                / (F.col("n_s") * F.col("n_l")))
+    ).cast("decimal(28,18)")
+    return (
+        joint.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.round(F.sum(term).cast("double"), 6).alias("mi_part"),
+        )
+    )

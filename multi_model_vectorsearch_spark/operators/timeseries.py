@@ -735,3 +735,108 @@ def dq198_ewma(t: Tables, span: int = 20) -> DataFrame:
             F.round(num.cast("double") / den / 100.0, 6).alias("ewma"),
         )
     )
+
+
+def dq207_ks_test(t: Tables) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per event_type between the
+    even- and odd-event_id halves of the stream (the same snapshot split
+    dq188's PSI uses) — the nonparametric drift test that catches
+    distribution-shape changes equal-width buckets smooth over.
+
+    Exact integer arithmetic end-to-end: with c1/c2 the cumulative counts
+    at each distinct value and n1/n2 the half sizes, the KS statistic is
+    max|c1·n2 − c2·n1| / (n1·n2) — the max runs over bigints, and the one
+    IEEE division at the end is identical on both engines. The cumulative
+    window is partitioned by event_type over DISTINCT values (collapsed
+    first by a map-side-combinable groupBy), so no raw-row window exists;
+    `v_at` reports the value where the gap peaks (smallest, on ties).
+    """
+    ev = t["events"].select(
+        "event_type",
+        (F.col("event_id") % 2 == 0).alias("h1"),
+        F.col("value").alias("v"),
+    )
+    per_v = ev.groupBy("event_type", "v").agg(
+        F.sum(F.col("h1").cast("bigint")).alias("a"),
+        F.sum((~F.col("h1")).cast("bigint")).alias("b"),
+    )
+    wc = (
+        Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    staged = (
+        per_v
+        .withColumn("c1", F.sum("a").over(wc))
+        .withColumn("c2", F.sum("b").over(wc))
+        .withColumn("n1", F.sum("a").over(wt))
+        .withColumn("n2", F.sum("b").over(wt))
+        .withColumn("gap", F.abs(F.col("c1") * F.col("n2")
+                                 - F.col("c2") * F.col("n1")))
+    )
+    peak = staged.groupBy("event_type").agg(
+        F.max("gap").alias("maxgap"),
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+    )
+    return (
+        staged.select("event_type", "v", "gap")
+        .join(F.broadcast(peak), "event_type")
+        .filter(F.col("gap") == F.col("maxgap"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+            F.round(
+                (F.max("maxgap").cast("double"))
+                / (F.max("n1") * F.max("n2")), 6).alias("ks"),
+            F.min("v").alias("v_at"),
+        )
+    )
+
+
+def dq208_cusum(t: Tables) -> DataFrame:
+    """CUSUM changepoint scan per event_type: the maximum deviation of the
+    running value sum from its straight-line expectation, max_k |S_k −
+    (k/n)·S_n| — the classic single-changepoint detector a pipeline runs
+    on daily metric streams before retraining on 'business as usual' data.
+
+    Integer-exact: values become cents, the deviation is |n·S_k − k·S_n|
+    (bigint), and one final division by n·100 converts the max back to
+    value units — no float accumulates anywhere. One window per type over
+    the (ts, event_id) total order computes k and S_k in a single linear
+    pass; the peak row (earliest k on ties) is selected by an integer
+    argmax join, exactly dq207's shape.
+    """
+    key = _event_order_key()
+    ev = t["events"].select(
+        "event_type", key.alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wo = (
+        Window.partitionBy("event_type").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    staged = (
+        ev
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("event_type").orderBy("k")))
+        .withColumn("sk", F.sum("cents").over(wo))
+        .withColumn("n", F.count("*").over(wt))
+        .withColumn("sn", F.sum("cents").over(wt))
+        .withColumn("dev", F.abs(F.col("n") * F.col("sk")
+                                 - F.col("rn") * F.col("sn")))
+    )
+    peak = staged.groupBy("event_type").agg(F.max("dev").alias("maxdev"))
+    return (
+        staged.select("event_type", "rn", "n", "dev")
+        .join(F.broadcast(peak), "event_type")
+        .filter(F.col("dev") == F.col("maxdev"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min("rn").alias("k_at"),
+            F.round(
+                F.max("maxdev").cast("double")
+                / (F.max("n") * F.lit(100.0)), 6).alias("cusum"),
+        )
+    )

@@ -223,3 +223,58 @@ def test_feature_auc_perfect_and_inverted(spark):
     assert get(perfect) == 1.0
     assert get(inverted) == 0.0
     assert get(tied) == 0.5
+
+
+def test_mutual_info_parts_nonneg_in_total(tables):
+    """Total MI (sum of per-source parts) must be >= 0; a source whose
+    language mix matches the corpus contributes ~0."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq206_mutual_info,
+    )
+
+    rows = dq206_mutual_info(tables).collect()
+    assert len(rows) > 0
+    total = sum(r["mi_part"] for r in rows)
+    assert total >= -1e-9
+    assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
+
+
+def test_ks_identical_halves_is_zero(spark):
+    """KS of two identical samples is 0; of two disjoint ones is 1."""
+    from multi_model_vectorsearch_spark.operators.timeseries import dq207_ks_test
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", 1, et, v, "{}")
+             for i, (et, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    # same values on both halves (even/odd event_ids alternate)
+    same = ev([("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0)])
+    out = dq207_ks_test({"events": same}).collect()[0]
+    assert out["ks"] == 0.0
+    # even ids get {1,2}, odd ids get {10,20}: fully separated
+    disj = ev([("a", 1.0), ("a", 10.0), ("a", 2.0), ("a", 20.0)])
+    out = dq207_ks_test({"events": disj}).collect()[0]
+    assert out["ks"] == 1.0
+
+
+def test_cusum_flags_step_change(spark):
+    """A flat series scores ~0; a step change peaks at the step point."""
+    from multi_model_vectorsearch_spark.operators.timeseries import dq208_cusum
+
+    def ev(vals):
+        return spark.createDataFrame(
+            [(i, f"2024-01-01 {i:02d}:00:00", 1, "a", float(v), "{}")
+             for i, v in enumerate(vals)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    flat = dq208_cusum({"events": ev([5.0] * 10)}).collect()[0]
+    assert flat["cusum"] == 0.0
+    step = dq208_cusum({"events": ev([0.0] * 5 + [10.0] * 5)}).collect()[0]
+    assert step["k_at"] == 5  # deviation peaks right before the jump
+    assert step["cusum"] > 0
