@@ -2413,6 +2413,56 @@ _REGISTRY: list[DQ] = [
        "AS cusum "
        "FROM g JOIN p ON g.event_type = p.event_type AND g.dev = p.maxdev "
        "GROUP BY g.event_type"),
+    DQ("dq209_dup_flow_matrix", C.dq209_dup_flow_matrix,
+       "WITH " + _SHC_CTE + ", "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
+       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2), "
+       "pj AS (SELECT d1, d2, "
+       "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j "
+       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+       "JOIN sizes sb ON sb.doc_id = d2), "
+       "fl AS (SELECT least(da.source, db.source) AS src_a, "
+       "greatest(da.source, db.source) AS src_b, "
+       "CAST(j AS DECIMAL(10,6)) AS jd "
+       "FROM pj JOIN documents da ON da.doc_id = pj.d1 "
+       "JOIN documents db ON db.doc_id = pj.d2 WHERE j >= 0.3) "
+       "SELECT src_a, src_b, count(*) AS n_pairs, "
+       "round(CAST(SUM(jd) AS DOUBLE) / count(*), 6) AS mean_j "
+       "FROM fl GROUP BY src_a, src_b"),
+    DQ("dq210_cluster_purity", N.dq210_cluster_purity,
+       # same assignment CTE as dq47 (broadcast centroids, rounded cosine)
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored AS (SELECT e.vec_id, e.label, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, label, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
+       "cl AS (SELECT cid, label, count(*) AS c FROM assigned "
+       "GROUP BY cid, label), "
+       "top AS (SELECT cid, label AS top_label, c AS n_top FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY cid "
+       "ORDER BY c DESC, label) AS rn FROM cl) r WHERE rn = 1), "
+       "sizes AS (SELECT cid, SUM(c) AS n, count(*) AS n_labels FROM cl "
+       "GROUP BY cid) "
+       "SELECT t.cid, s.n, s.n_labels, t.top_label, t.n_top, "
+       "round(CAST(t.n_top AS DOUBLE) / s.n, 6) AS purity "
+       "FROM top t JOIN sizes s ON t.cid = s.cid"),
+    DQ("dq211_calibration_bins", C.dq211_calibration_bins,
+       "WITH d AS (SELECT least(CAST(floor(n_chars / 60) AS BIGINT), 9) "
+       "AS bin, n_chars AS nc, CAST(lang = 'en' AS BIGINT) AS pos "
+       "FROM documents), "
+       "g AS (SELECT bin, count(*) AS n, SUM(nc) AS snc, SUM(pos) AS np "
+       "FROM d GROUP BY bin) "
+       "SELECT bin, n, "
+       "round(CAST(snc AS DOUBLE) / (600.0 * n), 6) AS mean_pred, "
+       "round(CAST(np AS DOUBLE) / n, 6) AS pos_rate, "
+       "round(abs(CAST(snc AS DOUBLE) / (600.0 * n) "
+       "- CAST(np AS DOUBLE) / n), 6) AS gap "
+       "FROM g"),
 ]
 
 

@@ -526,3 +526,42 @@ def dq204_grid_dbscan(t: Tables, eps: float = 0.05,
             .otherwise(F.lit("noise")).alias("label"),
         )
     )
+
+
+def dq210_cluster_purity(t: Tables, n_centroids: int = 8) -> DataFrame:
+    """Per-cluster label purity over the IVF assignment (dq47's cells):
+    majority label share per cell — the unsupervised-vs-labels agreement
+    check that tells you whether embedding clusters track the label
+    taxonomy (purity ≈ 1) or cut across it (≈ 1/n_labels), gating
+    whether cluster-based dedup/sampling can substitute for labels.
+
+    Reuses the session-cached broadcast-centroid assignment (one pass
+    over the corpus); everything after is cell×label-sized. Majority
+    pick ties break to the smallest label; purity is an exact integer
+    ratio with one shared IEEE division.
+    """
+    assigned = assign_clusters(t, n_centroids)
+    labels = t["embeddings"].select("vec_id", "label")
+    cl = (
+        assigned.select("vec_id", "cid")
+        .join(labels, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"),
+                F.col("c").alias("n_top"))
+    )
+    sizes = cl.groupBy("cid").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_labels"))
+    return (
+        top.join(sizes, "cid")
+        .select(
+            "cid", "n", "n_labels", "top_label", "n_top",
+            F.round(F.col("n_top").cast("double") / F.col("n"), 6)
+            .alias("purity"),
+        )
+    )

@@ -961,3 +961,81 @@ def dq206_mutual_info(t: Tables) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("mi_part"),
         )
     )
+
+
+def dq209_dup_flow_matrix(t: Tables, j_min: float = 0.3) -> DataFrame:
+    """Cross-source duplicate-flow matrix: near-dup pairs (exact df-capped
+    Jaccard ≥ ``j_min``) aggregated by unordered source pair — the 'who
+    copies from whom' audit that tells a curation team whether dedup
+    budget should go to intra-source boilerplate or cross-source mirrors.
+
+    A pure projection of the session-cached pair table
+    (textpipe.jaccard_pairs_shared — inverted-index candidates, never
+    doc×doc) joined twice against the tiny (doc_id, source) projection;
+    at 100 TB both source lookups are broadcast-joinable. Jaccards are
+    rounded to the shared 6-decimal grid, compared on that grid, and
+    summed as DECIMAL so the per-cell mean is order-independent.
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        jaccard_pairs_shared,
+    )
+
+    p = jaccard_pairs_shared(t)
+    jacc = F.round(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+    pairs = p.select("d1", "d2", jacc.alias("j")).filter(
+        F.col("j") >= j_min)
+    src = t["documents"].select("doc_id", "source")
+    flows = (
+        pairs
+        .join(src.select(F.col("doc_id").alias("d1"),
+                         F.col("source").alias("s1")), "d1")
+        .join(src.select(F.col("doc_id").alias("d2"),
+                         F.col("source").alias("s2")), "d2")
+        .select(
+            F.least("s1", "s2").alias("src_a"),
+            F.greatest("s1", "s2").alias("src_b"),
+            F.col("j").cast("decimal(10,6)").alias("jd"),
+        )
+    )
+    # cast the EXACT decimal sum to double before the division: decimal
+    # division result scales differ by engine, double division does not
+    return flows.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.sum("jd").cast("double") / F.count("*"), 6)
+        .alias("mean_j"),
+    )
+
+
+def dq211_calibration_bins(t: Tables, n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins for a cheap probability-like score
+    (normalized length, p̂ = n_chars/600) against the lang='en' label —
+    the calibration audit run before using any heuristic score as a
+    sampling weight: per bin, predicted mean vs empirical positive rate
+    and their gap.
+
+    Binning is pure integer arithmetic (bin = min(floor(n_chars/60),
+    9)), and both the mean prediction and the positive rate are exact
+    integer ratios — sums of bigints with one IEEE division each, so the
+    gap column is bit-identical across engines before its final round.
+    One map-side-combinable groupBy; nothing else.
+    """
+    d = t["documents"].select(
+        F.least(F.floor(F.col("n_chars") / 60).cast("bigint"),
+                F.lit(n_bins - 1).cast("bigint")).alias("bin"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    g = d.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("nc").alias("snc"),
+        F.sum("pos").alias("np"),
+    )
+    mean_pred = F.col("snc").cast("double") / (600.0 * F.col("n"))
+    pos_rate = F.col("np").cast("double") / F.col("n")
+    return g.select(
+        "bin", "n",
+        F.round(mean_pred, 6).alias("mean_pred"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round(F.abs(mean_pred - pos_rate), 6).alias("gap"),
+    )

@@ -1362,11 +1362,14 @@ def dq200_sorted_neighborhood(t: Tables, window: int = 5,
 
     The sort runs WITHIN 2-char key blocks (partitionBy(blk)), so no
     global single-partition window exists at any scale; candidates come
-    from an rn-range self-join inside the block (≤ window · n rows
-    total). Token sets ride along as per-doc arrays, so the verify step
-    is a map-side array_intersect — the candidate pairs never re-join
-    the corpus token table. Jaccard is an exact integer ratio: one IEEE
-    division, identical on both engines.
+    from a ``window``-row FOLLOWING frame collect — one linear window
+    pass emitting exactly ≤ window · n pairs, never materialized as a
+    block self-join (the equi-join-on-block form built n_blk² rows per
+    block before the rn-range filter could prune: 6.9 s → 0.9 s warm at
+    sf0.1). Token sets ride along as per-doc arrays inside the frame, so
+    the verify step is a map-side array_intersect — the candidate pairs
+    never re-join the corpus token table. Jaccard is an exact integer
+    ratio: one IEEE division, identical on both engines.
     """
     d = t["documents"]
     keyed = d.select(
@@ -1375,16 +1378,21 @@ def dq200_sorted_neighborhood(t: Tables, window: int = 5,
         .alias("key"),
         F.array_distinct(F.split("text", " ")).alias("toks"),
     ).withColumn("blk", F.substring("key", 1, 2))
-    w = Window.partitionBy("blk").orderBy("key", "doc_id")
-    r = keyed.withColumn("rn", F.row_number().over(w))
-    a = r.select("blk", F.col("doc_id").alias("d1"),
-                 F.col("rn").alias("rn1"), F.col("toks").alias("ta"))
-    b = r.select("blk", F.col("doc_id").alias("d2"),
-                 F.col("rn").alias("rn2"), F.col("toks").alias("tb"))
-    pairs = a.join(
-        b,
-        (a["blk"] == b["blk"])
-        & (b["rn2"] > a["rn1"]) & (b["rn2"] <= a["rn1"] + window),
+    wf = (
+        Window.partitionBy("blk").orderBy("key", "doc_id")
+        .rowsBetween(1, window)
+    )
+    pairs = (
+        keyed
+        .withColumn("nxt", F.collect_list(F.struct("doc_id", "toks")).over(wf))
+        .select(
+            F.col("doc_id").alias("d1"), F.col("toks").alias("ta"),
+            F.explode("nxt").alias("nb"),
+        )
+        .select(
+            "d1", "ta",
+            F.col("nb.doc_id").alias("d2"), F.col("nb.toks").alias("tb"),
+        )
     )
     inter = F.size(F.array_intersect("ta", "tb"))
     return (

@@ -278,3 +278,55 @@ def test_cusum_flags_step_change(spark):
     step = dq208_cusum({"events": ev([0.0] * 5 + [10.0] * 5)}).collect()[0]
     assert step["k_at"] == 5  # deviation peaks right before the jump
     assert step["cusum"] > 0
+
+
+def test_dup_flow_matrix_accounting(tables):
+    """Cells are canonical (src_a <= src_b), pair counts total the
+    underlying thresholded pair set, and means stay within [j_min, 1]."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq209_dup_flow_matrix,
+    )
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        jaccard_pairs_shared,
+    )
+
+    out = dq209_dup_flow_matrix(tables, j_min=0.1).collect()
+    assert len(out) > 0
+    n_pairs = sum(r["n_pairs"] for r in out)
+    p = jaccard_pairs_shared(tables)
+    want = p.filter(
+        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        >= 0.1).count()
+    assert n_pairs == want
+    for r in out:
+        assert r["src_a"] <= r["src_b"]
+        assert 0.1 <= r["mean_j"] <= 1.0 + 1e-9
+
+
+def test_cluster_purity_bounds(tables):
+    """Purity lies in [1/n_labels_in_cell, 1] and members sum to the
+    corpus size."""
+    from multi_model_vectorsearch_spark.operators.ann import dq210_cluster_purity
+
+    rows = dq210_cluster_purity(tables).collect()
+    assert sum(r["n"] for r in rows) == tables["embeddings"].count()
+    for r in rows:
+        assert r["n_top"] <= r["n"]
+        assert r["purity"] >= 1.0 / r["n_labels"] - 1e-9
+        assert r["purity"] <= 1.0 + 1e-9
+
+
+def test_calibration_bins_partition_and_bounds(tables):
+    """Bins partition the corpus; rates are probabilities; gap is the
+    absolute difference of the two reported rates."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq211_calibration_bins,
+    )
+
+    rows = dq211_calibration_bins(tables).collect()
+    assert sum(r["n"] for r in rows) == tables["documents"].count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["mean_pred"] > 0.0
+        assert abs(r["gap"] - abs(r["mean_pred"] - r["pos_rate"])) < 2e-6
