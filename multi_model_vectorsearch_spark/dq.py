@@ -2463,6 +2463,46 @@ _REGISTRY: list[DQ] = [
        "round(abs(CAST(snc AS DOUBLE) / (600.0 * n) "
        "- CAST(np AS DOUBLE) / n), 6) AS gap "
        "FROM g"),
+    DQ("dq212_grouping_sets", R.dq212_grouping_sets,
+       "SELECT l_returnflag, l_linestatus, "
+       "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
+       "count(*) AS n, "
+       "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
+       "AS sum_qty FROM lineitem GROUP BY GROUPING SETS "
+       "((l_returnflag, l_linestatus), (l_returnflag), ())"),
+    DQ("dq213_rolling_zscore", TS.dq213_rolling_zscore,
+       "WITH ev AS (SELECT user_id, event_id, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k, CAST(round(value * 100) AS BIGINT) AS x FROM events), "
+       "st AS (SELECT user_id, event_id, x, "
+       "count(*) OVER w AS n, SUM(x) OVER w AS sx, "
+       "SUM(x * x) OVER w AS sxx FROM ev WINDOW w AS "
+       "(PARTITION BY user_id ORDER BY k "
+       "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)), "
+       "f AS (SELECT user_id, event_id, n, "
+       "n * x - sx AS dev, n * sxx - sx * sx AS varn "
+       "FROM st WHERE n >= 10), "
+       "g AS (SELECT user_id, event_id, n, "
+       "dev * dev * (n - 1) AS z2num, varn * n AS z2den "
+       "FROM f WHERE varn > 0) "
+       "SELECT user_id, event_id, n, "
+       "round(sqrt(CAST(z2num AS DOUBLE) / CAST(z2den AS DOUBLE)), 6) "
+       "AS abs_z FROM g WHERE z2num > 4 * z2den"),
+    DQ("dq214_link_prediction", G.dq214_link_prediction,
+       "WITH " + _EDGES_CTE + ", "
+       "adj AS (SELECT src, dst FROM edges "
+       "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
+       "deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src), "
+       "wdg AS (SELECT a1.src AS a, a2.dst AS b, count(*) AS cn "
+       "FROM adj a1 JOIN adj a2 ON a1.dst = a2.src "
+       "WHERE a1.src < a2.dst GROUP BY a, b), "
+       "cand AS (SELECT wdg.a, wdg.b, wdg.cn FROM wdg "
+       "WHERE NOT EXISTS (SELECT 1 FROM edges e "
+       "WHERE e.src = wdg.a AND e.dst = wdg.b)) "
+       "SELECT cand.a, cand.b, cand.cn, "
+       "round(CAST(cand.cn AS DOUBLE) / (da.deg + db.deg - cand.cn), 6) "
+       "AS score FROM cand JOIN deg da ON da.src = cand.a "
+       "JOIN deg db ON db.src = cand.b"),
 ]
 
 

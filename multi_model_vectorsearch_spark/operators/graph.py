@@ -646,3 +646,46 @@ def dq190_kcore(t: Tables, k: int = 2, rounds: int = 3) -> DataFrame:
         F.coalesce("core_deg", F.lit(0)).cast("bigint").alias("core_deg"),
         F.col("core_deg").isNotNull().alias("in_kcore"),
     )
+
+
+def dq214_link_prediction(t: Tables) -> DataFrame:
+    """Common-neighbor link prediction over the semantic KNN graph: for
+    every NON-adjacent node pair sharing at least one neighbor, the
+    neighborhood-Jaccard score |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    'edges that should exist' recommender used to densify a similarity
+    graph before expansion re-ranking.
+
+    Wedge join on the shared neighbor (two shuffles on vertex ids, the
+    same legs dq104's triangle count uses), canonical a < b so each
+    candidate appears once, existing edges removed by a left-anti join
+    against the canonical edge list, degrees broadcast back. Score is an
+    exact integer ratio: one IEEE division.
+    """
+    edges = dq33_build_edges(t).select("src", "dst")
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    l1 = adj.select(F.col("src").alias("a"), F.col("dst").alias("x"))
+    l2 = adj.select(F.col("src").alias("x"), F.col("dst").alias("b"))
+    wedges = (
+        l1.join(l2, "x")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedges.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"], "left_anti",
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("degb"))
+    return (
+        cand.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+        .select(
+            "a", "b", "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("dega") + F.col("degb") - F.col("cn")), 6)
+            .alias("score"),
+        )
+    )

@@ -965,3 +965,30 @@ def dq199_weighted_median(t: Tables) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("wmedian"))
     )
+
+
+def dq212_grouping_sets(t: Tables) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization of rollup (dq12) and
+    cube (dq73) to arbitrary grouping combinations: per (flag, status),
+    per flag alone, and the grand total in ONE pass, with grouping_id
+    disambiguating which set produced each row.
+
+    One aggregation operator: Spark expands the sets with an Expand node
+    feeding a single partial+final hash aggregate, so the fact scan runs
+    once no matter how many sets are declared (the naive UNION ALL of
+    three groupBys scans three times). Sums accumulate DECIMAL —
+    order-independent at any parallelism.
+    """
+    li = t["lineitem"]
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag", "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                    .cast("double"), 2).alias("sum_qty"),
+        )
+    )

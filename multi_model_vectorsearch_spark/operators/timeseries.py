@@ -840,3 +840,50 @@ def dq208_cusum(t: Tables) -> DataFrame:
                 / (F.max("n") * F.lit(100.0)), 6).alias("cusum"),
         )
     )
+
+
+def dq213_rolling_zscore(t: Tables, lookback: int = 20,
+                         min_n: int = 10, z_thresh: int = 2) -> DataFrame:
+    """Rolling z-score anomalies per user: each event scored against the
+    mean/std of its own trailing ``lookback`` events (exclusive of
+    itself) — the self-calibrating point-anomaly detector every metrics
+    pipeline runs, needing no global model.
+
+    Flagging is EXACT integer arithmetic: with cents x, trailing sums
+    sx/sxx over n rows, |z| > thresh ⟺ (n·x − sx)²·(n−1) >
+    thresh²·n·(n·sxx − sx²) — all bigint, no float compare at the
+    boundary. The reported |z| itself needs one sqrt of an exact
+    rational, and IEEE sqrt is correctly rounded, so both engines emit
+    the same double. One linear bounded-row window per user partition.
+    """
+    key = _event_order_key()
+    ev = t["events"].select(
+        "user_id", "event_id", key.alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("k")
+        .rowsBetween(-lookback, -1)
+    )
+    staged = (
+        ev
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w))
+        .filter(F.col("n") >= min_n)
+        .withColumn("dev", F.col("n") * F.col("x") - F.col("sx"))
+        .withColumn("varn", F.col("n") * F.col("sxx")
+                    - F.col("sx") * F.col("sx"))
+        .filter(F.col("varn") > 0)
+    )
+    z2num = F.col("dev") * F.col("dev") * (F.col("n") - 1)
+    z2den = F.col("varn") * F.col("n")
+    return (
+        staged
+        .filter(z2num > F.lit(z_thresh * z_thresh) * z2den)
+        .select(
+            "user_id", "event_id", "n",
+            F.round(F.sqrt(z2num.cast("double") / z2den.cast("double")), 6)
+            .alias("abs_z"),
+        )
+    )

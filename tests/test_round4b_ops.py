@@ -330,3 +330,60 @@ def test_calibration_bins_partition_and_bounds(tables):
         assert 0.0 <= r["pos_rate"] <= 1.0
         assert r["mean_pred"] > 0.0
         assert abs(r["gap"] - abs(r["mean_pred"] - r["pos_rate"])) < 2e-6
+
+
+def test_grouping_sets_consistency(tables):
+    """The three grouping sets agree: per-flag rows sum the (flag, status)
+    rows, and the grand total sums the per-flag rows."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq212_grouping_sets,
+    )
+
+    rows = dq212_grouping_sets(tables).collect()
+    fine = [r for r in rows if r["gid"] == 0]
+    per_flag = [r for r in rows if r["gid"] == 1]
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1
+    assert grand[0]["n"] == sum(r["n"] for r in per_flag)
+    assert grand[0]["n"] == sum(r["n"] for r in fine)
+    for pf in per_flag:
+        assert pf["n"] == sum(
+            r["n"] for r in fine if r["l_returnflag"] == pf["l_returnflag"])
+
+
+def test_rolling_zscore_flags_planted_outlier(spark):
+    """A flat history then a huge spike: exactly the spike is flagged."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq213_rolling_zscore,
+    )
+
+    vals = [10.0, 11.0] * 8 + [500.0]       # 16 history rows, then a spike
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 {i:02d}:00:00", 1, "a", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dq213_rolling_zscore({"events": df}).collect()
+    assert [r["event_id"] for r in out] == [16]
+    assert out[0]["abs_z"] > 10
+
+
+def test_link_prediction_excludes_existing_edges(tables):
+    """No predicted pair may already be an edge, and every score is a
+    valid Jaccard in (0, 1]."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        dq214_link_prediction,
+        dq33_build_edges,
+    )
+
+    pred = dq214_link_prediction(tables)
+    edges = dq33_build_edges(tables).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"))
+    overlap = pred.join(edges, ["a", "b"]).count()
+    assert overlap == 0
+    rows = pred.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 0.0 < r["score"] <= 1.0
