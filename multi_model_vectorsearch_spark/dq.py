@@ -2503,6 +2503,51 @@ _REGISTRY: list[DQ] = [
        "round(CAST(cand.cn AS DOUBLE) / (da.deg + db.deg - cand.cn), 6) "
        "AS score FROM cand JOIN deg da ON da.src = cand.a "
        "JOIN deg db ON db.src = cand.b"),
+    DQ("dq215_local_clustering", G.dq215_local_clustering,
+       "WITH " + _EDGES_CTE + ", "
+       "ab AS (SELECT src AS a, dst AS b FROM edges), "
+       "bc AS (SELECT src AS b, dst AS c FROM edges), "
+       "ac AS (SELECT src AS a, dst AS c FROM edges), "
+       "tri AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc ON ab.b = bc.b "
+       "JOIN ac ON ac.a = ab.a AND ac.c = bc.c), "
+       "pn AS (SELECT id, count(*) AS n_tri FROM "
+       "(SELECT unnest([a, b, c]) AS id FROM tri) x GROUP BY id), "
+       "adj AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges), "
+       "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id) "
+       "SELECT deg.id, deg.deg, "
+       "CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri, "
+       "CASE WHEN deg.deg >= 2 THEN round(2.0 * coalesce(pn.n_tri, 0) "
+       "/ (deg.deg * (deg.deg - 1)), 6) ELSE 0.0 END AS lcc "
+       "FROM deg LEFT JOIN pn ON deg.id = pn.id"),
+    DQ("dq216_seasonal_profile", TS.dq216_seasonal_profile,
+       "WITH ev AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod, "
+       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "b AS (SELECT event_type, hod, count(*) AS n, SUM(cents) AS s "
+       "FROM ev GROUP BY event_type, hod), "
+       "t2 AS (SELECT event_type, SUM(n) AS tn, SUM(s) AS tts FROM b "
+       "GROUP BY event_type) "
+       "SELECT b.event_type, b.hod, b.n, "
+       "round(CAST(s AS DOUBLE) / (100.0 * n), 6) AS mean_val, "
+       "round(CAST(s AS DOUBLE) / (100.0 * n) "
+       "- CAST(tts AS DOUBLE) / (100.0 * tn), 6) AS dev_from_type_mean "
+       "FROM b JOIN t2 USING (event_type)"),
+    DQ("dq217_dedup_savings", C.dq217_dedup_savings,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "dup AS (SELECT d2, min(d1) AS dup_of FROM p GROUP BY d2), "
+       "fl AS (SELECT d.doc_id, d.source, "
+       "len(string_split(d.text, ' ')) AS n_tok, "
+       "dup.dup_of IS NOT NULL AS is_dup "
+       "FROM documents d LEFT JOIN dup ON d.doc_id = dup.d2) "
+       "SELECT source, count(*) AS n_docs, "
+       "CAST(SUM(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_dropped, "
+       "CAST(SUM(n_tok) AS BIGINT) AS tokens_total, "
+       "CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT) "
+       "AS tokens_dropped, "
+       "round(CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
+       "/ SUM(n_tok), 6) AS savings FROM fl GROUP BY source"),
 ]
 
 

@@ -1039,3 +1039,43 @@ def dq211_calibration_bins(t: Tables, n_bins: int = 10) -> DataFrame:
         F.round(pos_rate, 6).alias("pos_rate"),
         F.round(F.abs(mean_pred - pos_rate), 6).alias("gap"),
     )
+
+
+def dq217_dedup_savings(t: Tables) -> DataFrame:
+    """Dedup cost/benefit report per source: how many documents and tokens
+    the near-dup keep-first policy (dq181's MinHash-LSH flags) would drop
+    — the number a curation team quotes when deciding whether dedup
+    compute pays for itself at the next scale-up.
+
+    Composes the session-cached signature pipeline's flags with a
+    map-only token count and one groupBy on source; everything after the
+    flag join is source-cardinality-sized. Savings are exact integer
+    ratios (one IEEE division each).
+    """
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq181_neardup_first_occurrence,
+    )
+
+    flags = dq181_neardup_first_occurrence(t).select("doc_id", "is_dup")
+    docs = t["documents"].select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    j = docs.join(flags, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_dropped"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(F.when(F.col("is_dup"), F.col("n_tok"))
+                  .otherwise(F.lit(0))).alias("tokens_dropped"),
+        )
+        .select(
+            "source", "n_docs", "n_dropped", "tokens_total",
+            "tokens_dropped",
+            F.round(
+                F.col("tokens_dropped").cast("double")
+                / F.col("tokens_total"), 6).alias("savings"),
+        )
+    )

@@ -689,3 +689,42 @@ def dq214_link_prediction(t: Tables) -> DataFrame:
             .alias("score"),
         )
     )
+
+
+def dq215_local_clustering(t: Tables) -> DataFrame:
+    """Per-node local clustering coefficient over the semantic KNN graph:
+    2·triangles(v) / (deg(v)·(deg(v)−1)) — 'how clique-like is each
+    node's neighborhood', the structural signal that separates dense
+    topical pockets (high LCC → aggressive graph-expansion re-ranking is
+    safe) from hub nodes bridging topics (low LCC → expansion drifts).
+
+    Reuses dq104's canonical a<b<c triangle enumeration legs and the
+    doubled-edge degree count (all on the session-cached edge list); the
+    coefficient is an exact integer ratio with one shared IEEE division.
+    Nodes of degree < 2 report 0 by definition.
+    """
+    edges = dq33_build_edges(t).select("src", "dst")
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count("*").alias("n_tri"))
+    )
+    adj = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id")))
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id", "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)), 6),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )

@@ -887,3 +887,35 @@ def dq213_rolling_zscore(t: Tables, lookback: int = 20,
             .alias("abs_z"),
         )
     )
+
+
+def dq216_seasonal_profile(t: Tables) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each (type, hour)
+    bucket's mean value and its deviation from the type's overall mean —
+    the seasonality fingerprint subtracted before anomaly detection
+    (dq213) so a nightly dip doesn't read as a regression.
+
+    Two map-side-combinable aggregations (bucket sums, type sums) joined
+    on the tiny type key; cents keep both sums exact, means are exact
+    integer ratios, and the deviation is one IEEE subtraction of
+    identical doubles. The 100 TB scan happens once.
+    """
+    ev = t["events"].select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    buckets = ev.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s"))
+    totals = buckets.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    mean_h = F.col("s").cast("double") / (100.0 * F.col("n"))
+    mean_g = F.col("ts").cast("double") / (100.0 * F.col("tn"))
+    return (
+        buckets.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type", "hod", "n",
+            F.round(mean_h, 6).alias("mean_val"),
+            F.round(mean_h - mean_g, 6).alias("dev_from_type_mean"),
+        )
+    )

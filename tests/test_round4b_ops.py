@@ -387,3 +387,57 @@ def test_link_prediction_excludes_existing_edges(tables):
     for r in rows:
         assert r["a"] < r["b"]
         assert 0.0 < r["score"] <= 1.0
+
+
+def test_local_clustering_bounds_and_triangle_consistency(tables):
+    """LCC is in [0, 1]; a node's triangles can't exceed C(deg, 2); and
+    deg < 2 nodes report exactly 0."""
+    from multi_model_vectorsearch_spark.operators.graph import (
+        dq215_local_clustering,
+    )
+
+    rows = dq215_local_clustering(tables).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["lcc"] <= 1.0, r
+        assert 2 * r["n_tri"] <= r["deg"] * (r["deg"] - 1) + 1e-9, r
+        if r["deg"] < 2:
+            assert r["lcc"] == 0.0 and r["n_tri"] == 0
+
+
+def test_seasonal_profile_devs_average_out(tables):
+    """Per type, the n-weighted sum of deviations from the type mean is
+    ~0 (the decomposition identity)."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq216_seasonal_profile,
+    )
+
+    rows = dq216_seasonal_profile(tables).collect()
+    assert len(rows) > 0
+    by_type: dict = {}
+    for r in rows:
+        acc = by_type.setdefault(r["event_type"], [0.0, 0])
+        acc[0] += r["dev_from_type_mean"] * r["n"]
+        acc[1] += r["n"]
+    for et, (s, n) in by_type.items():
+        assert abs(s / n) < 1e-5, (et, s / n)
+
+
+def test_dedup_savings_accounting(tables):
+    """Savings per source reconcile with the underlying flag table."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq217_dedup_savings,
+    )
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq181_neardup_first_occurrence,
+    )
+
+    rows = dq217_dedup_savings(tables).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == tables["documents"].count()
+    n_dropped = sum(r["n_dropped"] for r in rows)
+    want = dq181_neardup_first_occurrence(tables).filter("is_dup").count()
+    assert n_dropped == want
+    for r in rows:
+        assert r["tokens_dropped"] <= r["tokens_total"]
+        assert 0.0 <= r["savings"] <= 1.0
