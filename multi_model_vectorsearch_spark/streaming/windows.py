@@ -204,3 +204,65 @@ def ohlc_stream(events: DataFrame) -> DataFrame:
         .cast("bigint").alias("hb"),
         "open", "high", "low", "close", "volume", "n",
     )
+
+
+def ewma_stream(events: DataFrame, span: int = 20) -> DataFrame:
+    """dq198's streaming twin: per-user hourly EWMA served incrementally
+    via ``applyInPandasWithState`` — the B46-style pattern for keeping a
+    smoothed per-entity feature fresh as events arrive.
+
+    State per user is the (hour-bucket → cents) map; each micro-batch
+    merges its buckets and re-emits the user's EWMA series (update mode —
+    the LAST emission per (user, hb) is the converged value, which the
+    equivalence test checks against batch dq198). Recomputing the whole
+    series per touched user keeps the twin correct under the replay's
+    arbitrary file order (a late bucket changes every downstream frame);
+    production would bound state and emission by finalizing buckets older
+    than ``span`` hours behind the watermark — the same O(activity-span)
+    state bound the batch window holds per partition. All arithmetic is
+    the batch kernel's exact power-of-two integer form; the one float
+    division per row is IEEE-identical to the JVM's.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hour_us = 3_600_000_000
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            hbs, vals = state.get
+            buckets = dict(zip(hbs, vals))
+        else:
+            buckets = {}
+        for pdf in pdfs:
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            hb = us // hour_us
+            cents = (pdf["value"] * 100).round().astype("int64")
+            for h, c in zip(hb, cents):
+                buckets[int(h)] = buckets.get(int(h), 0) + int(c)
+        state.update((list(buckets), list(buckets.values())))
+        hbs_sorted = sorted(buckets)
+        out_hb, out_ewma = [], []
+        for i, h in enumerate(hbs_sorted):
+            frame = hbs_sorted[max(0, i - span + 1): i + 1]
+            num = sum(
+                buckets[fh] << (span - 1 - j)
+                for j, fh in enumerate(reversed(frame))
+            )
+            den = (1 << span) - (1 << (span - len(frame)))
+            out_hb.append(h)
+            out_ewma.append(num / den / 100.0)
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(out_hb),
+            "hb": out_hb,
+            "ewma": out_ewma,
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, hb bigint, ewma double",
+        stateStructType="hbs array<bigint>, vals array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

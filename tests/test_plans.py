@@ -342,3 +342,45 @@ def test_registry_wide_plan_hygiene(tables):
         if uses_py and e.name not in python_ok:
             offenders.append((e.name, "python"))
     assert not offenders, offenders
+
+
+def test_grid_dbscan_join_is_hash_not_cartesian(tables):
+    # the epsilon join must go through the cell-key equi-join (shuffled or
+    # broadcast HASH join) — never a nested-loop over all point pairs
+    plan = explain_formatted(N.dq204_grid_dbscan(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_ewma_window_is_single_user_exchange(tables):
+    # one hashpartitioning(user_id) exchange feeds the bounded-row frame;
+    # no global (empty-key) window may appear
+    from multi_model_vectorsearch_spark.operators import timeseries as TS
+
+    plan = explain_formatted(TS.dq198_ewma(tables))
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "SinglePartition" not in plan
+
+
+def test_link_prediction_no_cartesian(tables):
+    # the upstream edge build legitimately contains the broadcast-query
+    # KNN cross (BroadcastNestedLoopJoin over the tiny query side); the
+    # wedge/anti legs added HERE must all be key-based joins
+    from multi_model_vectorsearch_spark.operators import graph as G
+
+    plan = explain_formatted(G.dq214_link_prediction(tables))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin LeftAnti" in plan or "HashJoin LeftAnti" in plan
+    assert "SortMergeJoin Inner" in plan or "HashJoin Inner" in plan
+
+
+def test_sorted_neighborhood_has_no_join(tables):
+    # the SNM candidate pass is one window + explode — the block self-join
+    # form (n_blk^2 intermediate rows) must not come back
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+
+    plan = explain_formatted(T.dq200_sorted_neighborhood(tables))
+    assert "Join" not in plan
+    assert "Window" in plan

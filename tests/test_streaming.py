@@ -488,3 +488,25 @@ def test_ingest_neardup_flags_match_batch(spark, tables, tmp_path):
         for r in pipe.neardup_flags().collect()
     }
     assert got == expect
+
+
+def test_ewma_stream_batch_equivalence(spark, tables, replay):
+    """applyInPandasWithState EWMA: final emission per (user, hb) equals
+    batch dq198 (same power-of-two integer kernel; the stream emits the
+    unrounded division, so agreement is within the batch side's
+    6-decimal rounding quantum)."""
+    from multi_model_vectorsearch_spark.operators.timeseries import dq198_ewma
+
+    ev = SW.read_event_stream(spark, replay)
+    SW.run_to_memory(SW.ewma_stream(ev), "t_ewma", mode="update")
+    emitted = spark.table("t_ewma")
+    last = (
+        emitted.withColumn("_i", F.monotonically_increasing_id())
+        .groupBy("user_id", "hb")
+        .agg(F.max_by("ewma", "_i").alias("ewma"))
+    )
+    got = {(r.user_id, r.hb): r.ewma for r in last.collect()}
+    want = {(r.user_id, r.hb): r.ewma for r in dq198_ewma(tables).collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 5e-7 + 1e-12, (k, got[k], v)
