@@ -2548,6 +2548,76 @@ _REGISTRY: list[DQ] = [
        "AS tokens_dropped, "
        "round(CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
        "/ SUM(n_tok), 6) AS savings FROM fl GROUP BY source"),
+    DQ("dq218_phrase_search", RT.dq218_phrase_search,
+       # 1-based generate_subscripts vs Spark's 0-based posexplode: the
+       # oracle subtracts 1 from its positions
+       "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+       "generate_subscripts(string_split(text, ' '), 1) AS idx "
+       "FROM documents), "
+       "bgc AS (SELECT a.tok || ' ' || b.tok AS bg, count(*) AS c "
+       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1 "
+       "GROUP BY bg), "
+       "top AS (SELECT bg AS phrase, "
+       "string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 "
+       "FROM bgc ORDER BY c DESC, bg LIMIT 1), "
+       "hits AS (SELECT a.doc_id, top.phrase, a.idx - 1 AS pos "
+       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1 "
+       "CROSS JOIN top WHERE a.tok = top.w1 AND b.tok = top.w2) "
+       "SELECT doc_id, phrase, count(*) AS n_occ, "
+       "CAST(min(pos) AS INT) AS first_pos FROM hits "
+       "GROUP BY doc_id, phrase"),
+    DQ("dq219_order_audit", TS.dq219_order_audit,
+       "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us "
+       "FROM events), "
+       "st AS (SELECT user_id, CASE WHEN us < MAX(us) OVER "
+       "(PARTITION BY user_id ORDER BY event_id "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+       "THEN 1 ELSE 0 END AS late FROM ev) "
+       "SELECT user_id, count(*) AS n, "
+       "CAST(SUM(late) AS BIGINT) AS n_late, "
+       "round(CAST(SUM(late) AS DOUBLE) / count(*), 6) AS late_frac "
+       "FROM st GROUP BY user_id"),
+    DQ("dq220_ari", N.dq220_ari,
+       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
+       "WHERE vec_id < 8), "
+       "scored AS (SELECT e.vec_id, e.label, c.cid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, label, cid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
+       "ct AS (SELECT cid, label, count(*) AS nij FROM assigned "
+       "GROUP BY cid, label), "
+       "p AS (SELECT CAST(SUM(CAST(nij * (nij - 1) / 2 AS BIGINT)) "
+       "AS BIGINT) AS pidx, CAST(SUM(nij) AS BIGINT) AS n FROM ct), "
+       "pa AS (SELECT CAST(SUM(CAST(ai * (ai - 1) / 2 AS BIGINT)) "
+       "AS BIGINT) AS a FROM (SELECT cid, SUM(nij) AS ai FROM ct "
+       "GROUP BY cid) r), "
+       "pb AS (SELECT CAST(SUM(CAST(bj * (bj - 1) / 2 AS BIGINT)) "
+       "AS BIGINT) AS b FROM (SELECT label, SUM(nij) AS bj FROM ct "
+       "GROUP BY label) c) "
+       "SELECT n, pidx, a, b, "
+       "round(2.0 * (pidx * CAST(n * (n - 1) / 2 AS BIGINT) - a * b) "
+       "/ (CAST(n * (n - 1) / 2 AS BIGINT) * (a + b) - 2 * a * b), 6) "
+       "AS ari FROM p CROSS JOIN pa CROSS JOIN pb"),
+    DQ("dq221_langid_confusion", T.dq221_langid_confusion,
+       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "hits AS (SELECT doc_id, lang, count(*) AS n_hits FROM toks "
+       "JOIN " + T.stopwords_values_sql() + " ON tok = w "
+       "GROUP BY doc_id, lang), "
+       "best AS (SELECT doc_id, lang AS pred, row_number() OVER "
+       "(PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn FROM hits), "
+       "pred AS (SELECT d.doc_id, coalesce(b.pred, 'unknown') AS pred "
+       "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
+       "ON d.doc_id = b.doc_id), "
+       "cells AS (SELECT d.lang, p.pred, count(*) AS n "
+       "FROM documents d JOIN pred p ON d.doc_id = p.doc_id "
+       "GROUP BY d.lang, p.pred) "
+       "SELECT lang, pred, n, "
+       "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang, "
+       "round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6) "
+       "AS frac FROM cells"),
 ]
 
 

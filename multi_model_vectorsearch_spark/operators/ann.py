@@ -565,3 +565,49 @@ def dq210_cluster_purity(t: Tables, n_centroids: int = 8) -> DataFrame:
             .alias("purity"),
         )
     )
+
+
+def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
+    """Adjusted Rand Index between the IVF cluster assignment and the
+    label column — the chance-corrected partner of dq210's purity (purity
+    rewards many tiny clusters; ARI does not), the standard score for
+    'do embedding clusters recover the taxonomy'.
+
+    Pure pair-counting combinatorics on the contingency table: pidx =
+    Σ C(n_ij,2), A/B the row/column pair sums, and
+    ARI = (pidx·C(n,2) − A·B) / (C(n,2)·(A+B)/2 − A·B) — every term an
+    exact bigint (fits through ~10^9 points; cast the three products to
+    DECIMAL(38,0) beyond that), one IEEE division at the end. The corpus
+    is touched once by the session-cached assignment; everything here is
+    contingency-sized.
+    """
+    assigned = assign_clusters(t, n_centroids).select("vec_id", "cid")
+    labels = t["embeddings"].select("vec_id", "label")
+    ct = (
+        assigned.join(labels, "vec_id")
+        .groupBy("cid", "label").agg(F.count("*").alias("nij"))
+    )
+
+    def c2(col: F.Column) -> F.Column:
+        return (col * (col - 1) / 2).cast("bigint")
+
+    rows = ct.groupBy("cid").agg(F.sum("nij").alias("ai"))
+    cols = ct.groupBy("label").agg(F.sum("nij").alias("bj"))
+    parts = (
+        ct.agg(F.sum(c2(F.col("nij"))).alias("pidx"),
+               F.sum("nij").alias("n"))
+        .crossJoin(F.broadcast(
+            rows.agg(F.sum(c2(F.col("ai"))).alias("a"))))
+        .crossJoin(F.broadcast(
+            cols.agg(F.sum(c2(F.col("bj"))).alias("b"))))
+    )
+    cn2 = c2(F.col("n"))
+    num = F.col("pidx") * cn2 - F.col("a") * F.col("b")
+    den = cn2 * (F.col("a") + F.col("b")) - 2 * F.col("a") * F.col("b")
+    # num/den doubled consistently: (pidx*C - AB) / (C*(A+B)/2 - AB)
+    # == 2*(pidx*C - AB) / (C*(A+B) - 2AB)
+    return parts.select(
+        "n", "pidx", "a", "b",
+        F.round(2.0 * num.cast("double") / den.cast("double"), 6)
+        .alias("ari"),
+    )

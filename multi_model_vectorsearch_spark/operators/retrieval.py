@@ -190,3 +190,57 @@ def dq185_inverted_index(t: Tables, min_df: int = 5,
             F.sort_array(F.collect_list("doc_id")).alias("postings_head"),
         )
     )
+
+
+def dq218_phrase_search(t: Tables) -> DataFrame:
+    """Positional phrase search: find every occurrence of the corpus's
+    most frequent word bigram as an EXACT adjacent-position phrase — the
+    positional-postings operation (dq185's inverted index carries only
+    doc-level postings) that backs quoted-phrase queries and exact-span
+    contamination checks.
+
+    The target phrase is derived from the data (top count, lexicographic
+    tie-break), so the query is self-contained and deterministic. Postings
+    are (doc_id, position) pairs; the phrase match is a join of the
+    target's two words on adjacent positions — at scale the bigram-count
+    side is a tiny aggregate joined broadcast, and the positional join
+    shuffles once on (doc_id). Counts and positions are exact integers.
+    """
+    d = t["documents"]
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    bg = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(slice(w, 1, size(w) - 1), "
+                "(x, i) -> concat(x, ' ', w[i + 1]))")).alias("bg"),
+        )
+    )
+    counts = bg.groupBy("bg").agg(F.count("*").alias("c"))
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("bg")).limit(1)
+        .select(F.col("bg").alias("phrase"))
+    )
+    tgt = top.select(
+        "phrase",
+        F.split_part(F.col("phrase"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("phrase"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    p1 = toks.crossJoin(F.broadcast(tgt)).filter(
+        F.col("tok") == F.col("w1")).select("doc_id", "pos", "phrase")
+    p2 = toks.crossJoin(F.broadcast(tgt.select("w2"))).filter(
+        F.col("tok") == F.col("w2")).select(
+            F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"))
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("pos2") == F.col("pos") + 1),
+    )
+    return hits.groupBy("doc_id", "phrase").agg(
+        F.count("*").alias("n_occ"),
+        F.min("pos").alias("first_pos"),
+    )

@@ -1476,3 +1476,28 @@ def dq203_containment_join(t: Tables, c_min: float = 0.5) -> DataFrame:
         F.round(F.col("i") / F.col("nb"), 6).alias("containment"),
     ))
     return directed.filter(F.col("containment") >= c_min)
+
+
+def dq221_langid_confusion(t: Tables) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier (dq44) against
+    the ground-truth lang column — the eval that turns a heuristic into a
+    measured component (which languages leak into 'en', what 'unknown'
+    hides) before its output is trusted as a mixture key.
+
+    Composes dq44's prediction (stopword-hit voting, one shuffle) with a
+    broadcast-sized groupBy on (lang, pred); per-language recall is an
+    exact integer ratio computed in the same pass via a windowed total.
+    """
+    pred = dq44_langid(t).select("doc_id", "pred")
+    actual = t["documents"].select("doc_id", "lang")
+    cells = (
+        actual.join(pred, "doc_id")
+        .groupBy("lang", "pred").agg(F.count("*").alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang", "pred", "n",
+        F.sum("n").over(wl).alias("n_lang"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 6)
+        .alias("frac"),
+    )

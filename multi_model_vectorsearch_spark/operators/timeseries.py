@@ -919,3 +919,35 @@ def dq216_seasonal_profile(t: Tables) -> DataFrame:
             F.round(mean_h - mean_g, 6).alias("dev_from_type_mean"),
         )
     )
+
+
+def dq219_order_audit(t: Tables) -> DataFrame:
+    """Ingest order-quality audit per user: how many events arrived with
+    an event-time EARLIER than something already ingested (arrival order
+    = event_id sequence) — the lateness profile that decides watermark
+    width before any streaming job is deployed (dq44-style QA for time).
+
+    One linear window per user partition: running max of epoch-µs over
+    the preceding arrival rows, compared as exact integers. late_frac is
+    one IEEE division.
+    """
+    ev = t["events"].select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "late", (F.col("us") < F.max("us").over(w)).cast("bigint"))
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("late"), F.lit(0)).alias("n_late"),
+            F.round(
+                F.coalesce(F.sum("late"), F.lit(0)).cast("double")
+                / F.count("*"), 6).alias("late_frac"),
+        )
+    )

@@ -441,3 +441,84 @@ def test_dedup_savings_accounting(tables):
     for r in rows:
         assert r["tokens_dropped"] <= r["tokens_total"]
         assert 0.0 <= r["savings"] <= 1.0
+
+
+def test_phrase_search_occurrences_are_real(tables):
+    """Every reported occurrence must be verifiable by substring check on
+    the raw text, and first_pos indexes the phrase's first word."""
+    from multi_model_vectorsearch_spark.operators.retrieval import (
+        dq218_phrase_search,
+    )
+
+    out = dq218_phrase_search(tables)
+    joined = out.join(tables["documents"].select("doc_id", "text"), "doc_id")
+    rows = joined.collect()
+    assert len(rows) > 0
+    for r in rows:
+        toks = r["text"].split(" ")
+        w1, w2 = r["phrase"].split(" ")
+        occ = sum(
+            1 for i in range(len(toks) - 1)
+            if toks[i] == w1 and toks[i + 1] == w2)
+        assert occ == r["n_occ"], r
+        assert toks[r["first_pos"]] == w1
+        assert toks[r["first_pos"] + 1] == w2
+
+
+def test_order_audit_detects_planted_inversion(spark):
+    """Events arriving in id order with one time inversion: exactly one
+    late row."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq219_order_audit,
+    )
+
+    hours = [0, 1, 2, 1, 4]  # event 3 (ts hour 1) is late vs max seen (2)
+    df = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:00:00", 1, "a", 1.0, "{}")
+         for i, h in enumerate(hours)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = dq219_order_audit({"events": df}).collect()[0]
+    assert out["n"] == 5 and out["n_late"] == 1
+    assert abs(out["late_frac"] - 0.2) < 1e-9
+
+
+def test_ari_perfect_and_random_fixtures(spark):
+    """ARI is 1.0 when clusters == labels exactly; near 0 for a label
+    assignment independent of clusters."""
+    from multi_model_vectorsearch_spark.operators.ann import dq220_ari
+
+    # centroids are vec_id 0..3; members cluster tightly around each and
+    # carry the centroid's id as label -> perfect agreement
+    # centroid ids 0..3 are the pure axis vectors; member ids start at
+    # 1000 so they can never collide with a centroid id
+    fixed = []
+    for c in range(4):
+        base = [0.0] * 8
+        base[c] = 1.0
+        fixed.append((c, [float(x) for x in base], c))
+        for m in range(1, 8):
+            v = list(base)
+            v[4 + c // 2] += 0.001 * m  # orthogonal jitter, nearest stays c
+            fixed.append((1000 + c * 100 + m, [float(x) for x in v], c))
+    df = spark.createDataFrame(
+        fixed, "vec_id long, embedding array<float>, label int")
+    out = dq220_ari({"embeddings": df}, n_centroids=4).collect()[0]
+    assert out["ari"] == 1.0
+
+
+def test_langid_confusion_reconciles(tables):
+    """Cells partition the corpus and per-language fractions sum to 1."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq221_langid_confusion,
+    )
+
+    rows = dq221_langid_confusion(tables).collect()
+    assert sum(r["n"] for r in rows) == tables["documents"].count()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_lang.items():
+        assert abs(sum(c["frac"] for c in cells) - 1.0) < 1e-5, lang
+        assert all(c["n_lang"] == cells[0]["n_lang"] for c in cells)
