@@ -2618,6 +2618,78 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang, "
        "round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6) "
        "AS frac FROM cells"),
+    DQ("dq222_lsh_pr_curve", T.dq222_lsh_pr_curve,
+       # _SHC_CTE already carries sh; append the sig legs without
+       # re-declaring it
+       "WITH " + _SHC_CTE + ", "
+       "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
+       "sig AS (SELECT doc_id, seed, "
+       "min(substr(sha256(shingle), seed * 8 + 1, 8)) AS mh "
+       "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed), "
+       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
+       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
+       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+       "GROUP BY d1, d2), "
+       "exact AS (SELECT d1, d2, "
+       "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j "
+       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
+       "JOIN sizes sb ON sb.doc_id = d2), "
+       "lsh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+       "round(count(*) / 8.0, 6) AS est_j "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
+       "u AS (SELECT COALESCE(e.j, 0.0) AS j, "
+       "COALESCE(l.est_j, -1.0) AS est_j FROM exact e "
+       "FULL OUTER JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2), "
+       "g AS (SELECT j, est_j, unnest([0.2, 0.3, 0.4, 0.5]) AS tau FROM u), "
+       "agg AS (SELECT tau, "
+       "CAST(SUM(CASE WHEN j >= tau AND est_j >= tau THEN 1 ELSE 0 END) "
+       "AS BIGINT) AS tp, "
+       "CAST(SUM(CASE WHEN est_j >= tau THEN 1 ELSE 0 END) AS BIGINT) "
+       "AS pp, "
+       "CAST(SUM(CASE WHEN j >= tau THEN 1 ELSE 0 END) AS BIGINT) AS ap "
+       "FROM g GROUP BY tau) "
+       "SELECT round(tau, 2) AS tau, tp, pp, ap, "
+       "CASE WHEN pp > 0 THEN round(CAST(tp AS DOUBLE) / pp, 6) END "
+       "AS precision, "
+       "CASE WHEN ap > 0 THEN round(CAST(tp AS DOUBLE) / ap, 6) END "
+       "AS recall FROM agg"),
+    DQ("dq223_nearest_event_join", TS.dq223_nearest_event_join,
+       "WITH ev AS (SELECT user_id, event_id, event_type, "
+       "epoch_us(ts) AS us, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k FROM events), "
+       "st AS (SELECT user_id, event_id, event_type, us, "
+       "last_value(CASE WHEN event_type = 'purchase' THEN us END "
+       "IGNORE NULLS) OVER wa AS ppus, "
+       "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
+       "IGNORE NULLS) OVER wa AS ppid, "
+       "last_value(CASE WHEN event_type = 'purchase' THEN us END "
+       "IGNORE NULLS) OVER wd AS npus, "
+       "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
+       "IGNORE NULLS) OVER wd AS npid "
+       "FROM ev WINDOW wa AS (PARTITION BY user_id ORDER BY k "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+       "wd AS (PARTITION BY user_id ORDER BY k DESC "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+       "SELECT user_id, event_id, "
+       "CASE WHEN ppus IS NULL AND npus IS NULL THEN NULL "
+       "WHEN npus IS NULL OR (ppus IS NOT NULL "
+       "AND (us - ppus) <= (npus - us)) THEN ppid ELSE npid END "
+       "AS purchase_id, "
+       "CASE WHEN ppus IS NULL AND npus IS NULL THEN NULL "
+       "WHEN npus IS NULL OR (ppus IS NOT NULL "
+       "AND (us - ppus) <= (npus - us)) THEN us - ppus "
+       "ELSE npus - us END AS delta_us "
+       "FROM st WHERE event_type = 'view'"),
+    DQ("dq224_weighted_reservoir", C.dq224_weighted_reservoir,
+       "WITH hx AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w, "
+       "sha256('ares:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), "
+       "d AS (SELECT doc_id, w, CAST((" + _HEXFOLD + ") AS BIGINT) AS hi "
+       "FROM hx) "
+       "SELECT doc_id, w, "
+       "round(ln((hi + 1) / 4294967296.0) / w, 12) AS skey "
+       "FROM d ORDER BY skey DESC, doc_id LIMIT 100"),
 ]
 
 

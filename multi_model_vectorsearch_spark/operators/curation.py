@@ -1079,3 +1079,36 @@ def dq217_dedup_savings(t: Tables) -> DataFrame:
                 / F.col("tokens_total"), 6).alias("savings"),
         )
     )
+
+
+def dq224_weighted_reservoir(t: Tables, k: int = 100) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-RES): keep the top-``k`` docs by exponential key
+    ln(u)/weight with u a content-stable hash uniform — the exact
+    distributed analog of weighted reservoir sampling, and the primitive
+    behind quality-weighted subset selection when dq112's independent
+    per-doc keep-coins must not over/under-shoot the target count.
+
+    The uniform comes from the same sha2 die as dq95 (stable across
+    engines, runs, partitionings); ln(u)/w is monotone in u^(1/w), so
+    top-k by it IS A-RES. One map-only projection + TakeOrderedAndProject
+    — no shuffle of the corpus beyond the top-k merge. The sort key is
+    rounded to 12 decimals so both engines compare identical doubles
+    (ulp-level libm differences cannot reorder; genuine ties fall to the
+    doc_id tie-break in both).
+    """
+    d = t["documents"].select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("w"),
+    )
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit("ares:"),
+                                    F.col("doc_id").cast("string")), 256),
+                    1, 8), 16, 10).cast("bigint")
+    u = (h + 1) / F.lit(4294967296.0)  # (0, 1]
+    key = F.round(F.log(u) / F.col("w"), 12)
+    return (
+        d.select("doc_id", "w", key.alias("skey"))
+        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        .limit(k)
+    )

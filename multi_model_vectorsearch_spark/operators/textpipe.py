@@ -1501,3 +1501,47 @@ def dq221_langid_confusion(t: Tables) -> DataFrame:
         F.round(F.col("n").cast("double") / F.sum("n").over(wl), 6)
         .alias("frac"),
     )
+
+
+def dq222_lsh_pr_curve(t: Tables) -> DataFrame:
+    """Precision/recall curve of the MinHash-LSH near-dup detector against
+    the exact df-capped Jaccard ground truth, across a threshold grid —
+    the tuning artifact (dq153 reports one operating point) that picks
+    band/threshold settings before a full-corpus dedup run.
+
+    Both arms are projections of session-cached tables (the signature
+    band pairs and the exact pair table share the same shingle build);
+    the full-outer pair join runs once and the threshold grid is an
+    in-row explode, so the curve costs one pass over the candidate union
+    regardless of grid size. Counts are exact integers; P/R are single
+    IEEE divisions.
+    """
+    exact = jaccard_pairs_shared(t).select(
+        "d1", "d2",
+        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        .alias("j"),
+    )
+    lsh = minhash_lsh_pairs_shared(t).select(
+        "d1", "d2", F.round(F.col("matches") / 8.0, 6).alias("est_j"))
+    u = exact.join(lsh, ["d1", "d2"], "full_outer").select(
+        F.coalesce("j", F.lit(0.0)).alias("j"),
+        F.coalesce("est_j", F.lit(-1.0)).alias("est_j"),
+    )
+    taus = F.explode(F.array(*[F.lit(x) for x in (0.2, 0.3, 0.4, 0.5)]))
+    g = u.select("j", "est_j", taus.alias("tau"))
+    agg = g.groupBy("tau").agg(
+        F.sum(((F.col("j") >= F.col("tau"))
+               & (F.col("est_j") >= F.col("tau"))).cast("bigint"))
+        .alias("tp"),
+        F.sum((F.col("est_j") >= F.col("tau")).cast("bigint")).alias("pp"),
+        F.sum((F.col("j") >= F.col("tau")).cast("bigint")).alias("ap"),
+    )
+    return agg.select(
+        F.round("tau", 2).alias("tau"), "tp", "pp", "ap",
+        F.when(F.col("pp") > 0,
+               F.round(F.col("tp").cast("double") / F.col("pp"), 6))
+        .otherwise(F.lit(None)).alias("precision"),
+        F.when(F.col("ap") > 0,
+               F.round(F.col("tp").cast("double") / F.col("ap"), 6))
+        .otherwise(F.lit(None)).alias("recall"),
+    )

@@ -951,3 +951,52 @@ def dq219_order_audit(t: Tables) -> DataFrame:
                 / F.count("*"), 6).alias("late_frac"),
         )
     )
+
+
+def dq223_nearest_event_join(t: Tables) -> DataFrame:
+    """Nearest-event (bidirectional as-of) join inside each user's stream:
+    every 'view' matched to its nearest-in-time 'purchase', past OR
+    future — the attribution variant dq09's backward-only as-of can't
+    express, and the pattern behind sensor alignment and label joining.
+
+    Both directions are LINEAR running windows: previous purchase via
+    last(ignorenulls) over ascending order, next purchase via the same
+    frame over DESCENDING order (the dq178-fix trick — never an
+    unboundedFollowing frame, whose processor rescans O(n²)). The nearer
+    side wins; exact integer µs deltas, ties to the earlier purchase.
+    """
+    key = _event_order_key()
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("us"), key.alias("k"),
+    )
+    pcol = F.when(
+        F.col("event_type") == "purchase",
+        F.struct(F.col("us").alias("pus"), F.col("event_id").alias("pid")),
+    )
+    asc = (
+        Window.partitionBy("user_id").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    desc = (
+        Window.partitionBy("user_id").orderBy(F.desc("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        ev.withColumn("p", pcol)
+        .withColumn("prev", F.last("p", ignorenulls=True).over(asc))
+        .withColumn("nxt", F.last("p", ignorenulls=True).over(desc))
+        .filter(F.col("event_type") == "view")
+    )
+    d_prev = F.col("us") - F.col("prev.pus")
+    d_next = F.col("nxt.pus") - F.col("us")
+    take_prev = F.col("nxt").isNull() | (
+        F.col("prev").isNotNull() & (d_prev <= d_next))
+    return staged.select(
+        "user_id", "event_id",
+        F.when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None))
+        .when(take_prev, F.col("prev.pid")).otherwise(F.col("nxt.pid"))
+        .alias("purchase_id"),
+        F.when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None))
+        .when(take_prev, d_prev).otherwise(d_next).alias("delta_us"),
+    )

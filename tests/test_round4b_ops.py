@@ -522,3 +522,67 @@ def test_langid_confusion_reconciles(tables):
     for lang, cells in by_lang.items():
         assert abs(sum(c["frac"] for c in cells) - 1.0) < 1e-5, lang
         assert all(c["n_lang"] == cells[0]["n_lang"] for c in cells)
+
+
+def test_lsh_pr_curve_monotone_counts(tables):
+    """As tau rises, tp/pp/ap can only shrink; precision and recall stay
+    probabilities."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq222_lsh_pr_curve,
+    )
+
+    rows = sorted(dq222_lsh_pr_curve(tables).collect(),
+                  key=lambda r: r["tau"])
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"]
+        assert b["pp"] <= a["pp"]
+        assert b["ap"] <= a["ap"]
+    for r in rows:
+        assert r["tp"] <= min(r["pp"], r["ap"])
+        if r["precision"] is not None:
+            assert 0.0 <= r["precision"] <= 1.0
+        if r["recall"] is not None:
+            assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_nearest_event_join_picks_nearer_side(spark):
+    """A view between two purchases matches the closer one; ties go to
+    the earlier purchase."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq223_nearest_event_join,
+    )
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "purchase", 1.0, "{}"),
+        (1, "2024-01-01 00:10:00", 1, "view", 1.0, "{}"),      # prev is 10m, next 20m
+        (2, "2024-01-01 00:30:00", 1, "purchase", 1.0, "{}"),
+        (3, "2024-01-01 00:25:00", 1, "view", 1.0, "{}"),      # 25m in: prev 25m, next 5m
+        (4, "2024-01-01 01:00:00", 2, "view", 1.0, "{}"),      # no purchases at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: (r["purchase_id"], r["delta_us"])
+           for r in dq223_nearest_event_join({"events": df}).collect()}
+    assert got[1] == (0, 10 * 60 * 1_000_000)
+    assert got[3] == (2, 5 * 60 * 1_000_000)
+    assert got[4] == (None, None)
+
+
+def test_weighted_reservoir_favors_heavy_docs(tables_sf001):
+    """The A-RES sample's mean weight must exceed the corpus mean weight
+    (that's what weighting is for), and the keys must be sorted."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq224_weighted_reservoir,
+    )
+
+    rows = dq224_weighted_reservoir(tables_sf001, k=100).collect()
+    assert len(rows) == 100
+    keys = [r["skey"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    sample_mean = sum(r["w"] for r in rows) / len(rows)
+    corpus_mean = (
+        tables_sf001["documents"].agg(F.avg("n_chars")).collect()[0][0])
+    assert sample_mean > corpus_mean
