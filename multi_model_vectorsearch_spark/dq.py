@@ -2690,6 +2690,30 @@ _REGISTRY: list[DQ] = [
        "SELECT doc_id, w, "
        "round(ln((hi + 1) / 4294967296.0) / w, 12) AS skey "
        "FROM d ORDER BY skey DESC, doc_id LIMIT 100"),
+    DQ("dq225_mad_outliers", R.dq225_mad_outliers,
+       "WITH li AS (SELECT l_returnflag, "
+       "CAST(round(l_extendedprice * 100) AS BIGINT) AS x "
+       "FROM lineitem), "
+       "r1 AS (SELECT l_returnflag, x, "
+       "row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn, "
+       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM li), "
+       "med AS (SELECT l_returnflag, max(x) AS med FROM r1 "
+       "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) "
+       "GROUP BY l_returnflag), "
+       "dev AS (SELECT li.l_returnflag, li.x, med.med, "
+       "abs(li.x - med.med) AS d FROM li JOIN med USING (l_returnflag)), "
+       "r2 AS (SELECT l_returnflag, d, "
+       "row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS rn, "
+       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM dev), "
+       "mad AS (SELECT l_returnflag, max(d) AS mad FROM r2 "
+       "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) "
+       "GROUP BY l_returnflag) "
+       "SELECT dev.l_returnflag, count(*) AS n, "
+       "max(dev.med) / 100.0 AS med, "
+       "max(mad.mad) / 100.0 AS mad, "
+       "CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) "
+       "AS BIGINT) AS n_outliers "
+       "FROM dev JOIN mad USING (l_returnflag) GROUP BY dev.l_returnflag"),
 ]
 
 

@@ -992,3 +992,57 @@ def dq212_grouping_sets(t: Tables) -> DataFrame:
                     .cast("double"), 2).alias("sum_qty"),
         )
     )
+
+
+def dq225_mad_outliers(t: Tables) -> DataFrame:
+    """Median-absolute-deviation outlier census per return flag: the
+    robust '3-sigma' (median ± 3·MAD) that a single fat-finger row
+    cannot move, completing dq195's winsorized panel with the
+    selection-based (not interpolated) robust scale estimate.
+
+    Both medians are LOWER medians (exact value selection, no
+    interpolation arithmetic), found dq199-style over integer CENTS:
+    counts collapse onto DISTINCT cent values first (map-side
+    combinable), the cumulative count runs over the distinct-value
+    table, and the median is the smallest value whose running count
+    reaches ⌊(n+1)/2⌋. The cent domain is fixed by the price range — so
+    the per-flag window's input is bounded no matter how many ROWS the
+    fact table has, where a raw-row row_number sort would funnel 100 TB
+    through 3 tasks. The oracle deliberately uses that raw-row
+    formulation — agreement proves the rewrite. Deviations, 3·MAD, and
+    the outlier test are all exact bigint arithmetic.
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+    )
+    wp = Window.partitionBy("l_returnflag")
+
+    def lower_median(df, col: str, out: str):
+        per_v = df.groupBy("l_returnflag", col).agg(
+            F.count("*").alias("c"))
+        cum = (
+            per_v
+            .withColumn("cw", F.sum("c").over(wp.orderBy(col)))
+            .withColumn("n", F.sum("c").over(wp))
+        )
+        return (
+            cum.filter(F.col("cw") >= F.floor((F.col("n") + 1) / 2))
+            .groupBy("l_returnflag").agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(li, "x", "med_c")
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "d", F.abs(F.col("x") - F.col("med_c")))
+    mad = lower_median(dev.select("l_returnflag", "d"), "d", "mad_c")
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("med_c") / 100.0).alias("med"),
+            (F.max("mad_c") / 100.0).alias("mad"),
+            F.sum((F.col("d") > 3 * F.col("mad_c")).cast("bigint"))
+            .alias("n_outliers"),
+        )
+    )

@@ -586,3 +586,28 @@ def test_weighted_reservoir_favors_heavy_docs(tables_sf001):
     corpus_mean = (
         tables_sf001["documents"].agg(F.avg("n_chars")).collect()[0][0])
     assert sample_mean > corpus_mean
+
+
+def test_mad_outliers_robustness(spark):
+    """Planting one absurd outlier must not move the median or MAD (both
+    selection-based), and the outlier itself must be counted."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq225_mad_outliers,
+    )
+
+    base = [float(v) for v in range(1, 20)]  # 1..19, median 10, MAD 5
+    def run(vals):
+        df = spark.createDataFrame(
+            [(i, "A", "O", v) for i, v in enumerate(vals)],
+            "l_orderkey long, l_returnflag string, l_linestatus string, "
+            "l_extendedprice double",
+        )
+        return dq225_mad_outliers({"lineitem": df}).collect()[0]
+
+    clean = run(base)
+    assert clean["med"] == 10.0 and clean["mad"] == 5.0
+    assert clean["n_outliers"] == 0
+    spiked = run(base + [1e9])
+    assert spiked["med"] == 10.0  # lower median of 20 values: still 10
+    assert spiked["mad"] == 5.0
+    assert spiked["n_outliers"] == 1
