@@ -2714,6 +2714,33 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) "
        "AS BIGINT) AS n_outliers "
        "FROM dev JOIN mad USING (l_returnflag) GROUP BY dev.l_returnflag"),
+    DQ("dq226_time_weighted_avg", TS.dq226_time_weighted_avg,
+       "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "seg AS (SELECT user_id, us, cents, k, "
+       "lead(us) OVER (PARTITION BY user_id ORDER BY k) AS nxt_us FROM ev), "
+       "agg AS (SELECT user_id, count(*) AS n, min(us) AS t0, "
+       "max(us) AS t1, "
+       "CAST(SUM(cents * (nxt_us - us)) AS BIGINT) AS integral, "
+       "arg_min(cents, k) AS first_cents FROM seg GROUP BY user_id) "
+       "SELECT user_id, n, CASE WHEN t1 - t0 > 0 THEN "
+       "round(CAST(integral AS DOUBLE) / (t1 - t0) / 100.0, 6) "
+       "ELSE first_cents / 100.0 END AS twa FROM agg"),
+    DQ("dq227_vocab_coverage_curve", T.dq227_vocab_coverage_curve,
+       "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
+       "FROM documents), "
+       "vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
+       "ranked AS (SELECT tok, c, "
+       "row_number() OVER (ORDER BY c DESC, tok) AS r, "
+       "SUM(c) OVER (ORDER BY c DESC, tok "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+       "FROM vocab), "
+       "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, "
+       "count(*) AS vocab_size FROM vocab) "
+       "SELECT r AS k, CAST(cum AS BIGINT) AS covered, n_total, "
+       "vocab_size, round(CAST(cum AS DOUBLE) / n_total, 6) AS coverage "
+       "FROM ranked CROSS JOIN tot WHERE r IN (2, 5, 10, 20, 30)"),
 ]
 
 

@@ -1545,3 +1545,43 @@ def dq222_lsh_pr_curve(t: Tables) -> DataFrame:
                F.round(F.col("tp").cast("double") / F.col("ap"), 6))
         .otherwise(F.lit(None)).alias("recall"),
     )
+
+
+def dq227_vocab_coverage_curve(t: Tables) -> DataFrame:
+    """Token coverage curve: what fraction of the corpus token stream the
+    top-k vocabulary covers, for a grid of k — the tokenizer-budget
+    audit (how big must the vocab be before <unk> is rare) run before
+    committing to a vocab size.
+
+    The whole computation happens on the VOCAB table (one groupBy of the
+    stream, map-side combinable): rank by (count desc, token), running
+    covered-count window over the vocab rows, then one probe per grid
+    point. Counts are exact bigints; coverage is one IEEE division per
+    row. The global vocab window is vocab-sized (≤ a few million rows at
+    any corpus scale) and range-partitionable via the dq171 trick if a
+    tokenizer vocab ever outgrows one task.
+    """
+    toks = t["documents"].select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    wv = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        vocab
+        .withColumn("r", F.row_number().over(wv))
+        .withColumn("cum", F.sum("c").over(
+            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    total = vocab.agg(F.sum("c").alias("n_total"),
+                      F.count("*").alias("vocab_size"))
+    ks = [2, 5, 10, 20, 30]
+    grid = ranked.filter(F.col("r").isin(ks))
+    return (
+        grid.crossJoin(F.broadcast(total))
+        .select(
+            F.col("r").alias("k"),
+            F.col("cum").alias("covered"),
+            "n_total", "vocab_size",
+            F.round(F.col("cum").cast("double") / F.col("n_total"), 6)
+            .alias("coverage"),
+        )
+    )

@@ -1000,3 +1000,44 @@ def dq223_nearest_event_join(t: Tables) -> DataFrame:
         F.when(F.col("prev").isNull() & F.col("nxt").isNull(), F.lit(None))
         .when(take_prev, d_prev).otherwise(d_next).alias("delta_us"),
     )
+
+
+def dq226_time_weighted_avg(t: Tables) -> DataFrame:
+    """Time-weighted average per user: integrate the last-known value
+    over each inter-event interval and divide by the user's active span
+    — the irregular-sampling mean (TimescaleDB/InfluxDB `time_weight`)
+    where a plain AVG over-weights chatty periods.
+
+    One lead() per user partition (linear, single shuffle) gives each
+    event its holding interval; the integral accumulates EXACT bigints
+    (cents × µs ≈ 10^14 per term — bigint holds ~10^5 such terms per
+    user; cast the sum to DECIMAL(38,0) if a user's span ever nears
+    that), and the final division is one shared IEEE op. Users with a
+    single event report their value (zero-length span guard).
+    """
+    key = _event_order_key()
+    ev = t["events"].select(
+        "user_id",
+        F.unix_micros("ts").alias("us"), key.alias("k"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("k")
+    seg = ev.withColumn("nxt_us", F.lead("us").over(w))
+    agg = (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("us").alias("t0"),
+            F.max("us").alias("t1"),
+            F.sum(F.col("cents") * (F.col("nxt_us") - F.col("us")))
+            .alias("integral"),
+            F.min_by("cents", "k").alias("first_cents"),
+        )
+    )
+    span = F.col("t1") - F.col("t0")
+    return agg.select(
+        "user_id", "n",
+        F.when(span > 0,
+               F.round(F.col("integral").cast("double") / span / 100.0, 6))
+        .otherwise(F.col("first_cents") / 100.0).alias("twa"),
+    )

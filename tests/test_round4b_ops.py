@@ -611,3 +611,43 @@ def test_mad_outliers_robustness(spark):
     assert spiked["med"] == 10.0  # lower median of 20 values: still 10
     assert spiked["mad"] == 5.0
     assert spiked["n_outliers"] == 1
+
+
+def test_time_weighted_avg_holds_value_over_gaps(spark):
+    """Value 10 held for 9 hours then 100 for 1 hour: TWA = 19, where the
+    naive mean would say 55 — the whole point of time weighting. A
+    single-event user reports their value."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq226_time_weighted_avg,
+    )
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "a", 10.0, "{}"),
+        (1, "2024-01-01 09:00:00", 1, "a", 100.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "a", 50.0, "{}"),  # closes the span
+        (3, "2024-01-01 00:00:00", 2, "a", 7.5, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["twa"]
+           for r in dq226_time_weighted_avg({"events": df}).collect()}
+    assert abs(got[1] - 19.0) < 1e-9  # (10*9h + 100*1h) / 10h
+    assert got[2] == 7.5
+
+
+def test_vocab_coverage_curve_monotone(tables):
+    """Coverage rises with k and reaches 1.0 at the full vocab."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq227_vocab_coverage_curve,
+    )
+
+    rows = sorted(dq227_vocab_coverage_curve(tables).collect(),
+                  key=lambda r: r["k"])
+    assert len(rows) >= 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["coverage"] >= a["coverage"]
+        assert b["covered"] >= a["covered"]
+    if rows[-1]["k"] >= rows[-1]["vocab_size"]:
+        assert rows[-1]["coverage"] == 1.0
