@@ -325,3 +325,97 @@ def test_prefix_filter_lossless_property(spark, docs, tau):
                 if jac >= tau:
                     expect[(i, j)] = jac
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2),               # user
+                  st.integers(0, 40),              # hour bucket offset
+                  st.integers(-10_000, 10_000)),   # cents
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ewma_matches_python_reference(spark, rows):
+    """dq198's in-plan integer kernel equals a direct Python replay of
+    the same power-of-two EWMA on arbitrary (user, hour, cents) data."""
+    from collections import defaultdict
+
+    from multi_model_vectorsearch_spark.operators.timeseries import dq198_ewma
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + h // 24} {h % 24:02d}:30:00", u, "a",
+          c / 100.0, "{}")
+         for i, (u, h, c) in enumerate(rows)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("ts", F.to_timestamp("ts"))
+    got = {(r.user_id, r.hb): r.ewma
+           for r in dq198_ewma({"events": df}).collect()}
+
+    buckets = defaultdict(int)
+    for u, h, c in rows:
+        buckets[(u, h)] += c
+    by_user = defaultdict(list)
+    for (u, h), c in sorted(buckets.items()):
+        by_user[u].append((h, c))
+    # compare the hb-ordered EWMA series per user (absolute epoch hour
+    # buckets on the engine side map 1:1 onto the relative series here)
+    span = 20
+    got_series = defaultdict(list)
+    for (u, hb), v in sorted(got.items()):
+        got_series[u].append(v)
+    for u, series in by_user.items():
+        expect = []
+        for i in range(len(series)):
+            frame = series[max(0, i - span + 1): i + 1]
+            num = sum(c << (span - 1 - j)
+                      for j, (_, c) in enumerate(reversed(frame)))
+            den = (1 << span) - (1 << (span - len(frame)))
+            expect.append(round(num / den / 100.0, 6))
+        assert len(got_series[u]) == len(expect)
+        for g, w in zip(got_series[u], expect):
+            assert abs(g - w) < 1e-9, (u, g, w)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "N", "R"]),
+                  st.integers(1, 500),              # price in whole units
+                  st.integers(1, 50)),              # quantity weight
+        min_size=1, max_size=80,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_median_matches_python_reference(spark, rows):
+    """dq199's window formulation equals the direct definition: smallest
+    price whose cumulative weight reaches half the total."""
+    from collections import defaultdict
+
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq199_weighted_median,
+    )
+
+    df = spark.createDataFrame(
+        [(f, float(p), float(q)) for f, p, q in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity double",
+    )
+    got = {r.l_returnflag: r.wmedian
+           for r in dq199_weighted_median({"lineitem": df}).collect()}
+
+    weights = defaultdict(lambda: defaultdict(int))
+    for f, p, q in rows:
+        weights[f][p] += q
+    for f, wmap in weights.items():
+        total = sum(wmap.values())
+        cum = 0
+        for p in sorted(wmap):
+            cum += wmap[p]
+            if 2 * cum >= total:
+                assert got[f] == float(p), (f, got[f], p)
+                break
