@@ -611,3 +611,62 @@ def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
         F.round(2.0 * num.cast("double") / den.cast("double"), 6)
         .alias("ari"),
     )
+
+
+def dq228_ivfpq_search(t: Tables, query_vec_id: int = 0, k: int = 10,
+                       n_centroids: int = 8, m: int = 4,
+                       sub_dim: int = 16, n_codes: int = 8) -> DataFrame:
+    """IVF-PQ search — the composed production ANN architecture: coarse
+    IVF probe (dq47's cell assignment) prunes the corpus to one cell,
+    then candidates are ranked by PQ asymmetric distance computation
+    (ADC): the query builds a tiny (sub × code) distance table ONCE and
+    every candidate's score is m table lookups summed — the candidate
+    vectors themselves are never touched, only their m-byte codes.
+
+    Plan shape at 100 TB: the code table (dq114's assignment — the
+    stored index) and the cell semi-join shuffle on vec_id once; the ADC
+    table is m·n_codes rows broadcast; scoring is a map-side lookup
+    join + one partial-aggregating groupBy on vec_id; TakeOrdered
+    finishes. Per-sub distances are rounded to the shared 6-decimal grid
+    and summed as DECIMAL (order-independent, exact), so ranking is
+    engine-identical; the additive per-sub L2 scoring (vs the classical
+    summed squares) is chosen for that cross-engine exactness — the
+    plan shape is identical either way.
+    """
+    assigned = assign_clusters(t, n_centroids)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.col("cid").alias("qcid"),
+    )
+    cell = assigned.join(F.broadcast(q), assigned.cid == F.col("qcid")) \
+        .select("vec_id")
+    codes = dq114_pq_assign(t, m=m, sub_dim=sub_dim, n_codes=n_codes) \
+        .select("vec_id", "sub", "code")
+    e = t["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cb = e.filter(F.col("vec_id") < n_codes).select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("vec_id").alias("code"), "v",
+    ).select(
+        "sub", "code",
+        F.slice("v", F.col("sub") * sub_dim + 1, sub_dim).alias("cw"),
+    )
+    qsubs = q.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.slice("qv", F.col("sub") * sub_dim + 1, sub_dim).alias("qsv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qsv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    dtab = qsubs.join(cb, "sub").select(
+        "sub", "code",
+        F.round(F.sqrt(d2), 6).cast("decimal(18,6)").alias("dd"),
+    )
+    scored = (
+        codes.join(cell, "vec_id", "left_semi")
+        .join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("dd").cast("double").alias("adc"))
+    )
+    return scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(k)

@@ -651,3 +651,28 @@ def test_vocab_coverage_curve_monotone(tables):
         assert b["covered"] >= a["covered"]
     if rows[-1]["k"] >= rows[-1]["vocab_size"]:
         assert rows[-1]["coverage"] == 1.0
+
+
+def test_ivfpq_structure(tables):
+    """IVF-PQ invariants the oracle can't see: the query (a codeword, so
+    its own codes reconstruct exactly) ranks first with ADC 0; scores
+    ascend; and every returned candidate belongs to the query's probe
+    cell. (Top-k agreement with exact KNN is NOT asserted — an 8-word
+    toy codebook quantizes random 64-dim vectors too coarsely for that,
+    which is the PQ trade-off this entry demonstrates.)"""
+    from multi_model_vectorsearch_spark.operators.ann import (
+        assign_clusters,
+        dq228_ivfpq_search,
+    )
+
+    approx = dq228_ivfpq_search(tables, k=10).collect()
+    assert len(approx) == 10
+    assert approx[0]["vec_id"] == 0 and approx[0]["adc"] == 0.0
+    adcs = [r["adc"] for r in approx]
+    assert adcs == sorted(adcs)
+    assigned = {r["vec_id"]: r["cid"]
+                for r in assign_clusters(tables).select("vec_id", "cid")
+                .collect()}
+    qcid = assigned[0]
+    for r in approx:
+        assert assigned[r["vec_id"]] == qcid
