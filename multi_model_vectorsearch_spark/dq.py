@@ -2777,6 +2777,50 @@ _REGISTRY: list[DQ] = [
        "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
        "GROUP BY c.vec_id) "
        "SELECT vec_id, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
+    DQ("dq229_ivfpq_recall", N.dq229_ivfpq_recall,
+       # exact arm (dq29's oracle) joined against dq228's full composition
+       "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+       "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
+       "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) DESC, vec_id LIMIT 10), "
+       "cents AS (SELECT vec_id AS ccid, embedding AS ccv "
+       "FROM embeddings WHERE vec_id < 8), "
+       "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "
+       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.ccv AS DOUBLE[])), 6) AS cs "
+       "FROM embeddings e CROSS JOIN cents c), "
+       "assigned AS (SELECT vec_id, embedding, ccid FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+       "ORDER BY cs DESC, ccid) AS rn FROM cscore) r WHERE rn = 1), "
+       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, ccid AS qcid "
+       "FROM assigned WHERE vec_id = 0), "
+       "cell AS (SELECT a.vec_id FROM assigned a JOIN q ON a.ccid = q.qcid), "
+       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+       "FROM embeddings), "
+       "subs AS (SELECT vec_id, i AS sub, v[i * 16 + 1:i * 16 + 16] AS sv "
+       "FROM e, range(4) r(i)), "
+       "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
+       "WHERE vec_id < 8), "
+       "d AS (SELECT s.vec_id, s.sub, cb.code, "
+       "round(list_distance(s.sv, cb.cw), 6) AS d "
+       "FROM subs s JOIN cb ON s.sub = cb.sub), "
+       "codes AS (SELECT vec_id, sub, code FROM "
+       "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
+       "ORDER BY d, code) AS rn FROM d) a WHERE rn = 1), "
+       "qsubs AS (SELECT i AS sub, qv[i * 16 + 1:i * 16 + 16] AS qsv "
+       "FROM q, range(4) r(i)), "
+       "dtab AS (SELECT qs.sub, cb.code, "
+       "CAST(round(list_distance(qs.qsv, cb.cw), 6) AS DECIMAL(18,6)) "
+       "AS dd FROM qsubs qs JOIN cb ON qs.sub = cb.sub), "
+       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS DOUBLE) AS adc "
+       "FROM codes c JOIN cell ON c.vec_id = cell.vec_id "
+       "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
+       "GROUP BY c.vec_id), "
+       "approx AS (SELECT vec_id FROM scored ORDER BY adc, vec_id "
+       "LIMIT 10) "
+       "SELECT CAST(count(*) AS INT) AS n_overlap, "
+       "round(count(*) / 10.0, 3) AS recall_at_k "
+       "FROM exact JOIN approx USING (vec_id)"),
 ]
 
 

@@ -670,3 +670,26 @@ def dq228_ivfpq_search(t: Tables, query_vec_id: int = 0, k: int = 10,
         .agg(F.sum("dd").cast("double").alias("adc"))
     )
     return scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(k)
+
+
+def dq229_ivfpq_recall(t: Tables, k: int = 10) -> DataFrame:
+    """Recall@k of the composed IVF-PQ path (dq228) against the exact
+    scan (dq29) — dq120's gauge pointed at the quantized index, closing
+    the loop: every approximate path in the engine ships with its
+    measured quality. Both arms are top-k plans; the overlap join is on
+    two k-row sets, so the check costs two scans regardless of corpus
+    size. Expect materially lower recall than dq120's coarse-only probe:
+    the 8-word toy codebook's quantization error is the PQ trade-off
+    this pair of entries makes measurable.
+    """
+    from multi_model_vectorsearch_spark.operators.vector_ops import (
+        dq29_knn_topk,
+    )
+
+    exact = dq29_knn_topk(t, k=k).select("vec_id")
+    approx = dq228_ivfpq_search(t, k=k).select("vec_id")
+    hits = exact.join(approx, "vec_id")
+    return hits.agg(
+        F.count("*").cast("int").alias("n_overlap"),
+        F.round(F.count("*") / F.lit(float(k)), 3).alias("recall_at_k"),
+    )
