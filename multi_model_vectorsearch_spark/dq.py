@@ -2821,6 +2821,34 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST(count(*) AS INT) AS n_overlap, "
        "round(count(*) / 10.0, 3) AS recall_at_k "
        "FROM exact JOIN approx USING (vec_id)"),
+    DQ("dq230_template_mining", T.dq230_template_mining,
+       "WITH d AS (SELECT doc_id, "
+       "array_to_string(string_split(text, ' ')[1:2], ' ') AS tpl "
+       "FROM documents), "
+       "g AS (SELECT tpl, count(*) AS n_docs, min(doc_id) AS first_doc "
+       "FROM d GROUP BY tpl), "
+       "tot AS (SELECT count(*) AS n_total FROM d) "
+       "SELECT tpl, n_docs, first_doc, "
+       "round(CAST(n_docs AS DOUBLE) / n_total, 6) AS coverage "
+       "FROM g CROSS JOIN tot WHERE n_docs >= 3"),
+    DQ("dq231_autocorr", TS.dq231_autocorr,
+       "WITH ev AS (SELECT user_id, "
+       "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb, "
+       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "hourly AS (SELECT user_id, hb, SUM(cents) AS x FROM ev "
+       "GROUP BY user_id, hb), "
+       "pairs AS (SELECT user_id, x, "
+       "lead(x) OVER (PARTITION BY user_id ORDER BY hb) AS y FROM hourly), "
+       "a AS (SELECT user_id, count(*) AS n, "
+       "SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
+       "SUM(y * y) AS syy, SUM(x * y) AS sxy "
+       "FROM pairs WHERE y IS NOT NULL GROUP BY user_id) "
+       "SELECT user_id, n, "
+       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+       "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+       "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1 "
+       "FROM a WHERE n >= 10 AND n * sxx - sx * sx > 0 "
+       "AND n * syy - sy * sy > 0"),
 ]
 
 

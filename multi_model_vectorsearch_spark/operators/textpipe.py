@@ -1585,3 +1585,35 @@ def dq227_vocab_coverage_curve(t: Tables) -> DataFrame:
             .alias("coverage"),
         )
     )
+
+
+def dq230_template_mining(t: Tables, prefix_len: int = 2,
+                          min_docs: int = 3) -> DataFrame:
+    """Prompt-template mining: group documents by their first
+    ``prefix_len`` tokens and surface prefixes shared by ≥ ``min_docs``
+    docs — the instruction-dataset audit that catches template-generated
+    text (one boilerplate stem, thousands of fills) which dedup by
+    whole-document similarity under-counts.
+
+    One map-side-combinable groupBy on the token prefix; coverage joins
+    a one-row total broadcast. Exact counts, one IEEE division per row.
+    """
+    d = t["documents"].select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, prefix_len))
+        .alias("tpl"),
+    )
+    g = d.groupBy("tpl").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    tot = d.agg(F.count("*").alias("n_total"))
+    return (
+        g.filter(F.col("n_docs") >= min_docs)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tpl", "n_docs", "first_doc",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6)
+            .alias("coverage"),
+        )
+    )

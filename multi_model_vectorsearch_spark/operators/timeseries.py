@@ -1041,3 +1041,48 @@ def dq226_time_weighted_avg(t: Tables) -> DataFrame:
                F.round(F.col("integral").cast("double") / span / 100.0, 6))
         .otherwise(F.col("first_cents") / 100.0).alias("twa"),
     )
+
+
+def dq231_autocorr(t: Tables, min_n: int = 10) -> DataFrame:
+    """Lag-1 autocorrelation of each user's hourly value series — the
+    'is this metric momentum or noise' statistic that gates whether
+    yesterday's value belongs in a feature vector at all.
+
+    dq193's exact-sufficient-statistics pattern on consecutive-pair
+    sums: one lead() per user partition pairs (x_t, x_{t+1}) in integer
+    cents, the five sums are exact bigints, and Pearson r over the
+    pairs is assembled from them with IEEE ops written identically on
+    both engines. Degenerate (zero-variance) sides are filtered before
+    the division, the same guard class as dq131/dq193.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / HOUR_US).cast("bigint").alias("hb"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hourly = ev.groupBy("user_id", "hb").agg(F.sum("cents").alias("x"))
+    w = Window.partitionBy("user_id").orderBy("hb")
+    pairs = (
+        hourly.withColumn("y", F.lead("x").over(w))
+        .filter(F.col("y").isNotNull())
+    )
+    a = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        a.filter((F.col("n") >= min_n) & (den_x > 0) & (den_y > 0))
+        .select(
+            "user_id", "n",
+            F.round(
+                num.cast("double")
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
+            .alias("r1"),
+        )
+    )

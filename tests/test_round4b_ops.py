@@ -676,3 +676,43 @@ def test_ivfpq_structure(tables):
     qcid = assigned[0]
     for r in approx:
         assert assigned[r["vec_id"]] == qcid
+
+
+def test_template_mining_counts_real_prefixes(tables):
+    """Every reported template is a true token prefix of at least
+    min_docs documents."""
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq230_template_mining,
+    )
+
+    rows = dq230_template_mining(tables).collect()
+    assert len(rows) > 0
+    texts = [r["text"] for r in tables["documents"].select("text").collect()]
+    for r in rows:
+        want = sum(1 for t in texts
+                   if " ".join(t.split(" ")[:2]) == r["tpl"])
+        assert want == r["n_docs"], r
+
+
+def test_autocorr_detects_planted_momentum(spark):
+    """An alternating series has r1 = -1; a strictly increasing one +1
+    (up to rounding); both exactly computable from the fixture."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq231_autocorr,
+    )
+
+    def ev(vals, uid):
+        return [(uid * 1000 + i, f"2024-01-0{1 + i // 24} {i % 24:02d}:00:00",
+                 uid, "a", float(v), "{}") for i, v in enumerate(vals)]
+
+    alternating = [10.0, 20.0] * 8            # r1 = -1
+    trending = [float(10 + i) for i in range(16)]   # r1 = +1
+    df = spark.createDataFrame(
+        ev(alternating, 1) + ev(trending, 2),
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["r1"]
+           for r in dq231_autocorr({"events": df}).collect()}
+    assert abs(got[1] - (-1.0)) < 1e-6
+    assert abs(got[2] - 1.0) < 1e-6
