@@ -2849,6 +2849,49 @@ _REGISTRY: list[DQ] = [
        "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1 "
        "FROM a WHERE n >= 10 AND n * sxx - sx * sx > 0 "
        "AND n * syy - sy * sy > 0"),
+    DQ("dq232_period_over_period", TS.dq232_period_over_period,
+       "WITH ev AS (SELECT event_type, "
+       "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk, "
+       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "weekly AS (SELECT event_type, wk, count(*) AS n, SUM(cents) AS c "
+       "FROM ev GROUP BY event_type, wk), "
+       "st AS (SELECT event_type, wk, n, c, "
+       "lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c "
+       "FROM weekly) "
+       "SELECT event_type, wk, n, c / 100.0 AS total, "
+       "(c - prev_c) / 100.0 AS delta, "
+       "CASE WHEN prev_c > 0 THEN "
+       "round(CAST(c - prev_c AS DOUBLE) / prev_c, 6) END AS rel_change "
+       "FROM st"),
+    DQ("dq233_benford_audit", R.dq233_benford_audit,
+       "WITH o AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
+       "AS VARCHAR), 1, 1) AS digit FROM orders), "
+       "f AS (SELECT digit FROM o WHERE digit BETWEEN '1' AND '9'), "
+       "counts AS (SELECT digit, count(*) AS n_obs FROM f GROUP BY digit), "
+       "tot AS (SELECT SUM(n_obs) AS n_total FROM counts), "
+       "st AS (SELECT digit, n_obs, "
+       "CAST(n_obs AS DOUBLE) / n_total AS p_obs, "
+       "log10(1.0 + 1.0 / CAST(CAST(digit AS INT) AS DOUBLE)) AS p_exp "
+       "FROM counts CROSS JOIN tot), "
+       "st2 AS (SELECT *, CAST((p_obs - p_exp) * (p_obs - p_exp) / p_exp "
+       "AS DECIMAL(28,18)) AS chi FROM st) "
+       "SELECT digit, n_obs, round(p_obs, 6) AS p_obs, "
+       "round(p_exp, 6) AS p_exp, "
+       "round(CAST(SUM(chi) OVER () AS DOUBLE), 6) AS chi_sq FROM st2"),
+    DQ("dq234_equiheight_histogram", R.dq234_equiheight_histogram,
+       "WITH li AS (SELECT l_returnflag, "
+       "CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem), "
+       "per_v AS (SELECT l_returnflag, x, count(*) AS c FROM li "
+       "GROUP BY l_returnflag, x), "
+       "cum AS (SELECT l_returnflag, x, c, "
+       "COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY x "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl, "
+       "SUM(c) OVER (PARTITION BY l_returnflag) AS n_tot FROM per_v) "
+       "SELECT l_returnflag, "
+       "CAST(floor(cum_excl * 8 / n_tot) AS INT) AS b, "
+       "CAST(SUM(c) AS BIGINT) AS n_rows, "
+       "min(x) / 100.0 AS lo, max(x) / 100.0 AS hi "
+       "FROM cum GROUP BY l_returnflag, b"),
 ]
 
 

@@ -1046,3 +1046,86 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def dq233_benford_audit(t: Tables) -> DataFrame:
+    """Benford first-digit audit of o_totalprice: observed leading-digit
+    frequencies against Benford's law with the chi-square distance —
+    the classic fabricated-numbers screen run over financial fact
+    columns before trusting an upstream feed.
+
+    The digit extraction is string-based (first character of the
+    non-decimal representation — no float log in the bucketing, so the
+    grouping is exact); counts are one map-side-combinable groupBy over
+    9 groups. Expected shares use log10 on exact small integers —
+    engine-identical — and the chi-square terms accumulate as DECIMAL
+    before one final cast.
+    """
+    o = t["orders"].select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("string"), 1, 1)
+        .alias("digit"),
+    ).filter(F.col("digit").between("1", "9"))
+    counts = o.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    d = F.col("digit").cast("int").cast("double")
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / d)
+    staged = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("p_obs", F.col("n_obs").cast("double")
+                    / F.col("n_total"))
+        .withColumn("p_exp", expected)
+        .withColumn(
+            "chi_term",
+            ((F.col("p_obs") - F.col("p_exp"))
+             * (F.col("p_obs") - F.col("p_exp")) / F.col("p_exp"))
+            .cast("decimal(28,18)"),
+        )
+    )
+    return staged.select(
+        "digit", "n_obs",
+        F.round("p_obs", 6).alias("p_obs"),
+        F.round("p_exp", 6).alias("p_exp"),
+        F.round(F.sum("chi_term").over(Window.partitionBy())
+                .cast("double"), 6).alias("chi_sq"),
+    )
+
+
+def dq234_equiheight_histogram(t: Tables, n_buckets: int = 8) -> DataFrame:
+    """Equi-height (quantile) histogram of l_extendedprice per return
+    flag: bucket boundaries chosen so each holds ~1/n of the rows — the
+    histogram query optimizers and drift monitors actually store, where
+    dq74's equal-width form wastes buckets on empty ranges.
+
+    dq199/dq225's domain-bounded pattern: collapse to DISTINCT integer
+    cents with counts, one cumulative window over the distinct-value
+    table, then bucket = floor(exclusive_cum · n / total) — pure integer
+    arithmetic, deterministic under ties (a value's rows all land in one
+    bucket, so 'equi-height' is approximate exactly where duplicates
+    force it to be, like every real equi-depth histogram).
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+    )
+    per_v = li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("l_returnflag")
+    cum = (
+        per_v
+        .withColumn("cum_excl",
+                    F.coalesce(F.sum("c").over(
+                        wp.orderBy("x").rowsBetween(
+                            Window.unboundedPreceding, -1)), F.lit(0)))
+        .withColumn("n_tot", F.sum("c").over(wp))
+    )
+    bucket = F.floor(F.col("cum_excl") * n_buckets / F.col("n_tot")) \
+        .cast("int")
+    return (
+        cum.withColumn("b", bucket)
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum("c").alias("n_rows"),
+            (F.min("x") / 100.0).alias("lo"),
+            (F.max("x") / 100.0).alias("hi"),
+        )
+    )

@@ -1086,3 +1086,36 @@ def dq231_autocorr(t: Tables, min_n: int = 10) -> DataFrame:
             .alias("r1"),
         )
     )
+
+
+def dq232_period_over_period(t: Tables) -> DataFrame:
+    """Week-over-week change per event type: weekly value totals with
+    absolute and relative deltas against the previous week — the
+    period-over-period report every metrics dashboard leads with.
+
+    One map-side-combinable weekly aggregate, then a lag() over the
+    tiny (type × week) table — the window input is period-count-sized
+    no matter the row count. Totals are exact cents; deltas are exact
+    bigint differences; the relative change is one IEEE division, NULL
+    on a zero base (no fake infinities).
+    """
+    ev = t["events"].select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / (7 * 24 * HOUR_US)).cast("bigint")
+        .alias("wk"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    weekly = ev.groupBy("event_type", "wk").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    staged = weekly.withColumn("prev_c", F.lag("c").over(w))
+    return staged.select(
+        "event_type", "wk", "n",
+        (F.col("c") / 100.0).alias("total"),
+        ((F.col("c") - F.col("prev_c")) / 100.0).alias("delta"),
+        F.when(
+            F.col("prev_c") > 0,
+            F.round((F.col("c") - F.col("prev_c")).cast("double")
+                    / F.col("prev_c"), 6),
+        ).alias("rel_change"),
+    )

@@ -716,3 +716,57 @@ def test_autocorr_detects_planted_momentum(spark):
            for r in dq231_autocorr({"events": df}).collect()}
     assert abs(got[1] - (-1.0)) < 1e-6
     assert abs(got[2] - 1.0) < 1e-6
+
+
+def test_period_over_period_deltas_telescope(tables):
+    """Per type, deltas sum to last-week minus first-week (telescoping),
+    and the first week has NULL delta."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq232_period_over_period,
+    )
+
+    rows = dq232_period_over_period(tables).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["wk"])
+        assert rs[0]["delta"] is None
+        tail = [r["delta"] for r in rs[1:]]
+        assert all(d is not None for d in tail)
+        assert abs(sum(tail) - (rs[-1]["total"] - rs[0]["total"])) < 1e-6
+
+
+def test_benford_audit_is_a_distribution(tables):
+    """Observed and expected shares each sum to ~1; chi_sq is identical
+    on every row and non-negative."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq233_benford_audit,
+    )
+
+    rows = dq233_benford_audit(tables).collect()
+    assert 1 <= len(rows) <= 9
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
+    chis = {r["chi_sq"] for r in rows}
+    assert len(chis) == 1 and rows[0]["chi_sq"] >= 0.0
+
+
+def test_equiheight_buckets_balance(tables_sf001):
+    """Buckets are value-contiguous and roughly equal height (within the
+    duplicate-value tolerance every real equi-depth histogram has)."""
+    from multi_model_vectorsearch_spark.operators.relational import (
+        dq234_equiheight_histogram,
+    )
+
+    rows = dq234_equiheight_histogram(tables_sf001).collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rs in by_flag.items():
+        rs.sort(key=lambda r: r["b"])
+        total = sum(r["n_rows"] for r in rs)
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi"] <= b["lo"], (flag, a, b)
+        target = total / 8
+        for r in rs:
+            assert r["n_rows"] <= 2 * target + 1, (flag, r)
