@@ -2892,6 +2892,52 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(c) AS BIGINT) AS n_rows, "
        "min(x) / 100.0 AS lo, max(x) / 100.0 AS hi "
        "FROM cum GROUP BY l_returnflag, b"),
+    DQ("dq235_markov_nll", TS.dq235_markov_nll,
+       "WITH ev AS (SELECT user_id, event_type, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k FROM events), "
+       "tr AS (SELECT user_id, event_type AS a, "
+       "lead(event_type) OVER (PARTITION BY user_id ORDER BY k) AS b "
+       "FROM ev), "
+       "trans AS (SELECT user_id, a, b FROM tr WHERE b IS NOT NULL), "
+       "cab AS (SELECT a, b, count(*) AS c_ab FROM trans GROUP BY a, b), "
+       "ca AS (SELECT a, SUM(c_ab) AS c_a FROM cab GROUP BY a), "
+       "ns AS (SELECT count(DISTINCT event_type) AS n_states FROM ev) "
+       "SELECT user_id, count(*) AS n_transitions, "
+       "round(-SUM(ln((c_ab + 0.5) / (c_a + 0.5 * n_states))) / count(*), "
+       "6) AS mean_nll "
+       "FROM trans JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN ns "
+       "GROUP BY user_id"),
+    DQ("dq236_gini", R.dq236_gini,
+       "WITH spend AS (SELECT user_id, "
+       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x "
+       "FROM events GROUP BY user_id), "
+       "per_v AS (SELECT x, count(*) AS c FROM spend GROUP BY x), "
+       "cum AS (SELECT x, c, COALESCE(SUM(c) OVER (ORDER BY x "
+       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl "
+       "FROM per_v), "
+       "agg AS (SELECT "
+       "CAST(SUM(x * (c * cum_excl + (c * (c + 1)) // 2)) AS BIGINT) "
+       "AS srx, CAST(SUM(x * c) AS BIGINT) AS sx, "
+       "CAST(SUM(c) AS BIGINT) AS n FROM cum) "
+       "SELECT n, round(2.0 * srx / (n * sx) "
+       "- CAST(n + 1 AS DOUBLE) / n, 6) AS gini FROM agg"),
+    DQ("dq237_assortativity", G.dq237_assortativity,
+       "WITH " + _EDGES_CTE + ", "
+       "adj AS (SELECT src, dst FROM edges "
+       "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
+       "deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src), "
+       "p AS (SELECT da.deg AS dx, db.deg AS dy FROM adj a "
+       "JOIN deg da ON da.src = a.src JOIN deg db ON db.src = a.dst), "
+       "s AS (SELECT count(*) AS m, CAST(SUM(dx) AS BIGINT) AS sx, "
+       "CAST(SUM(dy) AS BIGINT) AS sy, "
+       "CAST(SUM(dx * dx) AS BIGINT) AS sxx, "
+       "CAST(SUM(dy * dy) AS BIGINT) AS syy, "
+       "CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM p) "
+       "SELECT m, round(CAST(m * sxy - sx * sy AS DOUBLE) "
+       "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE) "
+       "* CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity "
+       "FROM s WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"),
 ]
 
 

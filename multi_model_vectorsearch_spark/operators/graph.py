@@ -728,3 +728,48 @@ def dq215_local_clustering(t: Tables) -> DataFrame:
             ).otherwise(F.lit(0.0)).alias("lcc"),
         )
     )
+
+
+def dq237_assortativity(t: Tables) -> DataFrame:
+    """Degree assortativity of the semantic KNN graph: Pearson
+    correlation of endpoint degrees over edges (both orientations) —
+    positive means hubs link hubs (expansion re-ranking compounds),
+    negative means hubs bridge the periphery (expansion diversifies).
+    The one-number structural summary read next to dq105's degree
+    histogram and dq215's local clustering.
+
+    Exact bigint sufficient statistics (dq193/dq231's pattern) over the
+    doubled edge list joined to the degree table twice — degree tables
+    broadcast, sums exact, one sqrt+division at the end written
+    identically on both engines.
+    """
+    edges = dq33_build_edges(t).select("src", "dst")
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("dy"))
+    pairs = (
+        adj.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    )
+    s = pairs.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.filter((den_x > 0) & (den_y > 0))
+        .select(
+            "m",
+            F.round(
+                num.cast("double")
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
+            .alias("assortativity"),
+        )
+    )

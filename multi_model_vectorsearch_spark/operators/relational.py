@@ -1129,3 +1129,48 @@ def dq234_equiheight_histogram(t: Tables, n_buckets: int = 8) -> DataFrame:
             (F.max("x") / 100.0).alias("hi"),
         )
     )
+
+
+def dq236_gini(t: Tables) -> DataFrame:
+    """Gini coefficient of per-user total spend — the concentration
+    audit ('do 1% of users drive 90% of volume') that decides whether
+    per-user sampling caps are needed before training on behavioral
+    data.
+
+    Exact integer combinatorics over DISTINCT spend values: with tied
+    values collapsed to (value, count) and ranks assigned in value
+    order, Σ rank·x for a tied block is x·(c·cum_excl + c(c+1)/2) —
+    all bigint — and G = (2·Σ rank·x)/(n·Σx) − (n+1)/n needs only two
+    IEEE ops at the end. The window runs over the distinct-value table
+    (dq225's domain-bounded pattern), never the raw rows.
+    """
+    spend = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("x"))
+    )
+    per_v = spend.groupBy("x").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("x")
+    cum = per_v.withColumn(
+        "cum_excl",
+        F.coalesce(F.sum("c").over(
+            wv.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    # c(c+1) is always even: integer `div` keeps the whole term bigint
+    # (a float /2 would silently lose exactness past 2^53 at scale)
+    block_rank_sum = F.col("x") * (
+        F.col("c") * F.col("cum_excl")
+        + F.expr("(c * (c + 1)) div 2")
+    )
+    agg = cum.agg(
+        F.sum(block_rank_sum).alias("srx"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum("c").alias("n"),
+    )
+    g = (
+        2.0 * F.col("srx").cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return agg.select("n", F.round(g, 6).alias("gini"))

@@ -1119,3 +1119,41 @@ def dq232_period_over_period(t: Tables) -> DataFrame:
                     / F.col("prev_c"), 6),
         ).alias("rel_change"),
     )
+
+
+def dq235_markov_nll(t: Tables, add_k: float = 0.5) -> DataFrame:
+    """Per-user behavioral surprise: mean negative log-likelihood of the
+    user's event-type sequence under the corpus-wide first-order Markov
+    transition model (dq144's matrix, smoothed) — the sequence analog of
+    dq202's bigram LM, flagging users whose click-paths are improbable
+    (bots, new surfaces) for triage.
+
+    Transitions come from one lag() per user partition; the corpus
+    transition counts and state marginals are tiny aggregates broadcast
+    back, so scoring is map-side. Per-user means sum a handful of ln
+    terms (dq127's accepted float class) and round once.
+    """
+    key = _event_order_key()
+    ev = t["events"].select("user_id", "event_type", key.alias("k"))
+    w = Window.partitionBy("user_id").orderBy("k")
+    trans = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("user_id", F.col("event_type").alias("a"),
+                F.col("nxt").alias("b"))
+    )
+    cab = trans.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    ns = ev.agg(F.count_distinct("event_type").alias("n_states"))
+    lp = F.log((F.col("c_ab") + add_k)
+               / (F.col("c_a") + add_k * F.col("n_states")))
+    return (
+        trans.join(F.broadcast(cab), ["a", "b"])
+        .join(F.broadcast(ca), "a")
+        .crossJoin(F.broadcast(ns))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.round(-F.sum(lp) / F.count("*"), 6).alias("mean_nll"),
+        )
+    )

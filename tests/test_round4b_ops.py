@@ -770,3 +770,61 @@ def test_equiheight_buckets_balance(tables_sf001):
         target = total / 8
         for r in rs:
             assert r["n_rows"] <= 2 * target + 1, (flag, r)
+
+
+def test_markov_nll_uniform_user_scores_low(spark):
+    """A user who always repeats the corpus's dominant transition scores
+    lower mean NLL than one who takes only rare transitions."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq235_markov_nll,
+    )
+
+    # corpus: user 1 does a->a 20 times (dominant); user 2 does a->b
+    # (rare: appears only once)
+    seq1 = ["a"] * 21
+    seq2 = ["a", "b"]
+    rows = []
+    eid = 0
+    for uid, seq in ((1, seq1), (2, seq2)):
+        for i, et in enumerate(seq):
+            rows.append((eid, f"2024-01-01 {i:02d}:00:00", uid, et, 1.0,
+                         "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["mean_nll"]
+           for r in dq235_markov_nll({"events": df}).collect()}
+    assert got[1] < got[2]
+
+
+def test_gini_extremes(spark):
+    """Equal spends give Gini ~0; one user owning everything gives Gini
+    near (n-1)/n."""
+    from multi_model_vectorsearch_spark.operators.relational import dq236_gini
+
+    def ev(spends):
+        return spark.createDataFrame(
+            [(i, "2024-01-01 00:00:00", uid, "a", float(v), "{}")
+             for i, (uid, v) in enumerate(spends)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    equal = dq236_gini({"events": ev([(u, 10.0) for u in range(10)])})
+    assert abs(equal.collect()[0]["gini"]) < 1e-9
+    skewed = dq236_gini({"events": ev(
+        [(u, 0.01) for u in range(9)] + [(9, 10000.0)])})
+    g = skewed.collect()[0]["gini"]
+    assert g > 0.85
+
+
+def test_assortativity_bounds(tables):
+    from multi_model_vectorsearch_spark.operators.graph import (
+        dq237_assortativity,
+    )
+
+    rows = dq237_assortativity(tables).collect()
+    assert len(rows) == 1
+    assert -1.0 - 1e-9 <= rows[0]["assortativity"] <= 1.0 + 1e-9
