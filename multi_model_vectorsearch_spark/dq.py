@@ -2938,6 +2938,43 @@ _REGISTRY: list[DQ] = [
        "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE) "
        "* CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity "
        "FROM s WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"),
+    DQ("dq238_rfm_segments", TS.dq238_rfm_segments,
+       "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, "
+       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+       "u AS (SELECT user_id, max(us) AS last_us, count(*) AS freq, "
+       "CAST(SUM(cents) AS BIGINT) AS monetary_c FROM ev "
+       "GROUP BY user_id) "
+       "SELECT user_id, freq, monetary_c / 100.0 AS monetary, "
+       "CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS INT) "
+       "AS r_score, "
+       "CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INT) "
+       "AS f_score, "
+       "CAST(ntile(5) OVER (ORDER BY monetary_c DESC, user_id) AS INT) "
+       "AS m_score FROM u"),
+    DQ("dq239_quantile_normalize", C.dq239_quantile_normalize,
+       "WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents), "
+       "per_v AS (SELECT source, x, count(*) AS c FROM d "
+       "GROUP BY source, x), "
+       "lut AS (SELECT source, x, "
+       "round(CAST(SUM(c) OVER (PARTITION BY source ORDER BY x) AS DOUBLE) "
+       "/ SUM(c) OVER (PARTITION BY source), 6) AS qnorm FROM per_v) "
+       "SELECT d.doc_id, d.source, lut.qnorm "
+       "FROM d JOIN lut ON d.source = lut.source AND d.x = lut.x"),
+    DQ("dq240_burstiness", TS.dq240_burstiness,
+       "WITH ev AS (SELECT user_id, "
+       "CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS us, "
+       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
+       "AS k FROM events), "
+       "g AS (SELECT user_id, us - lag(us) OVER "
+       "(PARTITION BY user_id ORDER BY k) AS g FROM ev), "
+       "a AS (SELECT user_id, count(*) AS n, "
+       "CAST(SUM(g) AS BIGINT) AS sg, "
+       "CAST(SUM(g * g) AS BIGINT) AS sgg "
+       "FROM g WHERE g IS NOT NULL GROUP BY user_id) "
+       "SELECT user_id, n, "
+       "round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg) "
+       "/ (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg), 6) "
+       "AS burstiness FROM a WHERE n >= 10 AND sg > 0"),
 ]
 
 

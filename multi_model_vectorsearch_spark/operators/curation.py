@@ -1112,3 +1112,32 @@ def dq224_weighted_reservoir(t: Tables, k: int = 100) -> DataFrame:
         .orderBy(F.desc("skey"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dq239_quantile_normalize(t: Tables) -> DataFrame:
+    """Per-source quantile normalization of document length: map each
+    doc's n_chars to its empirical CDF position within its source —
+    the feature-engineering transform that makes a length signal
+    comparable across sources whose raw distributions differ.
+
+    dq199's domain-bounded pattern: lengths collapse to DISTINCT values
+    per source, the cumulative count runs over that small table, and
+    qnorm = cum/n is an exact integer ratio every doc of that (source,
+    length) inherits via a broadcast-joinable lookup — no raw-row
+    window anywhere.
+    """
+    d = t["documents"].select("doc_id", "source",
+                              F.col("n_chars").alias("x"))
+    per_v = d.groupBy("source", "x").agg(F.count("*").alias("c"))
+    wp = Window.partitionBy("source")
+    lut = (
+        per_v
+        .withColumn("cum", F.sum("c").over(wp.orderBy("x")))
+        .withColumn("n", F.sum("c").over(wp))
+        .select(
+            "source", "x",
+            F.round(F.col("cum").cast("double") / F.col("n"), 6)
+            .alias("qnorm"),
+        )
+    )
+    return d.join(lut, ["source", "x"]).select("doc_id", "source", "qnorm")

@@ -1157,3 +1157,80 @@ def dq235_markov_nll(t: Tables, add_k: float = 0.5) -> DataFrame:
             F.round(-F.sum(lp) / F.count("*"), 6).alias("mean_nll"),
         )
     )
+
+
+def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
+    """RFM segmentation: quintile scores for Recency (last activity),
+    Frequency (event count), and Monetary (total cents) per user — the
+    classic behavioral segmentation grid, here as three ntile windows
+    over the user-level aggregate (user-count-sized input, not the raw
+    stream; ties broken by user_id so every score is deterministic).
+
+    One map-side-combinable aggregate builds the per-user triple; the
+    three ntile windows share one global ordering pass each over the
+    SMALL user table — the dq171 range-partition trick applies if the
+    user dimension itself outgrows a task.
+    """
+    ev = t["events"].select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum("cents").alias("monetary_c"),
+    )
+    r_w = Window.orderBy(F.desc("last_us"), F.asc("user_id"))
+    f_w = Window.orderBy(F.desc("freq"), F.asc("user_id"))
+    m_w = Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))
+    return u.select(
+        "user_id", "freq",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    )
+
+
+def dq240_burstiness(t: Tables, min_n: int = 10) -> DataFrame:
+    """Burstiness coefficient B = (σ−μ)/(σ+μ) of each user's inter-event
+    gaps (Goh-Barabási): −1 = metronome, 0 = Poisson, →1 = heavy bursts
+    — the temporal fingerprint that separates organic users from
+    schedulers and scrapers, read next to dq231's value autocorrelation.
+
+    Gaps are exact integer SECONDS (µs gaps square past bigint range on
+    week-long idle users; second-resolution gaps keep n·Σg² exact
+    through ~10^9-second spans — past that, cast the sums to
+    DECIMAL(38,0)) from one lag() per user partition; μ and σ assemble
+    from exact bigint sums (n, Σg, Σg²) — dq193's pattern — with one
+    sqrt+division at the end written identically on both engines.
+    Population σ (the standard form for this statistic).
+    """
+    key = _event_order_key()
+    ev = t["events"].select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("bigint").alias("us"),
+        key.alias("k"))
+    w = Window.partitionBy("user_id").orderBy("k")
+    gaps = (
+        ev.withColumn("g", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("g").isNotNull())
+    )
+    a = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sgg"),
+    )
+    # sigma = sqrt(n*sgg - sg^2)/n, mu = sg/n: B = (sqrt(n*sgg - sg^2)
+    # - sg) / (sqrt(n*sgg - sg^2) + sg), the n's cancelling exactly
+    root = F.sqrt((F.col("n") * F.col("sgg")
+                   - F.col("sg") * F.col("sg")).cast("double"))
+    return (
+        a.filter((F.col("n") >= min_n) & (F.col("sg") > 0))
+        .select(
+            "user_id", "n",
+            F.round((root - F.col("sg")) / (root + F.col("sg")), 6)
+            .alias("burstiness"),
+        )
+    )

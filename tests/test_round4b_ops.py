@@ -828,3 +828,75 @@ def test_assortativity_bounds(tables):
     rows = dq237_assortativity(tables).collect()
     assert len(rows) == 1
     assert -1.0 - 1e-9 <= rows[0]["assortativity"] <= 1.0 + 1e-9
+
+
+def test_rfm_tiles_are_balanced(tables):
+    """Each score dimension splits users into 5 near-equal tiles."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq238_rfm_segments,
+    )
+
+    rows = dq238_rfm_segments(tables).collect()
+    n = len(rows)
+    assert n == tables["events"].select("user_id").distinct().count()
+    for col in ("r_score", "f_score", "m_score"):
+        counts: dict = {}
+        for r in rows:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_quantile_normalize_is_a_cdf(tables):
+    """qnorm is in (0, 1], hits 1.0 at each source's max length, and is
+    monotone in length within a source."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq239_quantile_normalize,
+    )
+
+    out = dq239_quantile_normalize(tables)
+    docs = tables["documents"].select("doc_id", "n_chars")
+    rows = out.join(docs, "doc_id").collect()
+    assert len(rows) == tables["documents"].count()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["qnorm"]))
+    for src, pairs in by_src.items():
+        pairs.sort()
+        assert 0.0 < pairs[0][1] <= 1.0
+        assert pairs[-1][1] == 1.0
+        for (x1, q1), (x2, q2) in zip(pairs, pairs[1:]):
+            assert q2 >= q1
+
+
+def test_burstiness_extremes(spark):
+    """A metronome user scores ~-1... actually exactly -1 (zero variance)
+    and an extremely bursty one approaches +1."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq240_burstiness,
+    )
+
+    def ev(gaps_s, uid):
+        ts, out = 0, []
+        for i, g in enumerate(gaps_s):
+            ts += g
+            out.append((uid * 1000 + i, ts, uid))
+        return out
+
+    regular = ev([60] * 15, 1)
+    bursty = ev([1] * 14 + [1_000_000], 2)
+    rows = [(eid, f"{t}", uid) for eid, t, uid in regular + bursty]
+    df = spark.createDataFrame(
+        rows, "event_id long, sec string, user_id long"
+    ).selectExpr(
+        "event_id", "user_id",
+        "timestamp_seconds(CAST(sec AS LONG) + 1700000000) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value",
+        "'a' AS event_type", "'{}' AS props",
+    )
+    got = {r["user_id"]: r["burstiness"]
+           for r in dq240_burstiness({"events": df}).collect()}
+    assert got[1] == -1.0
+    # B is bounded by ~(sqrt(n-1)-1)/(sqrt(n-1)+1) for finite n, so a
+    # 15-gap burst tops out well below 1; 0.5 already means heavy bursts
+    assert got[2] > 0.5
