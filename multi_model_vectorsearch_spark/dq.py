@@ -2975,6 +2975,37 @@ _REGISTRY: list[DQ] = [
        "round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg) "
        "/ (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg), 6) "
        "AS burstiness FROM a WHERE n >= 10 AND sg > 0"),
+    DQ("dq241_effective_sources", C.dq241_effective_sources,
+       "WITH docs AS (SELECT source, len(string_split(text, ' ')) AS n_tok "
+       "FROM documents), "
+       "per_src AS (SELECT source, count(*) AS nd, "
+       "CAST(SUM(n_tok) AS BIGINT) AS nt FROM docs GROUP BY source), "
+       "agg AS (SELECT count(*) AS n_sources, "
+       "CAST(SUM(nd) AS BIGINT) AS d_tot, "
+       "CAST(SUM(nd * nd) AS BIGINT) AS d_sq, "
+       "CAST(SUM(nt) AS BIGINT) AS t_tot, "
+       "CAST(SUM(nt * nt) AS BIGINT) AS t_sq FROM per_src) "
+       "SELECT n_sources, d_tot, t_tot, "
+       "round(CAST(d_tot * d_tot AS DOUBLE) / d_sq, 6) "
+       "AS eff_sources_docs, "
+       "round(CAST(t_tot * t_tot AS DOUBLE) / t_sq, 6) "
+       "AS eff_sources_tokens FROM agg"),
+    DQ("dq242_split_uniformity", C.dq242_split_uniformity,
+       "WITH hx AS (SELECT sha256(CAST(doc_id AS VARCHAR)) AS h "
+       "FROM documents), "
+       "bk AS (SELECT CAST((" + _HEXFOLD + ") AS BIGINT) % 100 AS bucket "
+       "FROM hx), "
+       "counts AS (SELECT bucket, count(*) AS n_obs FROM bk "
+       "GROUP BY bucket), "
+       "tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts), "
+       "st AS (SELECT n_obs, n_total, "
+       "CAST((n_obs - CAST(n_total AS DOUBLE) / 100) "
+       "* (n_obs - CAST(n_total AS DOUBLE) / 100) "
+       "/ (CAST(n_total AS DOUBLE) / 100) AS DECIMAL(28,18)) AS chi "
+       "FROM counts CROSS JOIN tot) "
+       "SELECT count(*) AS n_buckets_hit, max(n_total) AS n_total, "
+       "max(n_obs) AS max_bucket, min(n_obs) AS min_bucket, "
+       "round(CAST(SUM(chi) AS DOUBLE), 6) AS chi_sq FROM st"),
 ]
 
 

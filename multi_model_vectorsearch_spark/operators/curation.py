@@ -1141,3 +1141,66 @@ def dq239_quantile_normalize(t: Tables) -> DataFrame:
         )
     )
     return d.join(lut, ["source", "x"]).select("doc_id", "source", "qnorm")
+
+
+def dq241_effective_sources(t: Tables) -> DataFrame:
+    """Effective number of sources (inverse Simpson index) of the corpus
+    mixture, by documents and by tokens — the single diversity number a
+    mixture planner tracks release-over-release ('20 sources but
+    effectively 3.2' flags concentration dq169's cap then fixes).
+
+    Pure integer aggregates: inverse Simpson = (Σn)² / Σn² — both sums
+    exact bigints from one map-side-combinable groupBy per weighting,
+    one IEEE division each at the end.
+    """
+    docs = t["documents"].select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("nd"), F.sum("n_tok").alias("nt"))
+    agg = per_src.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("nd").alias("d_tot"),
+        F.sum(F.col("nd") * F.col("nd")).alias("d_sq"),
+        F.sum("nt").alias("t_tot"),
+        F.sum(F.col("nt") * F.col("nt")).alias("t_sq"),
+    )
+    return agg.select(
+        "n_sources", "d_tot", "t_tot",
+        F.round((F.col("d_tot") * F.col("d_tot")).cast("double")
+                / F.col("d_sq"), 6).alias("eff_sources_docs"),
+        F.round((F.col("t_tot") * F.col("t_tot")).cast("double")
+                / F.col("t_sq"), 6).alias("eff_sources_tokens"),
+    )
+
+
+def dq242_split_uniformity(t: Tables, mod: int = 100) -> DataFrame:
+    """Uniformity audit of the dq95 hash-split die: chi-square of the
+    observed bucket occupancy against uniform — the QA that certifies
+    the content-stable splitter isn't biased before anyone trusts a
+    90/5/5 split built on it.
+
+    The bucket assignment is dq95's exact sha2 fold; counts are one
+    groupBy over ``mod`` groups; chi-square terms accumulate as DECIMAL
+    (order-independent) with expected = n/mod an exact integer ratio.
+    """
+    b = _hash_bucket(F.col("doc_id"), mod)
+    counts = (
+        t["documents"].select(b.alias("bucket"))
+        .groupBy("bucket").agg(F.count("*").alias("n_obs"))
+    )
+    tot = counts.agg(F.sum("n_obs").alias("n_total"))
+    exp = F.col("n_total").cast("double") / mod
+    term = (
+        (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
+    ).cast("decimal(28,18)")
+    agg = (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").alias("n_buckets_hit"),
+            F.max("n_total").alias("n_total"),
+            F.max("n_obs").alias("max_bucket"),
+            F.min("n_obs").alias("min_bucket"),
+            F.round(F.sum(term).cast("double"), 6).alias("chi_sq"),
+        )
+    )
+    return agg

@@ -900,3 +900,33 @@ def test_burstiness_extremes(spark):
     # B is bounded by ~(sqrt(n-1)-1)/(sqrt(n-1)+1) for finite n, so a
     # 15-gap burst tops out well below 1; 0.5 already means heavy bursts
     assert got[2] > 0.5
+
+
+def test_effective_sources_bounds(tables):
+    """1 <= effective sources <= n_sources, with equality at the top for
+    the perfectly balanced fixture (25 docs per source)."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq241_effective_sources,
+    )
+
+    r = dq241_effective_sources(tables).collect()[0]
+    assert 1.0 <= r["eff_sources_docs"] <= r["n_sources"] + 1e-9
+    assert 1.0 <= r["eff_sources_tokens"] <= r["n_sources"] + 1e-9
+    # doc counts are exactly uniform in the fixture -> index == n_sources
+    assert abs(r["eff_sources_docs"] - r["n_sources"]) < 1e-6
+
+
+def test_split_uniformity_accounting(tables_sf001):
+    """Bucket stats reconcile and the chi-square is non-negative; a
+    deliberately skewed fixture scores much worse than the real die."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq242_split_uniformity,
+    )
+
+    r = dq242_split_uniformity(tables_sf001).collect()[0]
+    assert r["n_total"] == 500
+    assert r["n_buckets_hit"] <= 100
+    assert r["min_bucket"] >= 1
+    assert r["chi_sq"] >= 0.0
+    # degrees of freedom = 99; a healthy hash lands within a few sigma
+    assert r["chi_sq"] < 200.0, r
