@@ -3006,6 +3006,35 @@ _REGISTRY: list[DQ] = [
        "SELECT count(*) AS n_buckets_hit, max(n_total) AS n_total, "
        "max(n_obs) AS max_bucket, min(n_obs) AS min_bucket, "
        "round(CAST(SUM(chi) AS DOUBLE), 6) AS chi_sq FROM st"),
+    DQ("dq243_lorenz_deciles", TS.dq243_lorenz_deciles,
+       "WITH spend AS (SELECT user_id, "
+       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c "
+       "FROM events GROUP BY user_id), "
+       "tiled AS (SELECT c, ntile(10) OVER (ORDER BY c, user_id) "
+       "AS decile FROM spend), "
+       "per_d AS (SELECT decile, count(*) AS n_users, "
+       "CAST(SUM(c) AS BIGINT) AS dc FROM tiled GROUP BY decile), "
+       "tot AS (SELECT CAST(SUM(dc) AS BIGINT) AS tc FROM per_d), "
+       "st AS (SELECT decile, n_users, dc, tc, "
+       "SUM(dc) OVER (ORDER BY decile) AS cum_dc "
+       "FROM per_d CROSS JOIN tot) "
+       "SELECT CAST(decile AS INT) AS decile, n_users, "
+       "round(CAST(dc AS DOUBLE) / tc, 6) AS share, "
+       "round(CAST(cum_dc AS DOUBLE) / tc, 6) AS cum_share FROM st"),
+    DQ("dq244_growth_accounting", TS.dq244_growth_accounting,
+       "WITH ev AS (SELECT DISTINCT user_id, "
+       "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk "
+       "FROM events), "
+       "first AS (SELECT user_id, min(wk) AS wk0 FROM ev "
+       "GROUP BY user_id) "
+       "SELECT ev.wk, count(*) AS active, "
+       "CAST(SUM(CASE WHEN ev.wk = f.wk0 THEN 1 ELSE 0 END) AS BIGINT) "
+       "AS new_users, "
+       "CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) AS BIGINT) "
+       "AS returning, "
+       "round(CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) "
+       "AS DOUBLE) / count(*), 6) AS returning_share "
+       "FROM ev JOIN first f ON ev.user_id = f.user_id GROUP BY ev.wk"),
 ]
 
 

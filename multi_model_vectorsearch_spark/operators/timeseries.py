@@ -1234,3 +1234,68 @@ def dq240_burstiness(t: Tables, min_n: int = 10) -> DataFrame:
             .alias("burstiness"),
         )
     )
+
+
+def dq243_lorenz_deciles(t: Tables) -> DataFrame:
+    """Lorenz curve by spend deciles: each user-decile's share of total
+    spend and the running cumulative share — the interpretable 80/20
+    report behind dq236's single Gini number ('the top decile carries
+    X% of volume').
+
+    Users aggregate once (map-side combinable); the decile split is one
+    ntile over the user-count-sized table with a deterministic
+    (spend, user_id) tie-break; shares are exact integer cents ratios.
+    """
+    spend = (
+        t["events"].groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("c"))
+    )
+    w = Window.orderBy(F.asc("c"), F.asc("user_id"))
+    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    per_d = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_users"), F.sum("c").alias("dc"))
+    tot = per_d.agg(F.sum("dc").alias("tc"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_d.crossJoin(F.broadcast(tot))
+        .withColumn("cum_dc", F.sum("dc").over(wc))
+        .select(
+            "decile", "n_users",
+            F.round(F.col("dc").cast("double") / F.col("tc"), 6)
+            .alias("share"),
+            F.round(F.col("cum_dc").cast("double") / F.col("tc"), 6)
+            .alias("cum_share"),
+        )
+    )
+
+
+def dq244_growth_accounting(t: Tables) -> DataFrame:
+    """Weekly growth accounting: new vs returning active users per week
+    — the activation/retention ledger every growth dashboard opens with,
+    and the cohort denominator feeding dq143's retention matrix.
+
+    Two aggregates: first-seen week per user (map-side min), then the
+    distinct weekly active set joined against it — both shuffles keyed
+    on user_id/week, no window over raw events. Counts exact; the
+    returning share is one IEEE division.
+    """
+    wk = F.floor(F.unix_micros("ts") / (7 * 24 * HOUR_US)).cast("bigint")
+    ev = t["events"].select("user_id", wk.alias("wk"))
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    j = active.join(first, "user_id")
+    return (
+        j.groupBy("wk")
+        .agg(
+            F.count("*").alias("active"),
+            F.sum((F.col("wk") == F.col("wk0")).cast("bigint"))
+            .alias("new_users"),
+            F.sum((F.col("wk") > F.col("wk0")).cast("bigint"))
+            .alias("returning"),
+            F.round(
+                F.sum((F.col("wk") > F.col("wk0")).cast("bigint"))
+                .cast("double") / F.count("*"), 6).alias("returning_share"),
+        )
+    )

@@ -930,3 +930,39 @@ def test_split_uniformity_accounting(tables_sf001):
     assert r["chi_sq"] >= 0.0
     # degrees of freedom = 99; a healthy hash lands within a few sigma
     assert r["chi_sq"] < 200.0, r
+
+
+def test_lorenz_deciles_shape(tables):
+    """Shares sum to 1, cumulative share is monotone and convex-ish (a
+    higher decile never carries a smaller share than a lower one)."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq243_lorenz_deciles,
+    )
+
+    rows = sorted(dq243_lorenz_deciles(tables).collect(),
+                  key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_share"] >= a["cum_share"] - 1e-9
+        # deciles can have unequal sizes at tiny user counts, so only
+        # the PER-USER average share is monotone under the sort
+        assert (b["share"] / b["n_users"]
+                >= a["share"] / a["n_users"] - 1e-6)
+
+
+def test_growth_accounting_ledger(tables):
+    """Week 1 is all-new; active = new + returning everywhere; total new
+    across weeks equals the distinct user count."""
+    from multi_model_vectorsearch_spark.operators.timeseries import (
+        dq244_growth_accounting,
+    )
+
+    rows = sorted(dq244_growth_accounting(tables).collect(),
+                  key=lambda r: r["wk"])
+    assert rows[0]["returning"] == 0
+    for r in rows:
+        assert r["active"] == r["new_users"] + r["returning"]
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert sum(r["new_users"] for r in rows) == n_users
