@@ -163,6 +163,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": compact,
+        # entries whose timing absorbed the FIRST build of a shared
+        # session cache (one-off cost repeat runs don't pay) — so a
+        # reader doesn't misread dq203/dq225-class rows as hot plans
+        "cache_builders": sorted({n.split("_", 1)[0]
+                                  for n in cache_builders}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:

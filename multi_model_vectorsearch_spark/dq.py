@@ -1878,28 +1878,37 @@ _REGISTRY: list[DQ] = [
        "AS INT) AS rn FROM documents) t "
        "WHERE rn <= 400 ORDER BY source, rn"),
     DQ("dq170_knn_label_prop", V.dq170_knn_label_prop,
-       # normalize-then-dot, mirroring the engine's prenormalized fold
-       # (dq138's pattern) — list_cosine_similarity on the raw vectors is
-       # a different IEEE sequence and can flip a rounded half-boundary
-       "WITH unit AS (SELECT vec_id, label, list_transform("
-       "CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform("
-       "CAST(embedding AS DOUBLE[]), y -> y * y)))) AS nv FROM embeddings), "
+       # BIT-identical fold to the engine: sequential left fold with 0.0
+       # init (list_reduce over list_prepend ≡ Spark's aggregate), the
+       # same 1e-12 norm floor, the same two-step round — so the doubles
+       # match to the last bit and a 1e-6 grid is safe; everything after
+       # the round is exact integer arithmetic (·60/n is an integer since
+       # 60 = lcm(1..5))
+       "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev "
+       "FROM embeddings), "
+       "unit AS (SELECT vec_id, label, list_transform(ev, x -> x / "
+       "greatest(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+       "list_transform(ev, y -> y * y)), (acc, x2) -> acc + x2)), "
+       "CAST(1e-12 AS DOUBLE))) AS nv FROM v), "
        "s AS (SELECT vec_id AS sid, label, nv AS sv FROM unit "
        "WHERE vec_id < 100), "
        "c AS (SELECT vec_id AS qid, label AS tl, nv AS qv FROM unit "
        "WHERE vec_id >= 100), "
        "sims AS (SELECT c.qid, c.tl, s.sid, s.label, "
-       "round(list_inner_product(c.qv, s.sv), 3) AS s FROM c CROSS JOIN s), "
-       "top AS (SELECT * FROM (SELECT qid, tl, sid, label, s, "
-       "row_number() OVER (PARTITION BY qid ORDER BY s DESC, sid) AS rn "
+       "CAST(round(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+       "list_transform(generate_series(1, len(c.qv)), "
+       "i -> c.qv[i] * s.sv[i])), (acc, x2) -> acc + x2), 6) "
+       "* 1000000) AS BIGINT) AS se6 FROM c CROSS JOIN s), "
+       "top AS (SELECT * FROM (SELECT qid, tl, sid, label, se6, "
+       "row_number() OVER (PARTITION BY qid ORDER BY se6 DESC, sid) AS rn "
        "FROM sims) t WHERE rn <= 5), "
        "votes AS (SELECT qid, tl, label, CAST(count(*) AS INT) AS n_votes, "
-       "round(sum(CAST(round(s * 1000) AS BIGINT)) "
-       "/ (count(*) * 1000.0), 6) AS mean_sim "
+       "(sum(se6) * 60) // count(*) AS m60 "
        "FROM top GROUP BY qid, tl, label) "
-       "SELECT qid, label AS pred_label, tl AS true_label, n_votes, mean_sim "
+       "SELECT qid, label AS pred_label, tl AS true_label, n_votes, "
+       "m60 / 60000000.0 AS mean_sim "
        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
-       "n_votes DESC, mean_sim DESC, label) AS vr FROM votes) v "
+       "n_votes DESC, m60 DESC, label) AS vr FROM votes) v2 "
        "WHERE vr = 1"),
     DQ("dq171_global_ntile_scalable", S.dq171_global_ntile_scalable,
        "SELECT c_custkey, CAST(ntile(4) OVER "
@@ -2078,7 +2087,7 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(tf) OVER (PARTITION BY tok) AS BIGINT) AS total_tf, "
        "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM tf) "
        "SELECT tok, max(df) AS df, max(total_tf) AS total_tf, "
-       "list_sort(list(doc_id)) AS postings_head "
+       "array_to_string(list_sort(list(doc_id)), ',') AS postings_head "
        "FROM r WHERE df >= 5 AND rn <= 8 GROUP BY tok"),
     DQ("dq186_basket_lift", R.dq186_basket_lift,
        "WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand "
@@ -2394,6 +2403,7 @@ _REGISTRY: list[DQ] = [
        "round(CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2)), 6) "
        "AS ks, min(g.v) AS v_at "
        "FROM g JOIN p ON g.event_type = p.event_type AND g.gap = p.maxgap "
+       "WHERE g.n1 > 0 AND g.n2 > 0 "  # degenerate-parity guard (see impl)
        "GROUP BY g.event_type"),
     DQ("dq208_cusum", TS.dq208_cusum,
        "WITH ev AS (SELECT event_type, "
@@ -2588,17 +2598,21 @@ _REGISTRY: list[DQ] = [
        "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
        "ct AS (SELECT cid, label, count(*) AS nij FROM assigned "
        "GROUP BY cid, label), "
-       "p AS (SELECT CAST(SUM(CAST(nij * (nij - 1) / 2 AS BIGINT)) "
+       # pair counts via integer `//` (exact bigints, matching the
+       # engine's >>1); cross-terms in HUGEINT ≡ the engine's DECIMAL(38,0)
+       "p AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) "
        "AS BIGINT) AS pidx, CAST(SUM(nij) AS BIGINT) AS n FROM ct), "
-       "pa AS (SELECT CAST(SUM(CAST(ai * (ai - 1) / 2 AS BIGINT)) "
+       "pa AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) "
        "AS BIGINT) AS a FROM (SELECT cid, SUM(nij) AS ai FROM ct "
        "GROUP BY cid) r), "
-       "pb AS (SELECT CAST(SUM(CAST(bj * (bj - 1) / 2 AS BIGINT)) "
+       "pb AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) "
        "AS BIGINT) AS b FROM (SELECT label, SUM(nij) AS bj FROM ct "
        "GROUP BY label) c) "
        "SELECT n, pidx, a, b, "
-       "round(2.0 * (pidx * CAST(n * (n - 1) / 2 AS BIGINT) - a * b) "
-       "/ (CAST(n * (n - 1) / 2 AS BIGINT) * (a + b) - 2 * a * b), 6) "
+       "round(2.0 * CAST(CAST(pidx AS HUGEINT) * ((n * (n - 1)) // 2) "
+       "- CAST(a AS HUGEINT) * b AS DOUBLE) "
+       "/ CAST(CAST((n * (n - 1)) // 2 AS HUGEINT) * (a + b) "
+       "- 2 * CAST(a AS HUGEINT) * b AS DOUBLE), 6) "
        "AS ari FROM p CROSS JOIN pa CROSS JOIN pb"),
     DQ("dq221_langid_confusion", T.dq221_langid_confusion,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
@@ -2778,11 +2792,12 @@ _REGISTRY: list[DQ] = [
        "GROUP BY c.vec_id) "
        "SELECT vec_id, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
     DQ("dq229_ivfpq_recall", N.dq229_ivfpq_recall,
-       # exact arm (dq29's oracle) joined against dq228's full composition
+       # exact L2 arm (ADC's metric, not dq29's cosine — see impl
+       # docstring) joined against dq228's full composition
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
-       "ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) DESC, vec_id LIMIT 10), "
+       "ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])), 6) ASC, vec_id LIMIT 10), "
        "cents AS (SELECT vec_id AS ccid, embedding AS ccv "
        "FROM embeddings WHERE vec_id < 8), "
        "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "

@@ -575,10 +575,12 @@ def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
 
     Pure pair-counting combinatorics on the contingency table: pidx =
     Σ C(n_ij,2), A/B the row/column pair sums, and
-    ARI = (pidx·C(n,2) − A·B) / (C(n,2)·(A+B)/2 − A·B) — every term an
-    exact bigint (fits through ~10^9 points; cast the three products to
-    DECIMAL(38,0) beyond that), one IEEE division at the end. The corpus
-    is touched once by the session-cached assignment; everything here is
+    ARI = (pidx·C(n,2) − A·B) / (C(n,2)·(A+B)/2 − A·B) — pair counts are
+    exact bigints (integer >>1, never IEEE `/`), the num/den cross-terms
+    are DECIMAL(38,0) (pidx·C(n,2) ≤ n⁴/4 overflows int64 past ~10^4.7
+    points in a degenerate single-cell clustering; decimal is exact
+    through ~10^9 points), one IEEE division at the end. The corpus is
+    touched once by the session-cached assignment; everything here is
     contingency-sized.
     """
     assigned = assign_clusters(t, n_centroids).select("vec_id", "cid")
@@ -589,7 +591,11 @@ def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
     )
 
     def c2(col: F.Column) -> F.Column:
-        return (col * (col - 1) / 2).cast("bigint")
+        # k(k-1) is always even: >>1 keeps the pair count an exact
+        # bigint (dq236's integer-`div` standard) — `/` on bigints is
+        # IEEE double division, which silently loses exactness once
+        # k(k-1) exceeds 2^53 (~9.5e7 points in one contingency cell)
+        return F.shiftright(col.cast("bigint") * (col.cast("bigint") - 1), 1)
 
     rows = ct.groupBy("cid").agg(F.sum("nij").alias("ai"))
     cols = ct.groupBy("label").agg(F.sum("nij").alias("bj"))
@@ -601,9 +607,11 @@ def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
         .crossJoin(F.broadcast(
             cols.agg(F.sum(c2(F.col("bj"))).alias("b"))))
     )
-    cn2 = c2(F.col("n"))
-    num = F.col("pidx") * cn2 - F.col("a") * F.col("b")
-    den = cn2 * (F.col("a") + F.col("b")) - 2 * F.col("a") * F.col("b")
+    dec = "decimal(38,0)"
+    cn2 = c2(F.col("n")).cast(dec)
+    a, b = F.col("a").cast(dec), F.col("b").cast(dec)
+    num = F.col("pidx").cast(dec) * cn2 - a * b
+    den = cn2 * (a + b) - 2 * a * b
     # num/den doubled consistently: (pidx*C - AB) / (C*(A+B)/2 - AB)
     # == 2*(pidx*C - AB) / (C*(A+B) - 2AB)
     return parts.select(
@@ -673,20 +681,38 @@ def dq228_ivfpq_search(t: Tables, query_vec_id: int = 0, k: int = 10,
 
 
 def dq229_ivfpq_recall(t: Tables, k: int = 10) -> DataFrame:
-    """Recall@k of the composed IVF-PQ path (dq228) against the exact
-    scan (dq29) — dq120's gauge pointed at the quantized index, closing
-    the loop: every approximate path in the engine ships with its
-    measured quality. Both arms are top-k plans; the overlap join is on
-    two k-row sets, so the check costs two scans regardless of corpus
-    size. Expect materially lower recall than dq120's coarse-only probe:
-    the 8-word toy codebook's quantization error is the PQ trade-off
-    this pair of entries makes measurable.
-    """
-    from multi_model_vectorsearch_spark.operators.vector_ops import (
-        dq29_knn_topk,
-    )
+    """Recall@k of the composed IVF-PQ path (dq228) against an exact
+    full-scan arm — dq120's gauge pointed at the quantized index,
+    closing the loop: every approximate path in the engine ships with
+    its measured quality. Both arms are top-k plans; the overlap join is
+    on two k-row sets, so the check costs two scans regardless of
+    corpus size.
 
-    exact = dq29_knn_topk(t, k=k).select("vec_id")
+    The exact arm ranks by **L2 distance on the raw embeddings** — the
+    same metric dq228's ADC approximates — so the gauge isolates
+    quantization error instead of conflating it with a metric mismatch
+    (dq29's cosine ordering differs from L2 unless vectors are
+    unit-normalized, which the testdata's are not). One residual,
+    deliberate divergence stays: ADC sums per-sub L2 *norms* (additive,
+    for cross-engine decimal exactness — see dq228) rather than summing
+    squares, so measured recall still includes that sub-additivity, not
+    only codebook error. Expect materially lower recall than dq120's
+    coarse-only probe: the 8-word toy codebook's quantization error is
+    the PQ trade-off this pair of entries makes measurable.
+    """
+    e = t["embeddings"]
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"))
+    l2d = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), F.col("qv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, x: a + x))
+    exact = (
+        e.crossJoin(F.broadcast(qv))
+        .select("vec_id", F.round(l2d, 6).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id")).limit(k)
+        .select("vec_id")
+    )
     approx = dq228_ivfpq_search(t, k=k).select("vec_id")
     hits = exact.join(approx, "vec_id")
     return hits.agg(

@@ -187,7 +187,8 @@ def dq185_inverted_index(t: Tables, min_df: int = 5,
         .agg(
             F.first("df").alias("df"),
             F.first("total_tf").alias("total_tf"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings_head"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+            .alias("postings_head"),
         )
     )
 

@@ -781,6 +781,11 @@ def dq207_ks_test(t: Tables) -> DataFrame:
     return (
         staged.select("event_type", "v", "gap")
         .join(F.broadcast(peak), "event_type")
+        # degenerate-group guard (dq205/dq231/dq240's standard): a type
+        # whose event_ids are all one parity has n1·n2 = 0, and 0/0 is
+        # NULL in Spark (non-ANSI) but NaN in DuckDB — drop it, a KS
+        # distance against an empty sample is undefined anyway
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
         .filter(F.col("gap") == F.col("maxgap"))
         .groupBy("event_type")
         .agg(

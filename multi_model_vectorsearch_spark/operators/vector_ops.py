@@ -501,15 +501,22 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
     * both sorts use NATURAL struct ordering over exact negated integer
       sort keys instead of lambda comparators (a JVM compare per element
       vs an interpreted when-chain per comparison): sims order by
-      ``(-round(s·1000), sid)`` ≡ (s desc, sid asc); votes order by
+      ``(-round(s·1e6), sid)`` ≡ (s desc, sid asc); votes order by
       ``(-n, -ssum·(60/n), label)`` ≡ (votes desc, mean desc, label asc),
       exact because 60 = lcm(1..5) makes ssum·(60/n) an integer.
       Together: 10.7 s → 2.4 s warm at sf0.1 (honest noop-sink timing).
 
-    Ties break on (votes desc, mean sim desc, label asc) — fully
-    deterministic and identical to the oracle's ordering on the rounded
-    mean, because distinct means over k ≤ 5 are ≥ 1/60000 apart — far
-    beyond the 1e-6 rounding grid.
+    Cross-engine determinism: the oracle mirrors this fold BIT-identically
+    (sequential left fold via ``list_reduce(list_prepend(0.0, ...))``, the
+    same 1e-12 norm floor, the same two-step round), so the similarity
+    doubles agree to the last bit and the 1e-6 grid is safe — no reliance
+    on rounding-boundary distance (the r4 hazard: different IEEE fold
+    orders left a ~1e-13 spread that a coarse 3-decimal grid merely made
+    unlikely to flip, not impossible). Everything after the one round is
+    exact integer arithmetic, including the mean (``ssum·60/n`` is an
+    integer because 60 = lcm(1..5); mean_sim = that integer / 6e7, the
+    same bigint→double divide in both engines). Ties break on (votes
+    desc, mean desc, label asc) over exact integers — fully deterministic.
     """
     from multi_model_vectorsearch_spark.functions.vector import l2_normalize
 
@@ -538,13 +545,12 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
             F.zip_with(qv, m["sv"], lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    # 3-decimal similarity: engines sum the cosine fold in different orders
-    # (~1e-13 spread), and across corpus × seed sims a 6th-decimal round
-    # boundary WILL flip somewhere — 3 decimals puts the boundary 1000×
-    # further away while ties stay deterministic on sid. The two-step
-    # round (to 3 decimals, then scale) matches the oracle's exactly.
+    # 6-decimal similarity grid, safe because the oracle computes the
+    # bit-identical double (same sequential fold, same norm floor); the
+    # two-step round (to 6 decimals, then scale to an integer) matches the
+    # oracle's exactly.
     sims = F.transform(F.col("sarr"), lambda m: F.struct(
-        (-F.round(F.round(pair_dot(F.col("qv"), m), 3) * 1000))
+        (-F.round(F.round(pair_dot(F.col("qv"), m), 6) * 1000000))
         .cast("bigint").alias("negs"),
         m["sid"].alias("sid"), m["label"].alias("label")))
     staged = (
@@ -566,11 +572,13 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
         l.alias("label")))
     staged = staged.withColumn("best", F.element_at(F.array_sort(votes), 1))
     best = F.col("best")
-    # mean_sim = ssum/(n·1000) = (-negmean·n/60)/(n·1000) = -negmean/60000
+    # mean_sim = ssum/(n·1e6) = (-negmean·n/60)/(n·1e6) = -negmean/6e7 —
+    # an exact bigint divided by an exact power-of-two-free constant: both
+    # engines perform the identical IEEE divide, so no output rounding.
     return staged.select(
         "qid", best["label"].alias("pred_label"), "true_label",
         (-best["negn"]).alias("n_votes"),
-        F.round(-best["negmean"] / 60000.0, 6).alias("mean_sim"),
+        (-best["negmean"] / F.lit(60000000.0)).alias("mean_sim"),
     )
 
 

@@ -223,6 +223,7 @@ def ewma_stream(events: DataFrame, span: int = 20) -> DataFrame:
     the batch kernel's exact power-of-two integer form; the one float
     division per row is IEEE-identical to the JVM's.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -238,7 +239,12 @@ def ewma_stream(events: DataFrame, span: int = 20) -> DataFrame:
         for pdf in pdfs:
             us = pdf["ts"].astype("datetime64[us]").astype("int64")
             hb = us // hour_us
-            cents = (pdf["value"] * 100).round().astype("int64")
+            # HALF_UP away-from-zero, matching batch dq198's F.round —
+            # pandas .round() is banker's (half-to-even) and disagrees
+            # with the JVM by one cent at exact half-cent boundaries
+            v100 = (pdf["value"] * 100.0).to_numpy()
+            cents = (np.sign(v100) * np.floor(np.abs(v100) + 0.5)) \
+                .astype("int64")
             for h, c in zip(hb, cents):
                 buckets[int(h)] = buckets.get(int(h), 0) + int(c)
         state.update((list(buckets), list(buckets.values())))

@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Scale-proof probe: synthesize a 10× (sf1-equivalent) documents+embeddings
+dataset from sf0.1 and time the flagship 100 TB-design chains on it.
+
+Usage: python scripts/scale_probe.py [--factor 10] [--src /root/testdata/sf0.1]
+                                     [--out /tmp/sf_scaled] [--keep]
+
+Rationale (round-4 verdict, next-steps №6): the dedup funnel, PPJoin,
+IVF-PQ, and e2e ingest all claim sub-quadratic scale behavior; this probe
+verifies the claims hold one more order of magnitude beyond the driver's
+sf0.1 bench before anyone trusts them at 1000×.
+
+Synthesis preserves the workload's structure instead of just repeating rows:
+
+- ``documents``: each replica re-keys doc_id into a disjoint band and
+  perturbs the text tail (replica-salted suffix token), so exact-dup rates
+  stay constant while the near-dup candidate space grows — the regime the
+  LSH/PPJoin df-caps must survive. Replica 0 is the original corpus.
+- ``embeddings``: each replica re-keys vec_id and adds a tiny deterministic
+  per-replica rotation-free perturbation (±0.01·((vec_id·d) mod 7 − 3) per
+  lane), growing every IVF cell ~linearly — the regime the coarse-probe +
+  broadcast-ADC design must survive.
+
+Output parquet is written with 32 files per table (repartition(32)) so the
+scan stage actually splits — the single-file single-row-group testdata
+fixtures serialize every scan's pre-shuffle work on one core and would
+understate scan parallelism at exactly the scale this probe exists to test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from multi_model_vectorsearch_spark import dq, get_spark, load_tables  # noqa: E402
+
+FLAGSHIPS = [
+    "dq135_dedup_funnel",
+    "dq183_ppjoin_jaccard",
+    "dq228_ivfpq_search",
+    "dq229_ivfpq_recall",
+    "dq46_cosine_neardup_topk",
+    "dq29_knn_topk",
+]
+
+
+def synthesize(spark, src: str, out: str, factor: int) -> None:
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    n_docs = docs.agg(F.max("doc_id")).first()[0] + 1
+    n_vecs = embs.agg(F.max("vec_id")).first()[0] + 1
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+
+    big_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.concat_ws(" ", F.col("text"),
+                            F.concat(F.lit("rep"), F.col("rep")))
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    big_embs = (
+        embs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: (x + 0.01 * (
+                        (F.col("vec_id") * (i + 1)) % 7 - 3).cast("double")
+                    ).cast("float"),
+                )
+            ).alias("embedding"),
+            *[c for c in embs.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    big_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet"))
+    big_embs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet"))
+
+
+def bench_flagships(spark, out_dir: str) -> dict[str, float]:
+    tables = load_tables(spark, out_dir)
+    by_name = {e.name: e for e in dq.registry()}
+    timings: dict[str, float] = {}
+    for name in FLAGSHIPS:
+        entry = by_name.get(name)
+        if entry is None:
+            continue
+        t0 = time.perf_counter()
+        entry.builder(tables).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def bench_ingest(spark, out_dir: str, n_batches: int = 4) -> float:
+    import tempfile
+
+    from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+
+    docs = load_tables(spark, out_dir)["documents"].select(
+        "doc_id", "text",
+        F.element_at(F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+    ).localCheckpoint(eager=True)
+    state = tempfile.mkdtemp(prefix="scale_probe_ingest_")
+    try:
+        pipe = IngestPipeline(spark, state)
+        t0 = time.perf_counter()
+        for b in range(n_batches):
+            pipe.process_batch(docs.filter(F.col("doc_id") % n_batches == b), b)
+        return round((time.perf_counter() - t0) / n_batches, 3)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sf_scaled")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the synthesized dataset on disk")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-probe")
+    t0 = time.perf_counter()
+    synthesize(spark, args.src, args.out, args.factor)
+    gen_sec = round(time.perf_counter() - t0, 3)
+    try:
+        timings = bench_flagships(spark, args.out)
+        timings["e2e_submit_microbatch"] = bench_ingest(spark, args.out)
+        print(json.dumps({
+            "factor": args.factor, "src": args.src, "gen_sec": gen_sec,
+            "queries": timings,
+        }, indent=1, sort_keys=True))
+    finally:
+        if not args.keep:
+            shutil.rmtree(args.out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,34 @@ def test_queries_run_at_smoke_sf(spark):
         assert df.count() > 0
 
 
+def test_no_complex_types_in_declared_outputs(spark):
+    """Driver-canonicalizer contract: every declared query's output must be
+    scalar-typed. The driver compares Spark vs DuckDB by loading both results
+    into pandas and sorting every column; an Array/Map/Struct column arrives
+    as numpy ndarrays / dicts, which pandas can't sort or hash
+    (``TypeError: unhashable type: 'numpy.ndarray'`` → the row is recorded
+    as ``err`` = broken, exactly how dq185 went red in CORRECTNESS_r04 while
+    green in the in-repo harness, which canonicalized lists itself).
+    Serialize instead — the dq13/dq185 pattern:
+    ``F.array_join(F.sort_array(F.collect_list(c)), ",")`` /
+    ``array_to_string(list_sort(list(c)), ',')``.
+
+    Schema inspection is lazy (plan analysis only, no execution), so this
+    covers the full registry cheaply.
+    """
+    from pyspark.sql import types as ST
+
+    from multi_model_vectorsearch_spark import dq
+
+    bad: list[str] = []
+    for name, builder in dq.queries().items():
+        df = builder(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex-typed declared outputs: {bad}"
+
+
 def test_query_index_is_fresh():
     """QUERIES.md must list exactly the registered queries — regenerate
     with scripts/gen_query_index.py after adding an entry."""

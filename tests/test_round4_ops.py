@@ -60,8 +60,9 @@ def test_inverted_index_postings_bounded(tables):
     assert len(idx) > 0
     for r in idx:
         assert r.df >= 5
-        assert 1 <= len(r.postings_head) <= 8
-        assert r.postings_head == sorted(r.postings_head)
+        postings = [int(x) for x in r.postings_head.split(",")]
+        assert 1 <= len(postings) <= 8
+        assert postings == sorted(postings)
         assert r.total_tf >= r.df  # every posting has tf >= 1
 
 
