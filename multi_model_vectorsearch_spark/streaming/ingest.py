@@ -346,17 +346,7 @@ class IngestPipeline:
           this is where an IVF-bucketed join would slot in.
         """
         corpus = self.corpus()  # includes the batch just appended
-        # Candidate emission is P x pool_k x Q (each partition's local
-        # top-pool_k per query), so partition count P — not corpus size —
-        # drives the shuffle into the selection windows. Right-size P to
-        # ~100k corpus rows per partition: a small/freshly-bootstrapped
-        # corpus collapses to a handful of partitions (32 -> 1 at sf0.1,
-        # 2.4M -> 75k candidate rows) while a 100 TB corpus keeps its
-        # natural parquet split parallelism.
         n_corpus = corpus.count()
-        target = max(1, n_corpus // 100_000)
-        if target < corpus.rdd.getNumPartitions():
-            corpus = corpus.coalesce(target)
         k = self.k
         pool_k = k * OVERFETCH
         if n_queries is None:
@@ -366,6 +356,20 @@ class IngestPipeline:
                 [], "qid bigint, qm string, doc_id bigint, modality string, "
                     "s double, rn int")
         if n_queries <= self.max_collect:
+            # Kernel path. Candidate emission is P x pool_k x Q (each
+            # partition's local top-pool_k per query), so partition count P
+            # — not corpus size — drives the shuffle into the selection
+            # windows. Right-size P to ~100k corpus rows per partition: a
+            # small/freshly-bootstrapped corpus collapses to a handful of
+            # partitions (32 -> 1 at sf0.1, 2.4M -> 75k candidate rows)
+            # while a 100 TB corpus keeps its natural parquet split
+            # parallelism. This sizing is kernel-path-ONLY: applying it
+            # before the path split serialized the fat-batch join onto one
+            # task (measured: a 12.5k-doc batch x 50k corpus never
+            # finished; the 10x scale probe caught it).
+            target = max(1, n_corpus // 100_000)
+            if target < corpus.rdd.getNumPartitions():
+                corpus = corpus.coalesce(target)
             # single-partition corpus: every task sees the whole corpus, so
             # the kernel's local pool IS the global pool — finish the
             # balanced selection inside the kernel (numpy over <=pool_k rows
@@ -375,6 +379,14 @@ class IngestPipeline:
                                         finish_k=k)
             cand = self._knn_kernel(corpus, fresh, pool_k)
         else:
+            # Join path: the pair count is n_corpus x n_queries, and the
+            # nested-loop join's parallelism IS the corpus partition count
+            # — spread a small corpus across the executors instead of
+            # letting a single file (or the kernel sizing above) serialize
+            # the scoring.
+            par = self.spark.sparkContext.defaultParallelism
+            if corpus.rdd.getNumPartitions() < par:
+                corpus = corpus.repartition(par)
             cand = self._knn_join(corpus, fresh)
         return self._balanced_select(cand, k, pool_k)
 
@@ -478,18 +490,33 @@ class IngestPipeline:
 
     def _knn_join(self, corpus: DataFrame, fresh: DataFrame) -> DataFrame:
         """Driver-safe candidate scorer: corpus × broadcast(batch), cosine
-        in the JVM. No driver materialization of the batch."""
+        in the JVM. No driver materialization of the batch.
+
+        Norm folds are HOISTED to one per corpus row / one per query row
+        (``cosine_with_norms``, bit-identical to the inline form — the same
+        hoist the dq31 KNN-scan family carries), so the per-pair expression
+        is a single dot fold instead of three."""
+        from multi_model_vectorsearch_spark.functions.vector import (
+            cosine_with_norms,
+            l2_norm,
+        )
+
         q = F.broadcast(fresh.select(
             F.col("doc_id").alias("qid"),
             F.col("modality").alias("qm"),
             F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("_nq"),
         ))
-        return corpus.crossJoin(q).select(
-            "qid", "qm", "doc_id", "modality",
-            F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
-            .otherwise(
-                F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
-            ).alias("s"),
+        return (
+            corpus.withColumn("_nc", l2_norm(F.col("embedding")))
+            .crossJoin(q)
+            .select(
+                "qid", "qm", "doc_id", "modality",
+                F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
+                .otherwise(F.round(cosine_with_norms(
+                    F.col("embedding"), F.col("qv"),
+                    F.col("_nc"), F.col("_nq")), 6)).alias("s"),
+            )
         )
 
     @staticmethod

@@ -13,9 +13,13 @@ sf0.1 bench before anyone trusts them at 1000×.
 Synthesis preserves the workload's structure instead of just repeating rows:
 
 - ``documents``: each replica re-keys doc_id into a disjoint band and
-  perturbs the text tail (replica-salted suffix token), so exact-dup rates
-  stay constant while the near-dup candidate space grows — the regime the
-  LSH/PPJoin df-caps must survive. Replica 0 is the original corpus.
+  salts every 4th word with a replica token, so replicas do NOT collide
+  with the originals in shingle space — corpus size grows 10× while the
+  per-doc duplicate rate stays roughly constant, which is the realistic
+  growth regime (a first draft that only suffixed one trailing token made
+  every doc a member of a 10-way near-dup clique — a quadratic worst case
+  that measures clique explosion, not scaling). Replica 0 is the
+  original corpus, so the in-corpus dup structure itself is preserved.
 - ``embeddings``: each replica re-keys vec_id and adds a tiny deterministic
   per-replica rotation-free perturbation (±0.01·((vec_id·d) mod 7 − 3) per
   lane), growing every IVF cell ~linearly — the regime the coarse-probe +
@@ -43,8 +47,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from multi_model_vectorsearch_spark import dq, get_spark, load_tables  # noqa: E402
 
 FLAGSHIPS = [
-    "dq135_dedup_funnel",
-    "dq183_ppjoin_jaccard",
+    "dq135_curation_funnel",
+    "dq183_prefix_filter_join",
     "dq228_ivfpq_search",
     "dq229_ivfpq_recall",
     "dq46_cosine_neardup_topk",
@@ -59,14 +63,22 @@ def synthesize(spark, src: str, out: str, factor: int) -> None:
     n_vecs = embs.agg(F.max("vec_id")).first()[0] + 1
     reps = spark.range(factor).withColumnRenamed("id", "rep")
 
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                i % 4 == 0,
+                F.concat(w, F.lit("r"), F.col("rep").cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
     big_docs = (
         docs.crossJoin(reps)
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text")).otherwise(
-                F.concat_ws(" ", F.col("text"),
-                            F.concat(F.lit("rep"), F.col("rep")))
-            ).alias("text"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(salted).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
@@ -98,10 +110,11 @@ def bench_flagships(spark, out_dir: str) -> dict[str, float]:
     for name in FLAGSHIPS:
         entry = by_name.get(name)
         if entry is None:
-            continue
+            raise KeyError(f"unknown flagship {name!r} — fix FLAGSHIPS")
         t0 = time.perf_counter()
         entry.builder(tables).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]} s", flush=True)
     return timings
 
 

@@ -508,5 +508,14 @@ def test_ewma_stream_batch_equivalence(spark, tables, replay):
     got = {(r.user_id, r.hb): r.ewma for r in last.collect()}
     want = {(r.user_id, r.hb): r.ewma for r in dq198_ewma(tables).collect()}
     assert set(got) == set(want)
+    from decimal import ROUND_HALF_UP, Decimal
+
     for k, v in want.items():
-        assert abs(got[k] - v) <= 5e-7 + 1e-12, (k, got[k], v)
+        # EXACT equivalence: both paths quantize cents HALF_UP and divide
+        # the same integers with the same IEEE ops, so the batch value is
+        # precisely the HALF_UP 6-decimal rounding of the stream's
+        # unrounded emission (Decimal(double) is the exact binary
+        # expansion — the same thing Spark's F.round rounds)
+        rounded = float(Decimal(got[k]).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        assert rounded == v, (k, got[k], v)
