@@ -181,6 +181,40 @@ def test_knn_join_path_matches_kernel(spark, tables, tmp_path):
     assert ek == ej and len(ek) > 0
 
 
+def test_knn_join_path_parallelizes(spark, tables, tmp_path):
+    """Regression pin for the 10×-probe finding: the fat-batch join path's
+    nested-loop parallelism IS the corpus partition count, and the
+    kernel path's ~100k-rows-per-partition coalesce must never apply to
+    it — with both, a single-file corpus ran the corpus × batch scoring
+    on ONE task (a 12.5k-doc batch against a 50k corpus never finished).
+    Spies on the two scorers to assert the corpus each actually receives:
+    join path ≥ defaultParallelism partitions, kernel path coalesced."""
+    docs = tables["documents"].limit(40).select(
+        "doc_id", "text", F.lit("text").alias("modality"))
+    pipe = IngestPipeline(spark, str(tmp_path / "s"), k=4, max_collect=8)
+    pipe.process_batch(docs, 0)
+
+    seen = {}
+    orig_join, orig_kernel = pipe._knn_join, pipe._knn_kernel
+
+    def spy_join(corpus, fresh):
+        seen["join_parts"] = corpus.rdd.getNumPartitions()
+        return orig_join(corpus, fresh)
+
+    def spy_kernel(corpus, fresh, pool_k, finish_k=None):
+        seen["kernel_parts"] = corpus.rdd.getNumPartitions()
+        return orig_kernel(corpus, fresh, pool_k, finish_k=finish_k)
+
+    pipe._knn_join, pipe._knn_kernel = spy_join, spy_kernel
+    fresh = pipe.corpus()
+    # fat batch (40 > max_collect=8) -> join path, spread corpus
+    pipe.knn_against_corpus(fresh, n_queries=40)
+    # small batch -> kernel path, corpus coalesced for candidate economy
+    pipe.knn_against_corpus(fresh.limit(4), n_queries=4)
+    assert seen["join_parts"] >= spark.sparkContext.defaultParallelism
+    assert seen["kernel_parts"] == 1  # 40-row corpus -> single partition
+
+
 def test_zero_norm_embedding_scores_zero_not_nan(spark):
     """An all-zero embedding must score 0.0 (guarded norm), never NaN."""
     import math
