@@ -1880,10 +1880,11 @@ _REGISTRY: list[DQ] = [
     DQ("dq170_knn_label_prop", V.dq170_knn_label_prop,
        # BIT-identical fold to the engine: sequential left fold with 0.0
        # init (list_reduce over list_prepend ≡ Spark's aggregate), the
-       # same 1e-12 norm floor, the same two-step round — so the doubles
-       # match to the last bit and a 1e-6 grid is safe; everything after
-       # the round is exact integer arithmetic (·60/n is an integer since
-       # 60 = lcm(1..5))
+       # same 1e-12 norm floor — so the doubles match to the last bit;
+       # the grid snap is floor(s·1e6 + 0.5) (engine-identical IEEE ops,
+       # unlike round() — Spark rounds the shortest decimal repr, DuckDB
+       # the binary value); everything after the snap is exact integer
+       # arithmetic (·60/n is an integer since 60 = lcm(1..5))
        "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev "
        "FROM embeddings), "
        "unit AS (SELECT vec_id, label, list_transform(ev, x -> x / "
@@ -1895,10 +1896,10 @@ _REGISTRY: list[DQ] = [
        "c AS (SELECT vec_id AS qid, label AS tl, nv AS qv FROM unit "
        "WHERE vec_id >= 100), "
        "sims AS (SELECT c.qid, c.tl, s.sid, s.label, "
-       "CAST(round(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+       "CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
        "list_transform(generate_series(1, len(c.qv)), "
-       "i -> c.qv[i] * s.sv[i])), (acc, x2) -> acc + x2), 6) "
-       "* 1000000) AS BIGINT) AS se6 FROM c CROSS JOIN s), "
+       "i -> c.qv[i] * s.sv[i])), (acc, x2) -> acc + x2) "
+       "* 1000000 + 0.5) AS BIGINT) AS se6 FROM c CROSS JOIN s), "
        "top AS (SELECT * FROM (SELECT qid, tl, sid, label, se6, "
        "row_number() OVER (PARTITION BY qid ORDER BY se6 DESC, sid) AS rn "
        "FROM sims) t WHERE rn <= 5), "
@@ -2793,11 +2794,13 @@ _REGISTRY: list[DQ] = [
        "SELECT vec_id, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
     DQ("dq229_ivfpq_recall", N.dq229_ivfpq_recall,
        # exact L2 arm (ADC's metric, not dq29's cosine — see impl
-       # docstring) joined against dq228's full composition
+       # docstring) joined against dq228's full composition; floor-grid
+       # ranking key — engine-identical IEEE ops, see impl comment
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
-       "ORDER BY round(list_distance(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) ASC, vec_id LIMIT 10), "
+       "ORDER BY CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) ASC, "
+       "vec_id LIMIT 10), "
        "cents AS (SELECT vec_id AS ccid, embedding AS ccv "
        "FROM embeddings WHERE vec_id < 8), "
        "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "

@@ -37,6 +37,21 @@ def l2_norm(v: Column) -> Column:
     )
 
 
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance between two array columns (DOUBLE): the ONE
+    definition of the sequential squared-diff fold every L2 consumer
+    (PQ codebook assign, k-means, ADC table, dq229's exact arm) shares —
+    the IEEE sequence is pinned here so a reordered/FMA'd variant can't
+    silently break the cross-engine bit-identity the oracle gates rely
+    on (DuckDB ``list_distance`` is bit-identical to this fold).
+    Callers pass DOUBLE arrays; FLOAT inputs promote per-element in the
+    subtraction exactly as DuckDB's DOUBLE[] cast does."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity in DOUBLE.
 

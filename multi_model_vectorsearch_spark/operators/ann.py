@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
+from multi_model_vectorsearch_spark.functions.vector import (
+    cosine_similarity,
+    l2_distance,
+)
 
 Tables = dict
 
@@ -280,12 +283,9 @@ def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
     cb = subs.filter(F.col("vec_id") < n_codes).select(
         "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x,
-    )
     scored = subs.join(F.broadcast(cb), "sub").select(
-        "vec_id", "sub", "code", F.round(F.sqrt(d2), 6).alias("d")
+        "vec_id", "sub", "code",
+        F.round(l2_distance(F.col("sv"), F.col("cw")), 6).alias("d"),
     )
     w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
     return (
@@ -337,12 +337,9 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
     )
     assigned = None
     for _ in range(iters):
-        d2 = F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda a, x: a + x,
-        )
         scored = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", F.round(F.sqrt(d2), 6).alias("dist")
+            "vec_id", "v", "cid",
+            F.round(l2_distance(F.col("v"), F.col("cv")), 6).alias("dist"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
         assigned = (
@@ -663,13 +660,10 @@ def dq228_ivfpq_search(t: Tables, query_vec_id: int = 0, k: int = 10,
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
         F.slice("qv", F.col("sub") * sub_dim + 1, sub_dim).alias("qsv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("qsv", "cw", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x,
-    )
     dtab = qsubs.join(cb, "sub").select(
         "sub", "code",
-        F.round(F.sqrt(d2), 6).cast("decimal(18,6)").alias("dd"),
+        F.round(l2_distance(F.col("qsv"), F.col("cw")), 6)
+        .cast("decimal(18,6)").alias("dd"),
     )
     scored = (
         codes.join(cell, "vec_id", "left_semi")
@@ -703,13 +697,16 @@ def dq229_ivfpq_recall(t: Tables, k: int = 10) -> DataFrame:
     e = t["embeddings"]
     qv = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv"))
-    l2d = F.sqrt(F.aggregate(
-        F.zip_with(F.col("embedding").cast("array<double>"), F.col("qv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda a, x: a + x))
+    l2d = l2_distance(F.col("embedding").cast("array<double>"), F.col("qv"))
+    # floor-grid, not round(d, 6): F.round rounds the double's SHORTEST
+    # DECIMAL REPR (BigDecimal.valueOf(Double.toString)) while DuckDB
+    # rounds the binary value, so bit-identical distances can still round
+    # apart at half boundaries; floor(x·1e6 + 0.5) is the same three IEEE
+    # ops in both engines — genuinely engine-identical ranking keys
     exact = (
         e.crossJoin(F.broadcast(qv))
-        .select("vec_id", F.round(l2d, 6).alias("d"))
+        .select("vec_id",
+                F.floor(l2d * 1000000.0 + 0.5).cast("bigint").alias("d"))
         .orderBy(F.asc("d"), F.asc("vec_id")).limit(k)
         .select("vec_id")
     )

@@ -508,15 +508,19 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
 
     Cross-engine determinism: the oracle mirrors this fold BIT-identically
     (sequential left fold via ``list_reduce(list_prepend(0.0, ...))``, the
-    same 1e-12 norm floor, the same two-step round), so the similarity
-    doubles agree to the last bit and the 1e-6 grid is safe — no reliance
-    on rounding-boundary distance (the r4 hazard: different IEEE fold
-    orders left a ~1e-13 spread that a coarse 3-decimal grid merely made
-    unlikely to flip, not impossible). Everything after the one round is
-    exact integer arithmetic, including the mean (``ssum·60/n`` is an
-    integer because 60 = lcm(1..5); mean_sim = that integer / 6e7, the
-    same bigint→double divide in both engines). Ties break on (votes
-    desc, mean desc, label asc) over exact integers — fully deterministic.
+    same 1e-12 norm floor), so the similarity doubles agree to the last
+    bit — no reliance on rounding-boundary distance (the r4 hazard:
+    different IEEE fold orders left a ~1e-13 spread that a coarse
+    3-decimal grid merely made unlikely to flip, not impossible). The
+    grid snap is ``floor(s·1e6 + 0.5)`` — three IEEE ops, identical in
+    both engines — NOT ``round(s, 6)``: Spark's round rounds the double's
+    shortest decimal repr (``BigDecimal.valueOf(Double.toString)``) while
+    DuckDB rounds the binary value, so even bit-identical doubles can
+    round apart at half boundaries. Everything after the snap is exact
+    integer arithmetic, including the mean (``ssum·60/n`` is an integer
+    because 60 = lcm(1..5); mean_sim = that integer / 6e7, the same
+    bigint→double divide in both engines). Ties break on (votes desc,
+    mean desc, label asc) over exact integers — fully deterministic.
     """
     from multi_model_vectorsearch_spark.functions.vector import l2_normalize
 
@@ -545,12 +549,12 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
             F.zip_with(qv, m["sv"], lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    # 6-decimal similarity grid, safe because the oracle computes the
-    # bit-identical double (same sequential fold, same norm floor); the
-    # two-step round (to 6 decimals, then scale to an integer) matches the
-    # oracle's exactly.
+    # 6-decimal similarity grid: the oracle computes the bit-identical
+    # dot (same sequential fold, same norm floor), and floor(s·1e6 + 0.5)
+    # is the same three IEEE ops in both engines (see docstring for why
+    # round(s, 6) is NOT engine-identical).
     sims = F.transform(F.col("sarr"), lambda m: F.struct(
-        (-F.round(F.round(pair_dot(F.col("qv"), m), 6) * 1000000))
+        (-F.floor(pair_dot(F.col("qv"), m) * 1000000.0 + 0.5))
         .cast("bigint").alias("negs"),
         m["sid"].alias("sid"), m["label"].alias("label")))
     staged = (

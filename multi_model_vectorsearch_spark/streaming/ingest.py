@@ -346,7 +346,6 @@ class IngestPipeline:
           this is where an IVF-bucketed join would slot in.
         """
         corpus = self.corpus()  # includes the batch just appended
-        n_corpus = corpus.count()
         k = self.k
         pool_k = k * OVERFETCH
         if n_queries is None:
@@ -366,8 +365,11 @@ class IngestPipeline:
             # parallelism. This sizing is kernel-path-ONLY: applying it
             # before the path split serialized the fat-batch join onto one
             # task (measured: a 12.5k-doc batch x 50k corpus never
-            # finished; the 10x scale probe caught it).
-            target = max(1, n_corpus // 100_000)
+            # finished; the 10x scale probe caught it). The corpus count
+            # that feeds it is also kernel-path-only — hoisted above the
+            # split it charged every fat batch a full corpus scan whose
+            # result was never read.
+            target = max(1, corpus.count() // 100_000)
             if target < corpus.rdd.getNumPartitions():
                 corpus = corpus.coalesce(target)
             # single-partition corpus: every task sees the whole corpus, so

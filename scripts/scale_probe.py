@@ -82,15 +82,25 @@ def synthesize(spark, src: str, out: str, factor: int) -> None:
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
+    # the re-keyed id is computed in its OWN projection before the
+    # perturbation references it: referencing F.col("vec_id") in a select
+    # that also aliases vec_id resolves through lateral-column-alias
+    # implicit resolution — correct under the default config, but with
+    # spark.sql.lateralColumnAlias.enableImplicitResolution=false the
+    # same code silently reads the INPUT vec_id and every replica gets
+    # an identical perturbation (exact-duplicate cliques — the exact
+    # degenerate regime this synthesis exists to avoid)
     big_embs = (
         embs.crossJoin(reps)
+        .withColumn("new_vec_id", F.col("vec_id") + F.col("rep") * n_vecs)
         .select(
-            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            F.col("new_vec_id").alias("vec_id"),
             F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
                 F.transform(
                     "embedding",
                     lambda x, i: (x + 0.01 * (
-                        (F.col("vec_id") * (i + 1)) % 7 - 3).cast("double")
+                        (F.col("new_vec_id") * (i + 1)) % 7 - 3)
+                        .cast("double")
                     ).cast("float"),
                 )
             ).alias("embedding"),

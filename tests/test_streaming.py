@@ -548,8 +548,11 @@ def test_ewma_stream_batch_equivalence(spark, tables, replay):
         # EXACT equivalence: both paths quantize cents HALF_UP and divide
         # the same integers with the same IEEE ops, so the batch value is
         # precisely the HALF_UP 6-decimal rounding of the stream's
-        # unrounded emission (Decimal(double) is the exact binary
-        # expansion — the same thing Spark's F.round rounds)
-        rounded = float(Decimal(got[k]).quantize(
+        # unrounded emission. Decimal(repr(x)) — the SHORTEST round-trip
+        # repr — mirrors Spark's F.round semantics
+        # (BigDecimal.valueOf(Double.toString)), NOT the exact binary
+        # expansion Decimal(x) would give: the two differ at half
+        # boundaries (e.g. the double nearest 0.0002465).
+        rounded = float(Decimal(repr(got[k])).quantize(
             Decimal("0.000001"), rounding=ROUND_HALF_UP))
         assert rounded == v, (k, got[k], v)
