@@ -626,7 +626,7 @@ _REGISTRY: list[DQ] = [
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
        "GROUP BY l_returnflag, l_linestatus"),
     DQ("dq78_tpch_q3", Q.dq78_tpch_q3,
-       "SELECT l_orderkey, o_orderdate, "
+       "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
        "AS DOUBLE), 4) AS revenue "
@@ -712,7 +712,8 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
        "AS sum_qty FROM lineitem GROUP BY l_orderkey "
        "HAVING sum_qty > CAST(250 AS DECIMAL(18,2))) "
-       "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+       "SELECT c_custkey, c_name, o_orderkey, "
+       "CAST(o_orderdate AS DATE) AS o_orderdate, "
        "round(CAST(sum_qty AS DOUBLE), 2) AS sum_qty "
        "FROM big JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey"),
@@ -1479,9 +1480,9 @@ _REGISTRY: list[DQ] = [
        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
        "AS prev FROM events), "
        "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type) "
-       "SELECT user_id, event_type, ts AS valid_from, "
-       "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-       "AS valid_to, "
+       "SELECT user_id, event_type, epoch_us(ts) AS valid_from_us, "
+       "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+       "AS valid_to_us, "
        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
        "AS INT) AS version FROM ch"),
     # --- round-2 additions: semantic dedup, diversity, chunking, corpus QA --
@@ -2291,7 +2292,8 @@ _REGISTRY: list[DQ] = [
        "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
        "/ 500) AS BIGINT) AS bin FROM s) "
        "SELECT bin, count(*) AS n_partitions, SUM(n) AS total_rows, "
-       "min(d) AS d_min, max(d) AS d_max FROM b GROUP BY bin"),
+       "CAST(min(d) AS DATE) AS d_min, CAST(max(d) AS DATE) AS d_max "
+       "FROM b GROUP BY bin"),
     DQ("dq200_sorted_neighborhood", T.dq200_sorted_neighborhood,
        "WITH k AS (SELECT doc_id, "
        "substr(replace(text, ' ', ''), 1, 24) AS key, "
@@ -2370,8 +2372,10 @@ _REGISTRY: list[DQ] = [
        "FROM g), "
        "a AS (SELECT source, SUM(p) AS n_pos, SUM(n) AS n_neg, "
        "SUM(p * (2 * cum_neg + n)) AS num2 FROM s GROUP BY source) "
+       # floor snap, not round(): engine-identical IEEE ops (r5 red fix)
        "SELECT source, n_pos, n_neg, "
-       "round(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc "
+       "CAST(floor((CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS auc_micro "
        "FROM a WHERE n_pos > 0 AND n_neg > 0"),
     DQ("dq206_mutual_info", C.dq206_mutual_info,
        "WITH j AS (SELECT source, lang, count(*) AS n_sl FROM documents "
@@ -2379,9 +2383,12 @@ _REGISTRY: list[DQ] = [
        "ms AS (SELECT source, SUM(n_sl) AS n_s FROM j GROUP BY source), "
        "ml AS (SELECT lang, SUM(n_sl) AS n_l FROM j GROUP BY lang), "
        "tot AS (SELECT SUM(n_sl) AS n FROM j) "
+       # per-term micro floor snap, then exact integer sum (r5 red fix:
+       # the old decimal(28,18)-cast-of-double + round(sum, 6) both split
+       # on shortest-repr-vs-binary across engines)
        "SELECT source, max(n_s) AS n_docs, count(*) AS n_langs, "
-       "round(CAST(SUM(CAST((n_sl / n) * ln(n_sl * n / (n_s * n_l)) "
-       "AS DECIMAL(28,18))) AS DOUBLE), 6) AS mi_part "
+       "SUM(CAST(floor(((n_sl / n) * ln(n_sl * n / (n_s * n_l))) "
+       "* 1000000.0 + 0.5) AS BIGINT)) AS mi_part_micro "
        "FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot "
        "GROUP BY source"),
     DQ("dq207_ks_test", TS.dq207_ks_test,
@@ -2401,8 +2408,9 @@ _REGISTRY: list[DQ] = [
        "p AS (SELECT event_type, max(gap) AS maxgap FROM g "
        "GROUP BY event_type) "
        "SELECT g.event_type, max(g.n1) AS n1, max(g.n2) AS n2, "
-       "round(CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2)), 6) "
-       "AS ks, min(g.v) AS v_at "
+       "CAST(floor((CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2))) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro, "
+       "CAST(floor(min(g.v) * 1000000.0 + 0.5) AS BIGINT) AS v_at_micro "
        "FROM g JOIN p ON g.event_type = p.event_type AND g.gap = p.maxgap "
        "WHERE g.n1 > 0 AND g.n2 > 0 "  # degenerate-parity guard (see impl)
        "GROUP BY g.event_type"),
@@ -2460,7 +2468,8 @@ _REGISTRY: list[DQ] = [
        "sizes AS (SELECT cid, SUM(c) AS n, count(*) AS n_labels FROM cl "
        "GROUP BY cid) "
        "SELECT t.cid, s.n, s.n_labels, t.top_label, t.n_top, "
-       "round(CAST(t.n_top AS DOUBLE) / s.n, 6) AS purity "
+       "CAST(floor((CAST(t.n_top AS DOUBLE) / s.n) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS purity_micro "
        "FROM top t JOIN sizes s ON t.cid = s.cid"),
     DQ("dq211_calibration_bins", C.dq211_calibration_bins,
        "WITH d AS (SELECT least(CAST(floor(n_chars / 60) AS BIGINT), 9) "

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.functions.vector import (
     cosine_similarity,
     l2_distance,
@@ -535,7 +536,8 @@ def dq210_cluster_purity(t: Tables, n_centroids: int = 8) -> DataFrame:
     Reuses the session-cached broadcast-centroid assignment (one pass
     over the corpus); everything after is cell×label-sized. Majority
     pick ties break to the smallest label; purity is an exact integer
-    ratio with one shared IEEE division.
+    ratio with one shared IEEE division, emitted as a micro-unit BIGINT
+    (floor snap — driver-red in CORRECTNESS_r05 as ``round(ratio, 6)``).
     """
     assigned = assign_clusters(t, n_centroids)
     labels = t["embeddings"].select("vec_id", "label")
@@ -558,8 +560,8 @@ def dq210_cluster_purity(t: Tables, n_centroids: int = 8) -> DataFrame:
         top.join(sizes, "cid")
         .select(
             "cid", "n", "n_labels", "top_label", "n_top",
-            F.round(F.col("n_top").cast("double") / F.col("n"), 6)
-            .alias("purity"),
+            snap(F.col("n_top").cast("double") / F.col("n"))
+            .alias("purity_micro"),
         )
     )
 

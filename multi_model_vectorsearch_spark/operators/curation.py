@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+
 Tables = dict
 
 # sha256(key)[:8 hex] folded to an integer in [0, mod) — the split die.
@@ -337,6 +339,12 @@ def dq101_scd2_intervals(t: Tables) -> DataFrame:
     event stream into [valid_from, valid_to) intervals per user, one row
     per state change. One shuffle on user_id; the windows reuse that
     partitioning (single Exchange in the plan).
+
+    Interval bounds are emitted as epoch-microsecond BIGINTs
+    (``unix_micros`` / DuckDB ``epoch_us`` — dq208's key pattern), not
+    timestamps: sub-day precision rules out a DATE cast, and raw
+    timestamp outputs are the driver-canonicalizer hazard that felled
+    dq201 in CORRECTNESS_r05 / dq92 in r2.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = t["events"].select("user_id", "ts", "event_id", "event_type")
@@ -346,8 +354,8 @@ def dq101_scd2_intervals(t: Tables) -> DataFrame:
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changed.select(
         "user_id", "event_type",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
         F.row_number().over(w2).alias("version"),
     )
 
@@ -921,9 +929,11 @@ def dq205_feature_auc(t: Tables) -> DataFrame:
         agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select(
             "source", "n_pos", "n_neg",
-            F.round(
+            # micro-unit AUC: floor-snap, NOT round() — driver-red in
+            # CORRECTNESS_r05 when this was round(raw ratio, 6)
+            snap(
                 F.col("num2").cast("double")
-                / (2.0 * F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+                / (2.0 * F.col("n_pos") * F.col("n_neg"))).alias("auc_micro"),
         )
     )
 
@@ -937,19 +947,25 @@ def dq206_mutual_info(t: Tables) -> DataFrame:
     mi_part(s) = Σ_l p(s,l)·ln(p(s,l)·N / (n_s·n_l)) from exact contingency
     counts: one groupBy on (source, lang) plus two marginal aggregates
     broadcast back — the corpus is scanned once, everything downstream is
-    contingency-table-sized. Terms are cast to DECIMAL before the per-source
-    sum (order-independent, dq192's pattern), then rounded once.
+    contingency-table-sized. Each per-(s,l) term is floor-snapped to a
+    micro-unit BIGINT *before* the per-source sum, so the sum is exact
+    integer arithmetic (order-independent) and the output never touches
+    round()/DECIMAL-cast-of-double — both of which split on
+    shortest-repr-vs-binary across engines (driver-red in
+    CORRECTNESS_r05 via the old ``round(sum, 6)`` + ``decimal(28,18)``
+    staging). The one residual cross-engine surface is ln()'s last ulp
+    landing within ~1e-12 of a micro half-boundary — negligible.
     """
     d = t["documents"].select("source", "lang")
     joint = d.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
     ms = joint.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
     ml = joint.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
     tot = joint.agg(F.sum("n_sl").alias("n"))
-    term = (
+    term_micro = snap(
         (F.col("n_sl") / F.col("n"))
         * F.log(F.col("n_sl") * F.col("n")
                 / (F.col("n_s") * F.col("n_l")))
-    ).cast("decimal(28,18)")
+    )
     return (
         joint.join(F.broadcast(ms), "source")
         .join(F.broadcast(ml), "lang")
@@ -958,7 +974,7 @@ def dq206_mutual_info(t: Tables) -> DataFrame:
         .agg(
             F.max("n_s").alias("n_docs"),
             F.count("*").alias("n_langs"),
-            F.round(F.sum(term).cast("double"), 6).alias("mi_part"),
+            F.sum(term_micro).alias("mi_part_micro"),
         )
     )
 

