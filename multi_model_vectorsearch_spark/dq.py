@@ -460,10 +460,14 @@ _REGISTRY: list[DQ] = [
        "i -> toks[i] || ' ' || toks[i+1])) AS bg "
        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d"
        ") t GROUP BY doc_id"),
-    DQ("dq57_approx_distinct", R.dq57_approx_distinct, None,
-       note="B20 HyperLogLog sketch — implementations differ by engine "
-            "(SURVEY.md §5.3 rule 5); relative-error bound vs exact "
-            "count asserted in t1"),
+    DQ("dq57_approx_distinct", R.dq57_approx_distinct,
+       # engine-specific HLL estimate stays out of the hash set; the
+       # oracle checks the exact distinct + the est_ok bound as constant 1
+       "SELECT o_orderstatus, "
+       "CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_u, "
+       "CAST(1 AS INT) AS est_ok FROM orders GROUP BY o_orderstatus",
+       note="B20 HyperLogLog sketch — estimate is engine-specific "
+            "(SURVEY.md §5.3 rule 5); hash checks exact_u + est_ok"),
     DQ("dq58_pivot", R.dq58_pivot,
        "SELECT o_orderstatus, "
        + ", ".join(
@@ -840,10 +844,15 @@ _REGISTRY: list[DQ] = [
        "SELECT cand.vec_id, round(list_cosine_similarity("
        "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) AS s "
        "FROM cand CROSS JOIN q q2 ORDER BY s DESC, vec_id LIMIT 10"),
-    DQ("dq51_lsh_ann", N.dq51_lsh_ann, None,
-       note="B54 approx ANN (MLlib BucketedRandomProjectionLSH) — approx "
-            "algorithms differ by engine, rows-only check (SURVEY.md §5.3 "
-            "rule 5); recall asserted vs exact KNN in t1"),
+    DQ("dq51_lsh_ann", N.dq51_lsh_ann,
+       # the seeded neighbor set is engine-specific; the hash checks the
+       # structural invariants (count, self-hit, recall bound vs the
+       # Spark-side exact top-k), all constants the oracle reproduces
+       "SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS INT) AS "
+       "self_found, CAST(1 AS INT) AS recall_ok",
+       note="B54 approx ANN (MLlib BucketedRandomProjectionLSH) — "
+            "neighbor set is seed/engine-specific (SURVEY.md §5.3 rule "
+            "5); hash checks count/self-hit/recall-bound invariants"),
     DQ("dq52_centroid_applyinpandas", N.dq52_centroid_applyinpandas,
        "SELECT label, "
        + ", ".join(
@@ -1347,9 +1356,13 @@ _REGISTRY: list[DQ] = [
        "SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.p, b.p) AS lev "
        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
        "WHERE levenshtein(a.p, b.p) <= 8"),
-    DQ("dq140_approx_quantiles", R.dq140_approx_quantiles, None,
+    DQ("dq140_approx_quantiles", R.dq140_approx_quantiles,
+       # sketch values stay out of the hash set; the oracle checks the
+       # group counts + the ±1-unit-vs-exact bounds as constant 1
+       "SELECT l_returnflag, count(*) AS n, CAST(1 AS INT) AS p50_ok, "
+       "CAST(1 AS INT) AS p95_ok FROM lineitem GROUP BY l_returnflag",
        note="B20-family approx_percentile sketch — engine internals "
-            "differ; t1 bounds it against dq59's exact quantiles"),
+            "differ; hash checks counts + sketch-vs-exact bounds"),
     DQ("dq141_bloom_screen", C.dq141_bloom_screen,
        "WITH seeds AS (SELECT CAST(range AS INT) AS s FROM range(0, 4)), "
        "mh AS (SELECT doc_id, s, sha256('bf' || CAST(s AS VARCHAR) || ':' "
@@ -2245,10 +2258,20 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(lo) AS BIGINT) AS n_clipped_lo, "
        "CAST(sum(hi) AS BIGINT) AS n_clipped_hi, count(*) AS n "
        "FROM c GROUP BY l_returnflag"),
-    DQ("dq196_hll_rollup", R.dq196_hll_rollup, None,
-       note="mergeable-sketch distinct rollup — DataSketches HLL bits are "
-            "engine-specific (SURVEY.md §5.3 rule 5, like dq57); "
-            "estimate-vs-exact bound asserted in t1"),
+    DQ("dq196_hll_rollup", R.dq196_hll_rollup,
+       # DataSketches estimate stays out of the hash set; exact audit
+       # columns + the est_ok bound (oracle: constant 1) are hashed
+       "WITH d AS (SELECT date_trunc('day', ts) AS day, user_id "
+       "FROM events), "
+       "daily AS (SELECT day, count(DISTINCT user_id) AS ed FROM d "
+       "GROUP BY day) "
+       "SELECT CAST(count(*) AS BIGINT) AS n_days, "
+       "CAST(SUM(ed) AS BIGINT) AS sum_daily_distinct, "
+       "(SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) "
+       "AS exact_distinct, CAST(1 AS INT) AS est_ok FROM daily",
+       note="mergeable-sketch distinct rollup — DataSketches HLL bits "
+            "are engine-specific (SURVEY.md §5.3 rule 5); hash checks "
+            "exact audit columns + est_ok"),
     DQ("dq197_skyline", R.dq197_skyline,
        # brute-force NOT EXISTS dominance: equality proves the sort-based
        # rewrite in the engine

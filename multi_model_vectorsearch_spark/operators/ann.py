@@ -148,9 +148,14 @@ def dq51_lsh_ann(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """B54: MLlib random-projection LSH ANN (seeded → reproducible runs).
 
     The alternative scale path to dq47's IVF: hash buckets prune candidates,
-    ``approxNearestNeighbors`` probes them. Approximate algorithms differ by
-    engine, so this is a rows-only check (SURVEY.md §5.3 rule 5) — recall
-    quality is asserted in t1 tests against the exact KNN instead.
+    ``approxNearestNeighbors`` probes them. The neighbor set is
+    LSH-seed-specific (no oracle can reproduce it — SURVEY.md §5.3 rule 5),
+    so it stays OUT of the hash set: the hash-checked outputs are the
+    structural invariants the oracle reproduces as constants — result
+    count, the query finding itself at distance 0 (it is in the corpus),
+    and recall vs the Spark-side exact L2 top-k clearing 0.5 (the seeded
+    run measures 1.0 at sf0.01; bound left loose for other SFs). r5 fix:
+    the old per-neighbor projection surfaced as ``err: no_oracle``.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -166,7 +171,30 @@ def dq51_lsh_ann(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     model = lsh.fit(e)
     key = e.filter(F.col("vec_id") == query_vec_id).head().features
     nn = model.approxNearestNeighbors(e, key, k, distCol="dist")
-    return nn.select("vec_id", F.round("dist", 6).alias("dist"))
+    # exact L2 top-k over the corpus (brute force — the query is one row)
+    q = t["embeddings"].filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"))
+    exact = (
+        t["embeddings"].crossJoin(F.broadcast(q))
+        .select("vec_id", l2_distance(F.col("embedding"), F.col("qv"))
+                .alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id")).limit(k)
+        .select(F.col("vec_id").alias("evid"))
+    )
+    hits = nn.join(exact, nn.vec_id == F.col("evid"), "left_semi")
+    return (
+        nn.agg(
+            F.count("*").cast("bigint").alias("n_results"),
+            F.max((F.col("vec_id") == query_vec_id)
+                  & (F.col("dist") < 1e-9)).cast("int").alias("self_found"),
+        )
+        .crossJoin(F.broadcast(
+            hits.agg(F.count("*").alias("n_hits"))))
+        .select(
+            "n_results", "self_found",
+            (F.col("n_hits") >= 0.5 * k).cast("int").alias("recall_ok"),
+        )
+    )
 
 
 def dq52_centroid_applyinpandas(t: Tables, dims: int = 4) -> DataFrame:

@@ -431,14 +431,26 @@ def dq57_approx_distinct(t: Tables) -> DataFrame:
     """B20: HyperLogLog approximate distinct counts per order status.
 
     At 100 TB, exact count-distinct shuffles every key; HLL sketches merge in
-    fixed space (map-side partial, tiny exchange). HLL implementations differ
-    by engine (SURVEY.md §5.3 rule 5) so this is a rows-only check; the
-    relative-error bound vs the exact count is asserted in t1.
+    fixed space (map-side partial, tiny exchange). HLL sketch bits differ by
+    engine (SURVEY.md §5.3 rule 5), so the engine-specific estimate stays
+    OUT of the hash set: the hash-checked outputs are the exact distinct
+    (computed identically in both engines) and ``est_ok`` — the rsd=0.02
+    sketch landing within a generous 10% of exact, which the oracle
+    reproduces as the constant 1 (r5 fix: the old approx-only projection
+    surfaced as ``err: no_oracle`` whenever the driver sampled it).
     """
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_u"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_u"),
+            F.count_distinct("o_custkey").alias("exact_u"),
+        )
+        .select(
+            "o_orderstatus", "exact_u",
+            (F.abs(F.col("approx_u") - F.col("exact_u"))
+             <= 0.1 * F.col("exact_u")).cast("int").alias("est_ok"),
+        )
     )
 
 
@@ -755,14 +767,48 @@ def dq140_approx_quantiles(t: Tables) -> DataFrame:
     """B20-family: approx_percentile (t-digest-like sketch) per return
     flag — the constant-memory quantile path for 100 TB columns.
 
-    Sketch internals differ by engine, so this is a rows-only entry
-    (SURVEY §5.3 rule 5); t1 bounds the sketch against dq59's exact
-    quantiles instead.
+    Sketch internals differ by engine (SURVEY §5.3 rule 5), so the raw
+    sketch outputs stay OUT of the hash set. Hash-checked instead: the
+    group count plus ``p50_ok``/``p95_ok`` — the sketch landing within
+    ±1 quantity unit of the exact discrete quantile, computed Spark-side
+    against a per-group sorted-position lookup and reproduced by the
+    oracle as constant 1 (r5 fix for the ``err: no_oracle`` rows).
+    l_quantity has ~50 distinct integer values, so the bound is loose
+    for any sane sketch yet still pins the sketch to the data.
     """
     li = t["lineitem"]
-    return li.groupBy("l_returnflag").agg(
+    # exact discrete quantiles (inverted-CDF: smallest v with cum >= q*n)
+    # via a window over DISTINCT values — tiny per group
+    g = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    staged = (
+        g.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(wt))
+    )
+    exact = staged.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("l_quantity")))
+        .alias("p50_exact"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"),
+                     F.col("l_quantity"))).alias("p95_exact"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_quantity", 0.95, 10000).alias("p95_approx"),
+    )
+    return (
+        exact.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag", "n",
+            (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= 1.0)
+            .cast("int").alias("p50_ok"),
+            (F.abs(F.col("p95_approx") - F.col("p95_exact")) <= 1.0)
+            .cast("int").alias("p95_ok"),
+        )
     )
 
 
@@ -872,10 +918,14 @@ def dq196_hll_rollup(t: Tables) -> DataFrame:
     re-shuffles every event every time the window moves.
 
     ``hll_sketch_agg`` per day → ``hll_union_agg`` across days →
-    ``hll_sketch_estimate``; the audit columns carry the exact global
-    distinct for the error bound asserted in t1. Sketch bits are
-    engine-specific (Apache DataSketches), so this entry is rows-only by
-    declared contract (SURVEY §5.3 rule 5), like dq57.
+    ``hll_sketch_estimate``. Sketch bits are engine-specific (Apache
+    DataSketches), so the estimate stays OUT of the hash set: the
+    hash-checked outputs are the exact audit columns (n_days, exact
+    global distinct, sum of exact daily distincts — all oracle-
+    computable) plus ``est_ok``, the merged-sketch estimate landing
+    within 10% of exact (lgConfigK=12 → rsd ≈ 1.6%), which the oracle
+    reproduces as constant 1 (r5 fix: this entry surfaced as
+    ``err: no_oracle`` when the driver sampled it in r5).
     """
     ev = t["events"].select(
         F.date_trunc("DAY", "ts").alias("day"), "user_id"
@@ -893,6 +943,10 @@ def dq196_hll_rollup(t: Tables) -> DataFrame:
         F.broadcast(ev.agg(
             F.count_distinct("user_id").cast("bigint")
             .alias("exact_distinct")))
+    ).select(
+        "n_days", "sum_daily_distinct", "exact_distinct",
+        (F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+         <= 0.1 * F.col("exact_distinct")).cast("int").alias("est_ok"),
     )
 
 
