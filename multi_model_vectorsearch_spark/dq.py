@@ -2642,11 +2642,11 @@ _REGISTRY: list[DQ] = [
        "AS BIGINT) AS b FROM (SELECT label, SUM(nij) AS bj FROM ct "
        "GROUP BY label) c) "
        "SELECT n, pidx, a, b, "
-       "round(2.0 * CAST(CAST(pidx AS HUGEINT) * ((n * (n - 1)) // 2) "
+       "CAST(floor((2.0 * CAST(CAST(pidx AS HUGEINT) * ((n * (n - 1)) // 2) "
        "- CAST(a AS HUGEINT) * b AS DOUBLE) "
        "/ CAST(CAST((n * (n - 1)) // 2 AS HUGEINT) * (a + b) "
-       "- 2 * CAST(a AS HUGEINT) * b AS DOUBLE), 6) "
-       "AS ari FROM p CROSS JOIN pa CROSS JOIN pb"),
+       "- 2 * CAST(a AS HUGEINT) * b AS DOUBLE)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS ari_micro FROM p CROSS JOIN pa CROSS JOIN pb"),
     DQ("dq221_langid_confusion", T.dq221_langid_confusion,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
        "FROM documents), "

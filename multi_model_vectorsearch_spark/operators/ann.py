@@ -639,12 +639,26 @@ def dq220_ari(t: Tables, n_centroids: int = 8) -> DataFrame:
     a, b = F.col("a").cast(dec), F.col("b").cast(dec)
     num = F.col("pidx").cast(dec) * cn2 - a * b
     den = cn2 * (a + b) - 2 * a * b
+    # envelope guard: past ~1e9 points the decimal(38,0) products
+    # overflow, and under Spark's default non-ANSI mode that is a SILENT
+    # NULL (the DuckDB oracle's HUGEINT raises instead) — fail loudly
+    # rather than emit ari=NULL with no signal
+    guarded = parts.where(
+        F.when(
+            F.col("n") > 2_000_000_000,
+            F.raise_error(
+                "dq220_ari: n exceeds the decimal(38,0) pair-count "
+                "envelope (~1e9 points); products would overflow to "
+                "NULL under non-ANSI mode"),
+        ).otherwise(F.lit(True))
+    )
     # num/den doubled consistently: (pidx*C - AB) / (C*(A+B)/2 - AB)
-    # == 2*(pidx*C - AB) / (C*(A+B) - 2AB)
-    return parts.select(
+    # == 2*(pidx*C - AB) / (C*(A+B) - 2AB); micro-unit floor snap
+    # (round() is not cross-engine-identical, SURVEY §5.3 rule 6)
+    return guarded.select(
         "n", "pidx", "a", "b",
-        F.round(2.0 * num.cast("double") / den.cast("double"), 6)
-        .alias("ari"),
+        snap(2.0 * num.cast("double") / den.cast("double"))
+        .alias("ari_micro"),
     )
 
 

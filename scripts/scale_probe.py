@@ -45,6 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from multi_model_vectorsearch_spark import dq, get_spark, load_tables  # noqa: E402
+from multi_model_vectorsearch_spark.functions.vector import l2_normalize  # noqa: E402
 
 FLAGSHIPS = [
     "dq135_curation_funnel",
@@ -90,6 +91,15 @@ def synthesize(spark, src: str, out: str, factor: int) -> None:
     # same code silently reads the INPUT vec_id and every replica gets
     # an identical perturbation (exact-duplicate cliques — the exact
     # degenerate regime this synthesis exists to avoid)
+    perturbed = F.transform(
+        "embedding",
+        lambda x, i: x + 0.01 * (
+            (F.col("new_vec_id") * (i + 1)) % 7 - 3).cast("double"),
+    )
+    # re-normalize after the perturbation: the engine convention is that
+    # stored vectors are unit-norm (cosine == dot); an additive nudge
+    # alone would leave replicas on a different score scale than the
+    # originals for any prenormalized-dot consumer run over probe data
     big_embs = (
         embs.crossJoin(reps)
         .withColumn("new_vec_id", F.col("vec_id") + F.col("rep") * n_vecs)
@@ -97,11 +107,8 @@ def synthesize(spark, src: str, out: str, factor: int) -> None:
             F.col("new_vec_id").alias("vec_id"),
             F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
                 F.transform(
-                    "embedding",
-                    lambda x, i: (x + 0.01 * (
-                        (F.col("new_vec_id") * (i + 1)) % 7 - 3)
-                        .cast("double")
-                    ).cast("float"),
+                    l2_normalize(perturbed),
+                    lambda x: x.cast("float"),
                 )
             ).alias("embedding"),
             *[c for c in embs.columns if c not in ("vec_id", "embedding")],

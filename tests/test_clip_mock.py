@@ -111,7 +111,12 @@ def test_clip_branch_executes_with_mocked_stack(monkeypatch):
     monkeypatch.setitem(sys.modules, "torch", torch)
     monkeypatch.setitem(sys.modules, "transformers", transformers)
 
-    # drop the already-imported module so the gate re-evaluates under mocks
+    # the torch/transformers import gate is evaluated inside
+    # clip_embed_udf() at call time, so patching sys.modules above is
+    # enough; pop the engine module anyway so this test stays robust if
+    # the gate ever moves to module import time
+    sys.modules.pop(
+        "multi_model_vectorsearch_spark.functions.embedding", None)
     from multi_model_vectorsearch_spark.functions.embedding import (
         clip_embed_udf,
     )

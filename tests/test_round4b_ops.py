@@ -509,7 +509,7 @@ def test_ari_perfect_and_random_fixtures(spark):
     df = spark.createDataFrame(
         fixed, "vec_id long, embedding array<float>, label int")
     out = dq220_ari({"embeddings": df}, n_centroids=4).collect()[0]
-    assert out["ari"] == 1.0
+    assert out["ari_micro"] == 1_000_000
 
 
 def test_langid_confusion_reconciles(tables):
