@@ -223,7 +223,7 @@ def _spread_sql(x: str, bits: int = 10) -> str:
 
 _REGISTRY: list[DQ] = [
     DQ("dq01_scan_project", R.dq01_scan_project,
-       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem"),
+       "SELECT l_orderkey, l_linenumber, CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT) AS l_quantity_cents FROM lineitem"),
     DQ("dq02_filter_battery", R.dq02_filter_battery,
        "SELECT o_orderkey FROM orders "
        "WHERE o_totalprice BETWEEN 1000 AND 5000 AND o_orderstatus IN ('O','F') "
@@ -253,8 +253,8 @@ _REGISTRY: list[DQ] = [
        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts GROUP BY e.event_id"),
     DQ("dq10_hash_agg", R.dq10_hash_agg,
        "SELECT l_returnflag, l_linestatus, "
-       "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sq, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sp, "
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sq_cents, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sp_cents, "
        "count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     DQ("dq11_count_distinct", R.dq11_count_distinct,
        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS u FROM orders "
@@ -283,9 +283,9 @@ _REGISTRY: list[DQ] = [
        "SELECT event_id, lag(event_type) OVER "
        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events"),
     DQ("dq17_running_sum", R.dq17_running_sum,
-       "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
-       "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
-       "AS rs FROM events"),
+       "SELECT event_id, CAST(floor((sum(value) OVER (PARTITION BY user_id "
+       "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
+       "ROW)) * 100.0 + 0.5) AS BIGINT) AS rs_cents FROM events"),
     DQ("dq18_ntile", R.dq18_ntile,
        "SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) "
        "AS q FROM customer"),
@@ -306,14 +306,14 @@ _REGISTRY: list[DQ] = [
        "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, "
        "CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d FROM orders"),
     DQ("dq23_math_battery", R.dq23_math_battery,
-       "SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 6) AS sq, "
-       "round(ln(l_extendedprice), 6) AS lp, "
-       "round(abs(l_discount - 0.05), 6) AS ad, "
+       "SELECT l_orderkey, l_linenumber, CAST(floor((sqrt(l_quantity)) * 1000000.0 + 0.5) AS BIGINT) AS sq_micro, "
+       "CAST(floor((ln(l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro, "
+       "CAST(floor((abs(l_discount - 0.05)) * 1000000.0 + 0.5) AS BIGINT) AS ad_micro, "
        "l_orderkey % 7 AS md FROM lineitem"),
     DQ("dq24_array_battery", R.dq24_array_battery,
        "SELECT vec_id, CAST(len(embedding) AS INT) AS n, "
-       "round(CAST(embedding[1] AS DOUBLE), 6) AS e1, "
-       "round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS s FROM embeddings"),
+       "CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS e1_micro, "
+       "CAST(floor((list_sum(CAST(embedding AS DOUBLE[]))) * 1000000.0 + 0.5) AS BIGINT) AS s_micro FROM embeddings"),
     DQ("dq25_json_extract", R.dq25_json_extract,
        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
        "FROM events"),
@@ -328,9 +328,9 @@ _REGISTRY: list[DQ] = [
        "(SELECT doc_id, sha256(text) AS h FROM documents) t GROUP BY h"),
     DQ("dq65_unpivot", R.dq65_unpivot,
        "SELECT o_orderkey, 'totalprice' AS metric, "
-       "CAST(o_totalprice AS DOUBLE) AS val FROM orders "
+       "CAST(floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS val_cents FROM orders "
        "UNION ALL SELECT o_orderkey, 'custkey', "
-       "CAST(o_custkey AS DOUBLE) FROM orders"),
+       "CAST(floor((CAST(o_custkey AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) FROM orders"),
     DQ("dq66_regex_battery", R.dq66_regex_battery,
        "SELECT p_partkey, "
        "regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS w1, "
@@ -341,8 +341,8 @@ _REGISTRY: list[DQ] = [
        "SELECT c_custkey, o_orderkey, "
        "coalesce(o_orderkey, -1) AS ok_filled, "
        "nullif(c_nationkey, 0) AS nk_nz, "
-       "round(greatest(c_acctbal, coalesce(o_totalprice, 0.0)), 2) AS hi, "
-       "round(least(c_acctbal, coalesce(o_totalprice, 1e18)), 2) AS lo, "
+       "CAST(floor((greatest(c_acctbal, coalesce(o_totalprice, 0.0))) * 100.0 + 0.5) AS BIGINT) AS hi_cents, "
+       "CAST(floor((least(c_acctbal, coalesce(o_totalprice, 1e18))) * 100.0 + 0.5) AS BIGINT) AS lo_cents, "
        "CAST(o_orderkey IS NULL AS INT) AS no_orders "
        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
     DQ("dq68_date_arith", R.dq68_date_arith,
@@ -478,16 +478,16 @@ _REGISTRY: list[DQ] = [
        + " FROM orders GROUP BY o_orderstatus"),
     DQ("dq59_percentiles", R.dq59_percentiles,
        "SELECT l_returnflag, "
-       "round(quantile_cont(l_quantity, 0.25), 6) AS q25, "
-       "round(quantile_cont(l_quantity, 0.5), 6) AS q50, "
-       "round(quantile_cont(l_quantity, 0.75), 6) AS q75 "
+       "CAST(floor((quantile_cont(l_quantity, 0.25)) * 1000000.0 + 0.5) AS BIGINT) AS q25_micro, "
+       "CAST(floor((quantile_cont(l_quantity, 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS q50_micro, "
+       "CAST(floor((quantile_cont(l_quantity, 0.75)) * 1000000.0 + 0.5) AS BIGINT) AS q75_micro "
        "FROM lineitem GROUP BY l_returnflag"),
     DQ("dq60_stats_agg", R.dq60_stats_agg,
        "SELECT l_returnflag, "
-       "round(stddev_samp(l_quantity), 6) AS sd_qty, "
-       "round(var_samp(l_discount), 6) AS var_disc, "
-       "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
-       "round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp "
+       "CAST(floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) AS BIGINT) AS sd_qty_micro, "
+       "CAST(floor((var_samp(l_discount)) * 1000000.0 + 0.5) AS BIGINT) AS var_disc_micro, "
+       "CAST(floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS corr_qp_micro, "
+       "CAST(floor((covar_samp(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS cov_qp_micro "
        "FROM lineitem GROUP BY l_returnflag"),
     DQ("dq63_bm25_topk", RT.dq63_bm25_topk,
        "WITH " + _BM25_CTE + " "
@@ -574,8 +574,8 @@ _REGISTRY: list[DQ] = [
        "SELECT o_orderkey, "
        "first_value(o_orderkey) OVER w AS best, "
        "nth_value(o_orderkey, 2) OVER w AS second, "
-       "round(cume_dist() OVER w, 6) AS cd, "
-       "round(percent_rank() OVER w, 6) AS pr "
+       "CAST(floor((cume_dist() OVER w) * 1000000.0 + 0.5) AS BIGINT) AS cd_micro, "
+       "CAST(floor((percent_rank() OVER w) * 1000000.0 + 0.5) AS BIGINT) AS pr_micro "
        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
        "ORDER BY o_totalprice DESC, o_orderkey)"),
     DQ("dq76_nullsafe_join", R.dq76_nullsafe_join,
@@ -599,8 +599,9 @@ _REGISTRY: list[DQ] = [
        "AS INT) AS bucket, count(*) AS c "
        "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
     DQ("dq82_correlated_subquery", R.dq82_correlated_subquery,
-       "SELECT c_custkey, (SELECT round(max(o_totalprice), 2) FROM orders "
-       "WHERE o_custkey = c_custkey) AS mx FROM customer"),
+       "SELECT c_custkey, (SELECT CAST(floor(max(o_totalprice) * 100.0 + 0.5) "
+       "AS BIGINT) FROM orders "
+       "WHERE o_custkey = c_custkey) AS mx_cents FROM customer"),
     DQ("dq83_map_ops", R.dq83_map_ops,
        "SELECT event_id, "
        "CAST(json_extract_string(props, '$.k') AS INT) AS k, "
@@ -609,8 +610,8 @@ _REGISTRY: list[DQ] = [
        "FROM events"),
     DQ("dq81_sql_text", R.dq81_sql_text,
        "SELECT n_name, "
-       "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
-       "AS total, count(*) AS n_orders "
+       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS total_cents, count(*) AS n_orders "
        "FROM orders JOIN customer ON o_custkey = c_custkey "
        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
@@ -1162,7 +1163,9 @@ _REGISTRY: list[DQ] = [
        "SELECT doc_id, tok, score, CAST(rn AS INT) AS rn FROM r "
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
     DQ("dq124_lateral_topn", R.dq124_lateral_topn,
-       "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+       "SELECT c.c_custkey, o.o_orderkey, "
+       "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) "
+       "AS o_totalprice_cents "
        "FROM customer c, "
        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
        "WHERE o_custkey = c.c_custkey "
@@ -1273,7 +1276,7 @@ _REGISTRY: list[DQ] = [
        "GROUP BY user_id), "
        "tot AS (SELECT count(*) AS n_tot FROM events) "
        "SELECT user_id, CAST(c AS BIGINT) AS c, "
-       "round(c / n_tot, 6) AS share FROM c CROSS JOIN tot "
+       "CAST(floor((c / n_tot) * 1000000.0 + 0.5) AS BIGINT) AS share_micro FROM c CROSS JOIN tot "
        "ORDER BY c DESC, user_id LIMIT 20"),
     DQ("dq135_curation_funnel", C.dq135_curation_funnel,
        "WITH " + _SIG_CTE + ", "
@@ -2112,11 +2115,11 @@ _REGISTRY: list[DQ] = [
        "pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS pair_n "
        "FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand "
        "GROUP BY b1, b2 HAVING count(*) >= 5) "
-       "SELECT b1, b2, pair_n, round(pair_n / n, 6) AS support, "
-       "round(pair_n * n / (m1.nb * m2.nb), 6) AS lift "
+       "SELECT b1, b2, pair_n, CAST(floor((pair_n / n) * 1000000.0 + 0.5) AS BIGINT) AS support_micro, "
+       "CAST(floor((pair_n * n / (m1.nb * m2.nb)) * 1000000.0 + 0.5) AS BIGINT) AS lift_micro "
        "FROM pairs JOIN marg m1 ON m1.brand = b1 "
        "JOIN marg m2 ON m2.brand = b2 CROSS JOIN no "
-       "ORDER BY lift DESC, b1, b2 LIMIT 30"),
+       "ORDER BY lift_micro DESC, b1, b2 LIMIT 30"),
     DQ("dq187_changelog_compact", TS.dq187_changelog_compact,
        "SELECT user_id, count(*) AS n_ops, "
        "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), k) "
@@ -2251,10 +2254,10 @@ _REGISTRY: list[DQ] = [
        "CAST(l_extendedprice < p05 AS INT) AS lo, "
        "CAST(l_extendedprice > p95 AS INT) AS hi "
        "FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag) "
-       "SELECT l_returnflag, round(max(p05), 6) AS p05, "
-       "round(max(p95), 6) AS p95, "
-       "round(CAST(sum(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) "
-       "AS wins_mean, "
+       "SELECT l_returnflag, CAST(floor((max(p05)) * 1000000.0 + 0.5) AS BIGINT) AS p05_micro, "
+       "CAST(floor((max(p95)) * 1000000.0 + 0.5) AS BIGINT) AS p95_micro, "
+       "CAST(floor((CAST(sum(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS wins_mean_micro, "
        "CAST(sum(lo) AS BIGINT) AS n_clipped_lo, "
        "CAST(sum(hi) AS BIGINT) AS n_clipped_hi, count(*) AS n "
        "FROM c GROUP BY l_returnflag"),
@@ -2275,7 +2278,7 @@ _REGISTRY: list[DQ] = [
     DQ("dq197_skyline", R.dq197_skyline,
        # brute-force NOT EXISTS dominance: equality proves the sort-based
        # rewrite in the engine
-       "SELECT a.p_partkey, a.p_retailprice AS price, a.p_size AS size "
+       "SELECT a.p_partkey, CAST(floor((a.p_retailprice) * 100.0 + 0.5) AS BIGINT) AS price_cents, a.p_size AS size "
        "FROM part a WHERE NOT EXISTS (SELECT 1 FROM part b "
        "WHERE b.p_retailprice <= a.p_retailprice "
        "AND b.p_size <= a.p_size "
@@ -2306,8 +2309,8 @@ _REGISTRY: list[DQ] = [
        "c AS (SELECT l_returnflag, price, "
        "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw, "
        "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
-       "SELECT l_returnflag, min(price) AS wmedian FROM c "
-       "WHERE 2 * cw >= tw GROUP BY l_returnflag"),
+       "SELECT l_returnflag, CAST(floor((min(price)) * 100.0 + 0.5) AS BIGINT) AS wmedian_cents "
+       "FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag"),
     DQ("dq201_compaction_plan", S.dq201_compaction_plan,
        "WITH s AS (SELECT o_orderdate AS d, count(*) AS n FROM orders "
        "GROUP BY o_orderdate), "
@@ -2510,8 +2513,8 @@ _REGISTRY: list[DQ] = [
        "SELECT l_returnflag, l_linestatus, "
        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
        "count(*) AS n, "
-       "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) "
-       "AS sum_qty FROM lineitem GROUP BY GROUPING SETS "
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS sum_qty_cents FROM lineitem GROUP BY GROUPING SETS "
        "((l_returnflag, l_linestatus), (l_returnflag), ())"),
     DQ("dq213_rolling_zscore", TS.dq213_rolling_zscore,
        "WITH ev AS (SELECT user_id, event_id, "
@@ -2756,8 +2759,8 @@ _REGISTRY: list[DQ] = [
        "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) "
        "GROUP BY l_returnflag) "
        "SELECT dev.l_returnflag, count(*) AS n, "
-       "max(dev.med) / 100.0 AS med, "
-       "max(mad.mad) / 100.0 AS mad, "
+       "CAST(max(dev.med) AS BIGINT) AS med_cents, "
+       "CAST(max(mad.mad) AS BIGINT) AS mad_cents, "
        "CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) "
        "AS BIGINT) AS n_outliers "
        "FROM dev JOIN mad USING (l_returnflag) GROUP BY dev.l_returnflag"),
@@ -2923,11 +2926,11 @@ _REGISTRY: list[DQ] = [
        "CAST(n_obs AS DOUBLE) / n_total AS p_obs, "
        "log10(1.0 + 1.0 / CAST(CAST(digit AS INT) AS DOUBLE)) AS p_exp "
        "FROM counts CROSS JOIN tot), "
-       "st2 AS (SELECT *, CAST((p_obs - p_exp) * (p_obs - p_exp) / p_exp "
-       "AS DECIMAL(28,18)) AS chi FROM st) "
-       "SELECT digit, n_obs, round(p_obs, 6) AS p_obs, "
-       "round(p_exp, 6) AS p_exp, "
-       "round(CAST(SUM(chi) OVER () AS DOUBLE), 6) AS chi_sq FROM st2"),
+       "st2 AS (SELECT *, CAST(floor(((p_obs - p_exp) * (p_obs - p_exp) "
+       "/ p_exp) * 1000000000000.0 + 0.5) AS BIGINT) AS chi FROM st) "
+       "SELECT digit, n_obs, CAST(floor((p_obs) * 1000000.0 + 0.5) AS BIGINT) AS p_obs_micro, "
+       "CAST(floor((p_exp) * 1000000.0 + 0.5) AS BIGINT) AS p_exp_micro, "
+       "CAST(SUM(chi) OVER () AS BIGINT) AS chi_sq_pico FROM st2"),
     DQ("dq234_equiheight_histogram", R.dq234_equiheight_histogram,
        "WITH li AS (SELECT l_returnflag, "
        "CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem), "
@@ -2940,7 +2943,7 @@ _REGISTRY: list[DQ] = [
        "SELECT l_returnflag, "
        "CAST(floor(cum_excl * 8 / n_tot) AS INT) AS b, "
        "CAST(SUM(c) AS BIGINT) AS n_rows, "
-       "min(x) / 100.0 AS lo, max(x) / 100.0 AS hi "
+       "min(x) AS lo_cents, max(x) AS hi_cents "
        "FROM cum GROUP BY l_returnflag, b"),
     DQ("dq235_markov_nll", TS.dq235_markov_nll,
        "WITH ev AS (SELECT user_id, event_type, "
@@ -2970,8 +2973,9 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(x * (c * cum_excl + (c * (c + 1)) // 2)) AS BIGINT) "
        "AS srx, CAST(SUM(x * c) AS BIGINT) AS sx, "
        "CAST(SUM(c) AS BIGINT) AS n FROM cum) "
-       "SELECT n, round(2.0 * srx / (n * sx) "
-       "- CAST(n + 1 AS DOUBLE) / n, 6) AS gini FROM agg"),
+       "SELECT n, CAST(floor((2.0 * srx / (n * sx) "
+       "- CAST(n + 1 AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS gini_micro FROM agg"),
     DQ("dq237_assortativity", G.dq237_assortativity,
        "WITH " + _EDGES_CTE + ", "
        "adj AS (SELECT src, dst FROM edges "

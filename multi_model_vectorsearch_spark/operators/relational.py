@@ -19,14 +19,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+
 Tables = dict
 
 
 # --- scans / projections / filters -----------------------------------------
 
 def dq01_scan_project(t: Tables) -> DataFrame:
-    """B1/B2/B6: pruned parquet scan — reads exactly three columns."""
-    return t["lineitem"].select("l_orderkey", "l_linenumber", "l_quantity")
+    """B1/B2/B6: pruned parquet scan — reads exactly three columns.
+
+    l_quantity is emitted as exact cents (floor snap ×100): raw DOUBLE
+    outputs are banned registry-wide (tests/test_entry.py) after the r5
+    round()-divergence reds — the snap is the engine-identical encoding.
+    """
+    return t["lineitem"].select(
+        "l_orderkey", "l_linenumber",
+        snap(F.col("l_quantity"), 100).alias("l_quantity_cents"))
 
 
 def dq02_filter_battery(t: Tables) -> DataFrame:
@@ -146,17 +155,19 @@ def asof_join_range(t: Tables) -> DataFrame:
 def dq10_hash_agg(t: Tables) -> DataFrame:
     """B18/B22: hash agg with map-side partials.
 
-    Sums are computed in DECIMAL for exactness, then rounded to DOUBLE for
-    the comparison surface: the driver hashes cell reprs, and DECIMAL repr
-    differs across engines even when values are bit-identical (round-1
-    CORRECTNESS showed rows/schema match with a hash-only mismatch).
+    Sums are computed in DECIMAL for exactness and emitted as exact cents
+    BIGINTs (decimal × 100, zero fraction → lossless): DECIMAL repr and
+    rounded-DOUBLE outputs both diverge across engines (round-1 hash
+    mismatch; r5 round() reds), integer cents cannot.
     """
     li = t["lineitem"]
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(li.l_quantity.cast("decimal(18,2)")).cast("double"), 2).alias("sq"),
-            F.round(F.sum(li.l_extendedprice.cast("decimal(18,2)")).cast("double"), 2).alias("sp"),
+            (F.sum(li.l_quantity.cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("sq_cents"),
+            (F.sum(li.l_extendedprice.cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("sp_cents"),
             F.count("*").alias("c"),
         )
     )
@@ -250,7 +261,7 @@ def dq17_running_sum(t: Tables) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return t["events"].select(
-        "event_id", F.round(F.sum("value").over(w), 2).alias("rs")
+        "event_id", snap(F.sum("value").over(w), 100).alias("rs_cents")
     )
 
 
@@ -313,9 +324,9 @@ def dq23_math_battery(t: Tables) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
-        F.round(F.log("l_extendedprice"), 6).alias("lp"),
-        F.round(F.abs(li.l_discount - 0.05), 6).alias("ad"),
+        snap(F.sqrt("l_quantity")).alias("sq_micro"),
+        snap(F.log("l_extendedprice")).alias("lp_micro"),
+        snap(F.abs(li.l_discount - 0.05)).alias("ad_micro"),
         (li.l_orderkey % 7).alias("md"),
     )
 
@@ -326,12 +337,11 @@ def dq24_array_battery(t: Tables) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("int").alias("n"),
-        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
-        F.round(
+        snap(F.element_at("embedding", 1).cast("double")).alias("e1_micro"),
+        snap(
             F.aggregate("embedding", F.lit(0.0),
                         lambda acc, x: acc + x.cast("double")),
-            6,
-        ).alias("s"),
+        ).alias("s_micro"),
     )
 
 
@@ -404,9 +414,9 @@ def dq59_percentiles(t: Tables) -> DataFrame:
         .agg(qs.alias("raw"))
         .select(
             "l_returnflag",
-            F.round(F.element_at("raw", 1), 6).alias("q25"),
-            F.round(F.element_at("raw", 2), 6).alias("q50"),
-            F.round(F.element_at("raw", 3), 6).alias("q75"),
+            snap(F.element_at("raw", 1)).alias("q25_micro"),
+            snap(F.element_at("raw", 2)).alias("q50_micro"),
+            snap(F.element_at("raw", 3)).alias("q75_micro"),
         )
     )
 
@@ -420,10 +430,11 @@ def dq60_stats_agg(t: Tables) -> DataFrame:
     """
     li = t["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("cov_qp"),
+        snap(F.stddev_samp("l_quantity")).alias("sd_qty_micro"),
+        snap(F.var_samp("l_discount")).alias("var_disc_micro"),
+        snap(F.corr("l_quantity", "l_extendedprice")).alias("corr_qp_micro"),
+        snap(F.covar_samp("l_quantity", "l_extendedprice"))
+        .alias("cov_qp_micro"),
     )
 
 
@@ -463,7 +474,7 @@ def dq65_unpivot(t: Tables) -> DataFrame:
     )
     return o.unpivot(
         ["o_orderkey"], ["totalprice", "custkey"], "metric", "val"
-    )
+    ).select("o_orderkey", "metric", snap(F.col("val"), 100).alias("val_cents"))
 
 
 def dq66_regex_battery(t: Tables) -> DataFrame:
@@ -488,10 +499,10 @@ def dq67_null_battery(t: Tables) -> DataFrame:
         "o_orderkey",
         F.coalesce("o_orderkey", F.lit(-1)).alias("ok_filled"),
         F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_nz"),
-        F.round(F.greatest(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
-                F.lit(0.0))), 2).alias("hi"),
-        F.round(F.least(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
-                F.lit(1e18))), 2).alias("lo"),
+        snap(F.greatest(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
+             F.lit(0.0))), 100).alias("hi_cents"),
+        snap(F.least(F.col("c_acctbal"), F.coalesce(F.col("o_totalprice"),
+             F.lit(1e18))), 100).alias("lo_cents"),
         F.isnull("o_orderkey").cast("int").alias("no_orders"),
     )
 
@@ -579,8 +590,8 @@ def dq75_window_battery(t: Tables) -> DataFrame:
         "o_orderkey",
         F.first("o_orderkey").over(w).alias("best"),
         F.nth_value("o_orderkey", 2).over(w).alias("second"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        snap(F.cume_dist().over(w)).alias("cd_micro"),
+        snap(F.percent_rank().over(w)).alias("pr_micro"),
     )
 
 
@@ -616,8 +627,8 @@ def dq81_sql_text(t: Tables) -> DataFrame:
         t[name].createOrReplaceTempView(f"sql_{name}")
     return spark.sql(
         "SELECT n_name, "
-        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) "
-        "AS total, count(*) AS n_orders "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+        "AS total_cents, count(*) AS n_orders "
         "FROM sql_orders JOIN sql_customer ON o_custkey = c_custkey "
         "JOIN sql_nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
@@ -636,8 +647,9 @@ def dq82_correlated_subquery(t: Tables) -> DataFrame:
     t["orders"].createOrReplaceTempView("corr_orders")
     return spark.sql(
         "SELECT c_custkey, "
-        "(SELECT round(max(o_totalprice), 2) FROM corr_orders "
-        " WHERE o_custkey = c_custkey) AS mx "
+        "(SELECT CAST(floor(max(o_totalprice) * 100.0 + 0.5) AS BIGINT) "
+        " FROM corr_orders "
+        " WHERE o_custkey = c_custkey) AS mx_cents "
         "FROM corr_customer"
     )
 
@@ -666,7 +678,9 @@ def dq124_lateral_topn(t: Tables) -> DataFrame:
     for name in ("orders", "customer"):
         t[name].createOrReplaceTempView(f"lat_{name}")
     return spark.sql(
-        "SELECT c.c_custkey, o.o_orderkey, o.o_totalprice "
+        "SELECT c.c_custkey, o.o_orderkey, "
+        "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) "
+        "AS o_totalprice_cents "
         "FROM lat_customer c, "
         "LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders "
         "         WHERE o_custkey = c.c_custkey "
@@ -756,7 +770,7 @@ def dq134_heavy_hitters(t: Tables, k: int = 20) -> DataFrame:
         counts.crossJoin(F.broadcast(total))
         .select(
             "user_id", "c",
-            F.round(F.col("c") / F.col("n_tot"), 6).alias("share"),
+            snap(F.col("c") / F.col("n_tot")).alias("share_micro"),
         )
         .orderBy(F.desc("c"), F.asc("user_id"))
         .limit(k)
@@ -854,12 +868,12 @@ def dq186_basket_lift(t: Tables, min_pair_n: int = 5, k: int = 30) -> DataFrame:
         .crossJoin(F.broadcast(n_orders))
         .select(
             "b1", "b2", "pair_n",
-            F.round(F.col("pair_n") / F.col("n"), 6).alias("support"),
-            F.round(F.col("pair_n") * F.col("n")
-                    / (F.col("n1") * F.col("n2")), 6).alias("lift"),
+            snap(F.col("pair_n") / F.col("n")).alias("support_micro"),
+            snap(F.col("pair_n") * F.col("n")
+                 / (F.col("n1") * F.col("n2"))).alias("lift_micro"),
         )
     )
-    return scored.orderBy(F.desc("lift"), "b1", "b2").limit(k)
+    return scored.orderBy(F.desc("lift_micro"), "b1", "b2").limit(k)
 
 
 def dq195_winsorized_stats(t: Tables) -> DataFrame:
@@ -898,11 +912,11 @@ def dq195_winsorized_stats(t: Tables) -> DataFrame:
     return (
         clipped.groupBy("l_returnflag")
         .agg(
-            F.round(F.max("p05"), 6).alias("p05"),
-            F.round(F.max("p95"), 6).alias("p95"),
-            F.round(
-                (F.sum(F.col("cv").cast("decimal(28,10)")).cast("double")
-                 / F.count("*")), 6).alias("wins_mean"),
+            snap(F.max("p05")).alias("p05_micro"),
+            snap(F.max("p95")).alias("p95_micro"),
+            snap(
+                F.sum(F.col("cv").cast("decimal(28,10)")).cast("double")
+                / F.count("*")).alias("wins_mean_micro"),
             F.sum("lo").cast("bigint").alias("n_clipped_lo"),
             F.sum("hi").cast("bigint").alias("n_clipped_hi"),
             F.count("*").alias("n"),
@@ -983,7 +997,8 @@ def dq197_skyline(t: Tables) -> DataFrame:
     return (
         p.join(F.broadcast(frontier), "price")
         .filter(F.col("size") == F.col("mp"))
-        .select("p_partkey", "price", "size")
+        .select("p_partkey", snap(F.col("price"), 100).alias("price_cents"),
+                "size")
     )
 
 
@@ -1017,7 +1032,7 @@ def dq199_weighted_median(t: Tables) -> DataFrame:
     return (
         cum.filter(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("l_returnflag")
-        .agg(F.min("price").alias("wmedian"))
+        .agg(snap(F.min("price"), 100).alias("wmedian_cents"))
     )
 
 
@@ -1042,8 +1057,8 @@ def dq212_grouping_sets(t: Tables) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-                    .cast("double"), 2).alias("sum_qty"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("sum_qty_cents"),
         )
     )
 
@@ -1110,8 +1125,8 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.sum("c").alias("n"),
-            (F.max("med_c") / 100.0).alias("med"),
-            (F.max("mad_c") / 100.0).alias("mad"),
+            F.max("med_c").alias("med_cents"),
+            F.max("mad_c").alias("mad_cents"),
             F.sum(F.when(F.col("d") > 3 * F.col("mad_c"), F.col("c"))
                   .otherwise(F.lit(0))).alias("n_outliers"),
         )
@@ -1128,8 +1143,9 @@ def dq233_benford_audit(t: Tables) -> DataFrame:
     non-decimal representation — no float log in the bucketing, so the
     grouping is exact); counts are one map-side-combinable groupBy over
     9 groups. Expected shares use log10 on exact small integers —
-    engine-identical — and the chi-square terms accumulate as DECIMAL
-    before one final cast.
+    engine-identical — and the chi-square terms are floor-snapped to
+    pico-unit BIGINTs before an exact integer sum (order-independent,
+    no DECIMAL-cast-of-double repr hazard).
     """
     o = t["orders"].select(
         F.substring(
@@ -1147,17 +1163,19 @@ def dq233_benford_audit(t: Tables) -> DataFrame:
         .withColumn("p_exp", expected)
         .withColumn(
             "chi_term",
-            ((F.col("p_obs") - F.col("p_exp"))
-             * (F.col("p_obs") - F.col("p_exp")) / F.col("p_exp"))
-            .cast("decimal(28,18)"),
+            # per-term pico floor snap, then exact integer sum — the
+            # DECIMAL-cast-of-double staging it replaces splits on
+            # shortest-repr-vs-binary across engines (dq206's r5 red)
+            snap((F.col("p_obs") - F.col("p_exp"))
+                 * (F.col("p_obs") - F.col("p_exp")) / F.col("p_exp"),
+                 1_000_000_000_000),
         )
     )
     return staged.select(
         "digit", "n_obs",
-        F.round("p_obs", 6).alias("p_obs"),
-        F.round("p_exp", 6).alias("p_exp"),
-        F.round(F.sum("chi_term").over(Window.partitionBy())
-                .cast("double"), 6).alias("chi_sq"),
+        snap(F.col("p_obs")).alias("p_obs_micro"),
+        snap(F.col("p_exp")).alias("p_exp_micro"),
+        F.sum("chi_term").over(Window.partitionBy()).alias("chi_sq_pico"),
     )
 
 
@@ -1195,8 +1213,8 @@ def dq234_equiheight_histogram(t: Tables, n_buckets: int = 8) -> DataFrame:
         .groupBy("l_returnflag", "b")
         .agg(
             F.sum("c").alias("n_rows"),
-            (F.min("x") / 100.0).alias("lo"),
-            (F.max("x") / 100.0).alias("hi"),
+            F.min("x").alias("lo_cents"),
+            F.max("x").alias("hi_cents"),
         )
     )
 
@@ -1243,4 +1261,4 @@ def dq236_gini(t: Tables) -> DataFrame:
         / (F.col("n") * F.col("sx")).cast("double")
         - (F.col("n") + 1).cast("double") / F.col("n")
     )
-    return agg.select("n", F.round(g, 6).alias("gini"))
+    return agg.select("n", snap(g).alias("gini_micro"))

@@ -45,7 +45,7 @@ def test_approx_quantiles_near_exact(tables):
         dq140_approx_quantiles,
     )
 
-    exact = {r["l_returnflag"]: r["q50"]
+    exact = {r["l_returnflag"]: r["q50_micro"]
              for r in dq59_percentiles(tables).collect()}
     got = {r["l_returnflag"]: r
            for r in dq140_approx_quantiles(tables).collect()}

@@ -405,7 +405,7 @@ def test_weighted_median_matches_python_reference(spark, rows):
         [(f, float(p), float(q)) for f, p, q in rows],
         "l_returnflag string, l_extendedprice double, l_quantity double",
     )
-    got = {r.l_returnflag: r.wmedian
+    got = {r.l_returnflag: r.wmedian_cents / 100.0
            for r in dq199_weighted_median({"lineitem": df}).collect()}
 
     weights = defaultdict(lambda: defaultdict(int))

@@ -71,7 +71,8 @@ def test_weighted_median_balances_weight(tables_sf001):
         F.col("l_extendedprice").alias("p"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    med = dq199_weighted_median(tables_sf001)
+    med = dq199_weighted_median(tables_sf001).withColumn(
+        "wmedian", F.col("wmedian_cents") / 100.0)
     j = li.join(med, "l_returnflag")
     chk = j.groupBy("l_returnflag").agg(
         F.sum("q").alias("tw"),
@@ -609,11 +610,11 @@ def test_mad_outliers_robustness(spark):
         return dq225_mad_outliers({"lineitem": df}).collect()[0]
 
     clean = run(base)
-    assert clean["med"] == 10.0 and clean["mad"] == 5.0
+    assert clean["med_cents"] == 1000 and clean["mad_cents"] == 500
     assert clean["n_outliers"] == 0
     spiked = run(base + [1e9])
-    assert spiked["med"] == 10.0  # lower median of 20 values: still 10
-    assert spiked["mad"] == 5.0
+    assert spiked["med_cents"] == 1000  # lower median of 20: still 10.00
+    assert spiked["mad_cents"] == 500
     assert spiked["n_outliers"] == 1
 
 
@@ -750,9 +751,10 @@ def test_benford_audit_is_a_distribution(tables):
 
     rows = dq233_benford_audit(tables).collect()
     assert 1 <= len(rows) <= 9
-    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-4
-    chis = {r["chi_sq"] for r in rows}
-    assert len(chis) == 1 and rows[0]["chi_sq"] >= 0.0
+    # micro-unit shares: sum to 1e6 within snap quantum per row
+    assert abs(sum(r["p_obs_micro"] for r in rows) - 1_000_000) <= len(rows)
+    chis = {r["chi_sq_pico"] for r in rows}
+    assert len(chis) == 1 and rows[0]["chi_sq_pico"] >= 0
 
 
 def test_equiheight_buckets_balance(tables_sf001):
@@ -770,7 +772,7 @@ def test_equiheight_buckets_balance(tables_sf001):
         rs.sort(key=lambda r: r["b"])
         total = sum(r["n_rows"] for r in rs)
         for a, b in zip(rs, rs[1:]):
-            assert a["hi"] <= b["lo"], (flag, a, b)
+            assert a["hi_cents"] <= b["lo_cents"], (flag, a, b)
         target = total / 8
         for r in rs:
             assert r["n_rows"] <= 2 * target + 1, (flag, r)
@@ -817,11 +819,11 @@ def test_gini_extremes(spark):
         ).withColumn("ts", F.to_timestamp("ts"))
 
     equal = dq236_gini({"events": ev([(u, 10.0) for u in range(10)])})
-    assert abs(equal.collect()[0]["gini"]) < 1e-9
+    assert equal.collect()[0]["gini_micro"] == 0
     skewed = dq236_gini({"events": ev(
         [(u, 0.01) for u in range(9)] + [(9, 10000.0)])})
-    g = skewed.collect()[0]["gini"]
-    assert g > 0.85
+    g = skewed.collect()[0]["gini_micro"]
+    assert g > 850_000
 
 
 def test_assortativity_bounds(tables):
