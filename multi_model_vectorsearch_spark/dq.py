@@ -83,22 +83,27 @@ _SIMHASH_CTE = (
 
 _SEEDS_CTE = (
     "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-    "seeds AS (SELECT e.vec_id, round("
+    "seeds AS (SELECT e.vec_id, CAST(floor(("
     + _cos("e", "qq")
-    + ", 6) AS s FROM embeddings e CROSS JOIN qq ORDER BY s DESC, vec_id LIMIT 10)"
+    + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
+    "FROM embeddings e CROSS JOIN qq "
+    "ORDER BY s_micro DESC, vec_id LIMIT 10)"
 )
 
 _EDGES_CTE = (
     "q AS (SELECT vec_id AS qid, embedding AS qv, label % 3 AS qm FROM embeddings "
     "WHERE vec_id < 20), "
     "sims AS (SELECT q.qid, q.qm, e.vec_id, e.label % 3 AS em, "
-    "round(CASE WHEN e.vec_id = q.qid THEN 1.0 ELSE " + _cos("e", "q") + " END, 6) AS s "
+    "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 ELSE "
+    + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
     "FROM embeddings e CROSS JOIN q), "
-    "ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY qid ORDER BY s_micro DESC, vec_id) "
     "AS rnk FROM sims), "
     "pairs AS (SELECT * FROM ranked WHERE rnk <= 5 AND vec_id <> qid), "
     "edges AS (SELECT least(qid, vec_id) AS src, greatest(qid, vec_id) AS dst, "
-    "round(max(CASE WHEN qm <> em THEN greatest(s, 0.8) ELSE s END), 6) AS score "
+    "max(CASE WHEN qm <> em THEN greatest(s_micro, 800000) "
+    "ELSE s_micro END) AS score_micro "
     "FROM pairs GROUP BY src, dst)"
 )
 
@@ -366,46 +371,53 @@ _REGISTRY: list[DQ] = [
     # --- vector suite (B47-B50) ---------------------------------------------
     DQ("dq29_knn_topk", V.dq29_knn_topk,
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, round(" + _cos("e", "qq") + ", 6) AS s "
-       "FROM embeddings e CROSS JOIN qq ORDER BY s DESC, vec_id LIMIT 10"),
+       "SELECT e.vec_id, CAST(floor((" + _cos("e", "qq")
+       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
+       "FROM embeddings e CROSS JOIN qq "
+       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq30_l2_normalize", V.dq30_l2_normalize,
-       "SELECT vec_id, round(sqrt(list_sum(list_transform("
+       "SELECT vec_id, CAST(floor(sqrt(list_sum(list_transform("
        "list_transform(CAST(embedding AS DOUBLE[]), "
        "x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))), "
-       "x -> x*x))), 6) AS one FROM embeddings"),
+       "x -> x*x))) * 1000000.0 + 0.5) AS BIGINT) AS one_micro FROM embeddings"),
     DQ("dq31_knn_join", V.dq31_knn_join,
        "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
        "WHERE vec_id < 20), "
-       "sims AS (SELECT q.qid, e.vec_id, round(CASE WHEN e.vec_id = q.qid THEN 1.0 "
-       "ELSE " + _cos("e", "q") + " END, 6) AS s FROM embeddings e CROSS JOIN q), "
-       "ranked AS (SELECT qid, vec_id, s, CAST(row_number() OVER "
-       "(PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims) "
-       "SELECT qid, rnk, vec_id, s FROM ranked WHERE rnk <= 5"),
+       "sims AS (SELECT q.qid, e.vec_id, "
+       "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 "
+       "ELSE " + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro FROM embeddings e CROSS JOIN q), "
+       "ranked AS (SELECT qid, vec_id, s_micro, CAST(row_number() OVER "
+       "(PARTITION BY qid ORDER BY s_micro DESC, vec_id) AS INT) AS rnk "
+       "FROM sims) "
+       "SELECT qid, rnk, vec_id, s_micro FROM ranked WHERE rnk <= 5"),
     DQ("dq32_modality_balanced_topk", V.dq32_modality_balanced_topk,
        "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label % 3 AS qm "
        "FROM embeddings WHERE vec_id = 0), "
-       "sims AS (SELECT e.vec_id, round(CASE WHEN e.vec_id = q.qid THEN 1.0 "
-       "ELSE " + _cos("e", "q") + " END, 6) AS s, "
+       "sims AS (SELECT e.vec_id, "
+       "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 "
+       "ELSE " + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro, "
        "CAST((e.label % 3) = q.qm AS INT) AS same_mod "
        "FROM embeddings e CROSS JOIN q), "
        "ranked AS (SELECT *, row_number() OVER (PARTITION BY same_mod "
-       "ORDER BY s DESC, vec_id) AS rn FROM sims) "
-       "SELECT vec_id, s, same_mod FROM ranked WHERE rn <= 5 "
-       "ORDER BY s DESC, vec_id LIMIT 10"),
+       "ORDER BY s_micro DESC, vec_id) AS rn FROM sims) "
+       "SELECT vec_id, s_micro, same_mod FROM ranked WHERE rn <= 5 "
+       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
     # --- graph suite (B51-B52, A18-A22) -------------------------------------
     DQ("dq33_build_edges", G.dq33_build_edges,
-       "WITH " + _EDGES_CTE + " SELECT src, dst, score FROM edges"),
+       "WITH " + _EDGES_CTE + " SELECT src, dst, score_micro FROM edges"),
     DQ("dq34_expand", G.dq34_expand,
        "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
        "neigh AS ("
-       "SELECT e.dst AS id, round(s.s * e.score * 0.9, 6) AS score "
+       "SELECT e.dst AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM seeds s JOIN edges e ON s.vec_id = e.src "
        "UNION ALL "
-       "SELECT e.src AS id, round(s.s * e.score * 0.9, 6) AS score "
+       "SELECT e.src AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM seeds s JOIN edges e ON s.vec_id = e.dst "
-       "UNION ALL SELECT vec_id AS id, s AS score FROM seeds) "
-       "SELECT id, max(score) AS score FROM neigh GROUP BY id "
-       "ORDER BY score DESC, id LIMIT 10"),
+       "UNION ALL SELECT vec_id AS id, s_micro AS score_micro FROM seeds) "
+       "SELECT id, max(score_micro) AS score_micro FROM neigh GROUP BY id "
+       "ORDER BY score_micro DESC, id LIMIT 10"),
     DQ("dq72_pagerank", G.dq72_pagerank,
        "WITH " + _EDGES_CTE + ", "
        "adj AS (SELECT src AS v, dst AS n FROM edges "
@@ -420,40 +432,41 @@ _REGISTRY: list[DQ] = [
            f"JOIN pr{i} ON a.n = pr{i}.v JOIN deg ON deg.n = a.n "
            f"CROSS JOIN nn GROUP BY a.v, nn.c)"
            for i in range(3))
-       + " SELECT v AS id, round(p, 6) AS pr FROM pr3"),
+       + " SELECT v AS id, CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pr_micro FROM pr3"),
     DQ("dq35_hydrate_filter", G.dq35_hydrate_filter,
        "WITH " + _EDGES_CTE + ", "
        "valid AS (SELECT vec_id FROM embeddings WHERE label <> 9) "
-       "SELECT src, dst, score FROM edges e "
+       "SELECT src, dst, score_micro FROM edges e "
        "WHERE EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.src) "
        "AND EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.dst)"),
     DQ("dq54_expand_top1", G.dq54_expand_top1,
        "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
-       "top1 AS (SELECT vec_id, s FROM seeds ORDER BY s DESC, vec_id LIMIT 1), "
+       "top1 AS (SELECT vec_id, s_micro FROM seeds "
+       "ORDER BY s_micro DESC, vec_id LIMIT 1), "
        "neigh AS ("
-       "SELECT e.dst AS id, round(t.s * e.score * 0.9, 6) AS score "
+       "SELECT e.dst AS id, CAST(floor(t.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM top1 t JOIN edges e ON t.vec_id = e.src "
        "UNION ALL "
-       "SELECT e.src AS id, round(t.s * e.score * 0.9, 6) AS score "
+       "SELECT e.src AS id, CAST(floor(t.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM top1 t JOIN edges e ON t.vec_id = e.dst "
-       "UNION ALL SELECT vec_id AS id, s AS score FROM seeds) "
-       "SELECT id, max(score) AS score FROM neigh GROUP BY id "
-       "ORDER BY score DESC, id LIMIT 10"),
+       "UNION ALL SELECT vec_id AS id, s_micro AS score_micro FROM seeds) "
+       "SELECT id, max(score_micro) AS score_micro FROM neigh GROUP BY id "
+       "ORDER BY score_micro DESC, id LIMIT 10"),
     DQ("dq55_expand_2hop", G.dq55_expand_2hop,
        "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
-       "h1 AS (SELECT id, max(score) AS s FROM ("
-       "SELECT e.dst AS id, round(s.s * e.score * 0.9, 6) AS score "
+       "h1 AS (SELECT id, max(score_micro) AS s_micro FROM ("
+       "SELECT e.dst AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM seeds s JOIN edges e ON s.vec_id = e.src "
-       "UNION ALL SELECT e.src, round(s.s * e.score * 0.9, 6) "
+       "UNION ALL SELECT e.src, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) "
        "FROM seeds s JOIN edges e ON s.vec_id = e.dst "
-       "UNION ALL SELECT vec_id, s FROM seeds) u GROUP BY id), "
-       "h2 AS (SELECT id, max(score) AS score FROM ("
-       "SELECT e.dst AS id, round(h.s * e.score * 0.9, 6) AS score "
+       "UNION ALL SELECT vec_id, s_micro FROM seeds) u GROUP BY id), "
+       "h2 AS (SELECT id, max(score_micro) AS score_micro FROM ("
+       "SELECT e.dst AS id, CAST(floor(h.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
        "FROM h1 h JOIN edges e ON h.id = e.src "
-       "UNION ALL SELECT e.src, round(h.s * e.score * 0.9, 6) "
+       "UNION ALL SELECT e.src, CAST(floor(h.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) "
        "FROM h1 h JOIN edges e ON h.id = e.dst "
-       "UNION ALL SELECT id, s FROM h1) u2 GROUP BY id) "
-       "SELECT id, score FROM h2 ORDER BY score DESC, id LIMIT 10"),
+       "UNION ALL SELECT id, s_micro FROM h1) u2 GROUP BY id) "
+       "SELECT id, score_micro FROM h2 ORDER BY score_micro DESC, id LIMIT 10"),
     DQ("dq56_bigram_udtf", T.dq56_bigram_udtf,
        "SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_uniq FROM ("
        "SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
@@ -491,24 +504,28 @@ _REGISTRY: list[DQ] = [
        "FROM lineitem GROUP BY l_returnflag"),
     DQ("dq63_bm25_topk", RT.dq63_bm25_topk,
        "WITH " + _BM25_CTE + " "
-       "SELECT doc_id, round(raw, 6) AS s FROM bm25 "
-       "ORDER BY s DESC, doc_id LIMIT 20"),
+       "SELECT doc_id, CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro FROM bm25 "
+       "ORDER BY s_micro DESC, doc_id LIMIT 20"),
     DQ("dq64_hybrid_rrf", RT.dq64_hybrid_rrf,
        "WITH " + _BM25_CTE + ", "
        "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "sims AS (SELECT e.vec_id, round(" + _cos("e", "qq") + ", 6) AS s "
+       "sims AS (SELECT e.vec_id, CAST(floor((" + _cos("e", "qq")
+       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e CROSS JOIN qq), "
        "varm AS (SELECT vec_id AS id, rv FROM (SELECT vec_id, "
-       "row_number() OVER (ORDER BY s DESC, vec_id) AS rv FROM sims) v "
+       "row_number() OVER (ORDER BY s_micro DESC, vec_id) AS rv FROM sims) v "
        "WHERE rv <= 50), "
-       "ls AS (SELECT doc_id, round(raw, 6) AS s FROM bm25), "
+       "ls AS (SELECT doc_id, CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro FROM bm25), "
        "larm AS (SELECT doc_id AS id, rl FROM (SELECT doc_id, "
-       "row_number() OVER (ORDER BY s DESC, doc_id) AS rl FROM ls) l "
+       "row_number() OVER (ORDER BY s_micro DESC, doc_id) AS rl FROM ls) l "
        "WHERE rl <= 50), "
        "fused AS (SELECT coalesce(v.id, l.id) AS id, "
-       "round(coalesce(1.0 / (60 + v.rv), 0) + coalesce(1.0 / (60 + l.rl), 0), 6) "
-       "AS rrf FROM varm v FULL OUTER JOIN larm l ON v.id = l.id) "
-       "SELECT id, rrf FROM fused ORDER BY rrf DESC, id LIMIT 10"),
+       "CAST(floor((coalesce(1.0 / (60 + v.rv), 0) "
+       "+ coalesce(1.0 / (60 + l.rl), 0)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS rrf_micro FROM varm v FULL OUTER JOIN larm l ON v.id = l.id) "
+       "SELECT id, rrf_micro FROM fused ORDER BY rrf_micro DESC, id LIMIT 10"),
     DQ("dq84_normalize_text", T.dq84_normalize_text,
        "WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
        "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean "
@@ -868,17 +885,22 @@ _REGISTRY: list[DQ] = [
        "'[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_bpe_uniq FROM documents"),
     DQ("dq48_embed_stub", E.dq48_embed_stub,
        "WITH " + _EMB_CTE + ", "
-       "e1s AS (SELECT doc_id, round(x, 6) AS e1 FROM nv WHERE p = 0), "
-       "ones AS (SELECT doc_id, round(sqrt(sum(x*x)), 6) AS one FROM nv "
+       "e1s AS (SELECT doc_id, CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) "
+       "AS e1_micro FROM nv WHERE p = 0), "
+       "ones AS (SELECT doc_id, CAST(floor(sqrt(sum(x*x)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS one_micro FROM nv "
        "GROUP BY doc_id) "
-       "SELECT e1s.doc_id, CAST(16 AS INT) AS dim, e1s.e1, ones.one "
+       "SELECT e1s.doc_id, CAST(16 AS INT) AS dim, e1s.e1_micro, "
+       "ones.one_micro "
        "FROM e1s JOIN ones ON e1s.doc_id = ones.doc_id"),
     DQ("dq49_embed_knn", E.dq49_embed_knn,
        "WITH " + _EMB_CTE + ", "
        "q AS (SELECT p, x AS qx FROM nv WHERE doc_id = 0), "
-       "cos AS (SELECT nv.doc_id, round(sum(nv.x * q.qx), 6) AS s "
+       "cos AS (SELECT nv.doc_id, "
+       "CAST(floor(sum(nv.x * q.qx) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM nv JOIN q ON nv.p = q.p GROUP BY nv.doc_id) "
-       "SELECT doc_id, s FROM cos ORDER BY s DESC, doc_id LIMIT 10"),
+       "SELECT doc_id, s_micro FROM cos "
+       "ORDER BY s_micro DESC, doc_id LIMIT 10"),
     DQ("dq95_hash_split", C.dq95_hash_split,
        "WITH hx AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h "
        "FROM documents), "
@@ -970,15 +992,18 @@ _REGISTRY: list[DQ] = [
        "greatest(-127, least(127, floor(x / scale + 0.5))) AS qi "
        "FROM u JOIN s USING (vec_id)) "
        "SELECT vec_id, CAST(sum(qi) AS BIGINT) AS qsum, "
-       "round(max(scale), 6) AS scale, "
-       "round(sqrt(sum(pow(x - qi * scale, 2))), 6) AS l2_err "
+       "CAST(floor(max(scale) * 1000000.0 + 0.5) AS BIGINT) AS scale_micro, "
+       "CAST(floor(sqrt(sum(pow(x - qi * scale, 2))) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS l2_err_micro "
        "FROM q GROUP BY vec_id"),
     DQ("dq109_matryoshka_knn", V.dq109_matryoshka_knn,
        "WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv "
        "FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, round(list_cosine_similarity("
-       "CAST(e.embedding[1:16] AS DOUBLE[]), q.qv), 6) AS s "
-       "FROM embeddings e CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+       "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
+       "CAST(e.embedding[1:16] AS DOUBLE[]), q.qv) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS s_micro "
+       "FROM embeddings e CROSS JOIN q "
+       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq110_hamming_knn", V.dq110_hamming_knn,
        "WITH u AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x "
        "FROM embeddings, range(64) r(i)), "
@@ -1156,11 +1181,12 @@ _REGISTRY: list[DQ] = [
        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
        "WHERE doc_id < 100 GROUP BY doc_id, tok), "
        "sc AS (SELECT doc_id, tf.tok, "
-       "round(tf * ln(n_docs / df), 6) AS score "
+       "CAST(floor((tf * ln(n_docs / df)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS score_micro "
        "FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd), "
        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
-       "ORDER BY score DESC, tok) AS rn FROM sc) "
-       "SELECT doc_id, tok, score, CAST(rn AS INT) AS rn FROM r "
+       "ORDER BY score_micro DESC, tok) AS rn FROM sc) "
+       "SELECT doc_id, tok, score_micro, CAST(rn AS INT) AS rn FROM r "
        "WHERE rn <= 3 ORDER BY doc_id, rn"),
     DQ("dq124_lateral_topn", R.dq124_lateral_topn,
        "SELECT c.c_custkey, o.o_orderkey, "
@@ -1351,8 +1377,9 @@ _REGISTRY: list[DQ] = [
        "CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform("
        "CAST(embedding AS DOUBLE[]), y -> y * y)))) AS nv FROM embeddings), "
        "q AS (SELECT nv AS qnv FROM unit WHERE vec_id = 0) "
-       "SELECT u.vec_id, round(list_inner_product(u.nv, q.qnv), 6) AS s "
-       "FROM unit u CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+       "SELECT u.vec_id, CAST(floor(list_inner_product(u.nv, q.qnv) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
+       "FROM unit u CROSS JOIN q ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq139_blocked_fuzzy_join", T.dq139_blocked_fuzzy_join,
        "WITH d AS (SELECT doc_id, lower(substr(text, 1, 24)) AS p, "
        "lower(substr(text, 1, 8)) AS blk FROM documents) "
@@ -1414,17 +1441,20 @@ _REGISTRY: list[DQ] = [
        "WHERE prev_type IS NOT NULL GROUP BY from_type, to_type"),
     DQ("dq145_filtered_knn", V.dq145_filtered_knn,
        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, round(" + _cos("e", "q") + ", 6) AS s "
+       "SELECT e.vec_id, CAST(floor((" + _cos("e", "q")
+       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e CROSS JOIN q WHERE e.label % 3 = 1 "
-       "ORDER BY s DESC, vec_id LIMIT 10"),
+       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq146_grouped_maxsim", V.dq146_grouped_maxsim,
        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "scored AS (SELECT label, vec_id, round(" + _cos("e", "q") + ", 6) "
-       "AS s FROM embeddings e CROSS JOIN q), "
-       "best AS (SELECT label, vec_id AS best_vec, s FROM "
+       "scored AS (SELECT label, vec_id, CAST(floor((" + _cos("e", "q")
+       + ") * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro FROM embeddings e CROSS JOIN q), "
+       "best AS (SELECT label, vec_id AS best_vec, s_micro FROM "
        "(SELECT *, row_number() OVER (PARTITION BY label "
-       "ORDER BY s DESC, vec_id) AS rn FROM scored) r WHERE rn = 1) "
-       "SELECT label, best_vec, s FROM best ORDER BY s DESC, label LIMIT 5"),
+       "ORDER BY s_micro DESC, vec_id) AS rn FROM scored) r WHERE rn = 1) "
+       "SELECT label, best_vec, s_micro FROM best "
+       "ORDER BY s_micro DESC, label LIMIT 5"),
     DQ("dq147_mutual_knn", V.dq147_mutual_knn,
        "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
        "WHERE vec_id < 100), "
@@ -1523,18 +1553,20 @@ _REGISTRY: list[DQ] = [
     DQ("dq149_diversity_filter", V.dq149_diversity_filter,
        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "cand AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(q.qv AS DOUBLE[])), 6) AS s, e.embedding "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(q.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro, "
+       "e.embedding "
        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
-       "ORDER BY s DESC, e.vec_id LIMIT 50), "
-       "ranked AS (SELECT vec_id, s, embedding, "
-       "CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INT) AS rank "
-       "FROM cand), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 50), "
+       "ranked AS (SELECT vec_id, s_micro, embedding, "
+       "CAST(row_number() OVER (ORDER BY s_micro DESC, vec_id) AS INT) "
+       "AS rank FROM cand), "
        "blocked AS (SELECT DISTINCT lo.vec_id FROM ranked lo JOIN ranked hi "
        "ON hi.rank < lo.rank "
-       "AND round(list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]), "
-       "CAST(hi.embedding AS DOUBLE[])), 6) >= 0.25) "
-       "SELECT vec_id, s, rank FROM ranked "
+       "AND CAST(floor(list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]), "
+       "CAST(hi.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       ">= 250000) "
+       "SELECT vec_id, s_micro, rank FROM ranked "
        "WHERE vec_id NOT IN (SELECT vec_id FROM blocked)"),
     DQ("dq150_doc_chunks", T.dq150_doc_chunks,
        "WITH st AS (SELECT doc_id, text, "
@@ -1603,9 +1635,11 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
        "CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 "
        "FROM embeddings GROUP BY label), "
-       "drift AS (SELECT label, round(sum(a * b) / sqrt(sum(a * a)) "
-       "/ sqrt(sum(b * b)), 6) AS drift_cos FROM dims GROUP BY label) "
-       "SELECT label, n0, n1, drift_cos FROM counts JOIN drift USING (label)"),
+       "drift AS (SELECT label, CAST(floor((sum(a * b) / sqrt(sum(a * a)) "
+       "/ sqrt(sum(b * b))) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS drift_cos_micro FROM dims GROUP BY label) "
+       "SELECT label, n0, n1, drift_cos_micro "
+       "FROM counts JOIN drift USING (label)"),
     DQ("dq155_ngram_novelty", T.dq155_ngram_novelty,
        "WITH " + _SH_CTE + ", "
        "fs AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle), "
@@ -1767,64 +1801,67 @@ _REGISTRY: list[DQ] = [
        "adj AS (SELECT src AS v, dst AS n FROM edges "
        "UNION ALL SELECT dst, src FROM edges), "
        "f0 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
-       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
        "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
        "JOIN f0 ON adj.v = f0.vec_id "
        "UNION SELECT vec_id FROM f0), "
        "f1 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
        "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
        "JOIN f1 ON adj.v = f1.vec_id "
        "UNION SELECT vec_id FROM f1), "
        "f2 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s DESC, e.vec_id LIMIT 16) "
-       "SELECT vec_id, s FROM f2 ORDER BY s DESC, vec_id LIMIT 10"),
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16) "
+       "SELECT vec_id, s_micro FROM f2 ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq166_graph_ann_recall", G.dq166_graph_ann_recall,
        "WITH " + _EDGES_CTE + ", "
        "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "adj AS (SELECT src AS v, dst AS n FROM edges "
        "UNION ALL SELECT dst, src FROM edges), "
        "f0 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
-       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
        "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
        "JOIN f0 ON adj.v = f0.vec_id "
        "UNION SELECT vec_id FROM f0), "
        "f1 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s DESC, e.vec_id LIMIT 16), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
        "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
        "JOIN f1 ON adj.v = f1.vec_id "
        "UNION SELECT vec_id FROM f1), "
        "f2 AS (SELECT e.vec_id, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
        "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s DESC, e.vec_id LIMIT 16), "
-       "approx AS (SELECT vec_id FROM f2 ORDER BY s DESC, vec_id LIMIT 10), "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
+       "approx AS (SELECT vec_id FROM f2 ORDER BY s_micro DESC, vec_id "
+       "LIMIT 10), "
        "exact AS (SELECT vec_id FROM (SELECT e.vec_id, "
-       "round(CASE WHEN e.vec_id = 0 THEN 1.0 ELSE "
+       "CAST(floor((CASE WHEN e.vec_id = 0 THEN 1.0 ELSE "
        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) END, 6) AS s "
-       "FROM embeddings e CROSS JOIN qq ORDER BY s DESC, e.vec_id LIMIT 10) x) "
+       "CAST(qq.qv AS DOUBLE[])) END) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro "
+       "FROM embeddings e CROSS JOIN qq "
+       "ORDER BY s_micro DESC, e.vec_id LIMIT 10) x) "
        "SELECT CAST(10 AS INT) AS k, "
        "CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
        "AS BIGINT) AS hits, "
-       "round((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
-       "/ 10.0, 6) AS recall"),
+       "CAST(floor(((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
+       "/ 10.0) * 1000000.0 + 0.5) AS BIGINT) AS recall_micro"),
     DQ("dq167_dataset_card", C.dq167_dataset_card,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
@@ -1924,7 +1961,8 @@ _REGISTRY: list[DQ] = [
        "(sum(se6) * 60) // count(*) AS m60 "
        "FROM top GROUP BY qid, tl, label) "
        "SELECT qid, label AS pred_label, tl AS true_label, n_votes, "
-       "m60 / 60000000.0 AS mean_sim "
+       "CAST(floor(m60 / 60000000.0 * 1000000.0 + 0.5) AS BIGINT) "
+       "AS mean_sim_micro "
        "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
        "n_votes DESC, m60 DESC, label) AS vr FROM votes) v2 "
        "WHERE vr = 1"),
@@ -2052,11 +2090,12 @@ _REGISTRY: list[DQ] = [
        "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel "
        "FROM embeddings WHERE vec_id < 20), "
        "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label AS neg_label, "
-       "round(" + _cos("e", "q") + ", 6) AS s "
+       "CAST(floor((" + _cos("e", "q") + ") * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro "
        "FROM embeddings e CROSS JOIN q WHERE e.label != q.qlabel), "
        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid "
-       "ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims) "
-       "SELECT qid, qlabel, rnk, vec_id, neg_label, s FROM ranked "
+       "ORDER BY s_micro DESC, vec_id) AS INT) AS rnk FROM sims) "
+       "SELECT qid, qlabel, rnk, vec_id, neg_label, s_micro FROM ranked "
        "WHERE rnk <= 5"),
     DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
        "WITH " + _SIG_CTE + ", "
@@ -2235,13 +2274,16 @@ _REGISTRY: list[DQ] = [
        "FROM embeddings WHERE vec_id < 20), "
        "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, "
        "e.label = q.qlabel AS same, "
-       "round(" + _cos("e", "q") + ", 6) AS s "
+       "CAST(floor((" + _cos("e", "q") + ") * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro "
        "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid), "
        "best AS (SELECT * FROM (SELECT *, row_number() OVER "
-       "(PARTITION BY qid, same ORDER BY s DESC, vec_id) AS rn FROM sims) r "
-       "WHERE rn = 1) "
-       "SELECT p.qid, p.qlabel, p.vec_id AS pos_id, p.s AS pos_s, "
-       "n.vec_id AS neg_id, n.s AS neg_s, round(p.s - n.s, 6) AS margin "
+       "(PARTITION BY qid, same ORDER BY s_micro DESC, vec_id) AS rn "
+       "FROM sims) r WHERE rn = 1) "
+       "SELECT p.qid, p.qlabel, p.vec_id AS pos_id, "
+       "p.s_micro AS pos_s_micro, "
+       "n.vec_id AS neg_id, n.s_micro AS neg_s_micro, "
+       "p.s_micro - n.s_micro AS margin_micro "
        "FROM (SELECT * FROM best WHERE same) p "
        "JOIN (SELECT * FROM best WHERE NOT same) n ON p.qid = n.qid"),
     DQ("dq195_winsorized_stats", R.dq195_winsorized_stats,
@@ -2546,8 +2588,9 @@ _REGISTRY: list[DQ] = [
        "WHERE NOT EXISTS (SELECT 1 FROM edges e "
        "WHERE e.src = wdg.a AND e.dst = wdg.b)) "
        "SELECT cand.a, cand.b, cand.cn, "
-       "round(CAST(cand.cn AS DOUBLE) / (da.deg + db.deg - cand.cn), 6) "
-       "AS score FROM cand JOIN deg da ON da.src = cand.a "
+       "CAST(floor((CAST(cand.cn AS DOUBLE) / (da.deg + db.deg - cand.cn)) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "AS score_micro FROM cand JOIN deg da ON da.src = cand.a "
        "JOIN deg db ON db.src = cand.b"),
     DQ("dq215_local_clustering", G.dq215_local_clustering,
        "WITH " + _EDGES_CTE + ", "
@@ -2562,8 +2605,9 @@ _REGISTRY: list[DQ] = [
        "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id) "
        "SELECT deg.id, deg.deg, "
        "CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri, "
-       "CASE WHEN deg.deg >= 2 THEN round(2.0 * coalesce(pn.n_tri, 0) "
-       "/ (deg.deg * (deg.deg - 1)), 6) ELSE 0.0 END AS lcc "
+       "CASE WHEN deg.deg >= 2 THEN CAST(floor((2.0 * coalesce(pn.n_tri, 0) "
+       "/ (deg.deg * (deg.deg - 1))) * 1000000.0 + 0.5) AS BIGINT) "
+       "ELSE CAST(0 AS BIGINT) END AS lcc_micro "
        "FROM deg LEFT JOIN pn ON deg.id = pn.id"),
     DQ("dq216_seasonal_profile", TS.dq216_seasonal_profile,
        "WITH ev AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod, "
@@ -2988,9 +3032,10 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(dx * dx) AS BIGINT) AS sxx, "
        "CAST(SUM(dy * dy) AS BIGINT) AS syy, "
        "CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM p) "
-       "SELECT m, round(CAST(m * sxy - sx * sy AS DOUBLE) "
+       "SELECT m, CAST(floor((CAST(m * sxy - sx * sy AS DOUBLE) "
        "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE) "
-       "* CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity "
+       "* CAST(m * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS assortativity_micro "
        "FROM s WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"),
     DQ("dq238_rfm_segments", TS.dq238_rfm_segments,
        "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, "

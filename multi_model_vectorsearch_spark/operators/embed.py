@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from multi_model_vectorsearch_spark.functions.embedding import hash_embed_udf
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.functions.vector import l2_norm
 
 Tables = dict
@@ -29,8 +30,8 @@ def dq48_embed_stub(t: Tables) -> DataFrame:
     return emb.select(
         "doc_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.element_at("embedding", 1), 6).alias("e1"),
-        F.round(l2_norm(F.col("embedding")), 6).alias("one"),
+        snap(F.element_at("embedding", 1)).alias("e1_micro"),
+        snap(l2_norm(F.col("embedding"))).alias("one_micro"),
     )
 
 
@@ -48,6 +49,7 @@ def dq49_embed_knn(t: Tables, query_doc_id: int = 0, k: int = 10) -> DataFrame:
     )
     sims = emb.crossJoin(F.broadcast(q)).select(
         "doc_id",
-        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        snap(cosine_similarity(F.col("embedding"), F.col("qv")))
+        .alias("s_micro"),
     )
-    return sims.orderBy(F.desc("s"), F.asc("doc_id")).limit(k)
+    return sims.orderBy(F.desc("s_micro"), F.asc("doc_id")).limit(k)

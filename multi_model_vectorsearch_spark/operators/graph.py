@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.vector_ops import (
     dq29_knn_topk,
@@ -35,7 +36,8 @@ from multi_model_vectorsearch_spark.operators.vector_ops import (
 
 Tables = dict
 
-CROSS_MODAL_FLOOR = 0.8  # main.py:273
+CROSS_MODAL_FLOOR = 0.8  # main.py:273 (serving path, float scores)
+CROSS_MODAL_FLOOR_MICRO = 800_000  # same floor on the micro-unit grid
 DECAY = 0.9  # search.py:29
 
 
@@ -73,7 +75,7 @@ def _build_edges_impl(t: Tables, n_queries: int, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     sims = similarity_scan(t, f"vec_id < {n_queries}", pin_self=True)
-    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("s_micro"), F.asc("vec_id"))
     ranked = (
         sims.withColumn("rank", F.row_number().over(w))
         .filter((F.col("rank") <= k) & (F.col("vec_id") != F.col("qid")))
@@ -82,12 +84,41 @@ def _build_edges_impl(t: Tables, n_queries: int, k: int) -> DataFrame:
         F.least("qid", "vec_id").alias("src"),
         F.greatest("qid", "vec_id").alias("dst"),
         F.when(F.col("qm") != F.col("modality"),
-               F.greatest(F.col("s"), F.lit(CROSS_MODAL_FLOOR)))
-        .otherwise(F.col("s"))
-        .alias("score"),
+               F.greatest(F.col("s_micro"), F.lit(CROSS_MODAL_FLOOR_MICRO)))
+        .otherwise(F.col("s_micro"))
+        .alias("score_micro"),
     )
     return boosted.groupBy("src", "dst").agg(
-        F.round(F.max("score"), 6).alias("score")
+        F.max("score_micro").alias("score_micro")
+    )
+
+
+def expand_one_hop_micro(seeds: DataFrame, edges: DataFrame, k: int = 10,
+                         decay: float = DECAY) -> DataFrame:
+    """Micro-unit twin of :func:`expand_one_hop` for the oracle-hashed
+    registry path: seeds are ``(vec_id, s_micro)``, edges carry
+    ``score_micro``, and each hop score is
+    ``floor(s_micro · score_micro · decay / 1e6 + 0.5)`` — the bigint
+    product is exact (≤1e12 < 2^53), the decay multiply and divide are
+    the same IEEE ops in both engines, so hop scores are engine-identical
+    integers end to end (no round(), SURVEY §5.3 rule 6).
+    """
+    hop = F.floor(
+        F.col("s_micro") * F.col("score_micro") * F.lit(decay)
+        / F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    fwd = seeds.join(edges, seeds.vec_id == edges.src).select(
+        F.col("dst").alias("id"), hop.alias("score_micro"))
+    bwd = seeds.join(edges, seeds.vec_id == edges.dst).select(
+        F.col("src").alias("id"), hop.alias("score_micro"))
+    own = seeds.select(
+        F.col("vec_id").alias("id"), F.col("s_micro").alias("score_micro"))
+    return (
+        own.unionAll(fwd).unionAll(bwd)
+        .groupBy("id")
+        .agg(F.max("score_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("id"))
+        .limit(k)
     )
 
 
@@ -122,7 +153,7 @@ def dq34_expand(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """B52/A20: seeds = exact-KNN top-10, expanded 1 hop over DQ-33 edges."""
     seeds = dq29_knn_topk(t, query_vec_id, k)
     edges = dq33_build_edges(t)
-    return expand_one_hop(seeds, edges, k)
+    return expand_one_hop_micro(seeds, edges, k)
 
 
 def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -134,15 +165,16 @@ def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     # seeds feed both the top-1 selection and the rest-union: materialize
     # once instead of running the KNN scan twice
     seeds = dq29_knn_topk(t, query_vec_id, k).localCheckpoint(eager=True)
-    top1 = seeds.orderBy(F.desc("s"), F.asc("vec_id")).limit(1)
+    top1 = seeds.orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(1)
     edges = dq33_build_edges(t)
-    expanded = expand_one_hop(top1, edges, k=1 << 30)
-    rest = seeds.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
+    expanded = expand_one_hop_micro(top1, edges, k=1 << 30)
+    rest = seeds.select(
+        F.col("vec_id").alias("id"), F.col("s_micro").alias("score_micro"))
     return (
-        rest.unionAll(expanded.select("id", "score"))
+        rest.unionAll(expanded.select("id", "score_micro"))
         .groupBy("id")
-        .agg(F.max("score").alias("score"))
-        .orderBy(F.desc("score"), F.asc("id"))
+        .agg(F.max("score_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("id"))
         .limit(k)
     )
 
@@ -162,7 +194,18 @@ def dq55_expand_2hop(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     """
     seeds = dq29_knn_topk(t, query_vec_id, k)
     edges = dq33_build_edges(t)  # session-cached + persisted
-    return expand_multi_hop(seeds, edges, depth=2, k=k)
+    frontier = seeds
+    for _ in range(2):
+        frontier = expand_one_hop_micro(frontier, edges, k=1 << 30)
+        frontier = frontier.select(
+            F.col("id").alias("vec_id"), F.col("score_micro").alias("s_micro")
+        ).localCheckpoint(eager=False)
+    return (
+        frontier.select(F.col("vec_id").alias("id"),
+                        F.col("s_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("id"))
+        .limit(k)
+    )
 
 
 def expand_multi_hop(seeds: DataFrame, edges: DataFrame, depth: int,
@@ -198,7 +241,7 @@ def dq35_hydrate_filter(t: Tables, exclude_label: int = 9) -> DataFrame:
     return (
         edges.join(F.broadcast(valid), edges.src == valid.vec_id, "left_semi")
         .join(F.broadcast(valid), edges.dst == valid.vec_id, "left_semi")
-        .select("src", "dst", "score")
+        .select("src", "dst", "score_micro")
     )
 
 
@@ -233,7 +276,7 @@ def graph_render_payload(t: Tables) -> tuple[DataFrame, DataFrame]:
     )
     rendered_edges = edges.select(
         F.col("src").alias("from"), F.col("dst").alias("to"),
-        F.round(F.col("score") * 5.0, 6).alias("width"),
+        F.round(F.col("score_micro") / 1_000_000.0 * 5.0, 6).alias("width"),
     )
     return nodes, rendered_edges
 
@@ -315,7 +358,7 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
         # is a shallow plan, and each eager checkpoint is a full extra job
         if (i + 1) % 4 == 0:
             pr = pr.localCheckpoint(eager=True)
-    return pr.select(F.col("v").alias("id"), F.round("p", 6).alias("pr"))
+    return pr.select(F.col("v").alias("id"), snap(F.col("p")).alias("pr_micro"))
 
 
 # --- connected components ---------------------------------------------------
@@ -558,15 +601,15 @@ def dq165_graph_ann(t: Tables, query_vec_id: int = 0, beam: int = 16,
             .crossJoin(F.broadcast(q))
             .select(
                 "vec_id",
-                F.round(cosine_similarity(
+                snap(cosine_similarity(
                     F.col("embedding").cast("array<double>"),
-                    F.col("qv").cast("array<double>")), 6).alias("s"),
+                    F.col("qv").cast("array<double>"))).alias("s_micro"),
             )
         )
 
     frontier = (
         score(e.filter(F.col("vec_id") < n_entries).select("vec_id"))
-        .orderBy(F.desc("s"), F.asc("vec_id")).limit(beam)
+        .orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(beam)
     )
     for _ in range(rounds):
         cand = (
@@ -576,9 +619,9 @@ def dq165_graph_ann(t: Tables, query_vec_id: int = 0, beam: int = 16,
             .distinct()
         )
         frontier = (
-            score(cand).orderBy(F.desc("s"), F.asc("vec_id")).limit(beam)
+            score(cand).orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(beam)
         )
-    return frontier.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+    return frontier.orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(k)
 
 
 def dq166_graph_ann_recall(t: Tables, query_vec_id: int = 0,
@@ -594,7 +637,7 @@ def dq166_graph_ann_recall(t: Tables, query_vec_id: int = 0,
         hits.agg(F.count("*").cast("bigint").alias("hits"))
         .select(
             F.lit(k).cast("int").alias("k"), "hits",
-            F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+            snap(F.col("hits") / F.lit(float(k))).alias("recall_micro"),
         )
     )
 
@@ -683,10 +726,10 @@ def dq214_link_prediction(t: Tables) -> DataFrame:
         cand.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
         .select(
             "a", "b", "cn",
-            F.round(
+            snap(
                 F.col("cn").cast("double")
-                / (F.col("dega") + F.col("degb") - F.col("cn")), 6)
-            .alias("score"),
+                / (F.col("dega") + F.col("degb") - F.col("cn")))
+            .alias("score_micro"),
         )
     )
 
@@ -722,10 +765,10 @@ def dq215_local_clustering(t: Tables) -> DataFrame:
             F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
             F.when(
                 F.col("deg") >= 2,
-                F.round(
+                snap(
                     2.0 * F.coalesce("n_tri", F.lit(0))
-                    / (F.col("deg") * (F.col("deg") - 1)), 6),
-            ).otherwise(F.lit(0.0)).alias("lcc"),
+                    / (F.col("deg") * (F.col("deg") - 1))),
+            ).otherwise(F.lit(0).cast("bigint")).alias("lcc_micro"),
         )
     )
 
@@ -767,9 +810,9 @@ def dq237_assortativity(t: Tables) -> DataFrame:
         s.filter((den_x > 0) & (den_y > 0))
         .select(
             "m",
-            F.round(
+            snap(
                 num.cast("double")
-                / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
-            .alias("assortativity"),
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")))
+            .alias("assortativity_micro"),
         )
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.operators.vector_ops import similarity_scan
 
 Tables = dict
@@ -64,8 +65,8 @@ def dq63_bm25_topk(t: Tables, k: int = 20,
     """Lexical top-k for a fixed keyword query under BM25."""
     scored = _bm25_scores(t, terms)
     return (
-        scored.select("doc_id", F.round("raw", 6).alias("s"))
-        .orderBy(F.desc("s"), F.asc("doc_id"))
+        scored.select("doc_id", snap(F.col("raw")).alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("doc_id"))
         .limit(k)
     )
 
@@ -86,33 +87,32 @@ def dq64_hybrid_rrf(t: Tables, query_vec_id: int = 0, k: int = 10,
     # which would funnel every scored corpus row through one task. Ranks are
     # then assigned by a window over the ≤ arm_k-row result, where a
     # single-partition sort is free.
-    wv = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    wv = Window.orderBy(F.desc("s_micro"), F.asc("vec_id"))
     vec_arm = (
         similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
-        .select("vec_id", "s")
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", "s_micro")
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(arm_k)
         .withColumn("rv", F.row_number().over(wv))
         .select(F.col("vec_id").alias("id"), "rv")
     )
-    wl = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    wl = Window.orderBy(F.desc("s_micro"), F.asc("doc_id"))
     lex_arm = (
         _bm25_scores(t, terms)
-        .select("doc_id", F.round("raw", 6).alias("s"))
-        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .select("doc_id", snap(F.col("raw")).alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("doc_id"))
         .limit(arm_k)
         .withColumn("rl", F.row_number().over(wl))
         .select(F.col("doc_id").alias("id"), "rl")
     )
     fused = vec_arm.join(lex_arm, "id", "full_outer").select(
         "id",
-        F.round(
+        snap(
             F.coalesce(1.0 / (RRF_K0 + F.col("rv")), F.lit(0.0))
             + F.coalesce(1.0 / (RRF_K0 + F.col("rl")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
+        ).alias("rrf_micro"),
     )
-    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(k)
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("id")).limit(k)
 
 
 def dq123_tfidf_keywords(t: Tables, top: int = 3, max_doc: int = 100) -> DataFrame:
@@ -142,15 +142,16 @@ def dq123_tfidf_keywords(t: Tables, top: int = 3, max_doc: int = 100) -> DataFra
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id", "tok",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
-            .alias("score"),
+            snap(F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+            .alias("score_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("tok"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top)
-        .select("doc_id", "tok", "score", "rn")
+        .select("doc_id", "tok", "score_micro", "rn")
         .orderBy("doc_id", "rn")
     )
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 
 Tables = dict
@@ -56,22 +57,23 @@ def similarity_scan(t: Tables, query_pred: str, pin_self: bool = True) -> DataFr
     cos = cosine_with_norms(F.col("embedding"), F.col("qv"),
                             F.col("_ne"), F.col("_nq"))
     if pin_self:
-        # self-match pinned to exactly 1.0 (reference main.py:223-224)
-        s = F.round(
-            F.when(F.col("vec_id") == F.col("qid"), F.lit(1.0)).otherwise(cos),
-            6,
+        # self-match pinned to exactly 1.0 → 1_000_000 micro
+        # (reference main.py:223-224)
+        s = snap(
+            F.when(F.col("vec_id") == F.col("qid"), F.lit(1.0)).otherwise(cos)
         )
     else:
-        s = F.round(cos, 6)
-    return joined.select("qid", "qm", "vec_id", "modality", s.alias("s"))
+        s = snap(cos)
+    return joined.select("qid", "qm", "vec_id", "modality",
+                         s.alias("s_micro"))
 
 
 def dq29_knn_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
     """B47/A9/A12: exact KNN for one query — scan + TakeOrderedAndProject."""
     sims = similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
     return (
-        sims.select("vec_id", "s")
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        sims.select("vec_id", "s_micro")
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -79,11 +81,11 @@ def dq29_knn_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
 def dq31_knn_join(t: Tables, n_queries: int = 20, k: int = 5) -> DataFrame:
     """B49: KNN similarity join — top-k corpus rows per query, self pinned."""
     sims = similarity_scan(t, f"vec_id < {n_queries}", pin_self=True)
-    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("s_micro"), F.asc("vec_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
-        .select("qid", "rnk", "vec_id", "s")
+        .select("qid", "rnk", "vec_id", "s_micro")
     )
 
 
@@ -93,7 +95,8 @@ def dq30_l2_normalize(t: Tables) -> DataFrame:
 
     e = t["embeddings"]
     return e.select(
-        "vec_id", F.round(l2_norm(l2_normalize(F.col("embedding"))), 6).alias("one")
+        "vec_id",
+        snap(l2_norm(l2_normalize(F.col("embedding")))).alias("one_micro")
     )
 
 
@@ -107,12 +110,13 @@ def dq32_modality_balanced_topk(t: Tables, query_vec_id: int = 0, k: int = 10) -
     flagged = sims.withColumn(
         "same_mod", (F.col("modality") == F.col("qm")).cast("int")
     )
-    w = Window.partitionBy("same_mod").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("same_mod").orderBy(
+        F.desc("s_micro"), F.asc("vec_id"))
     return (
         flagged.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k // 2)
-        .select("vec_id", "s", "same_mod")
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", "s_micro", "same_mod")
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -160,8 +164,8 @@ def dq108_int8_quantize(t: Tables) -> DataFrame:
     ).select(
         "vec_id",
         "qsum",
-        F.round("scale_raw", 6).alias("scale"),
-        F.round("err_raw", 6).alias("l2_err"),
+        snap(F.col("scale_raw")).alias("scale_micro"),
+        snap(F.col("err_raw")).alias("l2_err_micro"),
     )
 
 
@@ -226,11 +230,11 @@ def dq109_matryoshka_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
         F.slice("embedding", 1, dim).alias("qv")
     )
     c = e.select("vec_id", F.slice("embedding", 1, dim).alias("emb"))
-    s = F.round(cosine_similarity(F.col("emb"), F.col("qv")), 6)
+    s = snap(cosine_similarity(F.col("emb"), F.col("qv")))
     return (
         c.crossJoin(F.broadcast(q))
-        .select("vec_id", s.alias("s"))
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", s.alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -265,8 +269,8 @@ def dq138_prenorm_dot_knn(t: Tables, query_vec_id: int = 0,
     )
     return (
         unit.crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(dot, 6).alias("s"))
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", snap(dot).alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -286,13 +290,13 @@ def dq145_filtered_knn(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFra
         F.col("embedding").alias("qv")
     )
     cand = e.filter(F.col("label") % 3 == 1)
-    s = F.round(cosine_similarity(
+    s = snap(cosine_similarity(
         F.col("embedding").cast("array<double>"),
-        F.col("qv").cast("array<double>")), 6)
+        F.col("qv").cast("array<double>")))
     return (
         cand.crossJoin(F.broadcast(q))
-        .select("vec_id", s.alias("s"))
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", s.alias("s_micro"))
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -311,19 +315,20 @@ def dq146_grouped_maxsim(t: Tables, query_vec_id: int = 0, k: int = 5) -> DataFr
     q = e.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv")
     )
-    s = F.round(cosine_similarity(
+    s = snap(cosine_similarity(
         F.col("embedding").cast("array<double>"),
-        F.col("qv").cast("array<double>")), 6)
+        F.col("qv").cast("array<double>")))
     scored = e.crossJoin(F.broadcast(q)).select(
-        "label", "vec_id", s.alias("s")
+        "label", "vec_id", s.alias("s_micro")
     )
-    w = Window.partitionBy("label").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("label").orderBy(
+        F.desc("s_micro"), F.asc("vec_id"))
     best = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("label", F.col("vec_id").alias("best_vec"), "s")
+        .select("label", F.col("vec_id").alias("best_vec"), "s_micro")
     )
-    return best.orderBy(F.desc("s"), F.asc("label")).limit(k)
+    return best.orderBy(F.desc("s_micro"), F.asc("label")).limit(k)
 
 
 def dq147_mutual_knn(t: Tables, n_queries: int = 100, k: int = 5) -> DataFrame:
@@ -381,16 +386,16 @@ def dq182_hard_negatives(t: Tables, n_queries: int = 20,
         .select(
             "qid", "qlabel", "vec_id",
             F.col("label").alias("neg_label"),
-            F.round(cosine_with_norms(F.col("embedding"), F.col("qv"),
-                                      F.col("_ne"), F.col("_nq")), 6)
-            .alias("s"),
+            snap(cosine_with_norms(F.col("embedding"), F.col("qv"),
+                                   F.col("_ne"), F.col("_nq")))
+            .alias("s_micro"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc("s_micro"), F.asc("vec_id"))
     return (
         sims.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
-        .select("qid", "qlabel", "rnk", "vec_id", "neg_label", "s")
+        .select("qid", "qlabel", "rnk", "vec_id", "neg_label", "s_micro")
     )
 
 
@@ -410,33 +415,35 @@ def dq149_diversity_filter(t: Tables, query_vec_id: int = 0, n_cand: int = 50,
     cand = (
         similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
         .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", "s")
-        .orderBy(F.desc("s"), F.asc("vec_id"))
+        .select("vec_id", "s_micro")
+        .orderBy(F.desc("s_micro"), F.asc("vec_id"))
         .limit(n_cand)
     )
     e = t["embeddings"].select("vec_id", "embedding")
     ranked = (
         e.join(F.broadcast(cand), "vec_id")
         .select(
-            "vec_id", "s", "embedding",
+            "vec_id", "s_micro", "embedding",
             F.row_number().over(
-                Window.orderBy(F.desc("s"), F.asc("vec_id"))).alias("rank"),
+                Window.orderBy(F.desc("s_micro"), F.asc("vec_id")))
+            .alias("rank"),
         )
     )
     hi = ranked.select(F.col("rank").alias("hr"),
                        F.col("embedding").alias("hv"))
-    lo = ranked.select("vec_id", "s", "rank", "embedding")
+    lo = ranked.select("vec_id", "s_micro", "rank", "embedding")
     blocked = (
         lo.join(F.broadcast(hi), F.col("hr") < F.col("rank"))
         .filter(
-            F.round(cosine_similarity(
+            snap(cosine_similarity(
                 F.col("embedding").cast("array<double>"),
-                F.col("hv").cast("array<double>")), 6) >= tau)
+                F.col("hv").cast("array<double>")))
+            >= int(tau * 1_000_000))
         .select("vec_id").distinct()
     )
     return (
         lo.join(F.broadcast(blocked), "vec_id", "left_anti")
-        .select("vec_id", "s", "rank")
+        .select("vec_id", "s_micro", "rank")
     )
 
 
@@ -466,13 +473,14 @@ def dq154_centroid_drift(t: Tables) -> DataFrame:
         F.sum((F.col("vec_id") % 2 == 1).cast("int")).cast("bigint").alias("n1"),
     )
     drift = dims.groupBy("label").agg(
-        F.round(
+        snap(
             F.sum(F.col("a") * F.col("b"))
             / F.sqrt(F.sum(F.col("a") * F.col("a")))
-            / F.sqrt(F.sum(F.col("b") * F.col("b"))), 6
-        ).alias("drift_cos"),
+            / F.sqrt(F.sum(F.col("b") * F.col("b")))
+        ).alias("drift_cos_micro"),
     )
-    return counts.join(drift, "label").select("label", "n0", "n1", "drift_cos")
+    return counts.join(drift, "label").select(
+        "label", "n0", "n1", "drift_cos_micro")
 
 
 def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
@@ -582,7 +590,9 @@ def dq170_knn_label_prop(t: Tables, seed_size: int = 100,
     return staged.select(
         "qid", best["label"].alias("pred_label"), "true_label",
         (-best["negn"]).alias("n_votes"),
-        (-best["negmean"] / F.lit(60000000.0)).alias("mean_sim"),
+        # exact bigint / 60.0 then floor snap: identical IEEE sequence in
+        # both engines; emits the mean similarity in micro units
+        snap(-best["negmean"] / F.lit(60000000.0)).alias("mean_sim_micro"),
     )
 
 
@@ -618,20 +628,21 @@ def dq194_training_triplets(t: Tables, n_queries: int = 20) -> DataFrame:
         .select(
             "qid", "qlabel", "vec_id", "label",
             (F.col("label") == F.col("qlabel")).alias("same"),
-            F.round(cosine_with_norms(F.col("embedding"), F.col("qv"),
-                                      F.col("_ne"), F.col("_nq")), 6)
-            .alias("s"),
+            snap(cosine_with_norms(F.col("embedding"), F.col("qv"),
+                                   F.col("_ne"), F.col("_nq")))
+            .alias("s_micro"),
         )
     )
-    w = Window.partitionBy("qid", "same").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("qid", "same").orderBy(
+        F.desc("s_micro"), F.asc("vec_id"))
     best = sims.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     pos = best.filter("same").select(
         "qid", "qlabel",
-        F.col("vec_id").alias("pos_id"), F.col("s").alias("pos_s"))
+        F.col("vec_id").alias("pos_id"), F.col("s_micro").alias("pos_s_micro"))
     neg = best.filter("NOT same").select(
         "qid",
-        F.col("vec_id").alias("neg_id"), F.col("s").alias("neg_s"))
+        F.col("vec_id").alias("neg_id"), F.col("s_micro").alias("neg_s_micro"))
     return pos.join(neg, "qid").select(
-        "qid", "qlabel", "pos_id", "pos_s", "neg_id", "neg_s",
-        F.round(F.col("pos_s") - F.col("neg_s"), 6).alias("margin"),
+        "qid", "qlabel", "pos_id", "pos_s_micro", "neg_id", "neg_s_micro",
+        (F.col("pos_s_micro") - F.col("neg_s_micro")).alias("margin_micro"),
     )

@@ -16,7 +16,7 @@ def test_entry_runs(spark):
     df = mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert set(df.columns) == {"id", "score"}
+    assert set(df.columns) == {"id", "score_micro"}
 
 
 def test_queries_and_oracles_align(spark):

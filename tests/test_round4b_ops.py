@@ -391,7 +391,7 @@ def test_link_prediction_excludes_existing_edges(tables):
     assert len(rows) > 0
     for r in rows:
         assert r["a"] < r["b"]
-        assert 0.0 < r["score"] <= 1.0
+        assert 0 < r["score_micro"] <= 1_000_000
 
 
 def test_local_clustering_bounds_and_triangle_consistency(tables):
@@ -404,10 +404,10 @@ def test_local_clustering_bounds_and_triangle_consistency(tables):
     rows = dq215_local_clustering(tables).collect()
     assert len(rows) > 0
     for r in rows:
-        assert 0.0 <= r["lcc"] <= 1.0, r
+        assert 0 <= r["lcc_micro"] <= 1_000_000, r
         assert 2 * r["n_tri"] <= r["deg"] * (r["deg"] - 1) + 1e-9, r
         if r["deg"] < 2:
-            assert r["lcc"] == 0.0 and r["n_tri"] == 0
+            assert r["lcc_micro"] == 0 and r["n_tri"] == 0
 
 
 def test_seasonal_profile_devs_average_out(tables):
@@ -833,7 +833,7 @@ def test_assortativity_bounds(tables):
 
     rows = dq237_assortativity(tables).collect()
     assert len(rows) == 1
-    assert -1.0 - 1e-9 <= rows[0]["assortativity"] <= 1.0 + 1e-9
+    assert -1_000_000 <= rows[0]["assortativity_micro"] <= 1_000_000
 
 
 def test_rfm_tiles_are_balanced(tables):
