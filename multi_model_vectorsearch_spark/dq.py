@@ -843,25 +843,28 @@ _REGISTRY: list[DQ] = [
        "+ 0.3 * least(avg_len / 8.0, 1.0), 6) AS score FROM q"),
     DQ("dq46_cosine_neardup_topk", N.dq46_cosine_neardup_topk,
        "SELECT a.vec_id AS v1, b.vec_id AS v2, "
-       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-       "CAST(b.embedding AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+       "CAST(b.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS s_micro "
        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-       "ORDER BY s DESC, v1, v2 LIMIT 20"),
+       "ORDER BY s_micro DESC, v1, v2 LIMIT 20"),
     DQ("dq47_ivf_knn", N.dq47_ivf_knn,
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
        "q AS (SELECT embedding AS qv, cid AS qcid FROM assigned WHERE vec_id = 0), "
        "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
        "JOIN q ON a.cid = q.qcid) "
-       "SELECT cand.vec_id, round(list_cosine_similarity("
-       "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) AS s "
-       "FROM cand CROSS JOIN q q2 ORDER BY s DESC, vec_id LIMIT 10"),
+       "SELECT cand.vec_id, CAST(floor(list_cosine_similarity("
+       "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
+       "FROM cand CROSS JOIN q q2 ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq51_lsh_ann", N.dq51_lsh_ann,
        # the seeded neighbor set is engine-specific; the hash checks the
        # structural invariants (count, self-hit, recall bound vs the
@@ -874,7 +877,8 @@ _REGISTRY: list[DQ] = [
     DQ("dq52_centroid_applyinpandas", N.dq52_centroid_applyinpandas,
        "SELECT label, "
        + ", ".join(
-           f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6) AS c{i}"
+           f"CAST(floor(avg(CAST(embedding[{i}] AS DOUBLE)) "
+           f"* 1000000.0 + 0.5) AS BIGINT) AS c{i}_micro"
            for i in range(1, 5))
        + " FROM embeddings GROUP BY label"),
     DQ("dq53_bpe_tokens", T.dq53_bpe_tokens,
@@ -1034,22 +1038,24 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
        "scored AS (SELECT a.cid, a.vec_id, "
-       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s "
        "FROM assigned a JOIN cents c ON a.cid = c.cid), "
        "m AS (SELECT * FROM scored WHERE vec_id <> cid), "
-       "reps AS (SELECT cid, vec_id AS rep_vec_id, s AS rep_s FROM "
+       "reps AS (SELECT cid, vec_id AS rep_vec_id, s AS rep_s_micro FROM "
        "(SELECT *, row_number() OVER (PARTITION BY cid "
        "ORDER BY s DESC, vec_id) AS rn FROM m) r WHERE rn = 1), "
-       "stats AS (SELECT cid, count(*) AS n_members, round(avg(s), 6) "
-       "AS mean_s FROM m GROUP BY cid) "
-       "SELECT reps.cid, rep_vec_id, rep_s, n_members, mean_s "
+       "stats AS (SELECT cid, count(*) AS n_members, "
+       "CAST(floor(SUM(s) / count(*) + 0.5) AS BIGINT) "
+       "AS mean_s_micro FROM m GROUP BY cid) "
+       "SELECT reps.cid, rep_vec_id, rep_s_micro, n_members, mean_s_micro "
        "FROM reps JOIN stats ON reps.cid = stats.cid ORDER BY reps.cid"),
     DQ("dq114_pq_assign", N.dq114_pq_assign,
        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
@@ -1059,11 +1065,13 @@ _REGISTRY: list[DQ] = [
        "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
        "WHERE vec_id < 8), "
        "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "round(list_distance(s.sv, cb.cw), 6) AS d "
+       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS d "
        "FROM subs s JOIN cb ON s.sub = cb.sub), "
        "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
        "ORDER BY d, code) AS rn FROM d) "
-       "SELECT vec_id, sub, code, d FROM a WHERE rn = 1 ORDER BY vec_id, sub"),
+       "SELECT vec_id, sub, code, d AS d_micro FROM a WHERE rn = 1 "
+       "ORDER BY vec_id, sub"),
     DQ("dq115_epoch_plan", C.dq115_epoch_plan,
        "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) "
        "AS BIGINT) AS n_tok FROM documents GROUP BY source), "
@@ -1110,12 +1118,14 @@ _REGISTRY: list[DQ] = [
     DQ("dq120_ivf_recall", N.dq120_ivf_recall,
        "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
-       "ORDER BY round(" + _cos("e", "qq") + ", 6) DESC, vec_id LIMIT 10), "
+       "ORDER BY CAST(floor((" + _cos("e", "qq")
+       + ") * 1000000.0 + 0.5) AS BIGINT) DESC, vec_id LIMIT 10), "
        "cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
@@ -1124,10 +1134,12 @@ _REGISTRY: list[DQ] = [
        "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
        "JOIN q ON a.cid = q.qcid), "
        "approx AS (SELECT cand.vec_id FROM cand CROSS JOIN q q2 "
-       "ORDER BY round(list_cosine_similarity(CAST(cand.embedding "
-       "AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])), 6) DESC, vec_id LIMIT 10) "
+       "ORDER BY CAST(floor(list_cosine_similarity(CAST(cand.embedding "
+       "AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])) * 1000000.0 + 0.5) "
+       "AS BIGINT) DESC, vec_id LIMIT 10) "
        "SELECT CAST(count(*) AS INT) AS n_overlap, "
-       "round(count(*) / 10.0, 3) AS recall_at_k "
+       "CAST(floor((count(*) / 10.0) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS recall_micro "
        "FROM exact JOIN approx USING (vec_id)"),
     DQ("dq121_bfs_layers", G.dq121_bfs_layers,
        "WITH " + _EDGES_CTE + ", "
@@ -1152,7 +1164,8 @@ _REGISTRY: list[DQ] = [
        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
        "FROM embeddings), "
        "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4), "
-       "d1 AS (SELECT e.vec_id, c0.cid, round(list_distance(e.v, c0.cv), 6) "
+       "d1 AS (SELECT e.vec_id, c0.cid, CAST(floor(list_distance(e.v, c0.cv) * 1000000.0 + 0.5) "
+       "AS BIGINT) "
        "AS dist FROM e CROSS JOIN c0), "
        "a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
        "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) r "
@@ -1160,7 +1173,8 @@ _REGISTRY: list[DQ] = [
        "u1 AS (SELECT a1.cid, i, avg(e.v[i + 1]) AS x FROM a1 "
        "JOIN e USING (vec_id) CROSS JOIN range(64) r(i) GROUP BY a1.cid, i), "
        "c1 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u1 GROUP BY cid), "
-       "d2 AS (SELECT e.vec_id, c1.cid, round(list_distance(e.v, c1.cv), 6) "
+       "d2 AS (SELECT e.vec_id, c1.cid, CAST(floor(list_distance(e.v, c1.cv) * 1000000.0 + 0.5) "
+       "AS BIGINT) "
        "AS dist FROM e CROSS JOIN c1), "
        "a2 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
        "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) r "
@@ -1170,8 +1184,9 @@ _REGISTRY: list[DQ] = [
        "c2 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u2 GROUP BY cid), "
        "s AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid) "
        "SELECT s.cid, CAST(n AS BIGINT) AS n, "
-       "round(sqrt(list_sum(list_transform(c2.cv, x -> x * x))), 6) "
-       "AS c_norm FROM s JOIN c2 USING (cid) ORDER BY s.cid"),
+       "CAST(floor(sqrt(list_sum(list_transform(c2.cv, x -> x * x))) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "AS c_norm_micro FROM s JOIN c2 USING (cid) ORDER BY s.cid"),
     DQ("dq123_tfidf_keywords", RT.dq123_tfidf_keywords,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
        "FROM documents), "
@@ -1346,8 +1361,9 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
@@ -1357,9 +1373,10 @@ _REGISTRY: list[DQ] = [
        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
        "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
        "JOIN probes ON a.cid = probes.cid) "
-       "SELECT cand.vec_id, round(list_cosine_similarity("
-       "CAST(cand.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS s "
-       "FROM cand CROSS JOIN q ORDER BY s DESC, vec_id LIMIT 10"),
+       "SELECT cand.vec_id, CAST(floor(list_cosine_similarity("
+       "CAST(cand.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
+       "FROM cand CROSS JOIN q ORDER BY s_micro DESC, vec_id LIMIT 10"),
     DQ("dq137_dup_rate_by_source", C.dq137_dup_rate_by_source,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
@@ -1536,19 +1553,20 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
        "pairs AS (SELECT b.vec_id, a.cid, a.vec_id AS keep_id, "
-       "round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
-       "CAST(a.embedding AS DOUBLE[])), 6) AS s "
+       "CAST(floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+       "CAST(a.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s "
        "FROM assigned a JOIN assigned b "
        "ON a.cid = b.cid AND a.vec_id < b.vec_id) "
-       "SELECT vec_id, cid, keep_id AS kept_by, s FROM "
+       "SELECT vec_id, cid, keep_id AS kept_by, s AS s_micro FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY s DESC, keep_id) AS rn FROM pairs WHERE s >= 0.30) q "
+       "ORDER BY s DESC, keep_id) AS rn FROM pairs WHERE s >= 300000) q "
        "WHERE rn = 1"),
     DQ("dq149_diversity_filter", V.dq149_diversity_filter,
        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
@@ -2523,8 +2541,9 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored AS (SELECT e.vec_id, e.label, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, label, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
@@ -2671,8 +2690,9 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
        "scored AS (SELECT e.vec_id, e.label, c.cid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])), 6) AS cs FROM embeddings e CROSS JOIN cents c), "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS cs FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, label, cid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
        "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
@@ -2840,8 +2860,8 @@ _REGISTRY: list[DQ] = [
        "WITH cents AS (SELECT vec_id AS ccid, embedding AS ccv "
        "FROM embeddings WHERE vec_id < 8), "
        "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.ccv AS DOUBLE[])), 6) AS cs "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.ccv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS cs "
        "FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, ccid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
@@ -2856,7 +2876,8 @@ _REGISTRY: list[DQ] = [
        "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
        "WHERE vec_id < 8), "
        "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "round(list_distance(s.sv, cb.cw), 6) AS d "
+       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS d "
        "FROM subs s JOIN cb ON s.sub = cb.sub), "
        "codes AS (SELECT vec_id, sub, code FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
@@ -2864,13 +2885,15 @@ _REGISTRY: list[DQ] = [
        "qsubs AS (SELECT i AS sub, qv[i * 16 + 1:i * 16 + 16] AS qsv "
        "FROM q, range(4) r(i)), "
        "dtab AS (SELECT qs.sub, cb.code, "
-       "CAST(round(list_distance(qs.qsv, cb.cw), 6) AS DECIMAL(18,6)) "
+       "CAST(floor(list_distance(qs.qsv, cb.cw) * 1000000.0 + 0.5) "
+       "AS BIGINT) "
        "AS dd FROM qsubs qs JOIN cb ON qs.sub = cb.sub), "
-       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS DOUBLE) AS adc "
+       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS BIGINT) AS adc "
        "FROM codes c JOIN cell ON c.vec_id = cell.vec_id "
        "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
        "GROUP BY c.vec_id) "
-       "SELECT vec_id, adc FROM scored ORDER BY adc, vec_id LIMIT 10"),
+       "SELECT vec_id, adc AS adc_micro FROM scored "
+       "ORDER BY adc, vec_id LIMIT 10"),
     DQ("dq229_ivfpq_recall", N.dq229_ivfpq_recall,
        # exact L2 arm (ADC's metric, not dq29's cosine — see impl
        # docstring) joined against dq228's full composition; floor-grid
@@ -2883,8 +2906,8 @@ _REGISTRY: list[DQ] = [
        "cents AS (SELECT vec_id AS ccid, embedding AS ccv "
        "FROM embeddings WHERE vec_id < 8), "
        "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "
-       "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.ccv AS DOUBLE[])), 6) AS cs "
+       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+       "CAST(c.ccv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS cs "
        "FROM embeddings e CROSS JOIN cents c), "
        "assigned AS (SELECT vec_id, embedding, ccid FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id "
@@ -2899,7 +2922,8 @@ _REGISTRY: list[DQ] = [
        "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
        "WHERE vec_id < 8), "
        "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "round(list_distance(s.sv, cb.cw), 6) AS d "
+       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS d "
        "FROM subs s JOIN cb ON s.sub = cb.sub), "
        "codes AS (SELECT vec_id, sub, code FROM "
        "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
@@ -2907,16 +2931,18 @@ _REGISTRY: list[DQ] = [
        "qsubs AS (SELECT i AS sub, qv[i * 16 + 1:i * 16 + 16] AS qsv "
        "FROM q, range(4) r(i)), "
        "dtab AS (SELECT qs.sub, cb.code, "
-       "CAST(round(list_distance(qs.qsv, cb.cw), 6) AS DECIMAL(18,6)) "
+       "CAST(floor(list_distance(qs.qsv, cb.cw) * 1000000.0 + 0.5) "
+       "AS BIGINT) "
        "AS dd FROM qsubs qs JOIN cb ON qs.sub = cb.sub), "
-       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS DOUBLE) AS adc "
+       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS BIGINT) AS adc "
        "FROM codes c JOIN cell ON c.vec_id = cell.vec_id "
        "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
        "GROUP BY c.vec_id), "
        "approx AS (SELECT vec_id FROM scored ORDER BY adc, vec_id "
        "LIMIT 10) "
        "SELECT CAST(count(*) AS INT) AS n_overlap, "
-       "round(count(*) / 10.0, 3) AS recall_at_k "
+       "CAST(floor((count(*) / 10.0) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS recall_micro "
        "FROM exact JOIN approx USING (vec_id)"),
     DQ("dq230_template_mining", T.dq230_template_mining,
        "WITH d AS (SELECT doc_id, "

@@ -40,9 +40,10 @@ def cosine_neardup_hof(t: Tables, k: int = 20) -> DataFrame:
     pairs = a.crossJoin(b).filter(F.col("v1") < F.col("v2"))
     sims = pairs.select(
         "v1", "v2",
-        F.round(cosine_similarity(F.col("e1"), F.col("e2")), 6).alias("s"),
+        snap(cosine_similarity(F.col("e1"), F.col("e2"))).alias("s_micro"),
     )
-    return sims.orderBy(F.desc("s"), F.asc("v1"), F.asc("v2")).limit(k)
+    return sims.orderBy(
+        F.desc("s_micro"), F.asc("v1"), F.asc("v2")).limit(k)
 
 
 def dq46_cosine_neardup_topk(t: Tables, k: int = 20,
@@ -83,12 +84,17 @@ def dq46_cosine_neardup_topk(t: Tables, k: int = 20,
 
         L, R = pdf[pdf.side == 0], pdf[pdf.side == 1]
         if len(L) == 0 or len(R) == 0:
-            return pd.DataFrame({"v1": [], "v2": [], "s": []}).astype(
-                {"v1": "int32", "v2": "int32", "s": "float64"})
+            return pd.DataFrame({"v1": [], "v2": [], "s_micro": []}).astype(
+                {"v1": "int32", "v2": "int32", "s_micro": "int64"})
         ml, mr = mat(L.embedding.values), mat(R.embedding.values)
         nl = np.sqrt((ml * ml).sum(axis=1))
         nr = np.sqrt((mr * mr).sum(axis=1))
-        sims = np.round((ml @ mr.T) / np.outer(nl, nr), 6)
+        # floor snap, not np.round: numpy rounds half-to-even on the
+        # binary value — a third rounding convention; the snap is the
+        # same IEEE multiply/add/floor as both engines
+        sims = np.floor(
+            (ml @ mr.T) / np.outer(nl, nr) * 1000000.0 + 0.5
+        ).astype("int64")
         v1 = L.vec_id.values[:, None].repeat(len(R), axis=1)
         v2 = R.vec_id.values[None, :].repeat(len(L), axis=0)
         if pdf.bi.iloc[0] == pdf.bj.iloc[0]:
@@ -101,11 +107,12 @@ def dq46_cosine_neardup_topk(t: Tables, k: int = 20,
             lo, hi = np.minimum(v1, v2), np.maximum(v1, v2)
         v1f, v2f, sf = lo[keep], hi[keep], sims[keep]
         top = np.lexsort((v2f, v1f, -sf))[:k]
-        return pd.DataFrame({"v1": v1f[top], "v2": v2f[top], "s": sf[top]})
+        return pd.DataFrame(
+            {"v1": v1f[top], "v2": v2f[top], "s_micro": sf[top]})
 
     out = both.groupBy("bi", "bj").applyInPandas(
-        block_topk, "v1 int, v2 int, s double")
-    return out.orderBy(F.desc("s"), F.asc("v1"), F.asc("v2")).limit(k)
+        block_topk, "v1 int, v2 int, s_micro long")
+    return out.orderBy(F.desc("s_micro"), F.asc("v1"), F.asc("v2")).limit(k)
 
 
 _ASSIGN_CACHE: dict = {}
@@ -134,9 +141,10 @@ def _assign_clusters_impl(t: Tables, n_centroids: int) -> DataFrame:
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", "cid",
-        F.round(cosine_similarity(F.col("embedding"), F.col("cv")), 6).alias("cs"),
+        snap(cosine_similarity(F.col("embedding"), F.col("cv")))
+        .alias("cs_micro"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs_micro"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -221,7 +229,8 @@ def dq52_centroid_applyinpandas(t: Tables, dims: int = 4) -> DataFrame:
 
     schema = "label int, " + ", ".join(f"{c} double" for c in cols)
     out = t["embeddings"].groupBy("label").applyInPandas(centroid, schema=schema)
-    return out.select("label", *[F.round(c, 6).alias(c) for c in cols])
+    return out.select(
+        "label", *[snap(F.col(c)).alias(f"{c}_micro") for c in cols])
 
 
 def dq47_ivf_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
@@ -240,9 +249,10 @@ def dq47_ivf_knn(t: Tables, query_vec_id: int = 0, k: int = 10,
     )
     sims = cand.select(
         "vec_id",
-        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
+        snap(cosine_similarity(F.col("embedding"), F.col("qv")))
+        .alias("s_micro"),
     )
-    return sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+    return sims.orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(k)
 
 
 def dq113_cluster_representatives(t: Tables, n_centroids: int = 8) -> DataFrame:
@@ -264,21 +274,24 @@ def dq113_cluster_representatives(t: Tables, n_centroids: int = 8) -> DataFrame:
     )
     scored = assigned.join(F.broadcast(cents), "cid").select(
         "cid", "vec_id",
-        F.round(cosine_similarity(
+        snap(cosine_similarity(
             F.col("embedding").cast("array<double>"),
-            F.col("cv").cast("array<double>")), 6).alias("s"),
+            F.col("cv").cast("array<double>"))).alias("s_micro"),
     )
     members = scored.filter(F.col("vec_id") != F.col("cid"))
-    w = Window.partitionBy("cid").orderBy(F.desc("s"), F.asc("vec_id"))
+    w = Window.partitionBy("cid").orderBy(F.desc("s_micro"), F.asc("vec_id"))
     reps = (
         members.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("cid", F.col("vec_id").alias("rep_vec_id"),
-                F.col("s").alias("rep_s"))
+                F.col("s_micro").alias("rep_s_micro"))
     )
     stats = members.groupBy("cid").agg(
         F.count("*").alias("n_members"),
-        F.round(F.avg("s"), 6).alias("mean_s"),
+        # mean of exact micro ints: bigint sum / count, then half-up —
+        # the same two IEEE ops in both engines
+        F.floor(F.sum("s_micro") / F.count("*") + F.lit(0.5))
+        .cast("bigint").alias("mean_s_micro"),
     )
     return reps.join(stats, "cid").orderBy("cid")
 
@@ -314,13 +327,14 @@ def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
     )
     scored = subs.join(F.broadcast(cb), "sub").select(
         "vec_id", "sub", "code",
-        F.round(l2_distance(F.col("sv"), F.col("cw")), 6).alias("d"),
+        snap(l2_distance(F.col("sv"), F.col("cw"))).alias("d_micro"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("d_micro"), F.asc("code"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code", "d")
+        .select("vec_id", "sub", "code", "d_micro")
     )
 
 
@@ -341,7 +355,7 @@ def dq120_ivf_recall(t: Tables, k: int = 10) -> DataFrame:
     hits = exact.join(approx, "vec_id")
     return hits.agg(
         F.count("*").cast("int").alias("n_overlap"),
-        F.round(F.count("*") / F.lit(float(k)), 3).alias("recall_at_k"),
+        snap(F.count("*") / F.lit(float(k))).alias("recall_micro"),
     )
 
 
@@ -368,9 +382,10 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
     for _ in range(iters):
         scored = e.crossJoin(F.broadcast(cents)).select(
             "vec_id", "v", "cid",
-            F.round(l2_distance(F.col("v"), F.col("cv")), 6).alias("dist"),
+            snap(l2_distance(F.col("v"), F.col("cv"))).alias("dist_micro"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cid"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc("dist_micro"), F.asc("cid"))
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).select("vec_id", "v", "cid")
@@ -385,13 +400,13 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
             .select("cid",
                     F.transform("cs", lambda s: s.getField("x")).alias("cv"))
         )
-    c_norm = F.round(
-        F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)), 6
+    c_norm = snap(
+        F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x))
     )
     sizes = assigned.groupBy("cid").agg(F.count("*").alias("n"))
     return (
         sizes.join(cents, "cid")
-        .select("cid", "n", c_norm.alias("c_norm"))
+        .select("cid", "n", c_norm.alias("c_norm_micro"))
         .orderBy("cid")
     )
 
@@ -416,20 +431,20 @@ def dq136_ivf_multiprobe(t: Tables, query_vec_id: int = 0, k: int = 10,
     )
     qsims = q.crossJoin(F.broadcast(cents)).select(
         "cid",
-        F.round(cosine_similarity(
+        snap(cosine_similarity(
             F.col("qv").cast("array<double>"),
-            F.col("cv").cast("array<double>")), 6).alias("cs"),
+            F.col("cv").cast("array<double>"))).alias("cs_micro"),
     )
-    probes = qsims.orderBy(F.desc("cs"), F.asc("cid")).limit(n_probes) \
-        .select("cid")
+    probes = qsims.orderBy(F.desc("cs_micro"), F.asc("cid")) \
+        .limit(n_probes).select("cid")
     cand = assign_clusters(t, n_centroids).join(F.broadcast(probes), "cid")
     sims = cand.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        F.round(cosine_similarity(
+        snap(cosine_similarity(
             F.col("embedding").cast("array<double>"),
-            F.col("qv").cast("array<double>")), 6).alias("s"),
+            F.col("qv").cast("array<double>"))).alias("s_micro"),
     )
-    return sims.orderBy(F.desc("s"), F.asc("vec_id")).limit(k)
+    return sims.orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(k)
 
 
 def dq148_semdedup(t: Tables, n_centroids: int = 8,
@@ -459,12 +474,13 @@ def dq148_semdedup(t: Tables, n_centroids: int = 8,
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"].values])
         u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = np.round(u @ u.T, 6)
+        # floor snap (engine-identical), not np.round (half-to-even)
+        sims = np.floor(u @ u.T * 1000000.0 + 0.5).astype("int64")
         n = len(pdf)
         lower = np.tril(np.ones((n, n), dtype=bool), k=-1)  # i<j per column j
-        cand = (sims >= tau) & lower.T
+        cand = (sims >= int(tau * 1_000_000)) & lower.T
         has = cand.any(axis=0)
-        masked = np.where(cand, sims, -np.inf)
+        masked = np.where(cand, sims, np.iinfo("int64").min)
         best = masked.argmax(axis=0)  # first max = lowest vec_id (sorted)
         j = np.nonzero(has)[0]
         i = best[j]
@@ -472,11 +488,12 @@ def dq148_semdedup(t: Tables, n_centroids: int = 8,
             "vec_id": pdf["vec_id"].values[j],
             "cid": pdf["cid"].values[j],
             "kept_by": pdf["vec_id"].values[i],
-            "s": sims[i, j],
+            "s_micro": sims[i, j],
         })
 
     return assigned.groupBy("cid").applyInPandas(
-        drops, schema="vec_id bigint, cid bigint, kept_by bigint, s double")
+        drops,
+        schema="vec_id bigint, cid bigint, kept_by bigint, s_micro long")
 
 
 def dq204_grid_dbscan(t: Tables, eps: float = 0.05,
@@ -706,16 +723,15 @@ def dq228_ivfpq_search(t: Tables, query_vec_id: int = 0, k: int = 10,
     )
     dtab = qsubs.join(cb, "sub").select(
         "sub", "code",
-        F.round(l2_distance(F.col("qsv"), F.col("cw")), 6)
-        .cast("decimal(18,6)").alias("dd"),
+        snap(l2_distance(F.col("qsv"), F.col("cw"))).alias("dd_micro"),
     )
     scored = (
         codes.join(cell, "vec_id", "left_semi")
         .join(F.broadcast(dtab), ["sub", "code"])
         .groupBy("vec_id")
-        .agg(F.sum("dd").cast("double").alias("adc"))
+        .agg(F.sum("dd_micro").alias("adc_micro"))
     )
-    return scored.orderBy(F.asc("adc"), F.asc("vec_id")).limit(k)
+    return scored.orderBy(F.asc("adc_micro"), F.asc("vec_id")).limit(k)
 
 
 def dq229_ivfpq_recall(t: Tables, k: int = 10) -> DataFrame:
@@ -758,5 +774,5 @@ def dq229_ivfpq_recall(t: Tables, k: int = 10) -> DataFrame:
     hits = exact.join(approx, "vec_id")
     return hits.agg(
         F.count("*").cast("int").alias("n_overlap"),
-        F.round(F.count("*") / F.lit(float(k)), 3).alias("recall_at_k"),
+        snap(F.count("*") / F.lit(float(k))).alias("recall_micro"),
     )

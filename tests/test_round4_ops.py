@@ -71,8 +71,8 @@ def test_basket_lift_shape(tables):
     assert len(rows) > 0
     for r in rows:
         assert r.b1 < r.b2
-        assert 0 < r.support <= 1
-        assert r.lift > 0
+        assert 0 < r.support_micro <= 1_000_000
+        assert r.lift_micro > 0
 
 
 def test_changelog_tombstones_delete(tables, spark):
