@@ -566,7 +566,7 @@ _REGISTRY: list[DQ] = [
     DQ("dq36_tumbling", W.dq36_tumbling,
        "SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type, "
        "count(*) AS c, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
        "FROM events GROUP BY ws, event_type"),
     DQ("dq37_sliding", W.dq37_sliding,
        "WITH ev AS (SELECT (epoch_us(ts) // 1800000000) * 1800 AS s1, event_type, value "
@@ -574,7 +574,7 @@ _REGISTRY: list[DQ] = [
        "exploded AS (SELECT s1 AS ws, event_type, value FROM ev "
        "UNION ALL SELECT s1 - 1800 AS ws, event_type, value FROM ev) "
        "SELECT ws, event_type, count(*) AS c, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
        "FROM exploded GROUP BY ws, event_type"),
     DQ("dq38_session", W.dq38_session,
        "WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events), "
@@ -585,7 +585,7 @@ _REGISTRY: list[DQ] = [
        "sess AS (SELECT user_id, tus, value, sum(new_s) OVER (PARTITION BY user_id "
        "ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
        "SELECT user_id, min(tus) AS ss, count(*) AS c, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
        "FROM sess GROUP BY user_id, sid"),
     DQ("dq75_window_battery", R.dq75_window_battery,
        "SELECT o_orderkey, "
@@ -633,37 +633,40 @@ _REGISTRY: list[DQ] = [
        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
        "SELECT l_returnflag, l_linestatus, "
-       "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS sum_qty_cents, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS sum_base_cents, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS sum_disc, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "* 10000 AS BIGINT) AS sum_disc_e4, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * "
        "(CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 6) AS sum_charge, "
-       "round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
-       "AS DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty, "
+       "* 1000000 AS BIGINT) AS sum_charge_e6, "
+       "CAST(floor((CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
+       "AS DECIMAL(18,2)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS avg_qty_micro, "
        "count(*) AS n "
        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
        "GROUP BY l_returnflag, l_linestatus"),
     DQ("dq78_tpch_q3", Q.dq78_tpch_q3,
        "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS revenue "
+       "* 10000 AS BIGINT) AS revenue_e4 "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "WHERE c_mktsegment = 'BUILDING' "
        "AND o_orderdate < TIMESTAMP '1998-01-01' "
        "AND l_shipdate > TIMESTAMP '1998-01-01' "
        "GROUP BY l_orderkey, o_orderdate "
-       "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+       "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
     DQ("dq79_tpch_q5", Q.dq79_tpch_q5,
        "SELECT n_name, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS revenue "
+       "* 10000 AS BIGINT) AS revenue_e4 "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
@@ -672,8 +675,9 @@ _REGISTRY: list[DQ] = [
        "AND o_orderdate < TIMESTAMP '1997-01-01' "
        "GROUP BY n_name"),
     DQ("dq80_tpch_q6", Q.dq80_tpch_q6,
-       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue "
+       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) "
+       "AS revenue_e4 "
        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
        "AND l_shipdate < TIMESTAMP '1997-01-01' "
        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
@@ -685,10 +689,12 @@ _REGISTRY: list[DQ] = [
        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
        "GROUP BY o_orderpriority"),
     DQ("dq88_tpch_q10", Q.dq88_tpch_q10,
-       "SELECT c_custkey, c_name, c_acctbal, n_name, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "SELECT c_custkey, c_name, "
+       "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_acctbal_cents, "
+       "n_name, "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS revenue "
+       "* 10000 AS BIGINT) AS revenue_e4 "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN nation ON c_nationkey = n_nationkey "
@@ -696,7 +702,7 @@ _REGISTRY: list[DQ] = [
        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
        "AND o_orderdate < TIMESTAMP '1996-04-01' "
        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
-       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+       "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
     DQ("dq89_tpch_q12", Q.dq89_tpch_q12,
        "SELECT l_linestatus, "
        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
@@ -716,8 +722,9 @@ _REGISTRY: list[DQ] = [
        "a AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev "
        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS promo, "
        "CAST(sum(rev) AS DECIMAL(18,4)) AS total FROM j) "
-       "SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) "
-       "AS promo_share FROM a"),
+       "SELECT CAST(floor((100.0 * CAST(promo AS DOUBLE) "
+       "/ CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS promo_share_micro FROM a"),
     DQ("dq91_tpch_q15", Q.dq91_tpch_q15,
        "WITH rev AS (SELECT l_suppkey, "
        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -726,7 +733,7 @@ _REGISTRY: list[DQ] = [
        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
        "SELECT s_suppkey, s_name, "
-       "round(CAST(total_rev AS DOUBLE), 4) AS total_rev FROM rev "
+       "CAST(total_rev * 10000 AS BIGINT) AS total_rev_e4 FROM rev "
        "JOIN supplier ON l_suppkey = s_suppkey "
        "WHERE total_rev = (SELECT max(total_rev) FROM rev)"),
     DQ("dq92_tpch_q18", Q.dq92_tpch_q18,
@@ -736,13 +743,13 @@ _REGISTRY: list[DQ] = [
        "HAVING sum_qty > CAST(250 AS DECIMAL(18,2))) "
        "SELECT c_custkey, c_name, o_orderkey, "
        "CAST(o_orderdate AS DATE) AS o_orderdate, "
-       "round(CAST(sum_qty AS DOUBLE), 2) AS sum_qty "
+       "CAST(sum_qty * 100 AS BIGINT) AS sum_qty_cents "
        "FROM big JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey"),
     DQ("dq93_tpch_q19", Q.dq93_tpch_q19,
-       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS revenue "
+       "* 10000 AS BIGINT) AS revenue_e4 "
        "FROM lineitem JOIN part ON l_partkey = p_partkey "
        "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
        "AND l_quantity BETWEEN 5 AND 15) "
@@ -760,8 +767,8 @@ _REGISTRY: list[DQ] = [
        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
        "AND o.o_orderdate >= TIMESTAMP '2000-01-01')) "
        "SELECT c_nationkey, count(*) AS numcust, "
-       "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) "
-       "AS totacctbal FROM inactive GROUP BY c_nationkey"),
+       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS totacctbal_cents FROM inactive GROUP BY c_nationkey"),
     DQ("dq70_gapfill", TS.dq70_gapfill,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "
@@ -1084,10 +1091,10 @@ _REGISTRY: list[DQ] = [
        "FROM tok CROSS JOIN tots ORDER BY source"),
     DQ("dq116_salted_agg", S.dq116_salted_agg,
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) "
-       "AS sum_value, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), "
-       "6) AS avg_value "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) "
+       "AS sum_value_cents, "
+       "CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) "
+       "/ count(*)) * 1000000.0 + 0.5) AS BIGINT) AS avg_value_micro "
        "FROM events GROUP BY event_type ORDER BY event_type"),
     DQ("dq117_sessionize", TS.dq117_sessionize,
        "WITH f AS (SELECT user_id, event_id, ts, "
@@ -1669,9 +1676,9 @@ _REGISTRY: list[DQ] = [
     DQ("dq156_tpch_q7", Q.dq156_tpch_q7,
        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
        "CAST(year(l_shipdate) AS INT) AS l_year, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE), 4) AS revenue "
+       "* 10000 AS BIGINT) AS revenue_e4 "
        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
        "JOIN customer ON o_custkey = c_custkey "
        "JOIN supplier ON l_suppkey = s_suppkey "
@@ -1699,9 +1706,10 @@ _REGISTRY: list[DQ] = [
        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
        "AND o_orderdate < TIMESTAMP '1998-01-01') "
        "SELECT CAST(o_year AS INT) AS o_year, "
-       "round(CAST(CAST(sum(CASE WHEN sn = 'NATION_2' THEN rev "
+       "CAST(floor((CAST(CAST(sum(CASE WHEN sn = 'NATION_2' THEN rev "
        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS DOUBLE) / "
-       "CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE), 6) AS mkt_share "
+       "CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS mkt_share_micro "
        "FROM j GROUP BY o_year"),
     DQ("dq158_tpch_q13", Q.dq158_tpch_q13,
        "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
@@ -1715,8 +1723,8 @@ _REGISTRY: list[DQ] = [
        "aq AS (SELECT l_partkey AS pk, "
        "avg(CAST(l_quantity AS DOUBLE)) * 0.2 AS qlim FROM li "
        "GROUP BY l_partkey) "
-       "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
-       "AS DOUBLE) / 7.0, 2) AS avg_yearly, "
+       "SELECT CAST(floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+       "AS DOUBLE) / 7.0) * 100.0 + 0.5) AS BIGINT) AS avg_yearly_cents, "
        "CAST(count(*) AS BIGINT) AS n_lines "
        "FROM li JOIN aq ON l_partkey = pk "
        "WHERE CAST(l_quantity AS DOUBLE) < qlim"),
@@ -1998,17 +2006,19 @@ _REGISTRY: list[DQ] = [
        "WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 "
        "AND p_type = 'STANDARD') "
        "SELECT p_partkey, ps_suppkey AS s_suppkey, s_name, "
-       "round(s_acctbal, 2) AS s_acctbal, n_name, "
-       "round(ps_cost_cents / 100.0, 2) AS supplycost "
+       "CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_acctbal_cents, "
+       "n_name, "
+       "CAST(ps_cost_cents AS BIGINT) AS supplycost_cents "
        "FROM (SELECT *, min(ps_cost_cents) OVER (PARTITION BY p_partkey) "
        "AS mc FROM j) x WHERE ps_cost_cents = mc"),
     DQ("dq174_tpch_q9", Q.dq174_tpch_q9,
        "WITH " + _PS_CTE + " "
        "SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year, "
-       "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
        "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DOUBLE) - sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) "
-       "/ 100.0, 2) AS profit "
+       "* 10000 AS BIGINT) "
+       "- CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) "
+       "* 100 AS BIGINT) AS profit_e4 "
        "FROM lineitem "
        "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' "
        "JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
@@ -2022,7 +2032,7 @@ _REGISTRY: list[DQ] = [
        "JOIN nation ON s_nationkey = n_nationkey "
        "WHERE n_name = 'NATION_1' GROUP BY ps_partkey), "
        "tot AS (SELECT sum(v) AS tv FROM vals) "
-       "SELECT ps_partkey, round(v / 100.0, 2) AS value "
+       "SELECT ps_partkey, CAST(v AS BIGINT) AS value_cents "
        "FROM vals CROSS JOIN tot WHERE v > 0.0001 * tv"),
     DQ("dq176_tpch_q16", Q.dq176_tpch_q16,
        "WITH " + _PS_CTE + " "

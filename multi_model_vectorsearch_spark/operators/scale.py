@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
                    overwrite: bool = True, path: str | None = None) -> None:
@@ -133,11 +135,12 @@ def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
     )
     return merged.select(
         "event_type", "n",
-        F.round(F.col("sum_d").cast("double"), 2).alias("sum_value"),
+        (F.col("sum_d") * 100).cast("bigint").alias("sum_value_cents"),
         # derived from the exact decimal sum, so both engines divide the
-        # same number — no FP summation-order exposure
-        F.round(F.col("sum_d").cast("double") / F.col("n"), 6)
-        .alias("avg_value"),
+        # same number — no FP summation-order exposure; floor-snapped to
+        # micro units (round() is not cross-engine-identical)
+        snap(F.col("sum_d").cast("double") / F.col("n"))
+        .alias("avg_value_micro"),
     ).orderBy("event_type")
 
 

@@ -6,11 +6,12 @@ arithmetic goes through DECIMAL casts per SURVEY.md §5.3 rule 2 so sums are
 exact and order-independent; result scales equal the product scale (2+2 -> 4,
 +2 -> 6) so no lossy cast happens — Spark rounds DECIMAL casts half-up
 while DuckDB rounds half-even, so any lossy cast is a latent mismatch.
-Final projections cast the exact decimals to DOUBLE (rounded at their scale):
-the correctness gate's hasher is dtype-sensitive — a pandas round-trip turns
-DECIMAL into float64 ("253942.00" -> "253942.0"), so DECIMAL output columns
-hash-mismatch whenever a value's last scale digit is 0, while the
-decimal->double conversion itself is deterministic on both engines.
+Final projections emit exact scaled-integer BIGINTs (decimal × 10^scale —
+lossless, the fraction is zero by construction): DECIMAL output columns
+hash-mismatch on repr ("253942.00" vs "253942.0" after the driver's pandas
+round-trip), and rounded-DOUBLE outputs split on Spark's shortest-repr
+round() vs DuckDB's binary round (the r5 driver reds); integer cents/e4/e6
+units cannot diverge. Ratios (avg, share) use the floor(x·1e6 + 0.5) snap.
 All plans are broadcast/partial-agg shapes Catalyst handles with no hints
 beyond the dimension broadcasts.
 """
@@ -19,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 
 Tables = dict
 
@@ -44,11 +47,14 @@ def dq77_tpch_q1(t: Tables) -> DataFrame:
     )
     return agg.select(
         "l_returnflag", "l_linestatus",
-        F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
-        F.round(F.col("sum_base").cast("double"), 2).alias("sum_base"),
-        F.round(F.col("sum_disc").cast("double"), 4).alias("sum_disc"),
-        F.round(F.col("sum_charge").cast("double"), 6).alias("sum_charge"),
-        F.round(F.col("sum_qty").cast("double") / F.col("n"), 6).alias("avg_qty"),
+        # exact scaled-integer outputs: decimal × 10^scale is lossless
+        (F.col("sum_qty") * 100).cast("bigint").alias("sum_qty_cents"),
+        (F.col("sum_base") * 100).cast("bigint").alias("sum_base_cents"),
+        (F.col("sum_disc") * 10000).cast("bigint").alias("sum_disc_e4"),
+        (F.col("sum_charge") * 1000000).cast("bigint")
+        .alias("sum_charge_e6"),
+        snap(F.col("sum_qty").cast("double") / F.col("n"))
+        .alias("avg_qty_micro"),
         "n",
     )
 
@@ -75,8 +81,9 @@ def dq78_tpch_q3(t: Tables) -> DataFrame:
         # diverges on timestamps (dq92 flickered red in r2, dq201 red in
         # r5); DATE (dq68) has a green history. o_orderdate is midnight-
         # aligned in the testdata so the cast is lossless.
-        .select("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                F.round(F.col("rev_d").cast("double"), 4).alias("revenue"))
+        .select("l_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+                (F.col("rev_d") * 10000).cast("bigint").alias("revenue_e4"))
     )
 
 
@@ -102,7 +109,7 @@ def dq79_tpch_q5(t: Tables) -> DataFrame:
               F.col("c_nationkey") == F.col("n_nationkey"))
     )
     return j.groupBy("n_name").agg(
-        F.round(F.sum(rev).cast("double"), 4).alias("revenue")
+        (F.sum(rev) * 10000).cast("bigint").alias("revenue_e4")
     )
 
 
@@ -115,7 +122,7 @@ def dq80_tpch_q6(t: Tables) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     rev = F.col("l_extendedprice").cast(_D) * F.col("l_discount").cast(_D)
-    return li.agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+    return li.agg((F.sum(rev) * 10000).cast("bigint").alias("revenue_e4"))
 
 
 def _rev() -> F.Column:
@@ -165,8 +172,10 @@ def dq88_tpch_q10(t: Tables) -> DataFrame:
         .agg(F.sum(_rev()).cast("decimal(18,4)").alias("rev_d"))
         .orderBy(F.desc("rev_d"), F.asc("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "c_acctbal", "n_name",
-                F.round(F.col("rev_d").cast("double"), 4).alias("revenue"))
+        .select("c_custkey", "c_name",
+                snap(F.col("c_acctbal"), 100).alias("c_acctbal_cents"),
+                "n_name",
+                (F.col("rev_d") * 10000).cast("bigint").alias("revenue_e4"))
     )
 
 
@@ -205,8 +214,8 @@ def dq90_tpch_q14(t: Tables) -> DataFrame:
         F.sum(_rev()).cast("decimal(18,4)").alias("total"),
     )
     return agg.select(
-        F.round(F.lit(100.0) * F.col("promo").cast("double")
-                / F.col("total").cast("double"), 6).alias("promo_share")
+        snap(F.lit(100.0) * F.col("promo").cast("double")
+             / F.col("total").cast("double")).alias("promo_share_micro")
     )
 
 
@@ -232,8 +241,8 @@ def dq91_tpch_q15(t: Tables) -> DataFrame:
         .join(F.broadcast(t["supplier"]),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name",
-                F.round(F.col("total_rev").cast("double"), 4)
-                .alias("total_rev"))
+                (F.col("total_rev") * 10000).cast("bigint")
+                .alias("total_rev_e4"))
     )
 
 
@@ -252,7 +261,7 @@ def dq92_tpch_q18(t: Tables) -> DataFrame:
                 # DATE, not timestamp_ntz — this column made dq92 flicker
                 # red in CORRECTNESS_r02 (driver timestamp canonicalizer)
                 F.col("o_orderdate").cast("date").alias("o_orderdate"),
-                F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"))
+                (F.col("sum_qty") * 100).cast("bigint").alias("sum_qty_cents"))
     )
 
 
@@ -275,7 +284,7 @@ def dq93_tpch_q19(t: Tables) -> DataFrame:
            & F.col("l_quantity").between(25, 35))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(_rev()).cast("double"), 4).alias("revenue")
+        (F.sum(_rev()) * 10000).cast("bigint").alias("revenue_e4")
     )
 
 
@@ -304,8 +313,8 @@ def dq94_tpch_q22(t: Tables) -> DataFrame:
     )
     return inactive.groupBy("c_nationkey").agg(
         F.count("*").alias("numcust"),
-        F.round(F.sum(F.col("c_acctbal").cast(_D)).cast("double"), 2)
-        .alias("totacctbal"),
+        (F.sum(F.col("c_acctbal").cast(_D)) * 100).cast("bigint")
+        .alias("totacctbal_cents"),
     )
 
 
@@ -347,7 +356,7 @@ def dq156_tpch_q7(t: Tables) -> DataFrame:
     return (
         j.groupBy("supp_nation", "cust_nation",
                   F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(_rev()).cast("double"), 4).alias("revenue"))
+        .agg((F.sum(_rev()) * 10000).cast("bigint").alias("revenue_e4"))
     )
 
 
@@ -384,8 +393,8 @@ def dq157_tpch_q8(t: Tables) -> DataFrame:
     )
     return yearly.select(
         "o_year",
-        F.round(F.col("nation_rev").cast("double")
-                / F.col("total_rev").cast("double"), 6).alias("mkt_share"),
+        snap(F.col("nation_rev").cast("double")
+             / F.col("total_rev").cast("double")).alias("mkt_share_micro"),
     )
 
 
@@ -423,9 +432,9 @@ def dq159_tpch_q17(t: Tables) -> DataFrame:
     small = li.join(avg_q, "l_partkey").filter(
         F.col("l_quantity").cast("double") < F.col("qlim"))
     return small.agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast(_D)).cast("double") / 7.0, 2
-        ).alias("avg_yearly"),
+        snap(
+            F.sum(F.col("l_extendedprice").cast(_D)).cast("double") / 7.0,
+            100).alias("avg_yearly_cents"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
 
@@ -526,8 +535,8 @@ def dq173_tpch_q2(t: Tables) -> DataFrame:
         .filter(F.col("ps_cost_cents") == F.col("mc"))
         .select(
             "p_partkey", F.col("ps_suppkey").alias("s_suppkey"), "s_name",
-            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "n_name",
-            F.round(F.col("ps_cost_cents") / 100.0, 2).alias("supplycost"),
+            snap(F.col("s_acctbal"), 100).alias("s_acctbal_cents"), "n_name",
+            F.col("ps_cost_cents").alias("supplycost_cents"),
         )
     )
 
@@ -562,10 +571,9 @@ def dq174_tpch_q9(t: Tables) -> DataFrame:
     return (
         j.groupBy("n_name",
                   F.year("l_shipdate").cast("int").alias("o_year"))
-        .agg(F.round(
-            F.sum(rev).cast("double")
-            - F.sum(cost_cents).cast("double") / 100.0, 2)
-            .alias("profit"))
+        .agg(((F.sum(rev) * 10000).cast("bigint")
+              - (F.sum(cost_cents) * 100).cast("bigint"))
+             .alias("profit_e4"))
     )
 
 
@@ -599,7 +607,7 @@ def dq175_tpch_q11(t: Tables, nation: str = "NATION_1",
                 > F.lit(frac) * F.col("tv").cast("double"))
         .select(
             "ps_partkey",
-            F.round(F.col("v").cast("double") / 100.0, 2).alias("value"),
+            F.col("v").cast("bigint").alias("value_cents"),
         )
     )
 

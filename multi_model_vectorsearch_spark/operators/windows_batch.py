@@ -8,11 +8,11 @@ exactly these results.
 
 Window starts are exposed as epoch seconds (tumbling/sliding) or epoch micros
 (session) so the DuckDB oracle can reproduce them with integer bucket math.
-Money-ish sums go through DECIMAL(18,2) (order-independent exactness), then
-the final projection casts to DOUBLE: the correctness gate's hasher treats
-DECIMAL cells dtype-sensitively (a pandas round-trip turns DECIMAL into
-float64, so "253942.00" vs "253942.0" mismatches), while an exact decimal
-cast to double is bit-identical across engines.
+Money-ish sums go through DECIMAL(18,2) (order-independent exactness) and
+emit exact integer cents (decimal × 100, lossless): DECIMAL outputs
+hash-mismatch on repr after the driver's pandas round-trip, and rounded
+DOUBLE outputs split on Spark-vs-DuckDB round() (the r5 reds); BIGINT
+cents cannot diverge.
 """
 
 from __future__ import annotations
@@ -26,9 +26,10 @@ Tables = dict
 def _agg_cols(df):
     return [
         F.count("*").alias("c"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("sv"),
+        # exact cents: decimal sum × 100 is lossless and integer-typed —
+        # no decimal-repr or rounded-double hash hazard in either engine
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint").alias("sv_cents"),
     ]
 
 
@@ -37,7 +38,8 @@ def dq36_tumbling(t: Tables) -> DataFrame:
     e = t["events"]
     g = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
     return g.agg(*_agg_cols(e)).select(
-        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c",
+        "sv_cents"
     )
 
 
@@ -46,7 +48,8 @@ def dq37_sliding(t: Tables) -> DataFrame:
     e = t["events"]
     g = e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
     return g.agg(*_agg_cols(e)).select(
-        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c",
+        "sv_cents"
     )
 
 
@@ -55,5 +58,5 @@ def dq38_session(t: Tables) -> DataFrame:
     e = t["events"]
     g = e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
     return g.agg(*_agg_cols(e)).select(
-        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv"
+        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv_cents"
     )

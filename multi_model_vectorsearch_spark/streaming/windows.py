@@ -40,9 +40,10 @@ def read_event_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
 def _agg(df_grouped):
     return df_grouped.agg(
         F.count("*").alias("c"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("sv"),
+        # exact cents — must stay expression-identical to the batch twins
+        # in operators/windows_batch.py (batch-equivalence contract)
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint").alias("sv_cents"),
     )
 
 
@@ -50,7 +51,8 @@ def tumbling_stream(events: DataFrame) -> DataFrame:
     """B41: streaming tumbling 1h window (same expr as batch dq36)."""
     g = _agg(events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type"))
     return g.select(
-        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c",
+        "sv_cents"
     )
 
 
@@ -61,7 +63,8 @@ def sliding_stream(events: DataFrame) -> DataFrame:
                        "event_type")
     )
     return g.select(
-        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c", "sv"
+        F.unix_timestamp(F.col("w.start")).alias("ws"), "event_type", "c",
+        "sv_cents"
     )
 
 
@@ -76,7 +79,7 @@ def session_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
     )
     return g.select(
-        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv"
+        "user_id", F.unix_micros(F.col("w.start")).alias("ss"), "c", "sv_cents"
     )
 
 
