@@ -773,7 +773,7 @@ _REGISTRY: list[DQ] = [
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "
        "hourly AS (SELECT user_id, hb, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv "
        "FROM ev GROUP BY user_id, hb), "
        "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
        "GROUP BY user_id), "
@@ -782,7 +782,7 @@ _REGISTRY: list[DQ] = [
        "ON g.user_id = h.user_id AND g.hb = h.hb) "
        "SELECT user_id, hb, last_value(sv IGNORE NULLS) OVER "
        "(PARTITION BY user_id ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING "
-       "AND CURRENT ROW) AS filled FROM j"),
+       "AND CURRENT ROW) AS filled_cents FROM j"),
     DQ("dq71_funnel", TS.dq71_funnel,
        "WITH u AS (SELECT DISTINCT user_id FROM events), "
        "v AS (SELECT user_id, min(ts) AS t1 FROM events "
@@ -1112,7 +1112,7 @@ _REGISTRY: list[DQ] = [
        "epoch_us(ts) // 1000000 AS ep, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
        "SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_7d, "
-       "round(CAST(sum(v) OVER w AS DOUBLE), 2) AS sum_7d "
+       "CAST(sum(v) OVER w * 100 AS BIGINT) AS sum_7d_cents "
        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep "
        "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) "
        "ORDER BY user_id, event_id"),
@@ -1304,9 +1304,9 @@ _REGISTRY: list[DQ] = [
        "arg_max(event_id, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
        "AS last_event_id, "
        "max(epoch_us(ts)) AS last_ts_us, "
-       "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), "
+       "arg_max(CAST(round(value * 100) AS BIGINT), "
        "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
-       "AS last_value "
+       "AS last_value_cents "
        "FROM events GROUP BY user_id, event_type "
        "ORDER BY user_id, event_type"),
     DQ("dq133_dedup_apply", C.dq133_dedup_apply,
@@ -1444,7 +1444,8 @@ _REGISTRY: list[DQ] = [
        "WINDOW w AS (PARTITION BY event_type ORDER BY day "
        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
        "SELECT day, event_type, CAST(n AS BIGINT) AS n, "
-       "round((n - mu) / sd, 6) AS z, "
+       "CAST(floor(((n - mu) / sd) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS z_micro, "
        "CAST(CASE WHEN abs((n - mu) / sd) > 2.0 THEN 1 ELSE 0 END AS INT) "
        "AS anomaly FROM scored WHERE n_base >= 7 AND sd > 0"),
     DQ("dq143_retention_cohorts", TS.dq143_retention_cohorts,
@@ -1496,7 +1497,7 @@ _REGISTRY: list[DQ] = [
        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
        "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
        "SELECT day // 7 AS wk, event_type, CAST(count(*) AS BIGINT) AS n, "
-       "round(CAST(sum(v) AS DOUBLE), 2) AS sum_value "
+       "CAST(sum(v) * 100 AS BIGINT) AS sum_value_cents "
        "FROM ev GROUP BY wk, event_type ORDER BY wk, event_type"),
     DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
        "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
@@ -2061,7 +2062,7 @@ _REGISTRY: list[DQ] = [
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
        "FROM events), "
        "hourly AS (SELECT user_id, hb, "
-       "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sv "
+       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv "
        "FROM ev GROUP BY user_id, hb), "
        "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
        "GROUP BY user_id), "
@@ -2080,15 +2081,16 @@ _REGISTRY: list[DQ] = [
        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
        "wf AS (PARTITION BY user_id ORDER BY hb "
        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
-       "SELECT user_id, hb, floor((CASE WHEN sv IS NOT NULL THEN sv "
+       "SELECT user_id, hb, CAST(floor((CASE WHEN sv IS NOT NULL THEN sv "
        "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
        "ELSE pv + (nv - pv) * ((hb - ph) * 1.0 / (nh - ph)) END) "
-       "* 10000 + 0.5) / 10000.0 AS v "
+       "* 100 + 0.5) AS BIGINT) AS v_e4 "
        "FROM n"),
     DQ("dq179_rolling_median", TS.dq179_rolling_median,
        "SELECT user_id, event_id, "
-       "CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2] "
-       "ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS med_5 "
+       "CAST(floor((CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2] "
+       "ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS med_5_micro "
        "FROM (SELECT user_id, event_id, "
        "list_sort(list(value) OVER (PARTITION BY user_id "
        "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
@@ -2158,9 +2160,12 @@ _REGISTRY: list[DQ] = [
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, "
        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
        "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k FROM events) "
-       "SELECT user_id, hb, arg_min(v, k) AS open, max(v) AS high, "
-       "min(v) AS low, arg_max(v, k) AS close, "
-       "round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume, "
+       "SELECT user_id, hb, "
+       "CAST(floor(arg_min(v, k) * 100.0 + 0.5) AS BIGINT) AS open_cents, "
+       "CAST(floor(max(v) * 100.0 + 0.5) AS BIGINT) AS high_cents, "
+       "CAST(floor(min(v) * 100.0 + 0.5) AS BIGINT) AS low_cents, "
+       "CAST(floor(arg_max(v, k) * 100.0 + 0.5) AS BIGINT) AS close_cents, "
+       "CAST(sum(CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT) AS volume_cents, "
        "count(*) AS n FROM ev GROUP BY user_id, hb"),
     DQ("dq185_inverted_index", RT.dq185_inverted_index,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
@@ -2189,8 +2194,8 @@ _REGISTRY: list[DQ] = [
        "ORDER BY lift_micro DESC, b1, b2 LIMIT 30"),
     DQ("dq187_changelog_compact", TS.dq187_changelog_compact,
        "SELECT user_id, count(*) AS n_ops, "
-       "arg_max(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), k) "
-       "AS last_value, "
+       "arg_max(CAST(round(value * 100) AS BIGINT), k) "
+       "AS last_value_cents, "
        "arg_max(epoch_us(ts), k) AS last_ts_us "
        "FROM (SELECT *, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k "
        "FROM events) e GROUP BY user_id "
@@ -2222,7 +2227,8 @@ _REGISTRY: list[DQ] = [
        "max(0.5 / (tt.n_cur + 5.0))) AS q "
        "FROM sm s JOIN tots tt ON s.event_type = tt.event_type "
        "GROUP BY s.event_type, s.b) "
-       "SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi, "
+       "SELECT event_type, CAST(sum(CAST(floor(((p - q) * ln(p / q)) "
+       "* 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_pico, "
        "count(*) AS n_buckets_hit FROM grid GROUP BY event_type"),
     DQ("dq189_zorder_layout", S.dq189_zorder_layout,
        "WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk, "
@@ -2249,19 +2255,21 @@ _REGISTRY: list[DQ] = [
        "last_value(CASE WHEN event_type = 'view' THEN v END IGNORE NULLS) "
        "OVER (PARTITION BY user_id ORDER BY us, event_id "
        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-       "AS last_view_value, "
+       "AS lvv_raw, "
        "count(CASE WHEN event_type = 'view' THEN 1 END) OVER wr "
        "AS views_24h, "
-       "round(CAST(coalesce(sum(CASE WHEN event_type = 'view' "
-       "THEN CAST(v AS DECIMAL(18,2)) END) OVER wr, 0) AS DOUBLE), 2) "
-       "AS view_spend_24h, "
+       "CAST(coalesce(sum(CASE WHEN event_type = 'view' "
+       "THEN CAST(v AS DECIMAL(18,2)) END) OVER wr, 0) * 100 AS BIGINT) "
+       "AS view_spend_24h_cents, "
        "CAST(floor((us - min(us) OVER (PARTITION BY user_id "
        "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
        "CURRENT ROW)) / 86400000000) AS INT) AS days_active "
        "FROM ev WINDOW wr AS (PARTITION BY user_id ORDER BY us "
        "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)) "
-       "SELECT user_id, event_id, last_view_value, views_24h, "
-       "view_spend_24h, days_active FROM f "
+       "SELECT user_id, event_id, "
+       "CAST(floor(lvv_raw * 100.0 + 0.5) AS BIGINT) "
+       "AS last_view_value_cents, views_24h, "
+       "view_spend_24h_cents, days_active FROM f "
        "WHERE event_type = 'purchase'"),
     DQ("dq192_source_kl", C.dq192_source_kl,
        "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
@@ -2289,12 +2297,14 @@ _REGISTRY: list[DQ] = [
        "sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy, "
        "sum(y * y) AS syy FROM ev GROUP BY user_id) "
        "SELECT user_id, CAST(n AS BIGINT) AS n, "
-       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
-       "/ CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope, "
-       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
+       "/ CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS slope_micro, "
+       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
        "* CAST(n * sxy - sx * sy AS DOUBLE) "
        "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
-       "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2 "
+       "* CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS r2_micro "
        "FROM a WHERE n >= 5 AND n * sxx - sx * sx > 0 "
        "AND n * syy - sy * sy > 0"),
     DQ("dq194_training_triplets", V.dq194_training_triplets,
@@ -2371,7 +2381,8 @@ _REGISTRY: list[DQ] = [
        "SUM(CAST(pow(2, 19 - d) AS BIGINT)) AS den "
        "FROM j GROUP BY user_id, hb) "
        "SELECT user_id, hb, "
-       "round(CAST(num AS DOUBLE) / den / 100.0, 6) AS ewma FROM s"),
+       "CAST(floor((CAST(num AS DOUBLE) / den / 100.0) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS ewma_micro FROM s"),
     DQ("dq199_weighted_median", R.dq199_weighted_median,
        "WITH g AS (SELECT l_returnflag, l_extendedprice AS price, "
        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w "
@@ -2524,8 +2535,8 @@ _REGISTRY: list[DQ] = [
        "p AS (SELECT event_type, max(dev) AS maxdev FROM g "
        "GROUP BY event_type) "
        "SELECT g.event_type, max(g.n) AS n, min(g.rn) AS k_at, "
-       "round(CAST(max(p.maxdev) AS DOUBLE) / (max(g.n) * 100.0), 6) "
-       "AS cusum "
+       "CAST(floor((CAST(max(p.maxdev) AS DOUBLE) / (max(g.n) * 100.0)) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS cusum_micro "
        "FROM g JOIN p ON g.event_type = p.event_type AND g.dev = p.maxdev "
        "GROUP BY g.event_type"),
     DQ("dq209_dup_flow_matrix", C.dq209_dup_flow_matrix,
@@ -2603,8 +2614,9 @@ _REGISTRY: list[DQ] = [
        "dev * dev * (n - 1) AS z2num, varn * n AS z2den "
        "FROM f WHERE varn > 0) "
        "SELECT user_id, event_id, n, "
-       "round(sqrt(CAST(z2num AS DOUBLE) / CAST(z2den AS DOUBLE)), 6) "
-       "AS abs_z FROM g WHERE z2num > 4 * z2den"),
+       "CAST(floor(sqrt(CAST(z2num AS DOUBLE) / CAST(z2den AS DOUBLE)) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "AS abs_z_micro FROM g WHERE z2num > 4 * z2den"),
     DQ("dq214_link_prediction", G.dq214_link_prediction,
        "WITH " + _EDGES_CTE + ", "
        "adj AS (SELECT src, dst FROM edges "
@@ -2646,9 +2658,11 @@ _REGISTRY: list[DQ] = [
        "t2 AS (SELECT event_type, SUM(n) AS tn, SUM(s) AS tts FROM b "
        "GROUP BY event_type) "
        "SELECT b.event_type, b.hod, b.n, "
-       "round(CAST(s AS DOUBLE) / (100.0 * n), 6) AS mean_val, "
-       "round(CAST(s AS DOUBLE) / (100.0 * n) "
-       "- CAST(tts AS DOUBLE) / (100.0 * tn), 6) AS dev_from_type_mean "
+       "CAST(floor((CAST(s AS DOUBLE) / (100.0 * n)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS mean_val_micro, "
+       "CAST(floor((CAST(s AS DOUBLE) / (100.0 * n) "
+       "- CAST(tts AS DOUBLE) / (100.0 * tn)) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS dev_micro "
        "FROM b JOIN t2 USING (event_type)"),
     DQ("dq217_dedup_savings", C.dq217_dedup_savings,
        "WITH " + _SIG_CTE + ", "
@@ -2694,7 +2708,8 @@ _REGISTRY: list[DQ] = [
        "THEN 1 ELSE 0 END AS late FROM ev) "
        "SELECT user_id, count(*) AS n, "
        "CAST(SUM(late) AS BIGINT) AS n_late, "
-       "round(CAST(SUM(late) AS DOUBLE) / count(*), 6) AS late_frac "
+       "CAST(floor((CAST(SUM(late) AS DOUBLE) / count(*)) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS late_frac_micro "
        "FROM st GROUP BY user_id"),
     DQ("dq220_ari", N.dq220_ari,
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
@@ -2849,8 +2864,9 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(cents * (nxt_us - us)) AS BIGINT) AS integral, "
        "arg_min(cents, k) AS first_cents FROM seg GROUP BY user_id) "
        "SELECT user_id, n, CASE WHEN t1 - t0 > 0 THEN "
-       "round(CAST(integral AS DOUBLE) / (t1 - t0) / 100.0, 6) "
-       "ELSE first_cents / 100.0 END AS twa FROM agg"),
+       "CAST(floor((CAST(integral AS DOUBLE) / (t1 - t0) / 100.0) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "ELSE CAST(first_cents * 10000 AS BIGINT) END AS twa_micro FROM agg"),
     DQ("dq227_vocab_coverage_curve", T.dq227_vocab_coverage_curve,
        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
        "FROM documents), "
@@ -2977,9 +2993,10 @@ _REGISTRY: list[DQ] = [
        "SUM(y * y) AS syy, SUM(x * y) AS sxy "
        "FROM pairs WHERE y IS NOT NULL GROUP BY user_id) "
        "SELECT user_id, n, "
-       "round(CAST(n * sxy - sx * sy AS DOUBLE) "
+       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
        "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
-       "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r1 "
+       "* CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS r1_micro "
        "FROM a WHERE n >= 10 AND n * sxx - sx * sx > 0 "
        "AND n * syy - sy * sy > 0"),
     DQ("dq232_period_over_period", TS.dq232_period_over_period,
@@ -2991,10 +3008,11 @@ _REGISTRY: list[DQ] = [
        "st AS (SELECT event_type, wk, n, c, "
        "lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c "
        "FROM weekly) "
-       "SELECT event_type, wk, n, c / 100.0 AS total, "
-       "(c - prev_c) / 100.0 AS delta, "
+       "SELECT event_type, wk, n, CAST(c AS BIGINT) AS total_cents, "
+       "CAST(c - prev_c AS BIGINT) AS delta_cents, "
        "CASE WHEN prev_c > 0 THEN "
-       "round(CAST(c - prev_c AS DOUBLE) / prev_c, 6) END AS rel_change "
+       "CAST(floor((CAST(c - prev_c AS DOUBLE) / prev_c) "
+       "* 1000000.0 + 0.5) AS BIGINT) END AS rel_change_micro "
        "FROM st"),
     DQ("dq233_benford_audit", R.dq233_benford_audit,
        "WITH o AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
@@ -3037,8 +3055,9 @@ _REGISTRY: list[DQ] = [
        "ca AS (SELECT a, SUM(c_ab) AS c_a FROM cab GROUP BY a), "
        "ns AS (SELECT count(DISTINCT event_type) AS n_states FROM ev) "
        "SELECT user_id, count(*) AS n_transitions, "
-       "round(-SUM(ln((c_ab + 0.5) / (c_a + 0.5 * n_states))) / count(*), "
-       "6) AS mean_nll "
+       "CAST(floor(-SUM(CAST(floor(ln((c_ab + 0.5) "
+       "/ (c_a + 0.5 * n_states)) * 1000000.0 + 0.5) AS BIGINT)) "
+       "/ count(*) + 0.5) AS BIGINT) AS mean_nll_micro "
        "FROM trans JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN ns "
        "GROUP BY user_id"),
     DQ("dq236_gini", R.dq236_gini,
@@ -3079,7 +3098,8 @@ _REGISTRY: list[DQ] = [
        "u AS (SELECT user_id, max(us) AS last_us, count(*) AS freq, "
        "CAST(SUM(cents) AS BIGINT) AS monetary_c FROM ev "
        "GROUP BY user_id) "
-       "SELECT user_id, freq, monetary_c / 100.0 AS monetary, "
+       "SELECT user_id, freq, CAST(monetary_c AS BIGINT) "
+       "AS monetary_cents, "
        "CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS INT) "
        "AS r_score, "
        "CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INT) "
@@ -3107,9 +3127,10 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(g * g) AS BIGINT) AS sgg "
        "FROM g WHERE g IS NOT NULL GROUP BY user_id) "
        "SELECT user_id, n, "
-       "round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg) "
-       "/ (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg), 6) "
-       "AS burstiness FROM a WHERE n >= 10 AND sg > 0"),
+       "CAST(floor(((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg) "
+       "/ (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg)) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "AS burstiness_micro FROM a WHERE n >= 10 AND sg > 0"),
     DQ("dq241_effective_sources", C.dq241_effective_sources,
        "WITH docs AS (SELECT source, len(string_split(text, ' ')) AS n_tok "
        "FROM documents), "
@@ -3154,8 +3175,10 @@ _REGISTRY: list[DQ] = [
        "SUM(dc) OVER (ORDER BY decile) AS cum_dc "
        "FROM per_d CROSS JOIN tot) "
        "SELECT CAST(decile AS INT) AS decile, n_users, "
-       "round(CAST(dc AS DOUBLE) / tc, 6) AS share, "
-       "round(CAST(cum_dc AS DOUBLE) / tc, 6) AS cum_share FROM st"),
+       "CAST(floor((CAST(dc AS DOUBLE) / tc) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS share_micro, "
+       "CAST(floor((CAST(cum_dc AS DOUBLE) / tc) * 1000000.0 + 0.5) "
+       "AS BIGINT) AS cum_share_micro FROM st"),
     DQ("dq244_growth_accounting", TS.dq244_growth_accounting,
        "WITH ev AS (SELECT DISTINCT user_id, "
        "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk "
@@ -3167,8 +3190,9 @@ _REGISTRY: list[DQ] = [
        "AS new_users, "
        "CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) AS BIGINT) "
        "AS returning, "
-       "round(CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) "
-       "AS DOUBLE) / count(*), 6) AS returning_share "
+       "CAST(floor((CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) "
+       "AS DOUBLE) / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS returning_share_micro "
        "FROM ev JOIN first f ON ev.user_id = f.user_id GROUP BY ev.wk"),
 ]
 

@@ -45,7 +45,7 @@ def dq70_gapfill(t: Tables) -> DataFrame:
         "value",
     )
     hourly = ev.groupBy("user_id", "hb").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
         .alias("sv")
     )
     bounds = ev.groupBy("user_id").agg(
@@ -61,7 +61,8 @@ def dq70_gapfill(t: Tables) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return j.select(
-        "user_id", "hb", F.last("sv", ignorenulls=True).over(w).alias("filled")
+        "user_id", "hb",
+        F.last("sv", ignorenulls=True).over(w).alias("filled_cents")
     )
 
 
@@ -190,7 +191,7 @@ def dq118_rolling_range(t: Tables, days: int = 7) -> DataFrame:
         ev.select(
             "user_id", "event_id",
             F.count("*").over(w).alias("n_7d"),
-            F.round(F.sum("v").over(w).cast("double"), 2).alias("sum_7d"),
+            (F.sum("v").over(w) * 100).cast("bigint").alias("sum_7d_cents"),
         )
     )
 
@@ -221,7 +222,7 @@ def dq129_reagg_rollup(t: Tables) -> DataFrame:
         .groupBy("wk", "event_type")
         .agg(
             F.sum("pn").cast("bigint").alias("n"),
-            F.round(F.sum("ps").cast("double"), 2).alias("sum_value"),
+            (F.sum("ps") * 100).cast("bigint").alias("sum_value_cents"),
         )
     )
     return weekly.orderBy("wk", "event_type")
@@ -247,8 +248,8 @@ def dq132_latest_event(t: Tables) -> DataFrame:
         .agg(
             F.max_by("event_id", key).alias("last_event_id"),
             F.unix_micros(F.max("ts")).alias("last_ts_us"),
-            F.max_by(F.col("value").cast("decimal(18,2)").cast("double"), key)
-            .alias("last_value"),
+            F.max_by(F.round(F.col("value") * 100).cast("bigint"), key)
+            .alias("last_value_cents"),
         )
         .orderBy("user_id", "event_type")
     )
@@ -288,7 +289,7 @@ def dq142_count_anomalies(t: Tables, window_days: int = 7,
         .filter(F.col("sd") > 0)
         .select(
             "day", "event_type", "n",
-            F.round(z, 6).alias("z"),
+            snap(z).alias("z_micro"),
             (F.abs(z) > z_thresh).cast("int").alias("anomaly"),
         )
     )
@@ -355,7 +356,7 @@ def dq178_interpolate(t: Tables) -> DataFrame:
         "value",
     )
     hourly = ev.groupBy("user_id", "hb").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
         .alias("sv")
     )
     bounds = ev.groupBy("user_id").agg(
@@ -391,13 +392,13 @@ def dq178_interpolate(t: Tables) -> DataFrame:
         .when(F.col("nv").isNull(), F.col("pv"))
         .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
     )
-    # explicit half-up via floor: interpolated midpoints of 2-decimal
-    # endpoints land on exact .xxxx5 halves, where Spark (decimal-repr
-    # HALF_UP) and DuckDB (binary round) disagree — floor(x*1e4 + 0.5) is
-    # the same IEEE sequence in both engines
+    # endpoints are exact integer cents, so interp is cents-valued with
+    # only the frac multiply in IEEE; floor(x·100 + 0.5) emits e4 units
+    # of the original value as a BIGINT — the same IEEE sequence in both
+    # engines (round()/division-back would not be)
     return e.select(
         "user_id", "hb",
-        (F.floor(interp * 10000 + F.lit(0.5)) / 10000.0).alias("v"),
+        F.floor(interp * 100 + F.lit(0.5)).cast("bigint").alias("v_e4"),
     )
 
 
@@ -423,7 +424,7 @@ def dq179_rolling_median(t: Tables, n: int = 5) -> DataFrame:
     hi = F.element_at(arr, (sz / 2).cast("int") + 1)
     med = F.when(sz % 2 == 1, mid).otherwise((lo + hi) / 2)
     return t["events"].select(
-        "user_id", "event_id", med.alias("med_5")
+        "user_id", "event_id", snap(med).alias("med_5_micro")
     )
 
 
@@ -450,12 +451,12 @@ def dq184_ohlc_bars(t: Tables) -> DataFrame:
         )
         .groupBy("user_id", "hb")
         .agg(
-            F.min_by("v", "k").alias("open"),
-            F.max("v").alias("high"),
-            F.min("v").alias("low"),
-            F.max_by("v", "k").alias("close"),
-            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2)
-            .alias("volume"),
+            snap(F.min_by("v", "k"), 100).alias("open_cents"),
+            snap(F.max("v"), 100).alias("high_cents"),
+            snap(F.min("v"), 100).alias("low_cents"),
+            snap(F.max_by("v", "k"), 100).alias("close_cents"),
+            (F.sum(F.col("v").cast("decimal(18,2)")) * 100).cast("bigint")
+            .alias("volume_cents"),
             F.count("*").alias("n"),
         )
     )
@@ -482,12 +483,12 @@ def dq187_changelog_compact(t: Tables) -> DataFrame:
         .agg(
             F.count("*").alias("n_ops"),
             F.max_by(tomb, key).alias("deleted"),
-            F.max_by(F.col("value").cast("decimal(18,2)").cast("double"), key)
-            .alias("last_value"),
+            F.max_by(F.round(F.col("value") * 100).cast("bigint"), key)
+            .alias("last_value_cents"),
             F.max_by(F.unix_micros("ts"), key).alias("last_ts_us"),
         )
         .filter(~F.col("deleted"))
-        .select("user_id", "n_ops", "last_value", "last_ts_us")
+        .select("user_id", "n_ops", "last_value_cents", "last_ts_us")
     )
 
 
@@ -568,8 +569,12 @@ def dq188_psi_drift(t: Tables, n_buckets: int = 10) -> DataFrame:
     return (
         grid.groupBy("event_type")
         .agg(
-            F.round(F.sum((F.col("p") - F.col("q"))
-                          * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+            # per-bucket pico snap, exact integer sum (order-independent;
+            # the old unordered double sum + round() was the r5 hazard
+            # class)
+            F.sum(snap((F.col("p") - F.col("q"))
+                       * F.log(F.col("p") / F.col("q")),
+                       1_000_000_000_000)).alias("psi_pico"),
             F.count("*").alias("n_buckets_hit"),
         )
     )
@@ -613,24 +618,22 @@ def dq191_pit_features(t: Tables) -> DataFrame:
     )
     feat = ev.select(
         "user_id", "event_id", "event_type", "us",
-        F.last(F.when(is_view, F.col("v")), ignorenulls=True)
-        .over(w_rows).alias("last_view_value"),
+        snap(F.last(F.when(is_view, F.col("v")), ignorenulls=True)
+             .over(w_rows), 100).alias("last_view_value_cents"),
         F.count(F.when(is_view, F.lit(1))).over(w_range)
         .alias("views_24h"),
-        F.round(
-            F.coalesce(
-                F.sum(F.when(is_view, F.col("v").cast("decimal(18,2)")))
-                .over(w_range),
-                F.lit(0).cast("decimal(18,2)"),
-            ).cast("double"), 2
-        ).alias("view_spend_24h"),
+        (F.coalesce(
+            F.sum(F.when(is_view, F.col("v").cast("decimal(18,2)")))
+            .over(w_range),
+            F.lit(0).cast("decimal(18,2)"),
+        ) * 100).cast("bigint").alias("view_spend_24h_cents"),
         F.floor((F.col("us") - F.min("us").over(w_all)) / 86_400_000_000)
         .cast("int").alias("days_active"),
     )
     return (
         feat.filter(F.col("event_type") == "purchase")
-        .select("user_id", "event_id", "last_view_value",
-                "views_24h", "view_spend_24h", "days_active")
+        .select("user_id", "event_id", "last_view_value_cents",
+                "views_24h", "view_spend_24h_cents", "days_active")
     )
 
 
@@ -673,8 +676,8 @@ def dq193_user_trend(t: Tables, min_n: int = 5) -> DataFrame:
         a.filter((F.col("n") >= min_n) & (den_x > 0) & (den_y > 0))
         .select(
             "user_id", "n",
-            F.round(num_d / den_x_d, 6).alias("slope"),
-            F.round(num_d * num_d / (den_x_d * den_y_d), 6).alias("r2"),
+            snap(num_d / den_x_d).alias("slope_micro"),
+            snap(num_d * num_d / (den_x_d * den_y_d)).alias("r2_micro"),
         )
     )
 
@@ -734,7 +737,7 @@ def dq198_ewma(t: Tables, span: int = 20) -> DataFrame:
         hourly.withColumn("arr", arr)
         .select(
             "user_id", "hb",
-            F.round(num.cast("double") / den / 100.0, 6).alias("ewma"),
+            snap(num.cast("double") / den / 100.0).alias("ewma_micro"),
         )
     )
 
@@ -846,9 +849,9 @@ def dq208_cusum(t: Tables) -> DataFrame:
         .agg(
             F.max("n").alias("n"),
             F.min("rn").alias("k_at"),
-            F.round(
+            snap(
                 F.max("maxdev").cast("double")
-                / (F.max("n") * F.lit(100.0)), 6).alias("cusum"),
+                / (F.max("n") * F.lit(100.0))).alias("cusum_micro"),
         )
     )
 
@@ -894,8 +897,8 @@ def dq213_rolling_zscore(t: Tables, lookback: int = 20,
         .filter(z2num > F.lit(z_thresh * z_thresh) * z2den)
         .select(
             "user_id", "event_id", "n",
-            F.round(F.sqrt(z2num.cast("double") / z2den.cast("double")), 6)
-            .alias("abs_z"),
+            snap(F.sqrt(z2num.cast("double") / z2den.cast("double")))
+            .alias("abs_z_micro"),
         )
     )
 
@@ -926,8 +929,8 @@ def dq216_seasonal_profile(t: Tables) -> DataFrame:
         buckets.join(F.broadcast(totals), "event_type")
         .select(
             "event_type", "hod", "n",
-            F.round(mean_h, 6).alias("mean_val"),
-            F.round(mean_h - mean_g, 6).alias("dev_from_type_mean"),
+            snap(mean_h).alias("mean_val_micro"),
+            snap(mean_h - mean_g).alias("dev_micro"),
         )
     )
 
@@ -957,9 +960,9 @@ def dq219_order_audit(t: Tables) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("late"), F.lit(0)).alias("n_late"),
-            F.round(
+            snap(
                 F.coalesce(F.sum("late"), F.lit(0)).cast("double")
-                / F.count("*"), 6).alias("late_frac"),
+                / F.count("*")).alias("late_frac_micro"),
         )
     )
 
@@ -1049,8 +1052,9 @@ def dq226_time_weighted_avg(t: Tables) -> DataFrame:
     return agg.select(
         "user_id", "n",
         F.when(span > 0,
-               F.round(F.col("integral").cast("double") / span / 100.0, 6))
-        .otherwise(F.col("first_cents") / 100.0).alias("twa"),
+               snap(F.col("integral").cast("double") / span / 100.0))
+        # single-event users: exact micro units (cents × 10^4)
+        .otherwise(F.col("first_cents") * 10000).alias("twa_micro"),
     )
 
 
@@ -1091,10 +1095,10 @@ def dq231_autocorr(t: Tables, min_n: int = 10) -> DataFrame:
         a.filter((F.col("n") >= min_n) & (den_x > 0) & (den_y > 0))
         .select(
             "user_id", "n",
-            F.round(
+            snap(
                 num.cast("double")
-                / F.sqrt(den_x.cast("double") * den_y.cast("double")), 6)
-            .alias("r1"),
+                / F.sqrt(den_x.cast("double") * den_y.cast("double")))
+            .alias("r1_micro"),
         )
     )
 
@@ -1122,13 +1126,13 @@ def dq232_period_over_period(t: Tables) -> DataFrame:
     staged = weekly.withColumn("prev_c", F.lag("c").over(w))
     return staged.select(
         "event_type", "wk", "n",
-        (F.col("c") / 100.0).alias("total"),
-        ((F.col("c") - F.col("prev_c")) / 100.0).alias("delta"),
+        F.col("c").alias("total_cents"),
+        (F.col("c") - F.col("prev_c")).alias("delta_cents"),
         F.when(
             F.col("prev_c") > 0,
-            F.round((F.col("c") - F.col("prev_c")).cast("double")
-                    / F.col("prev_c"), 6),
-        ).alias("rel_change"),
+            snap((F.col("c") - F.col("prev_c")).cast("double")
+                 / F.col("prev_c")),
+        ).alias("rel_change_micro"),
     )
 
 
@@ -1156,8 +1160,11 @@ def dq235_markov_nll(t: Tables, add_k: float = 0.5) -> DataFrame:
     cab = trans.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
     ns = ev.agg(F.count_distinct("event_type").alias("n_states"))
-    lp = F.log((F.col("c_ab") + add_k)
-               / (F.col("c_a") + add_k * F.col("n_states")))
+    # per-transition micro snap, then exact integer sum — the sum is
+    # order-independent (the old float sum + round() was the r5 hazard
+    # class); the mean divides exact integers with one floor snap
+    lp_micro = snap(F.log((F.col("c_ab") + add_k)
+                          / (F.col("c_a") + add_k * F.col("n_states"))))
     return (
         trans.join(F.broadcast(cab), ["a", "b"])
         .join(F.broadcast(ca), "a")
@@ -1165,7 +1172,8 @@ def dq235_markov_nll(t: Tables, add_k: float = 0.5) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_transitions"),
-            F.round(-F.sum(lp) / F.count("*"), 6).alias("mean_nll"),
+            F.floor(-F.sum(lp_micro) / F.count("*") + F.lit(0.5))
+            .cast("bigint").alias("mean_nll_micro"),
         )
     )
 
@@ -1197,7 +1205,7 @@ def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
     m_w = Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))
     return u.select(
         "user_id", "freq",
-        (F.col("monetary_c") / 100.0).alias("monetary"),
+        F.col("monetary_c").alias("monetary_cents"),
         F.ntile(n_tiles).over(r_w).alias("r_score"),
         F.ntile(n_tiles).over(f_w).alias("f_score"),
         F.ntile(n_tiles).over(m_w).alias("m_score"),
@@ -1241,8 +1249,8 @@ def dq240_burstiness(t: Tables, min_n: int = 10) -> DataFrame:
         a.filter((F.col("n") >= min_n) & (F.col("sg") > 0))
         .select(
             "user_id", "n",
-            F.round((root - F.col("sg")) / (root + F.col("sg")), 6)
-            .alias("burstiness"),
+            snap((root - F.col("sg")) / (root + F.col("sg")))
+            .alias("burstiness_micro"),
         )
     )
 
@@ -1274,10 +1282,10 @@ def dq243_lorenz_deciles(t: Tables) -> DataFrame:
         .withColumn("cum_dc", F.sum("dc").over(wc))
         .select(
             "decile", "n_users",
-            F.round(F.col("dc").cast("double") / F.col("tc"), 6)
-            .alias("share"),
-            F.round(F.col("cum_dc").cast("double") / F.col("tc"), 6)
-            .alias("cum_share"),
+            snap(F.col("dc").cast("double") / F.col("tc"))
+            .alias("share_micro"),
+            snap(F.col("cum_dc").cast("double") / F.col("tc"))
+            .alias("cum_share_micro"),
         )
     )
 
@@ -1305,8 +1313,8 @@ def dq244_growth_accounting(t: Tables) -> DataFrame:
             .alias("new_users"),
             F.sum((F.col("wk") > F.col("wk0")).cast("bigint"))
             .alias("returning"),
-            F.round(
+            snap(
                 F.sum((F.col("wk") > F.col("wk0")).cast("bigint"))
-                .cast("double") / F.count("*"), 6).alias("returning_share"),
+                .cast("double") / F.count("*")).alias("returning_share_micro"),
         )
     )

@@ -41,7 +41,8 @@ def test_ewma_inside_frame_envelope(tables):
         "user_id", "hb",
         F.min("hv").over(w).alias("lo"), F.max("hv").over(w).alias("hi"),
     )
-    joined = dq198_ewma(tables).join(env, ["user_id", "hb"])
+    joined = dq198_ewma(tables).withColumn(
+        "ewma", F.col("ewma_micro") / 1e6).join(env, ["user_id", "hb"])
     bad = joined.filter(
         (F.col("ewma") < F.col("lo") - 1e-6)
         | (F.col("ewma") > F.col("hi") + 1e-6)
@@ -59,7 +60,7 @@ def test_ewma_single_row_group_is_identity(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = dq198_ewma({"events": df}).collect()
     assert len(out) == 1
-    assert abs(out[0]["ewma"] - 12.34) < 1e-9
+    assert out[0]["ewma_micro"] == 12_340_000
 
 
 def test_weighted_median_balances_weight(tables_sf001):
@@ -279,10 +280,10 @@ def test_cusum_flags_step_change(spark):
         ).withColumn("ts", F.to_timestamp("ts"))
 
     flat = dq208_cusum({"events": ev([5.0] * 10)}).collect()[0]
-    assert flat["cusum"] == 0.0
+    assert flat["cusum_micro"] == 0
     step = dq208_cusum({"events": ev([0.0] * 5 + [10.0] * 5)}).collect()[0]
     assert step["k_at"] == 5  # deviation peaks right before the jump
-    assert step["cusum"] > 0
+    assert step["cusum_micro"] > 0
 
 
 def test_dup_flow_matrix_accounting(tables):
@@ -371,7 +372,7 @@ def test_rolling_zscore_flags_planted_outlier(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = dq213_rolling_zscore({"events": df}).collect()
     assert [r["event_id"] for r in out] == [16]
-    assert out[0]["abs_z"] > 10
+    assert out[0]["abs_z_micro"] > 10_000_000
 
 
 def test_link_prediction_excludes_existing_edges(tables):
@@ -422,7 +423,7 @@ def test_seasonal_profile_devs_average_out(tables):
     by_type: dict = {}
     for r in rows:
         acc = by_type.setdefault(r["event_type"], [0.0, 0])
-        acc[0] += r["dev_from_type_mean"] * r["n"]
+        acc[0] += r["dev_micro"] / 1e6 * r["n"]
         acc[1] += r["n"]
     for et, (s, n) in by_type.items():
         assert abs(s / n) < 1e-5, (et, s / n)
@@ -486,7 +487,7 @@ def test_order_audit_detects_planted_inversion(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = dq219_order_audit({"events": df}).collect()[0]
     assert out["n"] == 5 and out["n_late"] == 1
-    assert abs(out["late_frac"] - 0.2) < 1e-9
+    assert out["late_frac_micro"] == 200_000
 
 
 def test_ari_perfect_and_random_fixtures(spark):
@@ -636,10 +637,10 @@ def test_time_weighted_avg_holds_value_over_gaps(spark):
         rows, "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    got = {r["user_id"]: r["twa"]
+    got = {r["user_id"]: r["twa_micro"]
            for r in dq226_time_weighted_avg({"events": df}).collect()}
-    assert abs(got[1] - 19.0) < 1e-9  # (10*9h + 100*1h) / 10h
-    assert got[2] == 7.5
+    assert got[1] == 19_000_000  # (10*9h + 100*1h) / 10h
+    assert got[2] == 7_500_000
 
 
 def test_vocab_coverage_curve_monotone(tables):
@@ -672,8 +673,8 @@ def test_ivfpq_structure(tables):
 
     approx = dq228_ivfpq_search(tables, k=10).collect()
     assert len(approx) == 10
-    assert approx[0]["vec_id"] == 0 and approx[0]["adc"] == 0.0
-    adcs = [r["adc"] for r in approx]
+    assert approx[0]["vec_id"] == 0 and approx[0]["adc_micro"] == 0
+    adcs = [r["adc_micro"] for r in approx]
     assert adcs == sorted(adcs)
     assigned = {r["vec_id"]: r["cid"]
                 for r in assign_clusters(tables).select("vec_id", "cid")
@@ -717,10 +718,10 @@ def test_autocorr_detects_planted_momentum(spark):
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    got = {r["user_id"]: r["r1"]
+    got = {r["user_id"]: r["r1_micro"]
            for r in dq231_autocorr({"events": df}).collect()}
-    assert abs(got[1] - (-1.0)) < 1e-6
-    assert abs(got[2] - 1.0) < 1e-6
+    assert got[1] == -1_000_000
+    assert got[2] == 1_000_000
 
 
 def test_period_over_period_deltas_telescope(tables):
@@ -736,10 +737,10 @@ def test_period_over_period_deltas_telescope(tables):
         by_type.setdefault(r["event_type"], []).append(r)
     for et, rs in by_type.items():
         rs.sort(key=lambda r: r["wk"])
-        assert rs[0]["delta"] is None
-        tail = [r["delta"] for r in rs[1:]]
+        assert rs[0]["delta_cents"] is None
+        tail = [r["delta_cents"] for r in rs[1:]]
         assert all(d is not None for d in tail)
-        assert abs(sum(tail) - (rs[-1]["total"] - rs[0]["total"])) < 1e-6
+        assert sum(tail) == rs[-1]["total_cents"] - rs[0]["total_cents"]
 
 
 def test_benford_audit_is_a_distribution(tables):
@@ -800,7 +801,7 @@ def test_markov_nll_uniform_user_scores_low(spark):
         rows, "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).withColumn("ts", F.to_timestamp("ts"))
-    got = {r["user_id"]: r["mean_nll"]
+    got = {r["user_id"]: r["mean_nll_micro"]
            for r in dq235_markov_nll({"events": df}).collect()}
     assert got[1] < got[2]
 
@@ -900,12 +901,12 @@ def test_burstiness_extremes(spark):
         "CAST(1.0 AS DOUBLE) AS value",
         "'a' AS event_type", "'{}' AS props",
     )
-    got = {r["user_id"]: r["burstiness"]
+    got = {r["user_id"]: r["burstiness_micro"]
            for r in dq240_burstiness({"events": df}).collect()}
-    assert got[1] == -1.0
+    assert got[1] == -1_000_000
     # B is bounded by ~(sqrt(n-1)-1)/(sqrt(n-1)+1) for finite n, so a
     # 15-gap burst tops out well below 1; 0.5 already means heavy bursts
-    assert got[2] > 0.5
+    assert got[2] > 500_000
 
 
 def test_effective_sources_bounds(tables):
@@ -948,14 +949,14 @@ def test_lorenz_deciles_shape(tables):
     rows = sorted(dq243_lorenz_deciles(tables).collect(),
                   key=lambda r: r["decile"])
     assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
-    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
-    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-6
+    assert abs(sum(r["share_micro"] for r in rows) - 1_000_000) <= len(rows)
+    assert rows[-1]["cum_share_micro"] == 1_000_000
     for a, b in zip(rows, rows[1:]):
-        assert b["cum_share"] >= a["cum_share"] - 1e-9
+        assert b["cum_share_micro"] >= a["cum_share_micro"]
         # deciles can have unequal sizes at tiny user counts, so only
         # the PER-USER average share is monotone under the sort
-        assert (b["share"] / b["n_users"]
-                >= a["share"] / a["n_users"] - 1e-6)
+        assert (b["share_micro"] / b["n_users"]
+                >= a["share_micro"] / a["n_users"] - 1)
 
 
 def test_growth_accounting_ledger(tables):
