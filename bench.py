@@ -2,7 +2,8 @@
 """Benchmark harness: runs the declared-query suite and prints ONE JSON line.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SPLIT_FILES (default 32;
+0/1 disables the split-fixture rewrite).
 
 Each query is materialized through the no-op sink (spark.write.format("noop"))
 so timings measure plan execution, not driver-side result transfer.
@@ -22,6 +23,39 @@ from multi_model_vectorsearch_spark import dq, get_spark, load_tables  # noqa: E
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def prepare_split_fixture(spark, sf_dir: str, n_files: int) -> str:
+    """Rewrite the single-file testdata tables as ``n_files``-file parquet
+    in a bench-local dir so scans actually split (round-5 verdict item 7:
+    the driver fixtures are one file / one row group per table, which
+    serializes every scan's pre-shuffle work on one core and makes the
+    per-entry numbers pay a layout ceiling instead of plan cost — at
+    100 TB no table is one row group). Rows are identical; only the file
+    layout changes. Events are written through the load_tables ts
+    normalization (µs instant type), which load_tables passes through
+    unchanged on re-read. Prep cost is NOT part of any timing.
+    """
+    import hashlib
+    import tempfile
+
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{n_files}".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_split_{tag}")
+    marker = os.path.join(out, "_SPLIT_READY")
+    if os.path.exists(marker):
+        return out
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        if name == "embeddings":
+            # load_tables derives modality from label on every read —
+            # persisting it would duplicate the column on re-read
+            df = df.drop("modality")
+        df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
 
 
 def bench_e2e_ingest(spark, tables, n_batches: int = 4) -> float:
@@ -70,6 +104,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark("bench")
+    n_split = int(os.environ.get("SPARK_GRAFT_SPLIT_FILES", "32"))
+    if n_split > 1:
+        sf_dir = prepare_split_fixture(spark, sf_dir, n_split)
     tables = load_tables(spark, sf_dir)
 
     registry = dq.registry()

@@ -807,7 +807,7 @@ _REGISTRY: list[DQ] = [
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
        "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
        "AND a.doc_id < b.doc_id GROUP BY d1, d2) "
-       "SELECT d1, d2, matches, round(matches / 8.0, 6) AS est_j FROM p "
+       "SELECT d1, d2, matches, CAST(floor((matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j_micro FROM p "
        "WHERE matches >= 2"),
     DQ("dq42_ngram_jaccard_topk", T.dq42_ngram_jaccard_topk,
        "WITH " + _SHC_CTE + ", "
@@ -815,10 +815,10 @@ _REGISTRY: list[DQ] = [
        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
        "GROUP BY d1, d2) "
-       "SELECT d1, d2, round(i / (sa.n + sb.n - i), 6) AS j "
+       "SELECT d1, d2, CAST(floor((i / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) AS j_micro "
        "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
        "JOIN sizes sb ON sb.doc_id = d2 "
-       "ORDER BY j DESC, d1, d2 LIMIT 20"),
+       "ORDER BY j_micro DESC, d1, d2 LIMIT 20"),
     DQ("dq43_simhash", T.dq43_simhash,
        "WITH " + _SIMHASH_CTE + " SELECT doc_id, simhash FROM sig"),
     DQ("dq44_langid", T.dq44_langid,
@@ -841,13 +841,15 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
        "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
        "q AS (SELECT d.doc_id, n_tok, "
-       "round(tok_chars / n_tok, 6) AS avg_len, "
-       "round(sw_hits / n_tok, 6) AS sw_ratio, "
-       "round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 6) "
-       "AS alpha_ratio FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
-       "SELECT doc_id, n_tok, avg_len, sw_ratio, alpha_ratio, "
-       "round(0.4 * least(n_tok / 100.0, 1.0) + 0.3 * sw_ratio "
-       "+ 0.3 * least(avg_len / 8.0, 1.0), 6) AS score FROM q"),
+       "CAST(floor((tok_chars / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS avg_len_micro, "
+       "CAST(floor((sw_hits / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS sw_ratio_micro, "
+       "CAST(floor((length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS alpha_ratio_micro "
+       "FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
+       "SELECT doc_id, n_tok, avg_len_micro, sw_ratio_micro, "
+       "alpha_ratio_micro, "
+       "CAST(floor((0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (sw_ratio_micro / 1000000.0) + 0.3 * least(avg_len_micro / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS score_micro FROM q"),
     DQ("dq46_cosine_neardup_topk", N.dq46_cosine_neardup_topk,
        "SELECT a.vec_id AS v1, b.vec_id AS v2, "
        "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -975,10 +977,9 @@ _REGISTRY: list[DQ] = [
        "FROM bgc JOIN unic u1 ON u1.tok = string_split(bgc.bg, ' ')[1] "
        "JOIN unic u2 ON u2.tok = string_split(bgc.bg, ' ')[2] "
        "WHERE bgc.c_bg >= 5) "
-       "SELECT bg, c_bg, round(ln((c_bg / n_bg) / "
-       "((c1 / n_uni) * (c2 / n_uni))), 6) AS pmi "
+       "SELECT bg, c_bg, CAST(floor((ln((c_bg / n_bg) / ((c1 / n_uni) * (c2 / n_uni)))) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro "
        "FROM j CROSS JOIN nu CROSS JOIN nb "
-       "ORDER BY pmi DESC, bg LIMIT 40"),
+       "ORDER BY pmi_micro DESC, bg LIMIT 40"),
     DQ("dq107_temperature_mixture", C.dq107_temperature_mixture,
        "WITH counts AS (SELECT source, count(*) AS n_s FROM documents "
        "GROUP BY source), "
@@ -1033,14 +1034,16 @@ _REGISTRY: list[DQ] = [
        "FROM documents), "
        "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
-       "round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy "
-       "FROM wc GROUP BY doc_id ORDER BY entropy DESC, doc_id LIMIT 50"),
+       "CAST(floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 1000000.0 + 0.5) AS BIGINT) AS entropy_micro "
+       "FROM wc GROUP BY doc_id "
+       "ORDER BY entropy_micro DESC, doc_id LIMIT 50"),
     DQ("dq112_weighted_sample", C.dq112_weighted_sample,
        "WITH f AS (SELECT doc_id, n_chars, "
        "sha256('wrs:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) "
        "SELECT doc_id, n_chars, "
-       "round(ln(((" + _HEXFOLD + ") + 0.5) / 4294967296.0) / n_chars, 6) "
-       "AS wkey FROM f ORDER BY wkey DESC, doc_id LIMIT 50"),
+       "CAST(floor((ln(((" + _HEXFOLD + ") + 0.5) / 4294967296.0) "
+       "/ n_chars) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS wkey_micro FROM f ORDER BY wkey_micro DESC, doc_id LIMIT 50"),
     DQ("dq113_cluster_representatives", N.dq113_cluster_representatives,
        "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
        "WHERE vec_id < 8), "
@@ -1083,11 +1086,12 @@ _REGISTRY: list[DQ] = [
        "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) "
        "AS BIGINT) AS n_tok FROM documents GROUP BY source), "
        "tots AS (SELECT sum(n_tok) AS total, sum(sqrt(n_tok)) AS sw FROM tok) "
-       "SELECT source, n_tok, round(sqrt(n_tok) / sw, 6) AS w, "
-       "least(4.0, round(2.0 * total * (sqrt(n_tok) / sw) / n_tok, 3)) "
-       "AS epochs, "
-       "CAST(floor(least(4.0, round(2.0 * total * (sqrt(n_tok) / sw) "
-       "/ n_tok, 3)) * n_tok) AS BIGINT) AS planned_tok "
+       "SELECT source, n_tok, CAST(floor((sqrt(n_tok) / sw) * 1000000.0 + 0.5) AS BIGINT) AS w_micro, "
+       "least(4000, CAST(floor((2.0 * total * (sqrt(n_tok) / sw) / n_tok) "
+       "* 1000.0 + 0.5) AS BIGINT)) AS epochs_milli, "
+       "CAST(floor(least(4000, CAST(floor((2.0 * total * (sqrt(n_tok) / sw) "
+       "/ n_tok) * 1000.0 + 0.5) AS BIGINT)) * n_tok / 1000.0) AS BIGINT) "
+       "AS planned_tok "
        "FROM tok CROSS JOIN tots ORDER BY source"),
     DQ("dq116_salted_agg", S.dq116_salted_agg,
        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
@@ -1257,9 +1261,9 @@ _REGISTRY: list[DQ] = [
        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
        "GROUP BY doc_id, tok) "
        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, "
-       "round(-sum(tf * log2(c / n_total)) / sum(tf), 6) AS bits_per_tok "
+       "CAST(floor((-sum(tf * log2(c / n_total)) / sum(tf)) * 1000000.0 + 0.5) AS BIGINT) AS bits_per_tok_micro "
        "FROM tf JOIN freq USING (tok) CROSS JOIN tot "
-       "GROUP BY doc_id ORDER BY bits_per_tok DESC, doc_id LIMIT 50"),
+       "GROUP BY doc_id ORDER BY bits_per_tok_micro DESC, doc_id LIMIT 50"),
     DQ("dq128_simhash_band_pairs", T.dq128_simhash_band_pairs,
        "WITH " + _SIMHASH_CTE + ", "
        "bands AS (SELECT doc_id, simhash, i AS b, "
@@ -1295,8 +1299,9 @@ _REGISTRY: list[DQ] = [
        "CASE WHEN s_e = 0 THEN 0.0 ELSE (entropy - m_e) / s_e END AS ze, "
        "CASE WHEN s_r = 0 THEN 0.0 ELSE (max_tok_frac - m_r) / s_r END "
        "AS zr FROM sig CROSS JOIN st) "
-       "SELECT doc_id, round(zn, 6) AS z_len, round(ze, 6) AS z_entropy, "
-       "round(zr, 6) AS z_rep, "
+       "SELECT doc_id, CAST(floor((zn) * 1000000.0 + 0.5) AS BIGINT) AS z_len_micro, "
+       "CAST(floor((ze) * 1000000.0 + 0.5) AS BIGINT) AS z_entropy_micro, "
+       "CAST(floor((zr) * 1000000.0 + 0.5) AS BIGINT) AS z_rep_micro, "
        "CAST(CASE WHEN abs(zn) <= 2 AND abs(ze) <= 2 AND abs(zr) <= 2 "
        "THEN 1 ELSE 0 END AS INT) AS keep FROM zs"),
     DQ("dq132_latest_event", TS.dq132_latest_event,
@@ -1393,8 +1398,7 @@ _REGISTRY: list[DQ] = [
        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 "
        "ELSE 0 END) AS BIGINT) AS n_dup, "
-       "round(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 "
-       "ELSE 0 END) / count(*), 6) AS dup_rate "
+       "CAST(floor((sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 ELSE 0 END) / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS dup_rate_micro "
        "FROM documents GROUP BY source ORDER BY source"),
     DQ("dq138_prenorm_dot_knn", V.dq138_prenorm_dot_knn,
        "WITH unit AS (SELECT vec_id, list_transform("
@@ -1516,9 +1520,10 @@ _REGISTRY: list[DQ] = [
        "GROUP BY doc_id, bg), "
        "bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc "
        "GROUP BY doc_id) "
-       "SELECT t.doc_id, n_tok, round(1 - n_uniq / n_tok, 6) AS dup_tok_frac, "
-       "round(top_bg / n_bg, 6) AS top_bigram_frac, "
-       "(round(top_bg / n_bg, 6) <= 0.2) AS keep "
+       "SELECT t.doc_id, n_tok, "
+       "CAST(floor((1 - n_uniq / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS dup_tok_frac_micro, "
+       "CAST(floor((top_bg / n_bg) * 1000000.0 + 0.5) AS BIGINT) AS top_bigram_frac_micro, "
+       "(CAST(floor((top_bg / n_bg) * 1000000.0 + 0.5) AS BIGINT) <= 200000) AS keep "
        "FROM tok_stats t JOIN bgs USING (doc_id)"),
     DQ("dq103_bpe_merge_pairs", C.dq103_bpe_merge_pairs,
        "WITH words AS (SELECT w, count(*) AS c_w FROM "
@@ -1609,8 +1614,8 @@ _REGISTRY: list[DQ] = [
        "(PARTITION BY source ORDER BY c DESC, tok) AS rank FROM counts "
        "QUALIFY rank <= 100) "
        "SELECT source, CAST(count(*) AS INT) AS n_terms, "
-       "round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) "
-       "AS zipf_slope FROM ranked GROUP BY source"),
+       "CAST(floor((regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS zipf_slope_micro FROM ranked GROUP BY source"),
     DQ("dq152_perplexity_buckets", C.dq152_perplexity_buckets,
        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
        "FROM documents), "
@@ -1619,13 +1624,14 @@ _REGISTRY: list[DQ] = [
        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
        "GROUP BY doc_id, tok), "
        "sc AS (SELECT doc_id, "
-       "round(-sum(tf * log2(c / n_total)) / sum(tf), 6) AS bits "
+       "CAST(floor((-sum(tf * log2(c / n_total)) / sum(tf)) * 1000000.0 + 0.5) AS BIGINT) AS bits "
        "FROM tf JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id), "
        "b AS (SELECT d.lang, sc.bits, CAST(ntile(4) OVER "
        "(PARTITION BY d.lang ORDER BY sc.bits DESC, sc.doc_id) AS INT) "
        "AS bucket FROM sc JOIN documents d ON sc.doc_id = d.doc_id) "
        "SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs, "
-       "round(avg(bits), 6) AS avg_bits FROM b GROUP BY lang, bucket"),
+       "CAST(floor(avg(bits) + 0.5) AS BIGINT) AS avg_bits_micro "
+       "FROM b GROUP BY lang, bucket"),
     DQ("dq153_lsh_recall", T.dq153_lsh_recall,
        "WITH " + _SIG_CTE + ", "
        "shk AS (SELECT shingle FROM sh GROUP BY shingle "
@@ -1646,10 +1652,12 @@ _REGISTRY: list[DQ] = [
        "SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true, "
        "CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand, "
        "CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit, "
-       "round((SELECT count(*) FROM hit) * 1.0 / "
-       "(SELECT count(*) FROM truth), 6) AS recall, "
-       "round((SELECT count(*) FROM hit) * 1.0 / "
-       "(SELECT count(*) FROM cand), 6) AS precision"),
+       "CAST(floor(((SELECT count(*) FROM hit) * 1.0 / "
+       "(SELECT count(*) FROM truth)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS recall_micro, "
+       "CAST(floor(((SELECT count(*) FROM hit) * 1.0 / "
+       "(SELECT count(*) FROM cand)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS precision_micro"),
     DQ("dq154_centroid_drift", V.dq154_centroid_drift,
        "WITH e AS (SELECT label, vec_id % 2 AS half, p AS pos, "
        "CAST(embedding[p + 1] AS DOUBLE) AS v FROM embeddings "
@@ -1673,7 +1681,7 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
        "AS n_novel FROM sh JOIN fs USING (shingle) GROUP BY doc_id) "
        "SELECT doc_id, n_shingles, n_novel, "
-       "round(n_novel * 1.0 / n_shingles, 6) AS novelty FROM agg"),
+       "CAST(floor((n_novel * 1.0 / n_shingles) * 1000000.0 + 0.5) AS BIGINT) AS novelty_micro FROM agg"),
     DQ("dq156_tpch_q7", Q.dq156_tpch_q7,
        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
        "CAST(year(l_shipdate) AS INT) AS l_year, "
@@ -1780,7 +1788,7 @@ _REGISTRY: list[DQ] = [
        "FROM ch JOIN fo2 ON ch.chunk_sha = fo2.chunk_sha) "
        "SELECT source, CAST(count(*) AS BIGINT) AS n_chunks, "
        "CAST(sum(is_dup) AS BIGINT) AS n_dup, "
-       "round(sum(is_dup) * 1.0 / count(*), 6) AS chunk_dup_rate "
+       "CAST(floor((sum(is_dup) * 1.0 / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS chunk_dup_rate_micro "
        "FROM mk JOIN documents USING (doc_id) GROUP BY source"),
     DQ("dq163_quality_by_dup_status", C.dq163_quality_by_dup_status,
        "WITH " + _SIG_CTE + ", "
@@ -1795,14 +1803,12 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
        "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
        "q AS (SELECT d.doc_id, d.lang, "
-       "round(0.4 * least(n_tok / 100.0, 1.0) "
-       "+ 0.3 * round(sw_hits / n_tok, 6) "
-       "+ 0.3 * least(round(tok_chars / n_tok, 6) / 8.0, 1.0), 6) AS score "
+       "CAST(floor((0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (CAST(floor((sw_hits / n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) + 0.3 * least(CAST(floor((tok_chars / n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS score "
        "FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
        "SELECT lang, CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
        "THEN 1 ELSE 0 END AS is_dup, "
        "CAST(count(*) AS BIGINT) AS n_docs, "
-       "round(avg(score), 6) AS avg_score "
+       "CAST(floor(avg(score) + 0.5) AS BIGINT) AS avg_score_micro "
        "FROM q GROUP BY lang, is_dup"),
     DQ("dq164_countmin_freq", C.dq164_countmin_freq,
        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
@@ -1902,15 +1908,14 @@ _REGISTRY: list[DQ] = [
        "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
        "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
        "q AS (SELECT d.doc_id, d.source, d.lang, stats.n_tok, "
-       "round(0.4 * least(stats.n_tok / 100.0, 1.0) "
-       "+ 0.3 * round(sw_hits / stats.n_tok, 6) "
-       "+ 0.3 * least(round(tok_chars / stats.n_tok, 6) / 8.0, 1.0), 6) "
+       "CAST(floor((0.4 * least(stats.n_tok / 100.0, 1.0) + 0.3 * (CAST(floor((sw_hits / stats.n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) + 0.3 * least(CAST(floor((tok_chars / stats.n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) "
        "AS score FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
        "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
-       "round(avg(score), 6) AS avg_quality, "
-       "round(sum(CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
-       "THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate, "
+       "CAST(floor(avg(score) + 0.5) AS BIGINT) AS avg_quality_micro, "
+       "CAST(floor((sum(CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
+       "THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS dup_rate_micro, "
        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
        "FROM q GROUP BY source"),
     DQ("dq168_dup_spans", T.dq168_dup_spans,
@@ -2103,11 +2108,11 @@ _REGISTRY: list[DQ] = [
        "dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
        "nn AS (SELECT count(*) AS n FROM documents), "
        "scored AS (SELECT doc_id, tok, tf, "
-       "round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf "
+       "CAST(floor((tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro "
        "FROM tf JOIN dfs USING (tok) CROSS JOIN nn) "
-       "SELECT doc_id, tok, tf, tfidf, CAST(rank AS INT) AS rank FROM "
+       "SELECT doc_id, tok, tf, tfidf_micro, CAST(rank AS INT) AS rank FROM "
        "(SELECT *, row_number() OVER (PARTITION BY doc_id "
-       "ORDER BY tfidf DESC, tok) AS rank FROM scored) r WHERE rank <= 5"),
+       "ORDER BY tfidf_micro DESC, tok) AS rank FROM scored) r WHERE rank <= 5"),
     DQ("dq181_neardup_first_occurrence", T.dq181_neardup_first_occurrence,
        "WITH " + _SIG_CTE + ", "
        "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
@@ -2138,10 +2143,10 @@ _REGISTRY: list[DQ] = [
        "JOIN sh y ON y.doc_id = p.d2 AND y.shingle = x.shingle "
        "GROUP BY p.d1, p.d2) "
        "SELECT p.d1, p.d2, CAST(p.matches AS INT) AS matches, "
-       "round(p.matches / 8.0, 6) AS est_j, "
-       "round(iv.i * 1.0 / (sa.n + sb.n - iv.i), 6) AS exact_j, "
-       "round(abs(p.matches / 8.0 - iv.i * 1.0 / (sa.n + sb.n - iv.i)), 6) "
-       "AS abs_err "
+       "CAST(floor((p.matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j_micro, "
+       "CAST(floor((iv.i * 1.0 / (sa.n + sb.n - iv.i)) * 1000000.0 + 0.5) AS BIGINT) AS exact_j_micro, "
+       "CAST(floor((abs(p.matches / 8.0 - iv.i * 1.0 / (sa.n + sb.n - iv.i))) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS abs_err_micro "
        "FROM p JOIN iv ON p.d1 = iv.d1 AND p.d2 = iv.d2 "
        "JOIN sz sa ON sa.doc_id = p.d1 JOIN sz sb ON sb.doc_id = p.d2"),
     DQ("dq183_prefix_filter_join", T.dq183_prefix_filter_join,
@@ -2152,10 +2157,10 @@ _REGISTRY: list[DQ] = [
        "iv AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
        "FROM sh a JOIN sh b ON a.shingle = b.shingle "
        "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
-       "j AS (SELECT d1, d2, round(i * 1.0 / (sa.n + sb.n - i), 6) "
-       "AS jaccard FROM iv JOIN sz sa ON sa.doc_id = d1 "
+       "j AS (SELECT d1, d2, CAST(floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS jaccard_micro FROM iv JOIN sz sa ON sa.doc_id = d1 "
        "JOIN sz sb ON sb.doc_id = d2) "
-       "SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.6"),
+       "SELECT d1, d2, jaccard_micro FROM j WHERE jaccard_micro >= 600000"),
     DQ("dq184_ohlc_bars", TS.dq184_ohlc_bars,
        "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, "
        "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
@@ -2283,10 +2288,10 @@ _REGISTRY: list[DQ] = [
        "scal AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_c, count(*) AS v "
        "FROM ct) "
        "SELECT source, max(n_s) AS n_tokens, count(*) AS vocab_used, "
-       "round(CAST(sum(CAST((c_sw + 0.5) / (n_s + 0.5 * v) * "
+       "CAST(sum(CAST(floor(((c_sw + 0.5) / (n_s + 0.5 * v) * "
        "ln(((c_sw + 0.5) / (n_s + 0.5 * v)) / "
-       "((c_w + 0.5) / (n_c + 0.5 * v))) AS DECIMAL(28,18))) AS DOUBLE), 6) "
-       "AS kl "
+       "((c_w + 0.5) / (n_c + 0.5 * v)))) * 1000000000000.0 + 0.5) "
+       "AS BIGINT)) AS BIGINT) AS kl_pico "
        "FROM st JOIN ct USING (tok) JOIN stot USING (source) "
        "CROSS JOIN scal GROUP BY source"),
     DQ("dq193_user_trend", TS.dq193_user_trend,
@@ -2415,8 +2420,9 @@ _REGISTRY: list[DQ] = [
        "AND b.rn > a.rn AND b.rn <= a.rn + 5) "
        # filter on the ROUNDED value, same as the engine: the round output
        # is bit-identical across engines, the raw ratio comparison is not
-       "SELECT d1, d2, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jacc "
-       "FROM p WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.2"),
+       "SELECT d1, d2, CAST(floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS jacc_micro FROM p "
+       "WHERE CAST(floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) AS BIGINT) >= 200000"),
     DQ("dq202_bigram_lm", T.dq202_bigram_lm,
        "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
        "generate_subscripts(string_split(text, ' '), 1) AS idx "
@@ -2429,8 +2435,10 @@ _REGISTRY: list[DQ] = [
        "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), "
        "v AS (SELECT count(DISTINCT tok) AS v FROM tk) "
        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
-       "round(sum(tf * ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))) / sum(tf), 6)"
-       " AS mean_logp "
+       "CAST(floor(sum(CAST(floor((tf * ln((c2.c2 + 0.5) "
+       "/ (c1.c1 + 0.5 * v.v))) * 1000000.0 + 0.5) AS BIGINT)) "
+       "/ sum(tf) + 0.5) AS BIGINT)"
+       " AS mean_logp_micro "
        "FROM per_doc JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v "
        "GROUP BY doc_id"),
     DQ("dq203_containment_join", T.dq203_containment_join,
@@ -2443,10 +2451,11 @@ _REGISTRY: list[DQ] = [
        "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
        "JOIN sizes sb ON sb.doc_id = d2), "
        "directed AS (SELECT d1 AS src, d2 AS dst, "
-       "round(CAST(i AS DOUBLE) / na, 6) AS containment FROM p "
+       "CAST(floor((CAST(i AS DOUBLE) / na) * 1000000.0 + 0.5) AS BIGINT) AS containment_micro FROM p "
        "UNION ALL SELECT d2 AS src, d1 AS dst, "
-       "round(CAST(i AS DOUBLE) / nb, 6) AS containment FROM p) "
-       "SELECT src, dst, containment FROM directed WHERE containment >= 0.5"),
+       "CAST(floor((CAST(i AS DOUBLE) / nb) * 1000000.0 + 0.5) AS BIGINT) AS containment_micro FROM p) "
+       "SELECT src, dst, containment_micro FROM directed "
+       "WHERE containment_micro >= 500000"),
     DQ("dq204_grid_dbscan", N.dq204_grid_dbscan,
        # brute-force O(N^2) epsilon join: equality proves the engine's
        # grid-cell pruning lossless. Distance expr is written identically
@@ -2546,16 +2555,16 @@ _REGISTRY: list[DQ] = [
        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
        "GROUP BY d1, d2), "
        "pj AS (SELECT d1, d2, "
-       "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j "
+       "CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) AS j "
        "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
        "JOIN sizes sb ON sb.doc_id = d2), "
        "fl AS (SELECT least(da.source, db.source) AS src_a, "
        "greatest(da.source, db.source) AS src_b, "
-       "CAST(j AS DECIMAL(10,6)) AS jd "
+       "j AS jd "
        "FROM pj JOIN documents da ON da.doc_id = pj.d1 "
-       "JOIN documents db ON db.doc_id = pj.d2 WHERE j >= 0.3) "
+       "JOIN documents db ON db.doc_id = pj.d2 WHERE j >= 300000) "
        "SELECT src_a, src_b, count(*) AS n_pairs, "
-       "round(CAST(SUM(jd) AS DOUBLE) / count(*), 6) AS mean_j "
+       "CAST(floor(SUM(jd) / count(*) + 0.5) AS BIGINT) AS mean_j_micro "
        "FROM fl GROUP BY src_a, src_b"),
     DQ("dq210_cluster_purity", N.dq210_cluster_purity,
        # same assignment CTE as dq47 (broadcast centroids, rounded cosine)
@@ -2586,10 +2595,9 @@ _REGISTRY: list[DQ] = [
        "g AS (SELECT bin, count(*) AS n, SUM(nc) AS snc, SUM(pos) AS np "
        "FROM d GROUP BY bin) "
        "SELECT bin, n, "
-       "round(CAST(snc AS DOUBLE) / (600.0 * n), 6) AS mean_pred, "
-       "round(CAST(np AS DOUBLE) / n, 6) AS pos_rate, "
-       "round(abs(CAST(snc AS DOUBLE) / (600.0 * n) "
-       "- CAST(np AS DOUBLE) / n), 6) AS gap "
+       "CAST(floor((CAST(snc AS DOUBLE) / (600.0 * n)) * 1000000.0 + 0.5) AS BIGINT) AS mean_pred_micro, "
+       "CAST(floor((CAST(np AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS pos_rate_micro, "
+       "CAST(floor((abs(CAST(snc AS DOUBLE) / (600.0 * n) - CAST(np AS DOUBLE) / n)) * 1000000.0 + 0.5) AS BIGINT) AS gap_micro "
        "FROM g"),
     DQ("dq212_grouping_sets", R.dq212_grouping_sets,
        "SELECT l_returnflag, l_linestatus, "
@@ -2679,8 +2687,8 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(n_tok) AS BIGINT) AS tokens_total, "
        "CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT) "
        "AS tokens_dropped, "
-       "round(CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
-       "/ SUM(n_tok), 6) AS savings FROM fl GROUP BY source"),
+       "CAST(floor((CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
+       "/ SUM(n_tok)) * 1000000.0 + 0.5) AS BIGINT) AS savings_micro FROM fl GROUP BY source"),
     DQ("dq218_phrase_search", RT.dq218_phrase_search,
        # 1-based generate_subscripts vs Spark's 0-based posexplode: the
        # oracle subtracts 1 from its positions
@@ -2755,8 +2763,9 @@ _REGISTRY: list[DQ] = [
        "GROUP BY d.lang, p.pred) "
        "SELECT lang, pred, n, "
        "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang, "
-       "round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6) "
-       "AS frac FROM cells"),
+       "CAST(floor((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang)) "
+       "* 1000000.0 + 0.5) AS BIGINT) "
+       "AS frac_micro FROM cells"),
     DQ("dq222_lsh_pr_curve", T.dq222_lsh_pr_curve,
        # _SHC_CTE already carries sh; append the sig legs without
        # re-declaring it
@@ -2770,17 +2779,19 @@ _REGISTRY: list[DQ] = [
        "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
        "GROUP BY d1, d2), "
        "exact AS (SELECT d1, d2, "
-       "round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS j "
+       "CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) "
+       "* 1000000.0 + 0.5) AS BIGINT) AS j "
        "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
        "JOIN sizes sb ON sb.doc_id = d2), "
        "lsh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
-       "round(count(*) / 8.0, 6) AS est_j "
+       "CAST(floor((count(*) / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j "
        "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
        "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "u AS (SELECT COALESCE(e.j, 0.0) AS j, "
-       "COALESCE(l.est_j, -1.0) AS est_j FROM exact e "
+       "u AS (SELECT COALESCE(e.j, 0) AS j, "
+       "COALESCE(l.est_j, -1) AS est_j FROM exact e "
        "FULL OUTER JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2), "
-       "g AS (SELECT j, est_j, unnest([0.2, 0.3, 0.4, 0.5]) AS tau FROM u), "
+       "g AS (SELECT j, est_j, "
+       "unnest([200000, 300000, 400000, 500000]) AS tau FROM u), "
        "agg AS (SELECT tau, "
        "CAST(SUM(CASE WHEN j >= tau AND est_j >= tau THEN 1 ELSE 0 END) "
        "AS BIGINT) AS tp, "
@@ -2788,11 +2799,13 @@ _REGISTRY: list[DQ] = [
        "AS pp, "
        "CAST(SUM(CASE WHEN j >= tau THEN 1 ELSE 0 END) AS BIGINT) AS ap "
        "FROM g GROUP BY tau) "
-       "SELECT round(tau, 2) AS tau, tp, pp, ap, "
-       "CASE WHEN pp > 0 THEN round(CAST(tp AS DOUBLE) / pp, 6) END "
-       "AS precision, "
-       "CASE WHEN ap > 0 THEN round(CAST(tp AS DOUBLE) / ap, 6) END "
-       "AS recall FROM agg"),
+       "SELECT CAST(tau / 10000 AS BIGINT) AS tau_e2, tp, pp, ap, "
+       "CASE WHEN pp > 0 THEN CAST(floor((CAST(tp AS DOUBLE) / pp) "
+       "* 1000000.0 + 0.5) AS BIGINT) END "
+       "AS precision_micro, "
+       "CASE WHEN ap > 0 THEN CAST(floor((CAST(tp AS DOUBLE) / ap) "
+       "* 1000000.0 + 0.5) AS BIGINT) END "
+       "AS recall_micro FROM agg"),
     DQ("dq223_nearest_event_join", TS.dq223_nearest_event_join,
        "WITH ev AS (SELECT user_id, event_id, event_type, "
        "epoch_us(ts) AS us, "
@@ -2827,8 +2840,8 @@ _REGISTRY: list[DQ] = [
        "d AS (SELECT doc_id, w, CAST((" + _HEXFOLD + ") AS BIGINT) AS hi "
        "FROM hx) "
        "SELECT doc_id, w, "
-       "round(ln((hi + 1) / 4294967296.0) / w, 12) AS skey "
-       "FROM d ORDER BY skey DESC, doc_id LIMIT 100"),
+       "CAST(floor((ln((hi + 1) / 4294967296.0) / w) * 1000000000000.0 + 0.5) AS BIGINT) AS skey_pico "
+       "FROM d ORDER BY skey_pico DESC, doc_id LIMIT 100"),
     DQ("dq225_mad_outliers", R.dq225_mad_outliers,
        "WITH li AS (SELECT l_returnflag, "
        "CAST(round(l_extendedprice * 100) AS BIGINT) AS x "
@@ -2879,7 +2892,7 @@ _REGISTRY: list[DQ] = [
        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, "
        "count(*) AS vocab_size FROM vocab) "
        "SELECT r AS k, CAST(cum AS BIGINT) AS covered, n_total, "
-       "vocab_size, round(CAST(cum AS DOUBLE) / n_total, 6) AS coverage "
+       "vocab_size, CAST(floor((CAST(cum AS DOUBLE) / n_total) * 1000000.0 + 0.5) AS BIGINT) AS coverage_micro "
        "FROM ranked CROSS JOIN tot WHERE r IN (2, 5, 10, 20, 30)"),
     DQ("dq228_ivfpq_search", N.dq228_ivfpq_search,
        # dq47's coarse assignment + dq114's PQ codes + the ADC table
@@ -2978,7 +2991,7 @@ _REGISTRY: list[DQ] = [
        "FROM d GROUP BY tpl), "
        "tot AS (SELECT count(*) AS n_total FROM d) "
        "SELECT tpl, n_docs, first_doc, "
-       "round(CAST(n_docs AS DOUBLE) / n_total, 6) AS coverage "
+       "CAST(floor((CAST(n_docs AS DOUBLE) / n_total) * 1000000.0 + 0.5) AS BIGINT) AS coverage_micro "
        "FROM g CROSS JOIN tot WHERE n_docs >= 3"),
     DQ("dq231_autocorr", TS.dq231_autocorr,
        "WITH ev AS (SELECT user_id, "
@@ -3111,9 +3124,10 @@ _REGISTRY: list[DQ] = [
        "per_v AS (SELECT source, x, count(*) AS c FROM d "
        "GROUP BY source, x), "
        "lut AS (SELECT source, x, "
-       "round(CAST(SUM(c) OVER (PARTITION BY source ORDER BY x) AS DOUBLE) "
-       "/ SUM(c) OVER (PARTITION BY source), 6) AS qnorm FROM per_v) "
-       "SELECT d.doc_id, d.source, lut.qnorm "
+       "CAST(floor((CAST(SUM(c) OVER (PARTITION BY source ORDER BY x) AS DOUBLE) "
+       "/ SUM(c) OVER (PARTITION BY source)) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS qnorm_micro FROM per_v) "
+       "SELECT d.doc_id, d.source, lut.qnorm_micro "
        "FROM d JOIN lut ON d.source = lut.source AND d.x = lut.x"),
     DQ("dq240_burstiness", TS.dq240_burstiness,
        "WITH ev AS (SELECT user_id, "
@@ -3142,10 +3156,10 @@ _REGISTRY: list[DQ] = [
        "CAST(SUM(nt) AS BIGINT) AS t_tot, "
        "CAST(SUM(nt * nt) AS BIGINT) AS t_sq FROM per_src) "
        "SELECT n_sources, d_tot, t_tot, "
-       "round(CAST(d_tot * d_tot AS DOUBLE) / d_sq, 6) "
-       "AS eff_sources_docs, "
-       "round(CAST(t_tot * t_tot AS DOUBLE) / t_sq, 6) "
-       "AS eff_sources_tokens FROM agg"),
+       "CAST(floor((CAST(d_tot * d_tot AS DOUBLE) / d_sq) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS eff_sources_docs_micro, "
+       "CAST(floor((CAST(t_tot * t_tot AS DOUBLE) / t_sq) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS eff_sources_tokens_micro FROM agg"),
     DQ("dq242_split_uniformity", C.dq242_split_uniformity,
        "WITH hx AS (SELECT sha256(CAST(doc_id AS VARCHAR)) AS h "
        "FROM documents), "
@@ -3155,13 +3169,14 @@ _REGISTRY: list[DQ] = [
        "GROUP BY bucket), "
        "tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts), "
        "st AS (SELECT n_obs, n_total, "
-       "CAST((n_obs - CAST(n_total AS DOUBLE) / 100) "
+       "CAST(floor(((n_obs - CAST(n_total AS DOUBLE) / 100) "
        "* (n_obs - CAST(n_total AS DOUBLE) / 100) "
-       "/ (CAST(n_total AS DOUBLE) / 100) AS DECIMAL(28,18)) AS chi "
+       "/ (CAST(n_total AS DOUBLE) / 100)) * 1000000000000.0 + 0.5) "
+       "AS BIGINT) AS chi "
        "FROM counts CROSS JOIN tot) "
        "SELECT count(*) AS n_buckets_hit, max(n_total) AS n_total, "
        "max(n_obs) AS max_bucket, min(n_obs) AS min_bucket, "
-       "round(CAST(SUM(chi) AS DOUBLE), 6) AS chi_sq FROM st"),
+       "CAST(SUM(chi) AS BIGINT) AS chi_sq_pico FROM st"),
     DQ("dq243_lorenz_deciles", TS.dq243_lorenz_deciles,
        "WITH spend AS (SELECT user_id, "
        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c "

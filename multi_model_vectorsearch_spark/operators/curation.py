@@ -194,15 +194,15 @@ def dq100_pmi_bigrams(t: Tables, min_count: int = 5, k: int = 40) -> DataFrame:
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bg))
     )
-    pmi = F.round(
+    pmi = snap(
         F.log(
             (F.col("c_bg") / F.col("n_bg"))
             / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
-        ), 6,
+        )
     )
     return (
-        j.select("bg", "c_bg", pmi.alias("pmi"))
-        .orderBy(F.desc("pmi"), F.asc("bg"))
+        j.select("bg", "c_bg", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), F.asc("bg"))
         .limit(k)
     )
 
@@ -245,13 +245,13 @@ def dq102_gopher_repetition(t: Tables, max_top_bigram: float = 0.2) -> DataFrame
     )
     n_tok = F.size("toks").cast("bigint")
     n_uniq = F.size(F.array_distinct("toks"))
-    top_frac = F.round(F.col("runstat")["best"] / F.size("bgs"), 6)
-    dup_frac = F.round(1 - n_uniq / n_tok, 6)
+    top_frac = snap(F.col("runstat")["best"] / F.size("bgs"))
+    dup_frac = snap(1 - n_uniq / n_tok)
     return staged.select(
         "doc_id", n_tok.alias("n_tok"),
-        dup_frac.alias("dup_tok_frac"),
-        top_frac.alias("top_bigram_frac"),
-        (top_frac <= max_top_bigram).alias("keep"),
+        dup_frac.alias("dup_tok_frac_micro"),
+        top_frac.alias("top_bigram_frac_micro"),
+        (top_frac <= int(max_top_bigram * 1_000_000)).alias("keep"),
     )
 
 
@@ -382,11 +382,11 @@ def dq112_weighted_sample(t: Tables, n: int = 50) -> DataFrame:
         ).cast("bigint")
     )
     u = (fold + F.lit(0.5)) / F.lit(4294967296.0)
-    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
+    wkey = snap(F.log(u) / F.col("n_chars"))
     return (
         t["documents"]
-        .select("doc_id", "n_chars", wkey.alias("wkey"))
-        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .select("doc_id", "n_chars", wkey.alias("wkey_micro"))
+        .orderBy(F.desc("wkey_micro"), F.asc("doc_id"))
         .limit(n)
     )
 
@@ -411,15 +411,17 @@ def dq115_epoch_plan(t: Tables, target_mult: float = 2.0,
         F.sum(F.sqrt("n_tok")).alias("sw"),
     )
     share = F.sqrt("n_tok") / F.col("sw")
-    epochs = F.least(
-        F.lit(max_epochs),
-        F.round(F.lit(target_mult) * F.col("total") * share / F.col("n_tok"), 3),
+    epochs_milli = F.least(
+        F.lit(int(max_epochs * 1000)).cast("bigint"),
+        snap(F.lit(target_mult) * F.col("total") * share / F.col("n_tok"),
+             1000),
     )
     return tok.crossJoin(F.broadcast(tots)).select(
         "source", "n_tok",
-        F.round(share, 6).alias("w"),
-        epochs.alias("epochs"),
-        F.floor(epochs * F.col("n_tok")).cast("bigint").alias("planned_tok"),
+        snap(share).alias("w_micro"),
+        epochs_milli.alias("epochs_milli"),
+        F.floor(epochs_milli * F.col("n_tok") / F.lit(1000.0))
+        .cast("bigint").alias("planned_tok"),
     ).orderBy("source")
 
 
@@ -529,7 +531,7 @@ def dq137_dup_rate_by_source(t: Tables) -> DataFrame:
         )
         .select(
             "source", "n_docs", "n_dup",
-            F.round(F.col("n_dup") / F.col("n_docs"), 6).alias("dup_rate"),
+            snap(F.col("n_dup") / F.col("n_docs")).alias("dup_rate_micro"),
         )
         .orderBy("source")
     )
@@ -598,7 +600,7 @@ def dq152_perplexity_buckets(t: Tables, n_buckets: int = 4) -> DataFrame:
     from multi_model_vectorsearch_spark.operators.textpipe import doc_surprisal
 
     scored = doc_surprisal(t).select(
-        "doc_id", F.round("bits", 6).alias("bits"))
+        "doc_id", snap(F.col("bits")).alias("bits"))
     langs = t["documents"].select("doc_id", "lang")
     w = Window.partitionBy("lang").orderBy(F.desc("bits"), F.asc("doc_id"))
     bucketed = (
@@ -607,7 +609,9 @@ def dq152_perplexity_buckets(t: Tables, n_buckets: int = 4) -> DataFrame:
     )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.round(F.avg("bits"), 6).alias("avg_bits"),
+        # mean of exact micro ints: one division + half-up floor
+        F.floor(F.avg("bits") + F.lit(0.5)).cast("bigint")
+        .alias("avg_bits_micro"),
     )
 
 
@@ -688,8 +692,8 @@ def dq162_chunk_dedup_stats(t: Tables) -> DataFrame:
         )
         .select(
             "source", "n_chunks", "n_dup",
-            F.round(F.col("n_dup") / F.col("n_chunks"), 6)
-            .alias("chunk_dup_rate"),
+            snap(F.col("n_dup") / F.col("n_chunks"))
+            .alias("chunk_dup_rate_micro"),
         )
     )
 
@@ -704,7 +708,7 @@ def dq163_quality_by_dup_status(t: Tables) -> DataFrame:
         dq45_quality, minhash_lsh_pairs_shared,
     )
 
-    q = dq45_quality(t).select("doc_id", "score")
+    q = dq45_quality(t).select("doc_id", "score_micro")
     dup_ids = minhash_lsh_pairs_shared(t).select(
         F.col("d2").alias("doc_id")).distinct()
     langs = t["documents"].select("doc_id", "lang")
@@ -718,7 +722,8 @@ def dq163_quality_by_dup_status(t: Tables) -> DataFrame:
         joined.groupBy("lang", "is_dup")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.floor(F.avg("score_micro") + F.lit(0.5)).cast("bigint")
+            .alias("avg_score_micro"),
         )
     )
 
@@ -790,7 +795,7 @@ def dq167_dataset_card(t: Tables) -> DataFrame:
         "doc_id", "source", "lang",
         F.size(F.split("text", " ")).alias("n_tok"),
     )
-    q = dq45_quality(t).select("doc_id", "score")
+    q = dq45_quality(t).select("doc_id", "score_micro")
     dup = minhash_lsh_pairs_shared(t).select(
         F.col("d2").alias("doc_id")).distinct().withColumn("d", F.lit(1))
     joined = (
@@ -802,9 +807,10 @@ def dq167_dataset_card(t: Tables) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
-            F.round(F.avg("score"), 6).alias("avg_quality"),
-            F.round(F.sum(F.coalesce("d", F.lit(0)))
-                    / F.count("*"), 6).alias("dup_rate"),
+            F.floor(F.avg("score_micro") + F.lit(0.5)).cast("bigint")
+            .alias("avg_quality_micro"),
+            snap(F.sum(F.coalesce("d", F.lit(0)))
+                 / F.count("*")).alias("dup_rate_micro"),
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
@@ -875,7 +881,9 @@ def dq192_source_kl(t: Tables) -> DataFrame:
     )
     p_s = (F.col("c_sw") + 0.5) / (F.col("n_s") + 0.5 * F.col("v"))
     p_c = (F.col("c_w") + 0.5) / (F.col("n_c") + 0.5 * F.col("v"))
-    term = (p_s * F.log(p_s / p_c)).cast("decimal(28,18)")
+    # per-term pico floor snap, then exact integer sum (order-independent
+    # without the DECIMAL-cast-of-double repr hazard — dq206's r5 fix)
+    term_pico = snap(p_s * F.log(p_s / p_c), 1_000_000_000_000)
     return (
         st.join(ct, "tok")
         .join(F.broadcast(stot), "source")
@@ -884,7 +892,7 @@ def dq192_source_kl(t: Tables) -> DataFrame:
         .agg(
             F.max("n_s").alias("n_tokens"),
             F.count("*").alias("vocab_used"),
-            F.round(F.sum(term).cast("double"), 6).alias("kl"),
+            F.sum(term_pico).alias("kl_pico"),
         )
     )
 
@@ -997,10 +1005,10 @@ def dq209_dup_flow_matrix(t: Tables, j_min: float = 0.3) -> DataFrame:
     )
 
     p = jaccard_pairs_shared(t)
-    jacc = F.round(
-        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+    jacc = snap(
+        F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
     pairs = p.select("d1", "d2", jacc.alias("j")).filter(
-        F.col("j") >= j_min)
+        F.col("j") >= int(j_min * 1_000_000))
     src = t["documents"].select("doc_id", "source")
     flows = (
         pairs
@@ -1011,15 +1019,14 @@ def dq209_dup_flow_matrix(t: Tables, j_min: float = 0.3) -> DataFrame:
         .select(
             F.least("s1", "s2").alias("src_a"),
             F.greatest("s1", "s2").alias("src_b"),
-            F.col("j").cast("decimal(10,6)").alias("jd"),
+            F.col("j").alias("jd"),
         )
     )
-    # cast the EXACT decimal sum to double before the division: decimal
-    # division result scales differ by engine, double division does not
+    # mean of exact micro ints: bigint sum / count with one half-up floor
     return flows.groupBy("src_a", "src_b").agg(
         F.count("*").alias("n_pairs"),
-        F.round(F.sum("jd").cast("double") / F.count("*"), 6)
-        .alias("mean_j"),
+        F.floor(F.sum("jd") / F.count("*") + F.lit(0.5)).cast("bigint")
+        .alias("mean_j_micro"),
     )
 
 
@@ -1051,9 +1058,9 @@ def dq211_calibration_bins(t: Tables, n_bins: int = 10) -> DataFrame:
     pos_rate = F.col("np").cast("double") / F.col("n")
     return g.select(
         "bin", "n",
-        F.round(mean_pred, 6).alias("mean_pred"),
-        F.round(pos_rate, 6).alias("pos_rate"),
-        F.round(F.abs(mean_pred - pos_rate), 6).alias("gap"),
+        snap(mean_pred).alias("mean_pred_micro"),
+        snap(pos_rate).alias("pos_rate_micro"),
+        snap(F.abs(mean_pred - pos_rate)).alias("gap_micro"),
     )
 
 
@@ -1090,9 +1097,9 @@ def dq217_dedup_savings(t: Tables) -> DataFrame:
         .select(
             "source", "n_docs", "n_dropped", "tokens_total",
             "tokens_dropped",
-            F.round(
+            snap(
                 F.col("tokens_dropped").cast("double")
-                / F.col("tokens_total"), 6).alias("savings"),
+                / F.col("tokens_total")).alias("savings_micro"),
         )
     )
 
@@ -1122,10 +1129,10 @@ def dq224_weighted_reservoir(t: Tables, k: int = 100) -> DataFrame:
                                     F.col("doc_id").cast("string")), 256),
                     1, 8), 16, 10).cast("bigint")
     u = (h + 1) / F.lit(4294967296.0)  # (0, 1]
-    key = F.round(F.log(u) / F.col("w"), 12)
+    key = snap(F.log(u) / F.col("w"), 1_000_000_000_000)
     return (
-        d.select("doc_id", "w", key.alias("skey"))
-        .orderBy(F.desc("skey"), F.asc("doc_id"))
+        d.select("doc_id", "w", key.alias("skey_pico"))
+        .orderBy(F.desc("skey_pico"), F.asc("doc_id"))
         .limit(k)
     )
 
@@ -1152,11 +1159,12 @@ def dq239_quantile_normalize(t: Tables) -> DataFrame:
         .withColumn("n", F.sum("c").over(wp))
         .select(
             "source", "x",
-            F.round(F.col("cum").cast("double") / F.col("n"), 6)
-            .alias("qnorm"),
+            snap(F.col("cum").cast("double") / F.col("n"))
+            .alias("qnorm_micro"),
         )
     )
-    return d.join(lut, ["source", "x"]).select("doc_id", "source", "qnorm")
+    return d.join(lut, ["source", "x"]).select(
+        "doc_id", "source", "qnorm_micro")
 
 
 def dq241_effective_sources(t: Tables) -> DataFrame:
@@ -1182,10 +1190,10 @@ def dq241_effective_sources(t: Tables) -> DataFrame:
     )
     return agg.select(
         "n_sources", "d_tot", "t_tot",
-        F.round((F.col("d_tot") * F.col("d_tot")).cast("double")
-                / F.col("d_sq"), 6).alias("eff_sources_docs"),
-        F.round((F.col("t_tot") * F.col("t_tot")).cast("double")
-                / F.col("t_sq"), 6).alias("eff_sources_tokens"),
+        snap((F.col("d_tot") * F.col("d_tot")).cast("double")
+             / F.col("d_sq")).alias("eff_sources_docs_micro"),
+        snap((F.col("t_tot") * F.col("t_tot")).cast("double")
+             / F.col("t_sq")).alias("eff_sources_tokens_micro"),
     )
 
 
@@ -1206,9 +1214,10 @@ def dq242_split_uniformity(t: Tables, mod: int = 100) -> DataFrame:
     )
     tot = counts.agg(F.sum("n_obs").alias("n_total"))
     exp = F.col("n_total").cast("double") / mod
-    term = (
-        (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp
-    ).cast("decimal(28,18)")
+    # per-bucket pico snap + exact integer sum (dq233's pattern)
+    term = snap(
+        (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp,
+        1_000_000_000_000)
     agg = (
         counts.crossJoin(F.broadcast(tot))
         .agg(
@@ -1216,7 +1225,7 @@ def dq242_split_uniformity(t: Tables, mod: int = 100) -> DataFrame:
             F.max("n_total").alias("n_total"),
             F.max("n_obs").alias("max_bucket"),
             F.min("n_obs").alias("min_bucket"),
-            F.round(F.sum(term).cast("double"), 6).alias("chi_sq"),
+            F.sum(term).alias("chi_sq_pico"),
         )
     )
     return agg

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+
 Tables = dict
 
 N_MINHASH = 8  # permutations in the MinHash family
@@ -194,7 +196,8 @@ def dq41_minhash_lsh_pairs(t: Tables, min_matches: int = 2) -> DataFrame:
     )
     return pairs.select(
         "d1", "d2", "matches",
-        F.round(F.col("matches") / F.lit(float(N_MINHASH)), 6).alias("est_j"),
+        snap(F.col("matches") / F.lit(float(N_MINHASH)))
+        .alias("est_j_micro"),
     )
 
 
@@ -297,10 +300,10 @@ def dq42_ngram_jaccard_topk(t: Tables, k: int = 20) -> DataFrame:
     p = jaccard_pairs_shared(t)
     j = p.select(
         "d1", "d2",
-        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
-        .alias("j"),
+        snap(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .alias("j_micro"),
     )
-    return j.orderBy(F.desc("j"), F.asc("d1"), F.asc("d2")).limit(k)
+    return j.orderBy(F.desc("j_micro"), F.asc("d1"), F.asc("d2")).limit(k)
 
 
 _SIMHASH_CACHE: dict = {}
@@ -637,19 +640,22 @@ def dq45_quality(t: Tables) -> DataFrame:
     q = d.join(stats, "doc_id").select(
         "doc_id",
         "n_tok",
-        F.round(F.col("tok_chars") / F.col("n_tok"), 6).alias("avg_len"),
-        F.round(F.col("sw_hits") / F.col("n_tok"), 6).alias("sw_ratio"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text"), 6
-        ).alias("alpha_ratio"),
+        snap(F.col("tok_chars") / F.col("n_tok")).alias("avg_len_micro"),
+        snap(F.col("sw_hits") / F.col("n_tok")).alias("sw_ratio_micro"),
+        snap(
+            F.length(F.regexp_replace("text", "[^a-z]", ""))
+            / F.length("text")
+        ).alias("alpha_ratio_micro"),
     )
+    # the ensemble composes the already-snapped micro ints (exact in
+    # double), so both engines see identical inputs to the final snap
     return q.withColumn(
-        "score",
-        F.round(
+        "score_micro",
+        snap(
             0.4 * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
-            + 0.3 * F.col("sw_ratio")
-            + 0.3 * F.least(F.col("avg_len") / 8.0, F.lit(1.0)),
-            6,
+            + 0.3 * (F.col("sw_ratio_micro") / F.lit(1000000.0))
+            + 0.3 * F.least(F.col("avg_len_micro") / F.lit(1000000.0)
+                            / 8.0, F.lit(1.0)),
         ),
     )
 
@@ -740,8 +746,9 @@ def dq111_word_entropy(t: Tables, n: int = 50) -> DataFrame:
         .alias("h"),
     )
     return (
-        ent.select("doc_id", "n_words", F.round("h", 6).alias("entropy"))
-        .orderBy(F.desc("entropy"), F.asc("doc_id"))
+        ent.select("doc_id", "n_words",
+                   snap(F.col("h")).alias("entropy_micro"))
+        .orderBy(F.desc("entropy_micro"), F.asc("doc_id"))
         .limit(n)
     )
 
@@ -811,8 +818,9 @@ def dq127_unigram_surprisal(t: Tables, n: int = 50) -> DataFrame:
     """
     scored = doc_surprisal(t)
     return (
-        scored.select("doc_id", "n_tok", F.round("bits", 6).alias("bits_per_tok"))
-        .orderBy(F.desc("bits_per_tok"), F.asc("doc_id"))
+        scored.select("doc_id", "n_tok",
+                      snap(F.col("bits")).alias("bits_per_tok_micro"))
+        .orderBy(F.desc("bits_per_tok_micro"), F.asc("doc_id"))
         .limit(n)
     )
 
@@ -952,9 +960,9 @@ def dq131_quality_ensemble(t: Tables) -> DataFrame:
     keep = (F.abs(zn) <= 2) & (F.abs(ze) <= 2) & (F.abs(zr) <= 2)
     return sig.crossJoin(F.broadcast(stats)).select(
         "doc_id",
-        F.round(zn, 6).alias("z_len"),
-        F.round(ze, 6).alias("z_entropy"),
-        F.round(zr, 6).alias("z_rep"),
+        snap(zn).alias("z_len_micro"),
+        snap(ze).alias("z_entropy_micro"),
+        snap(zr).alias("z_rep_micro"),
         keep.cast("int").alias("keep"),
     )
 
@@ -1037,10 +1045,10 @@ def dq151_zipf_slope(t: Tables, top_n: int = 100) -> DataFrame:
         .filter(F.col("rank") <= top_n)
     return ranked.groupBy("source").agg(
         F.count("*").cast("int").alias("n_terms"),
-        F.round(
+        snap(
             F.regr_slope(F.log(F.col("c").cast("double")),
-                         F.log(F.col("rank").cast("double"))), 6
-        ).alias("zipf_slope"),
+                         F.log(F.col("rank").cast("double")))
+        ).alias("zipf_slope_micro"),
     )
 
 
@@ -1070,8 +1078,8 @@ def dq153_lsh_recall(t: Tables, j_min: float = 0.25) -> DataFrame:
     n_hit = hit.agg(F.count("*").cast("bigint").alias("n_hit"))
     return n_true.crossJoin(n_cand).crossJoin(n_hit).select(
         "n_true", "n_cand", "n_hit",
-        F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
-        F.round(F.col("n_hit") / F.col("n_cand"), 6).alias("precision"),
+        snap(F.col("n_hit") / F.col("n_true")).alias("recall_micro"),
+        snap(F.col("n_hit") / F.col("n_cand")).alias("precision_micro"),
     )
 
 
@@ -1099,8 +1107,8 @@ def dq155_ngram_novelty(t: Tables) -> DataFrame:
         .select(
             "doc_id", "n_shingles",
             F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
-            F.round(F.coalesce("n_novel", F.lit(0))
-                    / F.col("n_shingles"), 6).alias("novelty"),
+            snap(F.coalesce("n_novel", F.lit(0))
+                 / F.col("n_shingles")).alias("novelty_micro"),
         )
     )
 
@@ -1138,9 +1146,9 @@ def dq172_minhash_estimate_audit(t: Tables) -> DataFrame:
                                        F.col("n").alias("nb"))), "d2")
         .select(
             "d1", "d2", F.col("matches").cast("int").alias("matches"),
-            F.round(est, 6).alias("est_j"),
-            F.round(exact, 6).alias("exact_j"),
-            F.round(F.abs(est - exact), 6).alias("abs_err"),
+            snap(est).alias("est_j_micro"),
+            snap(exact).alias("exact_j_micro"),
+            snap(F.abs(est - exact)).alias("abs_err_micro"),
         )
     )
 
@@ -1167,13 +1175,14 @@ def dq180_tfidf_top_terms(t: Tables, top_n: int = 5) -> DataFrame:
     scored = (
         tf.join(dfs, "tok").crossJoin(F.broadcast(n_docs))
         .select("doc_id", "tok", "tf",
-                F.round(F.col("tf") * idf, 6).alias("tfidf"))
+                snap(F.col("tf") * idf).alias("tfidf_micro"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("tok"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
-        .select("doc_id", "tok", "tf", "tfidf",
+        .select("doc_id", "tok", "tf", "tfidf_micro",
                 F.col("rank").cast("int").alias("rank"))
     )
 
@@ -1269,10 +1278,10 @@ def dq183_prefix_filter_join(t: Tables, tau: float = 0.6) -> DataFrame:
         )
         .select(
             "d1", "d2",
-            F.round(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6)
-            .alias("jaccard"),
+            snap(F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")))
+            .alias("jaccard_micro"),
         )
-        .filter(F.col("jaccard") >= tau)
+        .filter(F.col("jaccard_micro") >= int(tau * 1_000_000))
     )
     return verified
 
@@ -1398,11 +1407,11 @@ def dq200_sorted_neighborhood(t: Tables, window: int = 5,
     return (
         pairs.select(
             "d1", "d2",
-            F.round(
+            snap(
                 inter.cast("double")
-                / (F.size("ta") + F.size("tb") - inter), 6).alias("jacc"),
+                / (F.size("ta") + F.size("tb") - inter)).alias("jacc_micro"),
         )
-        .filter(F.col("jacc") >= j_min)
+        .filter(F.col("jacc_micro") >= int(j_min * 1_000_000))
     )
 
 
@@ -1439,7 +1448,11 @@ def dq202_bigram_lm(t: Tables, add_k: float = 0.5) -> DataFrame:
         d.select(F.explode(F.split("text", " ")).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
     )
-    lp = F.log((F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v")))
+    # per-(doc, bigram) micro snap, then exact integer sums — the old
+    # unordered double sum + round() was the r5 hazard class
+    lp_micro = snap(
+        F.col("tf")
+        * F.log((F.col("c2") + add_k) / (F.col("c1") + add_k * F.col("v"))))
     return (
         per_doc.join(F.broadcast(c2), "bg")
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
@@ -1448,8 +1461,8 @@ def dq202_bigram_lm(t: Tables, add_k: float = 0.5) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("n_bigrams"),
-            F.round(F.sum(F.col("tf") * lp) / F.sum("tf"), 6)
-            .alias("mean_logp"),
+            F.floor(F.sum(lp_micro) / F.sum("tf") + F.lit(0.5))
+            .cast("bigint").alias("mean_logp_micro"),
         )
     )
 
@@ -1470,12 +1483,13 @@ def dq203_containment_join(t: Tables, c_min: float = 0.5) -> DataFrame:
     p = jaccard_pairs_shared(t)
     directed = p.select(
         F.col("d1").alias("src"), F.col("d2").alias("dst"),
-        F.round(F.col("i") / F.col("na"), 6).alias("containment"),
+        snap(F.col("i") / F.col("na")).alias("containment_micro"),
     ).unionAll(p.select(
         F.col("d2").alias("src"), F.col("d1").alias("dst"),
-        F.round(F.col("i") / F.col("nb"), 6).alias("containment"),
+        snap(F.col("i") / F.col("nb")).alias("containment_micro"),
     ))
-    return directed.filter(F.col("containment") >= c_min)
+    return directed.filter(
+        F.col("containment_micro") >= int(c_min * 1_000_000))
 
 
 def dq221_langid_confusion(t: Tables) -> DataFrame:
@@ -1498,8 +1512,8 @@ def dq221_langid_confusion(t: Tables) -> DataFrame:
     return cells.select(
         "lang", "pred", "n",
         F.sum("n").over(wl).alias("n_lang"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 6)
-        .alias("frac"),
+        snap(F.col("n").cast("double") / F.sum("n").over(wl))
+        .alias("frac_micro"),
     )
 
 
@@ -1518,16 +1532,17 @@ def dq222_lsh_pr_curve(t: Tables) -> DataFrame:
     """
     exact = jaccard_pairs_shared(t).select(
         "d1", "d2",
-        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
+        snap(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .alias("j"),
     )
     lsh = minhash_lsh_pairs_shared(t).select(
-        "d1", "d2", F.round(F.col("matches") / 8.0, 6).alias("est_j"))
+        "d1", "d2", snap(F.col("matches") / 8.0).alias("est_j"))
     u = exact.join(lsh, ["d1", "d2"], "full_outer").select(
-        F.coalesce("j", F.lit(0.0)).alias("j"),
-        F.coalesce("est_j", F.lit(-1.0)).alias("est_j"),
+        F.coalesce("j", F.lit(0).cast("bigint")).alias("j"),
+        F.coalesce("est_j", F.lit(-1).cast("bigint")).alias("est_j"),
     )
-    taus = F.explode(F.array(*[F.lit(x) for x in (0.2, 0.3, 0.4, 0.5)]))
+    taus = F.explode(F.array(*[
+        F.lit(int(x * 1_000_000)) for x in (0.2, 0.3, 0.4, 0.5)]))
     g = u.select("j", "est_j", taus.alias("tau"))
     agg = g.groupBy("tau").agg(
         F.sum(((F.col("j") >= F.col("tau"))
@@ -1537,13 +1552,15 @@ def dq222_lsh_pr_curve(t: Tables) -> DataFrame:
         F.sum((F.col("j") >= F.col("tau")).cast("bigint")).alias("ap"),
     )
     return agg.select(
-        F.round("tau", 2).alias("tau"), "tp", "pp", "ap",
+        # tau is a micro-unit grid literal; /10000 is exact → e2 units
+        (F.col("tau") / F.lit(10000)).cast("bigint").alias("tau_e2"),
+        "tp", "pp", "ap",
         F.when(F.col("pp") > 0,
-               F.round(F.col("tp").cast("double") / F.col("pp"), 6))
-        .otherwise(F.lit(None)).alias("precision"),
+               snap(F.col("tp").cast("double") / F.col("pp")))
+        .otherwise(F.lit(None)).alias("precision_micro"),
         F.when(F.col("ap") > 0,
-               F.round(F.col("tp").cast("double") / F.col("ap"), 6))
-        .otherwise(F.lit(None)).alias("recall"),
+               snap(F.col("tp").cast("double") / F.col("ap")))
+        .otherwise(F.lit(None)).alias("recall_micro"),
     )
 
 
@@ -1581,8 +1598,8 @@ def dq227_vocab_coverage_curve(t: Tables) -> DataFrame:
             F.col("r").alias("k"),
             F.col("cum").alias("covered"),
             "n_total", "vocab_size",
-            F.round(F.col("cum").cast("double") / F.col("n_total"), 6)
-            .alias("coverage"),
+            snap(F.col("cum").cast("double") / F.col("n_total"))
+            .alias("coverage_micro"),
         )
     )
 
@@ -1613,7 +1630,7 @@ def dq230_template_mining(t: Tables, prefix_len: int = 2,
         .crossJoin(F.broadcast(tot))
         .select(
             "tpl", "n_docs", "first_doc",
-            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6)
-            .alias("coverage"),
+            snap(F.col("n_docs").cast("double") / F.col("n_total"))
+            .alias("coverage_micro"),
         )
     )

@@ -59,7 +59,7 @@ class IngestPipeline:
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
                  max_collect: int = 4096, n_centroids: int = 8,
                  ivf_bootstrap: int = 64, maintain_ivf: bool = False,
-                 maintain_neardup: bool = False):
+                 maintain_neardup: bool = False, ivf_probes: int = 2):
         self.spark = spark
         self.corpus_dir = os.path.join(state_dir, "corpus")
         self.edges_dir = os.path.join(state_dir, "edges")
@@ -75,6 +75,10 @@ class IngestPipeline:
         # default batch path stays faithful (and the e2e bench comparable);
         # serving deployments that call search_ivf turn this on
         self.maintain_ivf = maintain_ivf
+        # fat-batch ingest KNN probes this many cells per query once the
+        # index has bootstrapped (round-5 verdict item: the exact
+        # corpus x batch nested loop is a scale-killer for ingest bursts)
+        self.ivf_probes = ivf_probes
         # opt-in: per-batch MinHash near-dup flagging against the running
         # signature store (dq181's incremental form) — a curation ingest
         # turns this on; the faithful /submit analog keeps it off
@@ -340,10 +344,16 @@ class IngestPipeline:
           global per-query window is exact. One corpus scan, ~batch×k*6
           shuffled candidate rows, vectorized arithmetic (7.3 s → <1 s per
           sf0.1 batch).
-        * **join path** (fat batch): no driver ``collect`` at all —
-          ``corpus × broadcast(fresh)`` with the JVM-side cosine expression.
-          Slower per row but driver-safe at any batch size; at real scale
-          this is where an IVF-bucketed join would slot in.
+        * **join path** (fat batch): no driver ``collect`` at all. Once
+          the maintained IVF index has bootstrapped (``maintain_ivf``),
+          the join probes each query's ``ivf_probes`` nearest cells and
+          scores only their members — per-batch cost ~ batch ×
+          corpus·probes/n_centroids instead of the full corpus × batch
+          nested loop (152 s/batch at the 10× probe scale). Recall
+          follows the coarse-probe trade the dq120/dq229 gauges measure;
+          the exact ``corpus × broadcast(fresh)`` join remains the
+          pre-bootstrap fallback and the reference-parity baseline
+          (main.py:206-215 scans exactly).
         """
         corpus = self.corpus()  # includes the batch just appended
         k = self.k
@@ -381,15 +391,23 @@ class IngestPipeline:
                                         finish_k=k)
             cand = self._knn_kernel(corpus, fresh, pool_k)
         else:
-            # Join path: the pair count is n_corpus x n_queries, and the
-            # nested-loop join's parallelism IS the corpus partition count
-            # — spread a small corpus across the executors instead of
-            # letting a single file (or the kernel sizing above) serialize
-            # the scoring.
-            par = self.spark.sparkContext.defaultParallelism
-            if corpus.rdd.getNumPartitions() < par:
-                corpus = corpus.repartition(par)
-            cand = self._knn_join(corpus, fresh)
+            # Join path. Route through the maintained IVF index when it
+            # exists: the exact nested loop is the pre-bootstrap fallback.
+            cents = self.centroids() if self.maintain_ivf else None
+            idx = (self.ivf_index()
+                   if cents is not None and not cents.isEmpty() else None)
+            if idx is not None and not idx.isEmpty():
+                cand = self._knn_join_ivf(corpus, fresh, cents, idx)
+            else:
+                # the pair count is n_corpus x n_queries, and the
+                # nested-loop join's parallelism IS the corpus partition
+                # count — spread a small corpus across the executors
+                # instead of letting a single file (or the kernel sizing
+                # above) serialize the scoring.
+                par = self.spark.sparkContext.defaultParallelism
+                if corpus.rdd.getNumPartitions() < par:
+                    corpus = corpus.repartition(par)
+                cand = self._knn_join(corpus, fresh)
         return self._balanced_select(cand, k, pool_k)
 
     def _knn_kernel(self, corpus: DataFrame, fresh: DataFrame,
@@ -512,6 +530,68 @@ class IngestPipeline:
         return (
             corpus.withColumn("_nc", l2_norm(F.col("embedding")))
             .crossJoin(q)
+            .select(
+                "qid", "qm", "doc_id", "modality",
+                F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
+                .otherwise(F.round(cosine_with_norms(
+                    F.col("embedding"), F.col("qv"),
+                    F.col("_nc"), F.col("_nq")), 6)).alias("s"),
+            )
+        )
+
+    def _knn_join_ivf(self, corpus: DataFrame, fresh: DataFrame,
+                      cents: DataFrame, idx: DataFrame,
+                      probes: int | None = None) -> DataFrame:
+        """IVF-pruned fat-batch candidate scorer (round-6): probe each
+        query's ``probes`` nearest cells and score only their members.
+
+        Membership = the maintained index UNION this batch's own on-the-fly
+        assignment (``_update_index`` runs AFTER the KNN step, so the
+        fresh rows — already appended to the corpus — are not in the
+        stored index yet; without the union, fresh-vs-fresh neighbors and
+        the self-match pin would silently vanish). The probe table is
+        batch×probes rows (broadcast); scoring joins shuffle on doc_id
+        once, so per-batch cost is ~ batch × corpus·probes/n_centroids —
+        independent of total corpus size once cells stay balanced. The
+        self-match is pinned exactly as in the exact join: a query's own
+        assignment cell is its top-1 probe cell, so it always survives
+        the pruning.
+        """
+        probes = probes or self.ivf_probes
+        from multi_model_vectorsearch_spark.functions.vector import (
+            cosine_with_norms,
+            l2_norm,
+        )
+
+        qsims = (
+            fresh.select(F.col("doc_id").alias("qid"), "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "qid", "cid",
+                cosine_similarity(F.col("embedding"), F.col("cvec"))
+                .alias("cs"),
+            )
+        )
+        wq = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("cid"))
+        qcells = (
+            qsims.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= probes)
+            .select("qid", "cid")
+        )
+        members = idx.select("doc_id", "cid").unionByName(
+            self._assign(fresh, cents))
+        pairs = members.join(F.broadcast(qcells), "cid").select(
+            "qid", "doc_id")
+        q = F.broadcast(fresh.select(
+            F.col("doc_id").alias("qid"),
+            F.col("modality").alias("qm"),
+            F.col("embedding").alias("qv"),
+            l2_norm(F.col("embedding")).alias("_nq"),
+        ))
+        return (
+            pairs.join(corpus.withColumn("_nc", l2_norm(F.col("embedding"))),
+                       "doc_id")
+            .join(q, "qid")
             .select(
                 "qid", "qm", "doc_id", "modality",
                 F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))

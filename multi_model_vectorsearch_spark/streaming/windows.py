@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 from multi_model_vectorsearch_spark.sources.registry import load_tables
 
 
@@ -192,12 +193,13 @@ def ohlc_stream(events: DataFrame) -> DataFrame:
         )
         .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
         .agg(
-            F.min_by("v", "k").alias("open"),
-            F.max("v").alias("high"),
-            F.min("v").alias("low"),
-            F.max_by("v", "k").alias("close"),
-            F.round(F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), 2)
-            .alias("volume"),
+            # cents outputs — expression-identical to batch dq184
+            snap(F.min_by("v", "k"), 100).alias("open_cents"),
+            snap(F.max("v"), 100).alias("high_cents"),
+            snap(F.min("v"), 100).alias("low_cents"),
+            snap(F.max_by("v", "k"), 100).alias("close_cents"),
+            (F.sum(F.col("v").cast("decimal(18,2)")) * 100).cast("bigint")
+            .alias("volume_cents"),
             F.count("*").alias("n"),
         )
     )
@@ -205,7 +207,8 @@ def ohlc_stream(events: DataFrame) -> DataFrame:
         "user_id",
         F.floor(F.unix_micros(F.col("w.start")) / 3_600_000_000)
         .cast("bigint").alias("hb"),
-        "open", "high", "low", "close", "volume", "n",
+        "open_cents", "high_cents", "low_cents", "close_cents",
+        "volume_cents", "n",
     )
 
 

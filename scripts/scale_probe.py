@@ -156,6 +156,59 @@ def bench_ingest(spark, out_dir: str, n_batches: int = 4) -> float:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def bench_dedup_chain(spark, out_dir: str) -> dict[str, float]:
+    """Round-6 verdict item 6: measure the dedup funnel's CANDIDATE growth
+    (not just wall time) so the sublinear claims carry measured exponents
+    past where banded-LSH collision tails bite. Counts are the honest
+    scale signal — wall time on a shared host is noisy, candidate
+    cardinality is exact.
+    """
+    from multi_model_vectorsearch_spark.operators.ann import dq148_semdedup
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq61_dedup_clusters,
+        dq183_prefix_filter_join,
+        minhash_lsh_pairs_shared,
+        prefix_filter_candidates,
+    )
+
+    tables = load_tables(spark, out_dir)
+    out: dict[str, float] = {
+        "n_docs": float(tables["documents"].count()),
+        "n_vecs": float(tables["embeddings"].count()),
+    }
+
+    def timed(key, fn):
+        t0 = time.perf_counter()
+        v = fn()
+        out[key + "_sec"] = round(time.perf_counter() - t0, 3)
+        out[key] = float(v)
+        print(f"# {key}: {v} ({out[key + '_sec']} s)", flush=True)
+
+    timed("lsh_candidates", lambda: minhash_lsh_pairs_shared(tables).count())
+    timed("dq61_clusters", lambda: dq61_dedup_clusters(tables).count())
+    timed("ppjoin_candidates",
+          lambda: prefix_filter_candidates(tables, 0.6).count())
+    timed("dq183_pairs", lambda: dq183_prefix_filter_join(tables).count())
+    timed("dq148_drops", lambda: dq148_semdedup(tables).count())
+    return out
+
+
+def _exponents(rows: list[dict]) -> dict[str, float]:
+    """Fitted scaling exponent per metric between consecutive factors:
+    e = log(v2/v1) / log(n2/n1) on doc count — e<1 is sublinear."""
+    import math
+
+    exps: dict[str, float] = {}
+    for a, b in zip(rows, rows[1:]):
+        ratio_n = b["n_docs"] / a["n_docs"]
+        for k in ("lsh_candidates", "dq61_clusters", "ppjoin_candidates",
+                  "dq183_pairs", "dq148_drops"):
+            if a[k] > 0 and b[k] > 0:
+                exps[f"{k}@{int(a['factor'])}x->{int(b['factor'])}x"] = round(
+                    math.log(b[k] / a[k]) / math.log(ratio_n), 3)
+    return exps
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -163,9 +216,38 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf_scaled")
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized dataset on disk")
+    ap.add_argument("--mode", choices=("flagships", "dedup"),
+                    default="flagships",
+                    help="dedup: run the dedup-chain candidate-growth "
+                         "probe at factors 1/10/.../--factor and report "
+                         "fitted scaling exponents")
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
+    if args.mode == "dedup":
+        factors = [f for f in (1, 10, 100, 1000) if f <= args.factor] or [1]
+        rows = []
+        for f in factors:
+            out_dir = f"{args.out}_f{f}"
+            t0 = time.perf_counter()
+            if f == 1:
+                out_dir = args.src  # factor 1 IS the source dataset
+            else:
+                synthesize(spark, args.src, out_dir, f)
+            gen_sec = round(time.perf_counter() - t0, 3)
+            print(f"## factor {f} (gen {gen_sec} s)", flush=True)
+            try:
+                row = bench_dedup_chain(spark, out_dir)
+                row["factor"] = float(f)
+                rows.append(row)
+            finally:
+                if f != 1 and not args.keep:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+        print(json.dumps({
+            "mode": "dedup", "src": args.src,
+            "rows": rows, "exponents": _exponents(rows),
+        }, indent=1, sort_keys=True))
+        return
     t0 = time.perf_counter()
     synthesize(spark, args.src, args.out, args.factor)
     gen_sec = round(time.perf_counter() - t0, 3)

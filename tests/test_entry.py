@@ -38,17 +38,21 @@ def test_queries_run_at_smoke_sf(spark):
         assert df.count() > 0
 
 
-def test_no_complex_types_in_declared_outputs(spark):
+def test_no_hazardous_types_in_declared_outputs(spark):
     """Driver-canonicalizer contract: every declared query's output must be
-    scalar-typed. The driver compares Spark vs DuckDB by loading both results
-    into pandas and sorting every column; an Array/Map/Struct column arrives
-    as numpy ndarrays / dicts, which pandas can't sort or hash
-    (``TypeError: unhashable type: 'numpy.ndarray'`` → the row is recorded
-    as ``err`` = broken, exactly how dq185 went red in CORRECTNESS_r04 while
-    green in the in-repo harness, which canonicalized lists itself).
-    Serialize instead — the dq13/dq185 pattern:
-    ``F.array_join(F.sort_array(F.collect_list(c)), ",")`` /
-    ``array_to_string(list_sort(list(c)), ',')``.
+    a cross-engine-inert scalar type. Banned classes, each with a driver-red
+    precedent:
+
+    - Array/Map/Struct: pandas can't sort/hash ndarrays → ``err`` rows
+      (dq185, CORRECTNESS_r04). Serialize instead (dq13's
+      ``array_join(sort_array(collect_list(c)), ",")``).
+    - DOUBLE/FLOAT: ``round(x, 6)`` splits between Spark (shortest-repr
+      round) and DuckDB (binary round) — dq205/206/207/210 went red in
+      CORRECTNESS_r05 on exactly this. Emit scaled-integer BIGINTs via the
+      ``functions.fixedpoint.snap`` floor grid (or exact decimal×scale).
+    - TIMESTAMP/TIMESTAMP_NTZ: the driver's pandas canonicalizer diverges
+      on temporal columns (dq92 r2, dq201 r5). Use DATE (dq68's green
+      history) or epoch-µs BIGINTs.
 
     Schema inspection is lazy (plan analysis only, no execution), so this
     covers the full registry cheaply.
@@ -57,13 +61,16 @@ def test_no_complex_types_in_declared_outputs(spark):
 
     from multi_model_vectorsearch_spark import dq
 
+    banned = (ST.ArrayType, ST.MapType, ST.StructType,
+              ST.DoubleType, ST.FloatType,
+              ST.TimestampType, ST.TimestampNTZType)
     bad: list[str] = []
     for name, builder in dq.queries().items():
         df = builder(spark, "/root/testdata/sf0.001")
         for f in df.schema.fields:
-            if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType)):
+            if isinstance(f.dataType, banned):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, f"complex-typed declared outputs: {bad}"
+    assert not bad, f"hazard-typed declared outputs: {bad}"
 
 
 def test_query_index_is_fresh():

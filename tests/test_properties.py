@@ -354,7 +354,7 @@ def test_ewma_matches_python_reference(spark, rows):
     from pyspark.sql import functions as F
 
     df = df.withColumn("ts", F.to_timestamp("ts"))
-    got = {(r.user_id, r.hb): r.ewma
+    got = {(r.user_id, r.hb): r.ewma_micro
            for r in dq198_ewma({"events": df}).collect()}
 
     buckets = defaultdict(int)
@@ -371,15 +371,18 @@ def test_ewma_matches_python_reference(spark, rows):
         got_series[u].append(v)
     for u, series in by_user.items():
         expect = []
+        import math
+
         for i in range(len(series)):
             frame = series[max(0, i - span + 1): i + 1]
             num = sum(c << (span - 1 - j)
                       for j, (_, c) in enumerate(reversed(frame)))
             den = (1 << span) - (1 << (span - len(frame)))
-            expect.append(round(num / den / 100.0, 6))
+            # mirror the engine's micro floor snap exactly
+            expect.append(math.floor(num / den / 100.0 * 1_000_000.0 + 0.5))
         assert len(got_series[u]) == len(expect)
         for g, w in zip(got_series[u], expect):
-            assert abs(g - w) < 1e-9, (u, g, w)
+            assert g == w, (u, g, w)
 
 
 @given(

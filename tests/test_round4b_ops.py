@@ -124,7 +124,7 @@ def test_sorted_neighborhood_candidates_bounded(tables):
     assert 0 < len(rows) <= 5 * n_docs
     for r in rows:
         assert r["d1"] != r["d2"]
-        assert 0.0 <= r["jacc"] <= 1.0
+        assert 0 <= r["jacc_micro"] <= 1_000_000
 
 
 def test_bigram_lm_scores_every_doc_negative(tables):
@@ -139,7 +139,7 @@ def test_bigram_lm_scores_every_doc_negative(tables):
     j = out.join(docs, "doc_id").collect()
     assert len(j) == tables["documents"].count()
     for r in j:
-        assert r["mean_logp"] < 0.0
+        assert r["mean_logp_micro"] < 0
         assert r["n_bigrams"] == r["want"]
 
 
@@ -158,8 +158,9 @@ def test_containment_dominates_jaccard(tables):
     )
     j = cont.join(p, ["src", "dst"])
     assert j.count() > 0
-    # containment comes back rounded to 6 decimals; allow that quantum
-    bad = j.filter(F.col("containment") < F.col("j") - 5e-7).count()
+    # containment comes back snapped to micro units; allow that quantum
+    bad = j.filter(
+        F.col("containment_micro") < F.col("j") * 1_000_000 - 1).count()
     assert bad == 0
 
 
@@ -301,12 +302,13 @@ def test_dup_flow_matrix_accounting(tables):
     n_pairs = sum(r["n_pairs"] for r in out)
     p = jaccard_pairs_shared(tables)
     want = p.filter(
-        F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6)
-        >= 0.1).count()
+        F.floor((F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+                * 1_000_000 + 0.5)
+        >= 100_000).count()
     assert n_pairs == want
     for r in out:
         assert r["src_a"] <= r["src_b"]
-        assert 0.1 <= r["mean_j"] <= 1.0 + 1e-9
+        assert 100_000 - 1 <= r["mean_j_micro"] <= 1_000_000 + 1
 
 
 def test_cluster_purity_bounds(tables):
@@ -333,9 +335,10 @@ def test_calibration_bins_partition_and_bounds(tables):
     assert sum(r["n"] for r in rows) == tables["documents"].count()
     for r in rows:
         assert 0 <= r["bin"] <= 9
-        assert 0.0 <= r["pos_rate"] <= 1.0
-        assert r["mean_pred"] > 0.0
-        assert abs(r["gap"] - abs(r["mean_pred"] - r["pos_rate"])) < 2e-6
+        assert 0 <= r["pos_rate_micro"] <= 1_000_000
+        assert r["mean_pred_micro"] > 0
+        assert abs(r["gap_micro"]
+                   - abs(r["mean_pred_micro"] - r["pos_rate_micro"])) <= 2
 
 
 def test_grouping_sets_consistency(tables):
@@ -446,7 +449,7 @@ def test_dedup_savings_accounting(tables):
     assert n_dropped == want
     for r in rows:
         assert r["tokens_dropped"] <= r["tokens_total"]
-        assert 0.0 <= r["savings"] <= 1.0
+        assert 0 <= r["savings_micro"] <= 1_000_000
 
 
 def test_phrase_search_occurrences_are_real(tables):
@@ -526,7 +529,8 @@ def test_langid_confusion_reconciles(tables):
     for r in rows:
         by_lang.setdefault(r["lang"], []).append(r)
     for lang, cells in by_lang.items():
-        assert abs(sum(c["frac"] for c in cells) - 1.0) < 1e-5, lang
+        assert abs(sum(c["frac_micro"] for c in cells)
+                   - 1_000_000) <= len(cells), lang
         assert all(c["n_lang"] == cells[0]["n_lang"] for c in cells)
 
 
@@ -538,7 +542,7 @@ def test_lsh_pr_curve_monotone_counts(tables):
     )
 
     rows = sorted(dq222_lsh_pr_curve(tables).collect(),
-                  key=lambda r: r["tau"])
+                  key=lambda r: r["tau_e2"])
     assert len(rows) == 4
     for a, b in zip(rows, rows[1:]):
         assert b["tp"] <= a["tp"]
@@ -546,10 +550,10 @@ def test_lsh_pr_curve_monotone_counts(tables):
         assert b["ap"] <= a["ap"]
     for r in rows:
         assert r["tp"] <= min(r["pp"], r["ap"])
-        if r["precision"] is not None:
-            assert 0.0 <= r["precision"] <= 1.0
-        if r["recall"] is not None:
-            assert 0.0 <= r["recall"] <= 1.0
+        if r["precision_micro"] is not None:
+            assert 0 <= r["precision_micro"] <= 1_000_000
+        if r["recall_micro"] is not None:
+            assert 0 <= r["recall_micro"] <= 1_000_000
 
 
 def test_nearest_event_join_picks_nearer_side(spark):
@@ -586,7 +590,7 @@ def test_weighted_reservoir_favors_heavy_docs(tables_sf001):
 
     rows = dq224_weighted_reservoir(tables_sf001, k=100).collect()
     assert len(rows) == 100
-    keys = [r["skey"] for r in rows]
+    keys = [r["skey_pico"] for r in rows]
     assert keys == sorted(keys, reverse=True)
     sample_mean = sum(r["w"] for r in rows) / len(rows)
     corpus_mean = (
@@ -653,10 +657,10 @@ def test_vocab_coverage_curve_monotone(tables):
                   key=lambda r: r["k"])
     assert len(rows) >= 3
     for a, b in zip(rows, rows[1:]):
-        assert b["coverage"] >= a["coverage"]
+        assert b["coverage_micro"] >= a["coverage_micro"]
         assert b["covered"] >= a["covered"]
     if rows[-1]["k"] >= rows[-1]["vocab_size"]:
-        assert rows[-1]["coverage"] == 1.0
+        assert rows[-1]["coverage_micro"] == 1_000_000
 
 
 def test_ivfpq_structure(tables):
@@ -867,11 +871,12 @@ def test_quantile_normalize_is_a_cdf(tables):
     assert len(rows) == tables["documents"].count()
     by_src: dict = {}
     for r in rows:
-        by_src.setdefault(r["source"], []).append((r["n_chars"], r["qnorm"]))
+        by_src.setdefault(r["source"], []).append(
+            (r["n_chars"], r["qnorm_micro"]))
     for src, pairs in by_src.items():
         pairs.sort()
-        assert 0.0 < pairs[0][1] <= 1.0
-        assert pairs[-1][1] == 1.0
+        assert 0 < pairs[0][1] <= 1_000_000
+        assert pairs[-1][1] == 1_000_000
         for (x1, q1), (x2, q2) in zip(pairs, pairs[1:]):
             assert q2 >= q1
 
@@ -917,10 +922,13 @@ def test_effective_sources_bounds(tables):
     )
 
     r = dq241_effective_sources(tables).collect()[0]
-    assert 1.0 <= r["eff_sources_docs"] <= r["n_sources"] + 1e-9
-    assert 1.0 <= r["eff_sources_tokens"] <= r["n_sources"] + 1e-9
+    assert 1_000_000 <= r["eff_sources_docs_micro"] \
+        <= r["n_sources"] * 1_000_000 + 1
+    assert 1_000_000 <= r["eff_sources_tokens_micro"] \
+        <= r["n_sources"] * 1_000_000 + 1
     # doc counts are exactly uniform in the fixture -> index == n_sources
-    assert abs(r["eff_sources_docs"] - r["n_sources"]) < 1e-6
+    assert abs(r["eff_sources_docs_micro"]
+               - r["n_sources"] * 1_000_000) <= 1
 
 
 def test_split_uniformity_accounting(tables_sf001):
@@ -934,9 +942,9 @@ def test_split_uniformity_accounting(tables_sf001):
     assert r["n_total"] == 500
     assert r["n_buckets_hit"] <= 100
     assert r["min_bucket"] >= 1
-    assert r["chi_sq"] >= 0.0
+    assert r["chi_sq_pico"] >= -r["n_buckets_hit"]
     # degrees of freedom = 99; a healthy hash lands within a few sigma
-    assert r["chi_sq"] < 200.0, r
+    assert r["chi_sq_pico"] < 200 * 10**12, r
 
 
 def test_lorenz_deciles_shape(tables):

@@ -531,6 +531,8 @@ def test_ewma_stream_batch_equivalence(spark, tables, replay):
     6-decimal rounding quantum)."""
     from multi_model_vectorsearch_spark.operators.timeseries import dq198_ewma
 
+    import math
+
     ev = SW.read_event_stream(spark, replay)
     SW.run_to_memory(SW.ewma_stream(ev), "t_ewma", mode="update")
     emitted = spark.table("t_ewma")
@@ -540,19 +542,59 @@ def test_ewma_stream_batch_equivalence(spark, tables, replay):
         .agg(F.max_by("ewma", "_i").alias("ewma"))
     )
     got = {(r.user_id, r.hb): r.ewma for r in last.collect()}
-    want = {(r.user_id, r.hb): r.ewma for r in dq198_ewma(tables).collect()}
+    want = {(r.user_id, r.hb): r.ewma_micro
+            for r in dq198_ewma(tables).collect()}
     assert set(got) == set(want)
-    from decimal import ROUND_HALF_UP, Decimal
-
     for k, v in want.items():
         # EXACT equivalence: both paths quantize cents HALF_UP and divide
         # the same integers with the same IEEE ops, so the batch value is
-        # precisely the HALF_UP 6-decimal rounding of the stream's
-        # unrounded emission. Decimal(repr(x)) — the SHORTEST round-trip
-        # repr — mirrors Spark's F.round semantics
-        # (BigDecimal.valueOf(Double.toString)), NOT the exact binary
-        # expansion Decimal(x) would give: the two differ at half
-        # boundaries (e.g. the double nearest 0.0002465).
-        rounded = float(Decimal(repr(got[k])).quantize(
-            Decimal("0.000001"), rounding=ROUND_HALF_UP))
-        assert rounded == v, (k, got[k], v)
+        # precisely the floor(x*1e6 + 0.5) micro snap of the stream's
+        # unrounded emission (the same three IEEE ops applied here).
+        assert math.floor(got[k] * 1_000_000.0 + 0.5) == v, (k, got[k], v)
+
+def test_fat_batch_routes_through_ivf_index(spark, tables, tmp_path):
+    """Once the IVF index has bootstrapped, a fat batch (> max_collect)
+    must take the probed join: every query still gets k results, pins
+    itself at s=1.0, and recall vs the exact join path stays high on the
+    smoke corpus (cells are few, so 2 probes cover most neighbors)."""
+    docs = tables["documents"].limit(150).select(
+        "doc_id", "text", F.lit("text").alias("modality"))
+    # bootstrap corpus + index with a first batch
+    pipe = IngestPipeline(spark, str(tmp_path / "ivf_s"), k=4,
+                          max_collect=2, maintain_ivf=True,
+                          ivf_bootstrap=8, n_centroids=4, ivf_probes=2)
+    pipe.process_batch(docs.filter("doc_id < 60"), 0)
+    assert not pipe.centroids().isEmpty()
+    assert not pipe.ivf_index().isEmpty()
+    # second batch is "fat" (> max_collect=2) -> join path -> IVF route
+    batch2 = docs.filter("doc_id >= 60")
+    pipe.process_batch(batch2, 1)
+    corpus = pipe.corpus()
+    from multi_model_vectorsearch_spark.functions.embedding import (
+        route_embedding,
+    )
+    fresh = (
+        batch2.limit(20)
+        .withColumn("content_sha256", F.sha2("text", 256))
+        .withColumn("embedding",
+                    route_embedding(F.col("text"), F.col("modality")))
+        .select("doc_id", "content_sha256", "modality", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    ivf = pipe.knn_against_corpus(fresh, n_queries=20)
+    rows = ivf.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {r.doc_id for r in fresh.select("doc_id").collect()}
+    for qid, rs in by_q.items():
+        assert len(rs) <= pipe.k
+        # self-match pinned through the pruning
+        assert any(r.doc_id == qid and r.s == 1.0 for r in rs), qid
+    # recall of the probed join vs the exact join over the same pool
+    exact = pipe._balanced_select(
+        pipe._knn_join(corpus, fresh), pipe.k, pipe.k * 6)
+    e_pairs = {(r.qid, r.doc_id) for r in exact.collect()}
+    i_pairs = {(r.qid, r.doc_id) for r in rows}
+    recall = len(e_pairs & i_pairs) / len(e_pairs)
+    assert recall >= 0.5, recall
