@@ -2403,7 +2403,9 @@ _REGISTRY: list[DQ] = [
        "b AS (SELECT d, n, CAST(floor(COALESCE(SUM(n) OVER "
        "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
        "/ 500) AS BIGINT) AS bin FROM s) "
-       "SELECT bin, count(*) AS n_partitions, SUM(n) AS total_rows, "
+       # CAST: DuckDB types bare SUM as HUGEINT -> pandas float64 (r6 red)
+       "SELECT bin, count(*) AS n_partitions, "
+       "CAST(SUM(n) AS BIGINT) AS total_rows, "
        "CAST(min(d) AS DATE) AS d_min, CAST(max(d) AS DATE) AS d_max "
        "FROM b GROUP BY bin"),
     DQ("dq200_sorted_neighborhood", T.dq200_sorted_neighborhood,
@@ -2489,7 +2491,9 @@ _REGISTRY: list[DQ] = [
        "a AS (SELECT source, SUM(p) AS n_pos, SUM(n) AS n_neg, "
        "SUM(p * (2 * cum_neg + n)) AS num2 FROM s GROUP BY source) "
        # floor snap, not round(): engine-identical IEEE ops (r5 red fix)
-       "SELECT source, n_pos, n_neg, "
+       # CAST: HUGEINT SUM -> pandas float64 in the driver canon (r6 red)
+       "SELECT source, CAST(n_pos AS BIGINT) AS n_pos, "
+       "CAST(n_neg AS BIGINT) AS n_neg, "
        "CAST(floor((CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) "
        "* 1000000.0 + 0.5) AS BIGINT) AS auc_micro "
        "FROM a WHERE n_pos > 0 AND n_neg > 0"),
@@ -2502,9 +2506,12 @@ _REGISTRY: list[DQ] = [
        # per-term micro floor snap, then exact integer sum (r5 red fix:
        # the old decimal(28,18)-cast-of-double + round(sum, 6) both split
        # on shortest-repr-vs-binary across engines)
-       "SELECT source, max(n_s) AS n_docs, count(*) AS n_langs, "
-       "SUM(CAST(floor(((n_sl / n) * ln(n_sl * n / (n_s * n_l))) "
-       "* 1000000.0 + 0.5) AS BIGINT)) AS mi_part_micro "
+       # outer CASTs: HUGEINT (max-of-SUM / SUM-of-BIGINT re-widened)
+       # -> pandas float64 in the driver canon (r6 red)
+       "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, "
+       "count(*) AS n_langs, "
+       "CAST(SUM(CAST(floor(((n_sl / n) * ln(n_sl * n / (n_s * n_l))) "
+       "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_part_micro "
        "FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot "
        "GROUP BY source"),
     DQ("dq207_ks_test", TS.dq207_ks_test,
@@ -2523,7 +2530,9 @@ _REGISTRY: list[DQ] = [
        "abs(c1 * n2 - c2 * n1) AS gap FROM st), "
        "p AS (SELECT event_type, max(gap) AS maxgap FROM g "
        "GROUP BY event_type) "
-       "SELECT g.event_type, max(g.n1) AS n1, max(g.n2) AS n2, "
+       # CAST: max-of-HUGEINT-SUM -> pandas float64 in driver canon (r6 red)
+       "SELECT g.event_type, CAST(max(g.n1) AS BIGINT) AS n1, "
+       "CAST(max(g.n2) AS BIGINT) AS n2, "
        "CAST(floor((CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2))) "
        "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro, "
        "CAST(floor(min(g.v) * 1000000.0 + 0.5) AS BIGINT) AS v_at_micro "
@@ -2584,7 +2593,9 @@ _REGISTRY: list[DQ] = [
        "ORDER BY c DESC, label) AS rn FROM cl) r WHERE rn = 1), "
        "sizes AS (SELECT cid, SUM(c) AS n, count(*) AS n_labels FROM cl "
        "GROUP BY cid) "
-       "SELECT t.cid, s.n, s.n_labels, t.top_label, t.n_top, "
+       # CAST s.n: HUGEINT SUM -> pandas float64 in driver canon (r6 red)
+       "SELECT t.cid, CAST(s.n AS BIGINT) AS n, s.n_labels, "
+       "t.top_label, t.n_top, "
        "CAST(floor((CAST(t.n_top AS DOUBLE) / s.n) * 1000000.0 + 0.5) "
        "AS BIGINT) AS purity_micro "
        "FROM top t JOIN sizes s ON t.cid = s.cid"),

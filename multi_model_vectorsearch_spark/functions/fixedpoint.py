@@ -44,3 +44,15 @@ def snap_sql(expr: str, scale: int = MICRO) -> str:
     """DuckDB-side twin of :func:`snap` — textually mirrors the same
     three IEEE ops so the oracle produces the same BIGINT."""
     return f"CAST(floor(({expr}) * {float(scale)} + 0.5) AS BIGINT)"
+
+
+def snap_double(x: Column, scale: int = MICRO) -> Column:
+    """``floor(x·scale + 0.5) / scale`` as DOUBLE — the serving-path
+    rounding convention. One convention everywhere: ``F.round(x, 6)``
+    (half-up on the shortest decimal repr) and ``np.round(x, 6)``
+    (half-to-even on the binary value) can rank a tie at the 6th decimal
+    differently between the JVM join path and the Arrow kernel path, which
+    the kernel≡join equivalence contract forbids. The numpy twin is
+    ``np.floor(x * scale + 0.5) / scale`` — the same three IEEE-754 ops,
+    bit-identical on bit-identical input."""
+    return F.floor(x * F.lit(float(scale)) + F.lit(0.5)) / F.lit(float(scale))

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from multi_model_vectorsearch_spark.functions.fixedpoint import snap
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap, snap_double
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.vector_ops import (
     dq29_knn_topk,
@@ -133,11 +133,11 @@ def expand_one_hop(seeds: DataFrame, edges: DataFrame, k: int = 10,
     """
     fwd = seeds.join(edges, seeds.vec_id == edges.src).select(
         F.col("dst").alias("id"),
-        F.round(F.col("s") * F.col("score") * decay, 6).alias("score"),
+        snap_double(F.col("s") * F.col("score") * decay).alias("score"),
     )
     bwd = seeds.join(edges, seeds.vec_id == edges.dst).select(
         F.col("src").alias("id"),
-        F.round(F.col("s") * F.col("score") * decay, 6).alias("score"),
+        snap_double(F.col("s") * F.col("score") * decay).alias("score"),
     )
     own = seeds.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
     return (

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from multi_model_vectorsearch_spark.functions.embedding import route_embedding
+from multi_model_vectorsearch_spark.functions.fixedpoint import snap_double
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.graph import CROSS_MODAL_FLOOR
 
@@ -239,7 +240,7 @@ class IngestPipeline:
         sims = docs.select("doc_id", "embedding").crossJoin(
             F.broadcast(cents)).select(
             "doc_id", "cid",
-            F.round(cosine_similarity(F.col("embedding"), F.col("cvec")), 6)
+            snap_double(cosine_similarity(F.col("embedding"), F.col("cvec")))
             .alias("cs"),
         )
         w = Window.partitionBy("doc_id").orderBy(F.desc("cs"), F.asc("cid"))
@@ -317,8 +318,8 @@ class IngestPipeline:
             corpus.crossJoin(F.broadcast(q))
             .select(
                 "doc_id", "modality",
-                F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6)
-                .alias("s"),
+                snap_double(cosine_similarity(F.col("embedding"),
+                                              F.col("qv"))).alias("s"),
             )
             .orderBy(F.desc("s"), F.asc("doc_id"))
             .limit(k)
@@ -453,7 +454,10 @@ class IngestPipeline:
                               for v in pdf["embedding"].values])
                 cn = c / np.maximum(
                     np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-                sims = np.round(cn @ qn.T, 6)  # (n_chunk, n_q)
+                # floor snap, not np.round: half-to-even vs the join path's
+                # half-up can rank a .xxxxxx5 cosine tie differently between
+                # the two paths the kernel≡join contract promises identical
+                sims = np.floor(cn @ qn.T * 1e6 + 0.5) / 1e6  # (n_chunk, n_q)
                 docs = pdf["doc_id"].values.astype(np.int64)
                 pin = docs[:, None] == qids[None, :]
                 sims[pin] = 1.0  # self-pin (main.py:223-224)
@@ -533,9 +537,9 @@ class IngestPipeline:
             .select(
                 "qid", "qm", "doc_id", "modality",
                 F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
-                .otherwise(F.round(cosine_with_norms(
+                .otherwise(snap_double(cosine_with_norms(
                     F.col("embedding"), F.col("qv"),
-                    F.col("_nc"), F.col("_nq")), 6)).alias("s"),
+                    F.col("_nc"), F.col("_nq")))).alias("s"),
             )
         )
 
@@ -595,9 +599,9 @@ class IngestPipeline:
             .select(
                 "qid", "qm", "doc_id", "modality",
                 F.when(F.col("doc_id") == F.col("qid"), F.lit(1.0))
-                .otherwise(F.round(cosine_with_norms(
+                .otherwise(snap_double(cosine_with_norms(
                     F.col("embedding"), F.col("qv"),
-                    F.col("_nc"), F.col("_nq")), 6)).alias("s"),
+                    F.col("_nc"), F.col("_nq")))).alias("s"),
             )
         )
 
@@ -679,7 +683,8 @@ class IngestPipeline:
             F.lit(-1).cast("bigint").alias("qid"),
             F.lit(modality).alias("qm"),
             "doc_id", "modality",
-            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("s"),
+            snap_double(cosine_similarity(F.col("embedding"),
+                                          F.col("qv"))).alias("s"),
         )
         balanced = self._balanced_select(cand, k, k * OVERFETCH)
         seeds = balanced.select(F.col("doc_id").alias("vec_id"), "s")

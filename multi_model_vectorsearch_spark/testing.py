@@ -51,6 +51,51 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
+def pandas_dtype_parity(spark_df: DataFrame, srows: list, con,
+                        oracle: str) -> str | None:
+    """Driver-faithful dtype check: the driver canonicalizes BOTH sides
+    through pandas, where DuckDB HUGEINT (e.g. an uncast integer ``SUM``)
+    converts to float64 and hashes ``150.0`` against Spark's ``150`` — red
+    even when values are numerically identical (the r5/r6 dq201/205/206/
+    207/210 reds).  The ``fetchall()`` canon below converts HUGEINT to
+    Python int and masked that class for two rounds, so value equality
+    alone is NOT driver-green; this check closes the gap.
+
+    Rule: for a Spark integral column whose values contain no NULL (pandas
+    would keep it int64), the oracle's ``.df()`` dtype must be integer-kind;
+    for a Spark float/double column it must be float-kind; for boolean,
+    bool-kind.  Nullable promotion (int + NULLs -> float64) happens on both
+    sides identically, so columns with NULLs are exempt.
+    """
+    from pyspark.sql import types as T
+
+    odf = con.sql(oracle).df()
+    okinds = {c.lower(): dt.kind for c, dt in odf.dtypes.items()}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    floating = (T.FloatType, T.DoubleType)
+    for i, f in enumerate(spark_df.schema.fields):
+        kind = okinds.get(f.name.lower())
+        if kind is None:  # column mismatch — reported separately
+            continue
+        has_null = any(r[i] is None for r in srows)
+        if isinstance(f.dataType, integral) and not has_null:
+            if kind not in "iu":
+                return (f"oracle pandas dtype for integral column "
+                        f"'{f.name}' is kind '{kind}' (driver hashes e.g. "
+                        f"'150.0' vs '150') — CAST(... AS BIGINT) the "
+                        f"oracle expression")
+        elif isinstance(f.dataType, floating):
+            if kind not in "f" and not (has_null and kind == "O"):
+                return (f"oracle pandas dtype for float column '{f.name}' "
+                        f"is kind '{kind}' — driver stringifies '1' vs "
+                        f"'1.0'")
+        elif isinstance(f.dataType, T.BooleanType) and not has_null:
+            if kind not in "bO":
+                return (f"oracle pandas dtype for boolean column "
+                        f"'{f.name}' is kind '{kind}'")
+    return None
+
+
 @dataclass
 class CompareResult:
     name: str
@@ -91,6 +136,17 @@ def compare(name: str, spark_df: DataFrame, oracle: str | None, sf_dir: str,
         if own_con:
             con.close()
     o = canon_rows(ocols, orows)
+    parity = pandas_dtype_parity(spark_df, srows, con, oracle) if not own_con \
+        else None
+    if own_con:
+        con2 = duckdb_connect(sf_dir)
+        try:
+            parity = pandas_dtype_parity(spark_df, srows, con2, oracle)
+        finally:
+            con2.close()
+    if parity is not None:
+        return CompareResult(name, False, len(s), len(o),
+                             f"pandas-dtype parity: {parity}")
     if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
         return CompareResult(name, False, len(s), len(o),
                              f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}")

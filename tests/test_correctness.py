@@ -44,3 +44,22 @@ def test_registry_names_unique():
 def test_every_query_has_oracle_or_note():
     for e in dq.registry():
         assert e.oracle is not None or e.note, e.name
+
+
+def test_parity_check_catches_uncast_hugeint_sum(spark, oracle_con):
+    """The r5/r6 driver-red class: a bare integer SUM in a DuckDB oracle is
+    HUGEINT, which ``.df()`` converts to float64, which the driver hashes as
+    '150.0' against Spark's '150'.  The gate's fetchall() canon converts
+    HUGEINT to Python int and is blind to it; pandas_dtype_parity must not
+    be.  A gate-level red here means the recurrence guard itself broke.
+    """
+    from multi_model_vectorsearch_spark.testing import pandas_dtype_parity
+
+    sdf = spark.range(3).selectExpr("CAST(id AS BIGINT) AS n")
+    srows = [tuple(r) for r in sdf.collect()]
+    bad = "SELECT SUM(x) AS n FROM (VALUES (0), (1), (2)) t(x) GROUP BY 1=1"
+    msg = pandas_dtype_parity(sdf, srows, oracle_con, bad)
+    assert msg is not None and "n" in msg and "BIGINT" in msg
+    good = ("SELECT CAST(SUM(x) AS BIGINT) AS n "
+            "FROM (VALUES (0), (1), (2)) t(x) GROUP BY 1=1")
+    assert pandas_dtype_parity(sdf, srows, oracle_con, good) is None

@@ -215,6 +215,36 @@ def test_knn_join_path_parallelizes(spark, tables, tmp_path):
     assert seen["kernel_parts"] == 1  # 40-row corpus -> single partition
 
 
+def test_snap_double_jvm_matches_numpy_on_half_boundaries(spark):
+    """Rounding-convention unification pin (r6 verdict item 4): the ingest
+    kernel (numpy) and the join path (JVM) must share ONE rounding — the
+    floor snap. ``np.round`` (half-to-even on the binary value) vs
+    ``F.round`` (half-up on the shortest decimal repr) can rank a cosine
+    tie at the 6th decimal differently between two paths the kernel≡join
+    equivalence test promises are identical. Adversarial fixtures: doubles
+    engineered to land on .xxxxxx5 micro-grid half boundaries (odd/2e6),
+    where the two legacy conventions demonstrably split."""
+    import numpy as np
+
+    from multi_model_vectorsearch_spark.functions.fixedpoint import snap_double
+
+    # odd multiples of half a micro-unit — exact .xxxxxx5 boundaries in
+    # decimal, sitting a hair above/below in binary — plus negatives and
+    # values the legacy conventions split on (0.0000025: np.round→2e-6
+    # half-to-even, F.round→3e-6 half-up)
+    vals = [(2 * k + 1) / 2e6 for k in range(-8, 8)]
+    vals += [0.9999995, -0.9999995, 0.1234565, 0.5, 1.0, -1.0, 0.0]
+    np_snapped = (np.floor(np.asarray(vals) * 1e6 + 0.5) / 1e6).tolist()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    jvm = [r.y for r in
+           df.select(snap_double(F.col("x")).alias("y")).collect()]
+    assert jvm == np_snapped  # bitwise-equal doubles
+    # and the legacy pair really does split on these fixtures (sanity that
+    # the unification is load-bearing, not vacuous)
+    legacy_np = np.round(np.asarray(vals), 6).tolist()
+    assert legacy_np != np_snapped
+
+
 def test_zero_norm_embedding_scores_zero_not_nan(spark):
     """An all-zero embedding must score 0.0 (guarded norm), never NaN."""
     import math
