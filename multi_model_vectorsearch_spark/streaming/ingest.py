@@ -19,6 +19,18 @@ stages declaratively:
 
 State lives in two append-only parquet dirs (corpus/, edges/) — the
 Spark-native replacement for the Redis hash store + whole-graph pickle.
+
+Exactly-once: foreachBatch is at-least-once, so every per-batch state write
+goes to a deterministic per-batch subdirectory (``<state>/b<batch_id>/``)
+with mode("overwrite") — a replayed batch rewrites its own subdirectory
+byte-for-byte instead of double-appending. The corpus dedup (and the
+signature store lookup) excludes the current batch's own subdirectory, so a
+batch killed BETWEEN its corpus write and its edge write recomputes the
+identical fresh set on replay and finishes the missing writes; a blind
+left-anti against the full corpus would see its own half-committed rows,
+conclude nothing is fresh, and silently drop the batch's edges forever.
+``compact()`` periodically collapses the subdirectories into right-sized
+flat files (run it between streams, not mid-replay).
 """
 
 from __future__ import annotations
@@ -85,14 +97,60 @@ class IngestPipeline:
         # turns this on; the faithful /submit analog keeps it off
         self.maintain_neardup = maintain_neardup
 
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    @staticmethod
+    def _bdir(root: str, batch_id: int) -> str:
+        """Deterministic per-batch subdirectory — the exactly-once unit."""
+        return os.path.join(root, f"b{batch_id}")
+
+    def _next_batch_id(self) -> int:
+        """Smallest batch id above every corpus subdirectory's — for
+        non-streaming callers (the submit facade) that have no epoch id of
+        their own and must not collide with one already on disk."""
+        mx = -1
+        if os.path.isdir(self.corpus_dir):
+            for entry in os.listdir(self.corpus_dir):
+                if entry.startswith("b") and entry[1:].lstrip("-").isdigit():
+                    mx = max(mx, int(entry[1:]))
+        return mx + 1
+
     def _read_state(self, path: str, schema: str) -> DataFrame:
-        """Read an append-only parquet state dir, or an empty frame before
-        its first write — the one definition of 'state exists'."""
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return self.spark.read.schema(schema).parquet(path)
+        """Read a parquet state dir (flat compacted files and/or per-batch
+        subdirectories), or an empty frame before its first write — the one
+        definition of 'state exists'."""
+        if os.path.isdir(path) and self._has_parquet(path):
+            return (self.spark.read.schema(schema)
+                    .option("recursiveFileLookup", "true").parquet(path))
         return self.spark.createDataFrame([], schema)
+
+    def _read_state_excluding(self, path: str, schema: str,
+                              batch_id: int) -> DataFrame:
+        """State as of BEFORE ``batch_id``: every flat file and batch
+        subdirectory except ``b<batch_id>`` itself. On a replay of a torn
+        batch this reconstructs exactly the state the original attempt saw,
+        making the fresh-set computation (and thus every downstream write)
+        deterministic across attempts."""
+        skip = f"b{batch_id}"
+        parts: list[str] = []
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                if entry == skip:
+                    continue
+                p = os.path.join(path, entry)
+                if os.path.isdir(p) and self._has_parquet(p):
+                    parts.append(p)
+                elif entry.endswith(".parquet"):
+                    parts.append(p)
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        return (self.spark.read.schema(schema)
+                .option("recursiveFileLookup", "true").parquet(*parts))
 
     def corpus(self) -> DataFrame:
         return self._read_state(self.corpus_dir, CORPUS_SCHEMA)
@@ -136,27 +194,33 @@ class IngestPipeline:
             .filter(F.col("embedding").isNotNull())
             .select("doc_id", "content_sha256", "modality", "embedding")
         )
-        corpus = self.corpus()
+        # dedup against state as of BEFORE this batch: on a torn replay the
+        # corpus may already hold this batch's own subdirectory, and a full
+        # left-anti would then declare nothing fresh and skip the edge write
+        prev = self._read_state_excluding(
+            self.corpus_dir, CORPUS_SCHEMA, batch_id)
         fresh = embedded.join(
-            corpus.select("content_sha256"), "content_sha256", "left_anti"
+            prev.select("content_sha256"), "content_sha256", "left_anti"
         )
         # cache: fresh is reused for append, KNN, and edge build
         fresh = fresh.localCheckpoint(eager=True)
         n_fresh = fresh.count()
         if n_fresh == 0:
             return
-        fresh.write.mode("append").parquet(self.corpus_dir)
+        fresh.write.mode("overwrite").parquet(
+            self._bdir(self.corpus_dir, batch_id))
 
         # checkpoint: the KNN scan is the expensive stage; edge build must
         # reuse its result, not recompute the corpus scan
         neighbors = self.knn_against_corpus(
             fresh, n_queries=n_fresh).localCheckpoint(eager=True)
         edges = self.build_edges(neighbors)
-        edges.write.mode("append").parquet(self.edges_dir)
+        edges.write.mode("overwrite").parquet(
+            self._bdir(self.edges_dir, batch_id))
         if self.maintain_ivf:
-            self._update_index(fresh)
+            self._update_index(fresh, batch_id)
         if self.maintain_neardup:
-            self._update_neardup(batch, fresh)
+            self._update_neardup(batch, fresh, batch_id)
 
     # --- state maintenance ---------------------------------------------------
 
@@ -164,9 +228,9 @@ class IngestPipeline:
         """Rewrite the append-accumulated state directories into
         right-sized files.
 
-        Every micro-batch appends at least one parquet file to the corpus
-        and edges directories, so a long-running ingest accumulates
-        thousands of tiny files — the classic small-files problem: scan
+        Every micro-batch writes a ``b<batch_id>`` subdirectory with at
+        least one parquet file to the corpus and edges directories, so a
+        long-running ingest accumulates thousands of tiny files — the classic small-files problem: scan
         parallelism degenerates to one task per tiny file and the
         NameNode/listing cost grows linearly per query. Run this on an
         ops cadence (e.g. nightly). Per directory: read, coalesce to
@@ -182,10 +246,9 @@ class IngestPipeline:
                              (self.index_dir, INDEX_SCHEMA),
                              (self.sig_dir, SIG_SCHEMA),
                              (self.flags_dir, FLAG_SCHEMA)):
-            if not (os.path.isdir(path) and any(
-                    f.endswith(".parquet") for f in os.listdir(path))):
+            if not (os.path.isdir(path) and self._has_parquet(path)):
                 continue
-            df = self.spark.read.schema(schema).parquet(path)
+            df = self._read_state(path, schema)
             n = df.count()
             files = max(1, -(-n // target_rows_per_file))
             tmp = path + ".compact"
@@ -214,12 +277,16 @@ class IngestPipeline:
             "doc_id", F.col("seed").cast("int"), "mh"
         )
 
-    def _update_neardup(self, batch: DataFrame, fresh: DataFrame) -> None:
+    def _update_neardup(self, batch: DataFrame, fresh: DataFrame,
+                        batch_id: int) -> None:
         """Flag the batch's fresh docs against the running signature store
-        (dq181's incremental form, streaming-equivalence-tested): append
-        flags and the fresh signatures, so replay order cannot change any
-        flag. Signatures of flagged dups are RETAINED — that is what makes
-        the incremental output identical to the one-shot batch pass."""
+        (dq181's incremental form, streaming-equivalence-tested): write
+        flags and the fresh signatures to this batch's subdirectory, so
+        replay order cannot change any flag. The store lookup excludes this
+        batch's own subdirectory (a torn replay must not compare docs
+        against their own signatures). Signatures of flagged dups are
+        RETAINED — that is what makes the incremental output identical to
+        the one-shot batch pass."""
         from multi_model_vectorsearch_spark.operators.textpipe import (
             neardup_flags_incremental,
         )
@@ -228,9 +295,12 @@ class IngestPipeline:
             batch.join(fresh.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "text")
         ).localCheckpoint(eager=True)
-        flags = neardup_flags_incremental(sig_fresh, self.signatures())
-        flags.write.mode("append").parquet(self.flags_dir)
-        sig_fresh.write.mode("append").parquet(self.sig_dir)
+        store = self._read_state_excluding(self.sig_dir, SIG_SCHEMA, batch_id)
+        flags = neardup_flags_incremental(sig_fresh, store)
+        flags.write.mode("overwrite").parquet(
+            self._bdir(self.flags_dir, batch_id))
+        sig_fresh.write.mode("overwrite").parquet(
+            self._bdir(self.sig_dir, batch_id))
 
     # --- incremental IVF index maintenance ---------------------------------
 
@@ -250,7 +320,7 @@ class IngestPipeline:
             .select("doc_id", "cid")
         )
 
-    def _update_index(self, fresh: DataFrame) -> None:
+    def _update_index(self, fresh: DataFrame, batch_id: int = 0) -> None:
         """Keep a coarse IVF index in sync with the corpus as it grows.
 
         Before the corpus reaches ``ivf_bootstrap`` docs there is no index
@@ -281,8 +351,10 @@ class IngestPipeline:
                 "overwrite").parquet(self.index_dir)
             cents.write.mode("overwrite").parquet(self.centroids_dir)
         else:
-            self._assign(fresh, cents).write.mode(
-                "append").parquet(self.index_dir)
+            # per-batch subdirectory, not append: a replayed batch must
+            # rewrite its own assignment rows, not double-append them
+            self._assign(fresh, cents).write.mode("overwrite").parquet(
+                self._bdir(self.index_dir, batch_id))
 
     def search_ivf(self, text: str, k: int | None = None,
                    modality: str = "text", probes: int = 2) -> DataFrame:
@@ -707,7 +779,10 @@ def _facade_submit(self, text: str, modality: str = "text",
         [(int(doc_id), text, modality)],
         "doc_id bigint, text string, modality string",
     )
-    self.process_batch(batch, -1)
+    # unique batch id per submit: state writes go to per-batch
+    # subdirectories, so a reused id would overwrite the previous
+    # submit's rows instead of accumulating
+    self.process_batch(batch, self._next_batch_id())
     fresh = self.corpus().filter(F.col("doc_id") == doc_id)
     return self.knn_against_corpus(fresh).select(
         F.col("doc_id").alias("id"), "modality", "s", "rn"
