@@ -463,33 +463,59 @@ def dq148_semdedup(t: Tables, n_centroids: int = 8,
     cluster group (``applyInPandas``): the per-pair higher-order-function
     cosine is interpreted per element and measured 4× slower than the
     Arrow-batched kernel on the same pairs (dq46's lesson applied here).
+
+    The matmul is BLOCKED inside the kernel (``block``² tiles, running
+    per-column best): materializing the full n_cluster² sims matrix put a
+    ~10 GB int64+double pair in one task at the 100× probe's 25k-row
+    clusters and thrashed it to 694 s — the blocked form holds peak memory
+    at O(block·(n_cluster·d + block)) with identical output (ties resolve
+    to the lowest vec_id exactly as the full-matrix argmax did: in-block
+    argmax takes the first max, and the cross-block update is strictly->,
+    so the earliest block wins equal scores). When the cluster fits one
+    block — every oracle-gated SF — the single tile IS the old full
+    matmul, bit-for-bit.
     """
     import numpy as np
     import pandas as pd
 
     assigned = assign_clusters(t, n_centroids)
+    tau_micro = int(tau * 1_000_000)
+    block = 4096
+    int_min = np.iinfo("int64").min
 
     def drops(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id", kind="stable").reset_index(drop=True)
         m = np.stack([np.asarray(v, dtype=np.float64)
                       for v in pdf["embedding"].values])
         u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        # floor snap (engine-identical), not np.round (half-to-even)
-        sims = np.floor(u @ u.T * 1000000.0 + 0.5).astype("int64")
         n = len(pdf)
-        lower = np.tril(np.ones((n, n), dtype=bool), k=-1)  # i<j per column j
-        cand = (sims >= int(tau * 1_000_000)) & lower.T
-        has = cand.any(axis=0)
-        masked = np.where(cand, sims, np.iinfo("int64").min)
-        best = masked.argmax(axis=0)  # first max = lowest vec_id (sorted)
-        j = np.nonzero(has)[0]
-        i = best[j]
-        return pd.DataFrame({
-            "vec_id": pdf["vec_id"].values[j],
-            "cid": pdf["cid"].values[j],
-            "kept_by": pdf["vec_id"].values[i],
-            "s_micro": sims[i, j],
-        })
+        out = {"vec_id": [], "cid": [], "kept_by": [], "s_micro": []}
+        for j0 in range(0, n, block):
+            j1 = min(j0 + block, n)
+            best_s = np.full(j1 - j0, int_min, dtype="int64")
+            best_i = np.zeros(j1 - j0, dtype="int64")
+            for i0 in range(0, j1, block):
+                i1 = min(i0 + block, j1)
+                # floor snap (engine-identical), not np.round (half-to-even)
+                sims = np.floor(u[i0:i1] @ u[j0:j1].T * 1000000.0
+                                + 0.5).astype("int64")
+                gi = np.arange(i0, i1)[:, None]
+                gj = np.arange(j0, j1)[None, :]
+                cand = (sims >= tau_micro) & (gi < gj)
+                masked = np.where(cand, sims, int_min)
+                bi = masked.argmax(axis=0)  # first max = lowest i in block
+                bs = masked[bi, np.arange(j1 - j0)]
+                upd = bs > best_s  # strict: earlier (lower-i) block keeps ties
+                best_i = np.where(upd, i0 + bi, best_i)
+                best_s = np.maximum(best_s, bs)
+            idx = np.nonzero(best_s >= tau_micro)[0]
+            out["vec_id"].append(pdf["vec_id"].values[j0 + idx])
+            out["cid"].append(pdf["cid"].values[j0 + idx])
+            out["kept_by"].append(pdf["vec_id"].values[best_i[idx]])
+            out["s_micro"].append(best_s[idx])
+        return pd.DataFrame({k: np.concatenate(v) if v else
+                             np.array([], dtype="int64")
+                             for k, v in out.items()})
 
     return assigned.groupBy("cid").applyInPandas(
         drops,

@@ -16,7 +16,7 @@ Shingling: word 3-grams over whitespace tokens, deduplicated per document.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap
@@ -176,22 +176,71 @@ def signature_lanes(shingles: DataFrame) -> DataFrame:
     ).toDF("doc_id", "seed", "mh")
 
 
+def _pair_band_rows(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, key) rows keyed by CONCATENATED 2-seed minhash values —
+    one row per doc per seed pair (i<j), C(N_MINHASH, 2) = 28 bands.
+
+    This is the scale form of the ``matches >= 2`` LSH join: a pair-band
+    bucket collides with probability ~j² where a single-seed bucket
+    collides with probability ~j, so the join fan-out between UNRELATED
+    docs (background similarity) shrinks quadratically. The r7 100×
+    scale probe measured the single-band join's candidate growth at
+    exponent ~1.5 on doc count — the n²·j background term taking over —
+    while the true-dup pair count grows linearly. One map-side explode of
+    the per-doc lane array; no extra shuffle beyond the band join itself.
+    """
+    import itertools
+
+    wide = (
+        sig.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "mh")))
+             .alias("_sm"))
+        .select("_id", F.col("_sm.mh").alias("_m"))
+    )
+    combos = list(itertools.combinations(range(N_MINHASH), 2))
+    return wide.select(
+        F.col("_id").alias(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i * N_MINHASH + j).alias("band"),
+                F.concat(F.element_at("_m", i + 1),
+                         F.element_at("_m", j + 1)).alias("key"),
+            )
+            for i, j in combos
+        ])).alias("_bk"),
+    ).select(id_col, F.col("_bk.band").alias("band"),
+             F.col("_bk.key").alias("key"))
+
+
+def _matches_from_band_count(cnt: Column) -> Column:
+    """Invert cnt = C(matches, 2): a pair sharing m seed lanes collides in
+    exactly m·(m−1)/2 pair-bands. 8·cnt+1 is a perfect square (9, 25, 49,
+    81, 121, 169, 225 for m = 2..8), so the double sqrt is exact."""
+    return F.floor((F.lit(1.0) + F.sqrt(cnt * F.lit(8.0) + F.lit(1.0)))
+                   / F.lit(2.0)).cast("int")
+
+
 def dq41_minhash_lsh_pairs(t: Tables, min_matches: int = 2) -> DataFrame:
     """B54: LSH candidate pairs — docs sharing ≥min_matches signature rows.
 
-    Band size 1: the self-join key is (seed, mh), so only signature
-    collisions meet — never the full doc×doc square. est_j = matches/8
+    Joined on 2-seed pair-bands (``_pair_band_rows``): candidate SET and
+    every output column are identical to the single-seed-band formulation
+    (a pair matches ≥2 lanes iff it collides in ≥1 pair-band; ``matches``
+    decodes exactly from the pair-band collision count), but background
+    bucket collisions scale as j² instead of j. est_j = matches/8
     estimates Jaccard similarity.
     """
+    assert min_matches >= 2, "pair-band join encodes the >=2 threshold"
     sig = dq40_minhash_signatures(t)
-    a = sig.alias("a")
-    b = sig.alias("b")
+    bands = _pair_band_rows(sig, "doc_id")
+    a = bands.alias("a")
+    b = bands.alias("b")
     pairs = (
-        a.join(b, (F.col("a.seed") == F.col("b.seed"))
-               & (F.col("a.mh") == F.col("b.mh"))
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("matches"))
+        .agg(_matches_from_band_count(F.count("*")).alias("matches"))
         .filter(F.col("matches") >= min_matches)
     )
     return pairs.select(
@@ -1219,14 +1268,18 @@ def neardup_flags_incremental(sig_fresh: DataFrame,
     ``sig_fresh`` to the store afterwards reproduces dq181's batch
     output exactly, because flagged docs' signatures are retained.
     """
-    prior = sig_store.select(F.col("doc_id").alias("d1"), "seed", "mh")
-    mine = sig_fresh.select(F.col("doc_id").alias("d2"), "seed", "mh")
-    within = sig_fresh.select(F.col("doc_id").alias("d1"), "seed", "mh")
+    assert min_matches >= 2, "pair-band join encodes the >=2 threshold"
+    store_bands = _pair_band_rows(sig_store, "doc_id").select(
+        F.col("doc_id").alias("d1"), "band", "key")
+    fresh_bands = _pair_band_rows(sig_fresh, "doc_id")
+    within = fresh_bands.select(F.col("doc_id").alias("d1"), "band", "key")
+    mine = fresh_bands.select(F.col("doc_id").alias("d2"), "band", "key")
     cand = (
-        prior.unionAll(within)
-        .join(mine, ["seed", "mh"])
+        store_bands.unionAll(within)
+        .join(mine, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2").agg(F.count("*").alias("matches"))
+        .groupBy("d1", "d2")
+        .agg(_matches_from_band_count(F.count("*")).alias("matches"))
         .filter(F.col("matches") >= min_matches)
     )
     dupof = cand.groupBy("d2").agg(F.min("d1").alias("dup_of"))

@@ -422,3 +422,34 @@ def test_weighted_median_matches_python_reference(spark, rows):
             if 2 * cum >= total:
                 assert got[f] == float(p), (f, got[f], p)
                 break
+
+
+def test_pair_band_join_equals_single_band_reference(spark, tables):
+    """The r7 scale rewrite: dq41 joins on 2-seed pair-band keys
+    (background bucket collisions ~j² instead of ~j) and decodes
+    ``matches`` from the pair-band collision count C(m, 2). This pins the
+    rewrite to the definitional single-seed-band formulation — identical
+    (d1, d2, matches) set on the real corpus — so a future band change
+    cannot silently alter the candidate semantics every dedup chain
+    consumes."""
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq40_minhash_signatures,
+        dq41_minhash_lsh_pairs,
+    )
+
+    sig = dq40_minhash_signatures(tables)
+    a, b = sig.alias("a"), sig.alias("b")
+    ref = (
+        a.join(b, (F.col("a.seed") == F.col("b.seed"))
+               & (F.col("a.mh") == F.col("b.mh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("matches"))
+        .filter(F.col("matches") >= 2)
+    )
+    got = dq41_minhash_lsh_pairs(tables).select("d1", "d2", "matches")
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    assert got.count() > 0  # non-vacuous on the smoke corpus
