@@ -3220,6 +3220,14 @@ _REGISTRY: list[DQ] = [
        "AS DOUBLE) / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
        "AS returning_share_micro "
        "FROM ev JOIN first f ON ev.user_id = f.user_id GROUP BY ev.wk"),
+    DQ("dq245_lsh_pairs_strict", T.dq245_lsh_pairs_strict,
+       "WITH " + _SIG_CTE + ", "
+       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
+       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
+       "AND a.doc_id < b.doc_id GROUP BY d1, d2) "
+       "SELECT d1, d2, matches, "
+       "CAST(floor((matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) "
+       "AS est_j_micro FROM p WHERE matches >= 3"),
 ]
 
 

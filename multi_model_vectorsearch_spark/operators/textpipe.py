@@ -250,6 +250,23 @@ def dq41_minhash_lsh_pairs(t: Tables, min_matches: int = 2) -> DataFrame:
     )
 
 
+def dq245_lsh_pairs_strict(t: Tables) -> DataFrame:
+    """B54 scale twin: the dq41 candidate list at min_matches = 3
+    (est_j ≥ 0.375) — the threshold a larger corpus runs.
+
+    The r7 100× probe measured dq41's ≥2-of-8 candidate count growing at
+    exponent ~1.96 on doc count: P(≥2 single-lane matches | j) ≈ 28·j²
+    promotes background-similarity pairs (19 % at j = 0.1), an n² term
+    that dominates once the corpus is big enough. At ≥3 of 8 the same
+    background pair passes at ≈ 56·j³ (3.8 % at j = 0.1) — an order of
+    magnitude fewer false candidates per decade of corpus growth. Same
+    pair-band join, same decode; only the post-decode filter moves, so
+    the execution cost is dq41's and the two entries share the session
+    signature cache.
+    """
+    return dq41_minhash_lsh_pairs(t, min_matches=3)
+
+
 # session-scoped cache of the LSH pair list: dq133/dq135/dq137 all consume
 # the same pairs, and each registry entry is standalone — without sharing,
 # one suite run derives the full signature pipeline three extra times
