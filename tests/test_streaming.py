@@ -483,6 +483,21 @@ def test_balanced_finish_matches_window_select(spark, tables, tmp_path):
     assert c == a
 
 
+def test_facade_submit_keeps_accumulating_after_compact(spark, tmp_path):
+    """compact() collapses the per-batch subdirectories into flat files;
+    the next submit's batch-id allocation must then start fresh (b0) and
+    the recursive state read must see flat files + new subdirs together —
+    a reused or colliding id would overwrite instead of accumulate."""
+    pipe = IngestPipeline(spark, str(tmp_path / "cfstate"), k=3)
+    pipe.submit("first document about spark", "text", doc_id=1)
+    pipe.submit("second document about joins", "text", doc_id=2)
+    assert pipe.corpus().count() == 2
+    pipe.compact()
+    pipe.submit("third document about shuffles", "text", doc_id=3)
+    assert pipe.corpus().count() == 3
+    assert {r.doc_id for r in pipe.corpus().collect()} == {1, 2, 3}
+
+
 def test_compact_rewrites_small_files(spark, tables, tmp_path):
     """Per-batch appends accumulate tiny parquet files; compact() must
     rewrite each state dir to ceil(rows/target) files with identical
