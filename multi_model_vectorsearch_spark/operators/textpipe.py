@@ -254,15 +254,14 @@ def dq245_lsh_pairs_strict(t: Tables) -> DataFrame:
     """B54 scale twin: the dq41 candidate list at min_matches = 3
     (est_j ≥ 0.375) — the threshold a larger corpus runs.
 
-    The r7 100× probe measured dq41's ≥2-of-8 candidate count growing at
-    exponent ~1.96 on doc count: P(≥2 single-lane matches | j) ≈ 28·j²
-    promotes background-similarity pairs (19 % at j = 0.1), an n² term
-    that dominates once the corpus is big enough. At ≥3 of 8 the same
-    background pair passes at ≈ 56·j³ (3.8 % at j = 0.1) — an order of
-    magnitude fewer false candidates per decade of corpus growth. Same
-    pair-band join, same decode; only the post-decode filter moves, so
-    the execution cost is dq41's and the two entries share the session
-    signature cache.
+    A moderate-similarity pair (j ≈ 0.14) passes the ≥2-of-8 test with
+    P ≈ 0.31 but ≥3-of-8 with P ≈ 0.07 — measured in the r7 100× probe
+    as a ≈4× candidate cut at every scale factor (BASELINE.md r7 table;
+    the probe corpus's growth exponent itself comes from its replica
+    construction, not the threshold). dq153/dq222 measure the
+    recall/precision trade the threshold buys. Same pair-band join, same
+    decode; only the post-decode filter moves, so the execution cost is
+    dq41's and the two entries share the session signature cache.
     """
     return dq41_minhash_lsh_pairs(t, min_matches=3)
 

@@ -185,6 +185,15 @@ def bench_dedup_chain(spark, out_dir: str) -> dict[str, float]:
         print(f"# {key}: {v} ({out[key + '_sec']} s)", flush=True)
 
     timed("lsh_candidates", lambda: minhash_lsh_pairs_shared(tables).count())
+    # the documented mitigation for the >=2-of-8 candidate growth: the
+    # strict threshold (dq245, min_matches=3) over the SAME cached
+    # signatures — its count growth is the evidence the mitigation works
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        dq245_lsh_pairs_strict,
+    )
+
+    timed("lsh_strict_candidates",
+          lambda: dq245_lsh_pairs_strict(tables).count())
     timed("dq61_clusters", lambda: dq61_dedup_clusters(tables).count())
     timed("ppjoin_candidates",
           lambda: prefix_filter_candidates(tables, 0.6).count())
@@ -201,7 +210,8 @@ def _exponents(rows: list[dict]) -> dict[str, float]:
     exps: dict[str, float] = {}
     for a, b in zip(rows, rows[1:]):
         ratio_n = b["n_docs"] / a["n_docs"]
-        for k in ("lsh_candidates", "dq61_clusters", "ppjoin_candidates",
+        for k in ("lsh_candidates", "lsh_strict_candidates",
+                  "dq61_clusters", "ppjoin_candidates",
                   "dq183_pairs", "dq148_drops"):
             if a[k] > 0 and b[k] > 0:
                 exps[f"{k}@{int(a['factor'])}x->{int(b['factor'])}x"] = round(
