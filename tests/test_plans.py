@@ -384,3 +384,16 @@ def test_sorted_neighborhood_has_no_join(tables):
     plan = explain_formatted(T.dq200_sorted_neighborhood(tables))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_lsh_pair_band_join_is_shuffled_equi_join(tables):
+    """The r7 pair-band candidate join must plan as an equi-join on the
+    (band, key) columns — a nested-loop or cartesian here means the band
+    keys stopped being join keys and the candidate step went doc×doc."""
+    from multi_model_vectorsearch_spark.operators import textpipe as T
+
+    plan = explain_formatted(T.dq41_minhash_lsh_pairs(tables))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
