@@ -259,11 +259,12 @@ def dq245_lsh_pairs_strict(t: Tables) -> DataFrame:
     as a ≈4× candidate cut at every scale factor (BASELINE.md r7 table;
     the probe corpus's growth exponent itself comes from its replica
     construction, not the threshold). dq153/dq222 measure the
-    recall/precision trade the threshold buys. Same pair-band join, same
-    decode; only the post-decode filter moves, so the execution cost is
-    dq41's and the two entries share the session signature cache.
+    recall/precision trade the threshold buys. The ≥3 list is a subset of
+    the session-shared ≥2 pair list, so this is a pure filter over that
+    cached table — no second signature derivation or band join, and the
+    threshold can rise further (4, 5, …) at the same zero marginal cost.
     """
-    return dq41_minhash_lsh_pairs(t, min_matches=3)
+    return minhash_lsh_pairs_shared(t).filter(F.col("matches") >= 3)
 
 
 # session-scoped cache of the LSH pair list: dq133/dq135/dq137 all consume
