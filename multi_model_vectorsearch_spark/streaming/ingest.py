@@ -346,9 +346,19 @@ class IngestPipeline:
             # search_ivf gates probing on centroids-present — this order
             # makes centroids-present imply index-present, so a crash
             # between the writes degrades to a full scan instead of
-            # silently semi-joining every query to an empty member set
-            self._assign(self.corpus(), cents).write.mode(
+            # silently semi-joining every query to an empty member set.
+            # The bootstrap assigns PRE-batch corpus to the root and this
+            # batch to its own subdirectory: a replay of the bootstrap
+            # batch then lands in the else-branch (centroids exist) and
+            # overwrites that same subdirectory — assigning the full
+            # corpus to the root here would leave the batch's rows
+            # duplicated after the replay's subdirectory write.
+            prev = self._read_state_excluding(
+                self.corpus_dir, CORPUS_SCHEMA, batch_id)
+            self._assign(prev, cents).write.mode(
                 "overwrite").parquet(self.index_dir)
+            self._assign(fresh, cents).write.mode("overwrite").parquet(
+                self._bdir(self.index_dir, batch_id))
             cents.write.mode("overwrite").parquet(self.centroids_dir)
         else:
             # per-batch subdirectory, not append: a replayed batch must

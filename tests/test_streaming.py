@@ -609,6 +609,39 @@ def test_balanced_finish_beyond_default_arrow_batch(spark, tmp_path):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, window.collect()))
 
 
+def test_ivf_bootstrap_batch_replay_is_exactly_once(spark, tables, tmp_path):
+    """Replaying the batch that triggered the IVF bootstrap must not
+    duplicate its index rows: the bootstrap assigns the PRE-batch corpus
+    to the root and the batch itself to its subdirectory, so the replay's
+    else-branch subdirectory overwrite lands on the same rows. A
+    full-corpus root assignment would leave the batch double-indexed."""
+    docs = tables["documents"].limit(120).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "ivfr"), k=6,
+                          maintain_ivf=True)
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    pipe.process_batch(batches[0], 0)
+    assert pipe.centroids().isEmpty()  # 40 docs < 64: not bootstrapped yet
+    pipe.process_batch(batches[1], 1)  # 80 docs: THIS batch bootstraps
+    assert not pipe.centroids().isEmpty()
+    n = pipe.corpus().count()
+    assert pipe.ivf_index().count() == n
+    # at-least-once delivery: the bootstrap batch replays wholesale
+    pipe.process_batch(batches[1], 1)
+    assert pipe.corpus().count() == n
+    idx = pipe.ivf_index()
+    assert idx.count() == n, "replayed bootstrap batch duplicated index rows"
+    assert idx.select("doc_id").distinct().count() == n
+    # and the pipeline keeps maintaining the index normally afterwards
+    pipe.process_batch(batches[2], 2)
+    assert pipe.ivf_index().count() == pipe.corpus().count()
+
+
 def test_ivf_index_maintained_incrementally(spark, tables, tmp_path):
     """The coarse IVF index must track the corpus exactly across micro-
     batches (bootstrap at 64 docs, then append-only assignment of fresh
