@@ -51,8 +51,44 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
-def pandas_dtype_parity(spark_df: DataFrame, srows: list, con,
-                        oracle: str) -> str | None:
+def duckdb_pandas_kind(duck_type: str, has_null: bool) -> str:
+    """Predicted ``.df()`` numpy dtype *kind* for a DuckDB column type.
+
+    Mirrors DuckDB's to-pandas conversion for the types the parity check
+    cares about: integer types stay integer-kind unless NULLs force float64;
+    HUGEINT/DECIMAL always become float64 (pandas has no int128/decimal);
+    BOOLEAN becomes object when nullable.  Everything else maps to 'O' —
+    parity only compares against Spark integral/float/bool columns, where
+    'O' correctly reads as a mismatch.  Pinned against the real ``.df()``
+    behavior by tests/test_correctness.py (dtype battery), so a DuckDB
+    version drift surfaces as a test red, not a silent gate hole.
+    """
+    t = duck_type.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "f" if has_null else "i"
+    if t in ("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "f" if has_null else "u"
+    if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+        return "f"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t == "BOOLEAN":
+        return "O" if has_null else "b"
+    return "O"
+
+
+def oracle_meta(con, oracle: str) -> tuple[list[str], list[str], list[tuple]]:
+    """Columns, DuckDB type names, and rows of an oracle query — ONE
+    execution (the relation's columns/types come from the binder, only
+    ``fetchall`` runs the plan)."""
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    otypes = [str(t) for t in rel.types]
+    return ocols, otypes, rel.fetchall()
+
+
+def pandas_dtype_parity(spark_df: DataFrame, srows: list, ocols: list[str],
+                        otypes: list[str], orows: list) -> str | None:
     """Driver-faithful dtype check: the driver canonicalizes BOTH sides
     through pandas, where DuckDB HUGEINT (e.g. an uncast integer ``SUM``)
     converts to float64 and hashes ``150.0`` against Spark's ``150`` — red
@@ -66,11 +102,19 @@ def pandas_dtype_parity(spark_df: DataFrame, srows: list, con,
     for a Spark float/double column it must be float-kind; for boolean,
     bool-kind.  Nullable promotion (int + NULLs -> float64) happens on both
     sides identically, so columns with NULLs are exempt.
+
+    Takes the oracle's already-fetched metadata (``oracle_meta``) instead of
+    re-running the query through ``.df()`` — the dtype kind is *predicted*
+    from the DuckDB type name + NULL presence (``duckdb_pandas_kind``), so
+    each oracle executes exactly once per gate entry.
     """
     from pyspark.sql import types as T
 
-    odf = con.sql(oracle).df()
-    okinds = {c.lower(): dt.kind for c, dt in odf.dtypes.items()}
+    okinds = {
+        c.lower(): duckdb_pandas_kind(
+            otypes[j], any(r[j] is None for r in orows))
+        for j, c in enumerate(ocols)
+    }
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     floating = (T.FloatType, T.DoubleType)
     for i, f in enumerate(spark_df.schema.fields):
@@ -129,21 +173,12 @@ def compare(name: str, spark_df: DataFrame, oracle: str | None, sf_dir: str,
     if own_con:
         con = duckdb_connect(sf_dir)
     try:
-        res = con.execute(oracle)
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        ocols, otypes, orows = oracle_meta(con, oracle)
     finally:
         if own_con:
             con.close()
     o = canon_rows(ocols, orows)
-    parity = pandas_dtype_parity(spark_df, srows, con, oracle) if not own_con \
-        else None
-    if own_con:
-        con2 = duckdb_connect(sf_dir)
-        try:
-            parity = pandas_dtype_parity(spark_df, srows, con2, oracle)
-        finally:
-            con2.close()
+    parity = pandas_dtype_parity(spark_df, srows, ocols, otypes, orows)
     if parity is not None:
         return CompareResult(name, False, len(s), len(o),
                              f"pandas-dtype parity: {parity}")

@@ -53,13 +53,49 @@ def test_parity_check_catches_uncast_hugeint_sum(spark, oracle_con):
     HUGEINT to Python int and is blind to it; pandas_dtype_parity must not
     be.  A gate-level red here means the recurrence guard itself broke.
     """
-    from multi_model_vectorsearch_spark.testing import pandas_dtype_parity
+    from multi_model_vectorsearch_spark.testing import (
+        oracle_meta,
+        pandas_dtype_parity,
+    )
 
     sdf = spark.range(3).selectExpr("CAST(id AS BIGINT) AS n")
     srows = [tuple(r) for r in sdf.collect()]
     bad = "SELECT SUM(x) AS n FROM (VALUES (0), (1), (2)) t(x) GROUP BY 1=1"
-    msg = pandas_dtype_parity(sdf, srows, oracle_con, bad)
+    msg = pandas_dtype_parity(sdf, srows, *oracle_meta(oracle_con, bad))
     assert msg is not None and "n" in msg and "BIGINT" in msg
     good = ("SELECT CAST(SUM(x) AS BIGINT) AS n "
             "FROM (VALUES (0), (1), (2)) t(x) GROUP BY 1=1")
-    assert pandas_dtype_parity(sdf, srows, oracle_con, good) is None
+    assert pandas_dtype_parity(
+        sdf, srows, *oracle_meta(oracle_con, good)) is None
+
+
+def test_duckdb_pandas_kind_matches_real_df(oracle_con):
+    """duckdb_pandas_kind PREDICTS what ``.df()`` would produce so the gate
+    can skip the second oracle execution; this battery pins the prediction
+    against DuckDB's actual to-pandas conversion for every type class the
+    parity check distinguishes.  A DuckDB upgrade that changes the mapping
+    turns this red instead of silently weakening the gate."""
+    from multi_model_vectorsearch_spark.testing import duckdb_pandas_kind
+
+    cases = [
+        ("CAST(1 AS TINYINT)", False), ("CAST(1 AS SMALLINT)", False),
+        ("CAST(1 AS INTEGER)", False), ("CAST(1 AS BIGINT)", False),
+        ("CAST(1 AS UBIGINT)", False), ("CAST(1 AS HUGEINT)", False),
+        ("CAST(1 AS DECIMAL(10,2))", False), ("CAST(1 AS DOUBLE)", False),
+        ("CAST(1 AS FLOAT)", False), ("TRUE", False), ("'x'", False),
+        ("CAST(NULL AS BIGINT)", True), ("CAST(NULL AS INTEGER)", True),
+        ("CAST(NULL AS DOUBLE)", True), ("CAST(NULL AS BOOLEAN)", True),
+    ]
+    for expr, has_null in cases:
+        rel = oracle_con.sql(f"SELECT {expr} AS c")
+        duck_type = str(rel.types[0])
+        actual = rel.df()["c"].dtype.kind
+        predicted = duckdb_pandas_kind(duck_type, has_null)
+        # 'O' is the conservative catch-all: it must only appear when the
+        # real kind is also non-numeric (object/datetime/...), never for a
+        # numeric/bool column the check would then misjudge
+        if predicted == "O":
+            assert actual not in "iufb" or (has_null and actual == "f"), (
+                expr, duck_type, actual)
+        else:
+            assert predicted == actual, (expr, duck_type, predicted, actual)
