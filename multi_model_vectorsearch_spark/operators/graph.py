@@ -276,7 +276,10 @@ def graph_render_payload(t: Tables) -> tuple[DataFrame, DataFrame]:
     )
     rendered_edges = edges.select(
         F.col("src").alias("from"), F.col("dst").alias("to"),
-        F.round(F.col("score_micro") / 1_000_000.0 * 5.0, 6).alias("width"),
+        # snap, not F.round: width is UI-only payload (never hashed or
+        # ranked), but the repo-wide convention is ONE rounding mode —
+        # the half-up floor snap — so no half-to-even call survives anywhere
+        snap_double(F.col("score_micro") / 1_000_000.0 * 5.0).alias("width"),
     )
     return nodes, rendered_edges
 

@@ -21,7 +21,9 @@ State lives in two append-only parquet dirs (corpus/, edges/) — the
 Spark-native replacement for the Redis hash store + whole-graph pickle.
 
 Exactly-once: foreachBatch is at-least-once, so every per-batch state write
-goes to a deterministic per-batch subdirectory (``<state>/b<batch_id>/``)
+goes to a deterministic per-batch subdirectory (``<state>/b<ns>-<id>/`` for
+stream epochs, namespaced per checkpoint; ``<state>/s<n>/`` for facade
+submits — independent id sequences must not share a directory namespace)
 with mode("overwrite") — a replayed batch rewrites its own subdirectory
 byte-for-byte instead of double-appending. The corpus dedup (and the
 signature store lookup) excludes the current batch's own subdirectory, so a
@@ -30,12 +32,16 @@ identical fresh set on replay and finishes the missing writes; a blind
 left-anti against the full corpus would see its own half-committed rows,
 conclude nothing is fresh, and silently drop the batch's edges forever.
 ``compact()`` periodically collapses the subdirectories into right-sized
-flat files (run it between streams, not mid-replay).
+flat files; a torn trailing batch (missing ``_SUCCESS`` in a later store)
+is detected and carried over un-folded so a post-compact replay still
+completes it.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -96,6 +102,9 @@ class IngestPipeline:
         # signature store (dq181's incremental form) — a curation ingest
         # turns this on; the faithful /submit analog keeps it off
         self.maintain_neardup = maintain_neardup
+        # batch-subdirectory namespace for direct process_batch callers;
+        # run_stream() replaces it with a checkpoint-derived one
+        self._stream_ns = "b"
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
@@ -105,20 +114,34 @@ class IngestPipeline:
         return False
 
     @staticmethod
-    def _bdir(root: str, batch_id: int) -> str:
+    def _bdir(root: str, key: str) -> str:
         """Deterministic per-batch subdirectory — the exactly-once unit."""
-        return os.path.join(root, f"b{batch_id}")
+        return os.path.join(root, key)
 
-    def _next_batch_id(self) -> int:
-        """Smallest batch id above every corpus subdirectory's — for
-        non-streaming callers (the submit facade) that have no epoch id of
-        their own and must not collide with one already on disk."""
+    def _batch_key(self, batch_id: int) -> str:
+        """Subdirectory name for a streaming epoch. Namespaced per
+        checkpoint (``run_stream`` derives ``_stream_ns`` from the
+        checkpoint path): epoch ids restart at 0 for every NEW checkpoint,
+        so an un-namespaced ``b<id>`` would let a fresh checkpoint attached
+        to existing state overwrite — and silently destroy — a previous
+        stream's committed batch of the same id. Same checkpoint → same
+        namespace → a replay still rewrites exactly its own directory."""
+        return f"{self._stream_ns}{batch_id}"
+
+    def _next_submit_key(self) -> str:
+        """Key above every facade-submit subdirectory on disk. Submits get
+        their own ``s<n>`` namespace: the facade's disk-derived counter and
+        a stream checkpoint's epoch counter are independent sequences, and
+        sharing the ``b`` namespace let one overwrite the other's batch
+        directory (id collision after a compact() reset, or a submit
+        between stream runs)."""
         mx = -1
         if os.path.isdir(self.corpus_dir):
             for entry in os.listdir(self.corpus_dir):
-                if entry.startswith("b") and entry[1:].lstrip("-").isdigit():
-                    mx = max(mx, int(entry[1:]))
-        return mx + 1
+                m = re.fullmatch(r"s(\d+)", entry)
+                if m:
+                    mx = max(mx, int(m.group(1)))
+        return f"s{mx + 1}"
 
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch
@@ -130,17 +153,20 @@ class IngestPipeline:
         return self.spark.createDataFrame([], schema)
 
     def _read_state_excluding(self, path: str, schema: str,
-                              batch_id: int) -> DataFrame:
-        """State as of BEFORE ``batch_id``: every flat file and batch
-        subdirectory except ``b<batch_id>`` itself. On a replay of a torn
+                              key: str) -> DataFrame:
+        """State as of BEFORE batch ``key``: every flat file and batch
+        subdirectory except ``<key>`` itself. On a replay of a torn
         batch this reconstructs exactly the state the original attempt saw,
         making the fresh-set computation (and thus every downstream write)
         deterministic across attempts."""
-        skip = f"b{batch_id}"
+        return self._read_state_excluding_keys(path, schema, {key})
+
+    def _read_state_excluding_keys(self, path: str, schema: str,
+                                   skip: set[str]) -> DataFrame:
         parts: list[str] = []
         if os.path.isdir(path):
             for entry in sorted(os.listdir(path)):
-                if entry == skip:
+                if entry in skip:
                     continue
                 p = os.path.join(path, entry)
                 if os.path.isdir(p) and self._has_parquet(p):
@@ -172,8 +198,15 @@ class IngestPipeline:
 
     # --- the foreachBatch body ---------------------------------------------
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """batch: (doc_id bigint, text string, modality string)."""
+    def process_batch(self, batch: DataFrame, batch_id: int,
+                      key: str | None = None) -> None:
+        """batch: (doc_id bigint, text string, modality string).
+
+        ``key`` is the batch's state-subdirectory name; it defaults to the
+        current namespace + ``batch_id`` (streaming epochs), while the
+        submit facade passes its own ``s<n>`` key.
+        """
+        key = key if key is not None else self._batch_key(batch_id)
         batch = batch.dropDuplicates(["doc_id"])
         if self.maintain_neardup:
             # pin the arbitrary per-doc_id pick: the signature pass re-reads
@@ -198,7 +231,7 @@ class IngestPipeline:
         # corpus may already hold this batch's own subdirectory, and a full
         # left-anti would then declare nothing fresh and skip the edge write
         prev = self._read_state_excluding(
-            self.corpus_dir, CORPUS_SCHEMA, batch_id)
+            self.corpus_dir, CORPUS_SCHEMA, key)
         fresh = embedded.join(
             prev.select("content_sha256"), "content_sha256", "left_anti"
         )
@@ -208,7 +241,7 @@ class IngestPipeline:
         if n_fresh == 0:
             return
         fresh.write.mode("overwrite").parquet(
-            self._bdir(self.corpus_dir, batch_id))
+            self._bdir(self.corpus_dir, key))
 
         # checkpoint: the KNN scan is the expensive stage; edge build must
         # reuse its result, not recompute the corpus scan
@@ -216,19 +249,62 @@ class IngestPipeline:
             fresh, n_queries=n_fresh).localCheckpoint(eager=True)
         edges = self.build_edges(neighbors)
         edges.write.mode("overwrite").parquet(
-            self._bdir(self.edges_dir, batch_id))
+            self._bdir(self.edges_dir, key))
         if self.maintain_ivf:
-            self._update_index(fresh, batch_id)
+            self._update_index(fresh, key)
         if self.maintain_neardup:
-            self._update_neardup(batch, fresh, batch_id)
+            self._update_neardup(batch, fresh, key)
 
     # --- state maintenance ---------------------------------------------------
+
+    def _write_committed(self, root: str, key: str) -> bool:
+        """True iff batch ``key``'s write to ``root`` completed — parquet
+        writes drop a ``_SUCCESS`` marker on job commit, so a directory
+        torn mid-write (or never written) reads as uncommitted."""
+        return os.path.isfile(os.path.join(root, key, "_SUCCESS"))
+
+    def _torn_batch_keys(self) -> set[str]:
+        """Batch keys whose write sequence did not finish — only these may
+        be replayed, and a replay recomputes its fresh set by EXCLUDING its
+        own subdirectories, so compact() must leave them as subdirectories
+        (folding them into flat files would make them indistinguishable
+        from committed state and the replay would silently drop the
+        batch's missing writes).
+
+        foreachBatch runs batches sequentially per stream, so only the
+        trailing (highest-id) key of each namespace can be torn. A key is
+        committed when every store its configuration writes has the batch's
+        ``_SUCCESS``: corpus → edges always; + signatures/flags under
+        ``maintain_neardup``; + the IVF assignment under ``maintain_ivf``
+        once centroids exist (pre-bootstrap batches write no index).
+        Run compact() with the same maintain_* configuration as the ingest
+        it compacts.
+        """
+        trailing: dict[str, int] = {}
+        if os.path.isdir(self.corpus_dir):
+            for entry in os.listdir(self.corpus_dir):
+                m = re.fullmatch(r"(.*?)(\d+)", entry)
+                if m and os.path.isdir(os.path.join(self.corpus_dir, entry)):
+                    ns, bid = m.group(1), int(m.group(2))
+                    trailing[ns] = max(trailing.get(ns, -1), bid)
+        torn: set[str] = set()
+        for ns, bid in trailing.items():
+            key = f"{ns}{bid}"
+            ok = self._write_committed(self.edges_dir, key)
+            if ok and self.maintain_neardup:
+                ok = (self._write_committed(self.flags_dir, key)
+                      and self._write_committed(self.sig_dir, key))
+            if ok and self.maintain_ivf and os.path.isdir(self.centroids_dir):
+                ok = self._write_committed(self.index_dir, key)
+            if not ok:
+                torn.add(key)
+        return torn
 
     def compact(self, target_rows_per_file: int = 1_000_000) -> dict[str, int]:
         """Rewrite the append-accumulated state directories into
         right-sized files.
 
-        Every micro-batch writes a ``b<batch_id>`` subdirectory with at
+        Every micro-batch writes a per-batch subdirectory with at
         least one parquet file to the corpus and edges directories, so a
         long-running ingest accumulates thousands of tiny files — the classic small-files problem: scan
         parallelism degenerates to one task per tiny file and the
@@ -237,9 +313,16 @@ class IngestPipeline:
         ceil(rows / target_rows_per_file) files, write beside, swap
         atomically-enough for a single-writer pipeline (rename old →
         .old, new → live, delete .old). Returns {dir_name: n_files}.
+
+        A torn trailing batch (killed mid-sequence; detected via missing
+        ``_SUCCESS`` markers) is NOT folded: its subdirectories are carried
+        over verbatim so a post-compact replay can still exclude its own
+        partial writes and finish the batch — compacting it would destroy
+        exactly the state the replay scheme depends on.
         """
         import shutil
 
+        torn = self._torn_batch_keys()
         done: dict[str, int] = {}
         for path, schema in ((self.corpus_dir, CORPUS_SCHEMA),
                              (self.edges_dir, EDGE_SCHEMA),
@@ -248,14 +331,21 @@ class IngestPipeline:
                              (self.flags_dir, FLAG_SCHEMA)):
             if not (os.path.isdir(path) and self._has_parquet(path)):
                 continue
-            df = self._read_state(path, schema)
+            df = self._read_state_excluding_keys(path, schema, torn)
             n = df.count()
+            if n == 0:
+                # only torn-batch subdirectories here — nothing to fold
+                continue
             files = max(1, -(-n // target_rows_per_file))
             tmp = path + ".compact"
             old = path + ".old"
             df.coalesce(files).write.mode("overwrite").parquet(tmp)
             os.rename(path, old)
             os.rename(tmp, path)
+            for key in torn:
+                src = os.path.join(old, key)
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(path, key))
             shutil.rmtree(old)
             done[os.path.basename(path)] = files
         return done
@@ -278,7 +368,7 @@ class IngestPipeline:
         )
 
     def _update_neardup(self, batch: DataFrame, fresh: DataFrame,
-                        batch_id: int) -> None:
+                        key: str) -> None:
         """Flag the batch's fresh docs against the running signature store
         (dq181's incremental form, streaming-equivalence-tested): write
         flags and the fresh signatures to this batch's subdirectory, so
@@ -295,12 +385,12 @@ class IngestPipeline:
             batch.join(fresh.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "text")
         ).localCheckpoint(eager=True)
-        store = self._read_state_excluding(self.sig_dir, SIG_SCHEMA, batch_id)
+        store = self._read_state_excluding(self.sig_dir, SIG_SCHEMA, key)
         flags = neardup_flags_incremental(sig_fresh, store)
         flags.write.mode("overwrite").parquet(
-            self._bdir(self.flags_dir, batch_id))
+            self._bdir(self.flags_dir, key))
         sig_fresh.write.mode("overwrite").parquet(
-            self._bdir(self.sig_dir, batch_id))
+            self._bdir(self.sig_dir, key))
 
     # --- incremental IVF index maintenance ---------------------------------
 
@@ -320,7 +410,7 @@ class IngestPipeline:
             .select("doc_id", "cid")
         )
 
-    def _update_index(self, fresh: DataFrame, batch_id: int = 0) -> None:
+    def _update_index(self, fresh: DataFrame, key: str = "b0") -> None:
         """Keep a coarse IVF index in sync with the corpus as it grows.
 
         Before the corpus reaches ``ivf_bootstrap`` docs there is no index
@@ -354,17 +444,17 @@ class IngestPipeline:
             # corpus to the root here would leave the batch's rows
             # duplicated after the replay's subdirectory write.
             prev = self._read_state_excluding(
-                self.corpus_dir, CORPUS_SCHEMA, batch_id)
+                self.corpus_dir, CORPUS_SCHEMA, key)
             self._assign(prev, cents).write.mode(
                 "overwrite").parquet(self.index_dir)
             self._assign(fresh, cents).write.mode("overwrite").parquet(
-                self._bdir(self.index_dir, batch_id))
+                self._bdir(self.index_dir, key))
             cents.write.mode("overwrite").parquet(self.centroids_dir)
         else:
             # per-batch subdirectory, not append: a replayed batch must
             # rewrite its own assignment rows, not double-append them
             self._assign(fresh, cents).write.mode("overwrite").parquet(
-                self._bdir(self.index_dir, batch_id))
+                self._bdir(self.index_dir, key))
 
     def search_ivf(self, text: str, k: int | None = None,
                    modality: str = "text", probes: int = 2) -> DataFrame:
@@ -735,7 +825,18 @@ class IngestPipeline:
     # --- stream wiring ------------------------------------------------------
 
     def run_stream(self, doc_stream: DataFrame, checkpoint_dir: str):
-        """Attach the pipeline to a document stream via foreachBatch."""
+        """Attach the pipeline to a document stream via foreachBatch.
+
+        The batch-subdirectory namespace is derived from the checkpoint
+        path: epoch ids are unique only WITHIN a checkpoint, so two
+        different checkpoints attached to the same state directory (e.g. a
+        fresh checkpoint after a compact(), or a second stream) would
+        otherwise both write ``b<id>`` and overwrite each other's committed
+        batches. Same checkpoint across restarts → same namespace → a
+        replayed epoch still rewrites exactly its own subdirectory.
+        """
+        self._stream_ns = "b" + hashlib.sha1(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8] + "-"
         q = (
             doc_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -789,10 +890,13 @@ def _facade_submit(self, text: str, modality: str = "text",
         [(int(doc_id), text, modality)],
         "doc_id bigint, text string, modality string",
     )
-    # unique batch id per submit: state writes go to per-batch
-    # subdirectories, so a reused id would overwrite the previous
-    # submit's rows instead of accumulating
-    self.process_batch(batch, self._next_batch_id())
+    # unique key per submit, in the facade's own ``s<n>`` namespace: state
+    # writes go to per-batch subdirectories, so a reused key would
+    # overwrite a previous batch's rows instead of accumulating — and the
+    # facade's disk-derived counter must never collide with a stream
+    # checkpoint's independent epoch sequence
+    key = self._next_submit_key()
+    self.process_batch(batch, int(key[1:]), key=key)
     fresh = self.corpus().filter(F.col("doc_id") == doc_id)
     return self.knn_against_corpus(fresh).select(
         F.col("doc_id").alias("id"), "modality", "s", "rn"

@@ -51,6 +51,48 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
+def oracle_type_hazards(con, oracle: str) -> list[str]:
+    """Binder-only lint of a declared oracle's output types — the DuckDB
+    twin of the Spark-side declared-output type ban (tests/test_entry.py).
+
+    The r5/r6 driver-red class was an oracle column whose DuckDB type
+    canonicalizes differently through pandas than the Spark column it is
+    hashed against: uncast integer ``SUM`` → HUGEINT → float64 vs Spark's
+    int64. This lints every hazard class at BIND time (``con.sql`` resolves
+    columns/types without executing the plan), so the full registry checks
+    in seconds and a new registration cannot reintroduce the class:
+
+    - HUGEINT/UHUGEINT/DECIMAL: pandas converts to float64 (no int128 /
+      decimal dtype) — hashes ``150.0`` against Spark's ``150``.
+    - DOUBLE/FLOAT/REAL: raw floats are banned on the Spark side (snap to
+      micro-unit BIGINTs); an oracle emitting them can only mismatch.
+    - TIMESTAMP*/INTERVAL/TIME: the driver's pandas canonicalizer diverges
+      on temporal columns (dq92 r2, dq201 r5) — DATE and epoch-µs BIGINTs
+      are the green forms.
+    - nested types (LIST/STRUCT/MAP): pandas cannot sort/hash them stably.
+
+    Returns ``["col: TYPE", ...]`` — empty means clean.
+    """
+    rel = con.sql(oracle)
+    bad: list[str] = []
+    for c, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        hazardous = (
+            ts in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL")
+            or ts.startswith("DECIMAL")
+            or ts.startswith("TIMESTAMP")
+            or ts.startswith("TIME")
+            or ts.startswith("INTERVAL")
+            or ts.endswith("[]")
+            or ts.startswith("STRUCT")
+            or ts.startswith("MAP")
+            or ts.startswith("UNION")
+        )
+        if hazardous:
+            bad.append(f"{c}: {ts}")
+    return bad
+
+
 def duckdb_pandas_kind(duck_type: str, has_null: bool) -> str:
     """Predicted ``.df()`` numpy dtype *kind* for a DuckDB column type.
 

@@ -46,6 +46,45 @@ def test_every_query_has_oracle_or_note():
         assert e.oracle is not None or e.note, e.name
 
 
+def test_oracle_types_lint_clean_registrywide(oracle_con):
+    """Round-8 recurrence guard at the REGISTRATION level: every declared
+    oracle must bind to cross-engine-inert output types. The runtime
+    parity check (pandas_dtype_parity) catches the r5/r6 HUGEINT class at
+    gate time; this catches it the moment a new entry is registered —
+    binder-only, so the whole registry lints in seconds without executing
+    a single oracle."""
+    from multi_model_vectorsearch_spark.testing import oracle_type_hazards
+
+    bad = {
+        e.name: hz
+        for e in dq.registry() if e.oracle is not None
+        if (hz := oracle_type_hazards(oracle_con, e.oracle))
+    }
+    assert not bad, f"hazard-typed oracle outputs: {bad}"
+
+
+def test_oracle_types_lint_rejects_bad_fixture(oracle_con):
+    """Synthetic bad oracles — one per hazard class — must be rejected,
+    proving the lint would stop a round-9 registration from
+    reintroducing the class."""
+    from multi_model_vectorsearch_spark.testing import oracle_type_hazards
+
+    fixtures = {
+        "HUGEINT": "SELECT SUM(x) AS n FROM (VALUES (1), (2)) t(x)",
+        "DOUBLE": "SELECT 1.5::DOUBLE AS v",
+        "DECIMAL": "SELECT 1.50 AS v",
+        "TIMESTAMP": "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts",
+        "[]": "SELECT [1, 2] AS arr",
+        "STRUCT": "SELECT {'a': 1} AS st",
+    }
+    for cls, sql in fixtures.items():
+        hz = oracle_type_hazards(oracle_con, sql)
+        assert hz and cls in hz[0], (cls, hz)
+    good = ("SELECT CAST(SUM(x) AS BIGINT) AS n, 'ok' AS s, DATE '2024-01-01'"
+            " AS d, TRUE AS b FROM (VALUES (1), (2)) t(x)")
+    assert oracle_type_hazards(oracle_con, good) == []
+
+
 def test_parity_check_catches_uncast_hugeint_sum(spark, oracle_con):
     """The r5/r6 driver-red class: a bare integer SUM in a DuckDB oracle is
     HUGEINT, which ``.df()`` converts to float64, which the driver hashes as

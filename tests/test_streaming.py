@@ -260,6 +260,110 @@ class TestIngestPipeline:
         pipe.run_stream(stream2, ckpt)
         assert self._state_snapshot(pipe) == ref_snap
 
+    def test_kill_compact_restart_exactly_once(self, spark, docs, tmp_path):
+        """Round-8 pin: a compact() between a torn batch and its replay
+        must not fold the torn batch's subdirectories into flat files —
+        the replay excludes its OWN subdirectory to recompute the fresh
+        set, and folding would make its half-committed corpus rows
+        indistinguishable from committed state (empty fresh set → the
+        batch's missing edge writes dropped forever). compact() detects
+        the torn trailing batch via its missing edges ``_SUCCESS`` and
+        carries it over verbatim."""
+        from multi_model_vectorsearch_spark.streaming.ingest import (
+            IngestPipeline,
+        )
+
+        src = str(tmp_path / "src")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        ref = self._run_to_completion(
+            spark, src, str(tmp_path / "ref_state"), str(tmp_path / "ref_ck"))
+        ref_snap = self._state_snapshot(ref)
+
+        state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pipe = IngestPipeline(spark, state, k=5)
+        orig_knn = pipe.knn_against_corpus
+        calls = {"n": 0}
+
+        def dying_knn(*args, **kwargs):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("injected crash after corpus write")
+            return orig_knn(*args, **kwargs)
+
+        pipe.knn_against_corpus = dying_knn
+        with pytest.raises(Exception, match="injected|Query.*terminated"):
+            pipe.run_stream(stream, ckpt)
+
+        # ops runs compact between the crash and the restart
+        import os
+
+        done = pipe.compact()
+        assert done.get("corpus") == 1 and done.get("edges") == 1
+        # the torn batch survived as an excludable subdirectory
+        torn = pipe._torn_batch_keys()
+        assert len(torn) == 1
+        key = next(iter(torn))
+        assert os.path.isdir(os.path.join(pipe.corpus_dir, key))
+        assert not os.path.isdir(os.path.join(pipe.edges_dir, key))
+
+        pipe.knn_against_corpus = orig_knn
+        stream2 = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pipe.run_stream(stream2, ckpt)
+        assert self._state_snapshot(pipe) == ref_snap
+
+    def test_batch_namespaces_never_collide(self, spark, docs, tmp_path):
+        """Round-8 pin (advisor finding): batch ids come from independent
+        sequences — each stream checkpoint's epochs restart at 0, and the
+        facade submit keeps its own disk-derived counter. Un-namespaced
+        ``b<id>`` directories let a second stream's epoch 0 silently
+        overwrite (destroy) the first stream's batch 0. Namespacing by
+        checkpoint (``b<hash>-<id>``) and facade (``s<n>``) must keep all
+        three writers' state intact."""
+        from multi_model_vectorsearch_spark.streaming.ingest import (
+            IngestPipeline,
+        )
+
+        state = str(tmp_path / "state")
+        src1 = str(tmp_path / "src1")
+        src2 = str(tmp_path / "src2")
+        docs.filter(F.col("doc_id") < 25).repartition(2) \
+            .write.mode("overwrite").parquet(src1)
+        docs.filter(F.col("doc_id") >= 25).repartition(2) \
+            .write.mode("overwrite").parquet(src2)
+
+        def run(src, ck):
+            stream = (
+                spark.readStream.schema(spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            pipe = IngestPipeline(spark, state, k=5)
+            pipe.run_stream(stream, str(tmp_path / ck))
+            return pipe
+
+        n1 = spark.read.parquet(src1).count()
+        n2 = spark.read.parquet(src2).count()
+        pipe = run(src1, "ck1")
+        assert pipe.corpus().count() == n1
+        # facade submit between the two stream runs (explicit doc_id: the
+        # auto-assigned max+1 would collide with a src2 doc_id)
+        pipe.submit("a brand new facade document", "text", doc_id=1000)
+        assert pipe.corpus().count() == n1 + 1
+        # second stream: NEW checkpoint, epochs restart at 0
+        pipe = run(src2, "ck2")
+        assert pipe.corpus().count() == n1 + 1 + n2
+        assert pipe.corpus().select("doc_id").distinct().count() == \
+            n1 + 1 + n2
+
     def test_run_stream_foreachbatch(self, spark, docs, tmp_path):
         src = str(tmp_path / "docs_src")
         docs.repartition(4).write.mode("overwrite").parquet(src)
