@@ -144,54 +144,96 @@ def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
     ).orderBy("event_type")
 
 
-def dq171_global_ntile_scalable(t: dict, n_tiles: int = 4,
-                                n_ranges: int = 32) -> DataFrame:
-    """Global ntile without a single-partition window — the two-pass
-    range-partition form of dq18, producing IDENTICAL output.
+def global_order_scalable(df: DataFrame, order_cols: list,
+                          rank_col: str = "r",
+                          cum_sums: tuple = (),
+                          n_ranges: int = 32) -> tuple[DataFrame, int]:
+    """Global rank (and optional running sums) WITHOUT a single-task
+    window — the range-partition + offset-broadcast pattern, reusable.
 
-    ``Window.orderBy(...)`` (dq18) funnels every row through one task; at
-    100 TB that task never finishes. The scalable plan: (1) range-partition
-    on the sort key so partitions hold disjoint, ordered key ranges,
-    (2) count rows per partition — a ``n_ranges``-row aggregate collected
-    to the driver — and broadcast the running offsets back, (3) rank =
-    per-partition row_number + the partition's offset (windows partitioned
-    by range id run fully parallel), (4) the ntile bucket is closed-form
-    arithmetic on (rank, N). The only driver materialization is one row
-    per range partition.
+    ``Window.orderBy(...)`` with no partition funnels every row through
+    one task; at 100 TB that task never finishes. The scalable plan:
+    (1) range-partition on the sort key so partitions hold disjoint,
+    ordered key ranges, (2) aggregate per-partition row counts (and sums
+    for each requested running-sum column) — an ``n_ranges``-row table
+    collected to the driver — and broadcast the exclusive running offsets
+    back, (3) rank = per-partition row_number + the partition's offset
+    (windows partitioned by range id run fully parallel); running sums
+    likewise. Output is row-for-row IDENTICAL to the partitionless
+    ``Window.orderBy`` form provided ``order_cols`` is a TOTAL order
+    (include a unique tie-break column).
+
+    ``order_cols``: Column expressions, may carry ``.desc()``/``.asc()``.
+    ``cum_sums``: ``(out_name, in_col_name)`` pairs → inclusive running
+    sums over the same order. Returns ``(df + rank/cum columns, n_total)``
+    — the only driver materialization is one row per range partition.
     """
     from pyspark.sql import Window
 
     keyed = (
-        t["customer"].select("c_custkey", "c_acctbal")
-        .repartitionByRange(n_ranges, F.col("c_acctbal"), F.col("c_custkey"))
-        .withColumn("pid", F.spark_partition_id())
+        df.repartitionByRange(n_ranges, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
     )
     keyed = keyed.localCheckpoint(eager=True)  # pin partitioning for both passes
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(src).alias(f"_s_{out}") for out, src in cum_sums
+    ]
     sizes = sorted(
-        keyed.groupBy("pid").count().collect(), key=lambda r: r.pid
+        keyed.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r._pid
     )
-    offsets, acc = {}, 0
+    offsets: dict[str, dict[int, int]] = {"_n": {}}
+    acc: dict[str, int] = {"_n": 0}
+    for out, _src in cum_sums:
+        offsets[f"_s_{out}"], acc[f"_s_{out}"] = {}, 0
     for r in sizes:
-        offsets[r.pid] = acc
-        acc += r["count"]
-    n_total = acc
-    off_col = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("pid"),
-    )
-    wp = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-    ranked = keyed.withColumn(
-        "r", F.row_number().over(wp) + off_col
-    )
+        for key in offsets:
+            offsets[key][r._pid] = acc[key]
+            acc[key] += r[key] or 0
+    n_total = acc["_n"]
+
+    def off_col(key: str):
+        return F.element_at(
+            F.create_map(*[F.lit(x)
+                           for kv in offsets[key].items() for x in kv]),
+            F.col("_pid"),
+        )
+
+    wp = Window.partitionBy("_pid").orderBy(*order_cols)
+    out_df = keyed.withColumn(rank_col, F.row_number().over(wp)
+                              + off_col("_n"))
+    run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for out, src in cum_sums:
+        out_df = out_df.withColumn(
+            out, F.sum(src).over(run) + off_col(f"_s_{out}"))
+    return out_df.drop("_pid"), n_total
+
+
+def ntile_from_rank(rank, n_total: int, n_tiles: int):
+    """SQL ``NTILE(n)`` as closed-form arithmetic on a global rank: the
+    first ``n_total mod n`` tiles get ``ceil(n_total/n)`` rows, the rest
+    ``floor(n_total/n)`` — exactly the standard NTILE split, with no
+    window at all once the rank exists."""
     base, rem = n_total // n_tiles, n_total % n_tiles
     big = base + 1
     q = (
-        F.when(F.col("r") <= rem * big, (F.col("r") - 1) / big)
-        .otherwise(rem + (F.col("r") - 1 - rem * big) / F.greatest(
+        F.when(rank <= rem * big, (rank - 1) / big)
+        .otherwise(rem + (rank - 1 - rem * big) / F.greatest(
             F.lit(base), F.lit(1)))
     )
+    return (F.floor(q) + 1).cast("int")
+
+
+def dq171_global_ntile_scalable(t: dict, n_tiles: int = 4,
+                                n_ranges: int = 32) -> DataFrame:
+    """Global ntile without a single-partition window — the two-pass
+    range-partition form of dq18 (see :func:`global_order_scalable`),
+    producing IDENTICAL output."""
+    ranked, n_total = global_order_scalable(
+        t["customer"].select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")], n_ranges=n_ranges)
     return ranked.select(
-        "c_custkey", (F.floor(q) + 1).cast("int").alias("q")
+        "c_custkey",
+        ntile_from_rank(F.col("r"), n_total, n_tiles).alias("q"),
     )
 
 

@@ -1642,22 +1642,25 @@ def dq227_vocab_coverage_curve(t: Tables) -> DataFrame:
 
     The whole computation happens on the VOCAB table (one groupBy of the
     stream, map-side combinable): rank by (count desc, token), running
-    covered-count window over the vocab rows, then one probe per grid
-    point. Counts are exact bigints; coverage is one IEEE division per
-    row. The global vocab window is vocab-sized (≤ a few million rows at
-    any corpus scale) and range-partitionable via the dq171 trick if a
-    tokenizer vocab ever outgrows one task.
+    covered-count over the vocab rows, then one probe per grid point.
+    Counts are exact bigints; coverage is one IEEE division per row.
+    Round-8 migration: the rank AND the running covered-count come from
+    one ``global_order_scalable`` pass (range-partition + offset
+    broadcast) — a whitespace-token vocab over a 100 TB web corpus is
+    NOT domain-bounded (billions of distinct tokens), so the old
+    partitionless window was a genuine single-task funnel. Output is
+    row-identical to the window form.
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+    )
+
     toks = t["documents"].select(
         F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    wv = Window.orderBy(F.desc("c"), F.asc("tok"))
-    ranked = (
-        vocab
-        .withColumn("r", F.row_number().over(wv))
-        .withColumn("cum", F.sum("c").over(
-            wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    )
+    ranked, _n = global_order_scalable(
+        vocab, [F.desc("c"), F.asc("tok")], rank_col="r",
+        cum_sums=(("cum", "c"),))
     total = vocab.agg(F.sum("c").alias("n_total"),
                       F.count("*").alias("vocab_size"))
     ks = [2, 5, 10, 20, 30]

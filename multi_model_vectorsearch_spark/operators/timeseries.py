@@ -1181,15 +1181,23 @@ def dq235_markov_nll(t: Tables, add_k: float = 0.5) -> DataFrame:
 def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
     """RFM segmentation: quintile scores for Recency (last activity),
     Frequency (event count), and Monetary (total cents) per user — the
-    classic behavioral segmentation grid, here as three ntile windows
+    classic behavioral segmentation grid, here as three ntile scores
     over the user-level aggregate (user-count-sized input, not the raw
     stream; ties broken by user_id so every score is deterministic).
 
-    One map-side-combinable aggregate builds the per-user triple; the
-    three ntile windows share one global ordering pass each over the
-    SMALL user table — the dq171 range-partition trick applies if the
-    user dimension itself outgrows a task.
+    One map-side-combinable aggregate builds the per-user triple; each
+    score is a ``global_order_scalable`` pass (range-partition + offset
+    broadcast + closed-form NTILE arithmetic — round-8 migration off the
+    partitionless ``Window.orderBy``, output identical): the user
+    dimension is unbounded at 100 TB, so the single-task global windows
+    this used to plan were a genuine scale funnel, not a domain-bounded
+    one.
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+        ntile_from_rank,
+    )
+
     ev = t["events"].select(
         "user_id",
         F.unix_micros("ts").alias("us"),
@@ -1200,15 +1208,18 @@ def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum("cents").alias("monetary_c"),
     )
-    r_w = Window.orderBy(F.desc("last_us"), F.asc("user_id"))
-    f_w = Window.orderBy(F.desc("freq"), F.asc("user_id"))
-    m_w = Window.orderBy(F.desc("monetary_c"), F.asc("user_id"))
+    u, n = global_order_scalable(
+        u, [F.desc("last_us"), F.asc("user_id")], rank_col="_rr")
+    u, _ = global_order_scalable(
+        u, [F.desc("freq"), F.asc("user_id")], rank_col="_rf")
+    u, _ = global_order_scalable(
+        u, [F.desc("monetary_c"), F.asc("user_id")], rank_col="_rm")
     return u.select(
         "user_id", "freq",
         F.col("monetary_c").alias("monetary_cents"),
-        F.ntile(n_tiles).over(r_w).alias("r_score"),
-        F.ntile(n_tiles).over(f_w).alias("f_score"),
-        F.ntile(n_tiles).over(m_w).alias("m_score"),
+        ntile_from_rank(F.col("_rr"), n, n_tiles).alias("r_score"),
+        ntile_from_rank(F.col("_rf"), n, n_tiles).alias("f_score"),
+        ntile_from_rank(F.col("_rm"), n, n_tiles).alias("m_score"),
     )
 
 
@@ -1261,17 +1272,28 @@ def dq243_lorenz_deciles(t: Tables) -> DataFrame:
     report behind dq236's single Gini number ('the top decile carries
     X% of volume').
 
-    Users aggregate once (map-side combinable); the decile split is one
-    ntile over the user-count-sized table with a deterministic
-    (spend, user_id) tie-break; shares are exact integer cents ratios.
+    Users aggregate once (map-side combinable); the decile split is a
+    ``global_order_scalable`` rank (range-partition + offset broadcast —
+    round-8 migration: the user dimension is unbounded, so the old
+    partitionless ntile window was a genuine single-task funnel) with a
+    deterministic (spend, user_id) tie-break; shares are exact integer
+    cents ratios. The remaining partitionless window runs over the
+    10-row decile table — domain-bounded by construction.
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+        ntile_from_rank,
+    )
+
     spend = (
         t["events"].groupBy("user_id")
         .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
              .alias("c"))
     )
-    w = Window.orderBy(F.asc("c"), F.asc("user_id"))
-    tiled = spend.withColumn("decile", F.ntile(10).over(w))
+    ranked, n = global_order_scalable(
+        spend, [F.asc("c"), F.asc("user_id")], rank_col="_r")
+    tiled = ranked.withColumn(
+        "decile", ntile_from_rank(F.col("_r"), n, 10))
     per_d = tiled.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("c").alias("dc"))
     tot = per_d.agg(F.sum("dc").alias("tc"))

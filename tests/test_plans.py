@@ -397,3 +397,34 @@ def test_lsh_pair_band_join_is_shuffled_equi_join(tables):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_partitionless_windows_all_classified(tables):
+    """Round-8 verdict item 1: every partitionless window in the registry
+    is accounted for 1:1. A Window with empty PARTITION BY executes as a
+    single task — the plan-level scale-killer behind the bench tail's "No
+    Partition Defined" warnings. Each one must be declared in
+    GLOBAL_WINDOW_CLASS as domain-bounded (input collapses to a bounded
+    distinct-value/aggregate table), driver-bounded (post-LIMIT pool), or
+    a declared global-order contract with a scale-safe twin; this test
+    fails the registry the moment a new entry plans an unclassified one —
+    and goes stale-red if a classified entry stops planning one (so the
+    whitelist can never silently outgrow reality)."""
+    from multi_model_vectorsearch_spark import dq
+    from multi_model_vectorsearch_spark.plans.window_audit import (
+        GLOBAL_WINDOW_CLASS,
+        partitionless_windows,
+    )
+
+    offenders = {
+        e.name: w
+        for e in dq.registry()
+        if (w := partitionless_windows(e.builder(tables)))
+    }
+    unclassified = {k: offenders[k] for k in
+                    set(offenders) - set(GLOBAL_WINDOW_CLASS)}
+    stale = sorted(set(GLOBAL_WINDOW_CLASS) - set(offenders))
+    assert not unclassified, (
+        f"unclassified partitionless windows (migrate to "
+        f"scale.global_order_scalable or classify): {unclassified}")
+    assert not stale, f"classified entries no longer plan one: {stale}"
