@@ -87,6 +87,24 @@ def route_embedding(data, modality):
     )
 
 
+def route_embedding_local(text: str | None, modality: str) -> list[float] | None:
+    """Driver-side twin of :func:`route_embedding` for SINGLE-query serving.
+
+    A one-row query does not need a Spark job + Arrow round-trip just to
+    embed itself: this calls the exact same kernel the UDFs map over
+    (``hash_embed_text``; the media tower's ``media:`` salt included), so
+    the returned vector is value-identical to what the distributed path
+    produces — serving paths can splice it in as a literal. Same modality
+    routing as vec.py:10-27, including audio-through-image and the
+    NULL-on-unknown contract.
+    """
+    if modality == "text":
+        return hash_embed_text(text if text is not None else "")
+    if modality in ("image", "audio"):
+        return hash_embed_text(f"media:{text if text is not None else ''}")
+    return None
+
+
 def clip_embed_udf():
     """Production CLIP text/image embedder (same plan shape as the stub).
 

@@ -23,6 +23,33 @@ def explain_formatted(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def scan_leaf_classes(df: DataFrame) -> list[str]:
+    """Class names of the physical plan's leaf nodes — the actual data
+    sources execution will read. A cached query's textual explain still
+    PRINTS the parquet lineage under its InMemoryRelation, so string
+    checks for "Scan parquet" false-positive on fully-warm plans; the
+    executed plan's leaves are the structural truth (InMemoryTableScan
+    leaf = served from cache, FileSourceScan leaf = hits storage).
+    AdaptiveSparkPlanExec presents as a leaf until executed — unwrap into
+    its initial plan (ReusedExchange/QueryStage likewise)."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        n = node.children().size()
+        if n == 0:
+            out.append(cls)
+            return
+        for i in range(n):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def plan_has(df: DataFrame, *fragments: str) -> bool:
     plan = explain_formatted(df)
     return all(f in plan for f in fragments)

@@ -105,6 +105,8 @@ class IngestPipeline:
         # batch-subdirectory namespace for direct process_batch callers;
         # run_stream() replaces it with a checkpoint-derived one
         self._stream_ns = "b"
+        # warm-serving state (warm()): cached corpus/edges/centroids/index
+        self._warm: dict[str, DataFrame] = {}
 
     @staticmethod
     def _has_parquet(path: str) -> bool:
@@ -207,6 +209,7 @@ class IngestPipeline:
         submit facade passes its own ``s<n>`` key.
         """
         key = key if key is not None else self._batch_key(batch_id)
+        self.unwarm()  # ingest invalidates any warm serving snapshot
         batch = batch.dropDuplicates(["doc_id"])
         if self.maintain_neardup:
             # pin the arbitrary per-doc_id pick: the signature pass re-reads
@@ -456,30 +459,98 @@ class IngestPipeline:
             self._assign(fresh, cents).write.mode("overwrite").parquet(
                 self._bdir(self.index_dir, key))
 
+    # --- warm serving (round-8) ---------------------------------------------
+
+    def warm(self) -> dict[str, int]:
+        """Pin the serving state in executor memory so `/search` stops
+        paying parquet listing + scan + query-embed job setup per call.
+
+        Caches and materializes: the corpus, the edge store (1-hop
+        expansion reads it per query), and — when the IVF index has
+        bootstrapped — centroids and the assignment table. Serving queries
+        then plan as InMemoryTableScan → project → TakeOrdered: no file
+        listing, no parquet decode, no per-query state-existence jobs.
+        ``process_batch`` invalidates automatically (ingest changes state);
+        call ``warm()`` again after an ingest burst. At cluster scale the
+        same call pins the corpus across executors — the cache is
+        partition-local, nothing collects to the driver.
+        """
+        self.unwarm()
+        corpus = self.corpus().cache()
+        n = corpus.count()
+        edges = self.edges().cache()
+        ne = edges.count()
+        self._warm = {"corpus": corpus, "edges": edges}
+        sizes = {"corpus_rows": n, "edge_rows": ne}
+        cents = self.centroids()
+        if not cents.isEmpty():
+            idx = self.ivf_index().cache()
+            ni = idx.count()
+            if ni > 0:
+                cents = cents.cache()
+                sizes["centroid_rows"] = cents.count()
+                sizes["index_rows"] = ni
+                self._warm["centroids"] = cents
+                self._warm["index"] = idx
+            else:  # half-built external dir: degrade to full-scan serving
+                idx.unpersist()
+        return sizes
+
+    def unwarm(self) -> None:
+        """Release the warm-serving caches (no-op when cold)."""
+        for df in self._warm.values():
+            df.unpersist()
+        self._warm = {}
+
+    def _query_literal(self, text: str, modality: str):
+        """Embed ONE query on the driver and splice it in as an array
+        literal — value-identical to the UDF path (same kernel,
+        ``route_embedding_local``), minus a whole Spark job + Arrow
+        round-trip per query. Returns NULL-vector semantics (None) for
+        unknown modalities, as the reference rejects those submits."""
+        from multi_model_vectorsearch_spark.functions.embedding import (
+            route_embedding_local,
+        )
+
+        qv = route_embedding_local(text, modality)
+        return None if qv is None else F.lit(qv)
+
     def search_ivf(self, text: str, k: int | None = None,
                    modality: str = "text", probes: int = 2) -> DataFrame:
         """Probed ANN serving over the maintained index: score the query
         against the centroids, semi-join the corpus to the members of the
         ``probes`` nearest clusters, exact-rank only those candidates. A
         query touches ~probes/n_centroids of the corpus; falls back to the
-        full scan while the index hasn't bootstrapped."""
+        full scan while the index hasn't bootstrapped. With ``warm()``
+        state all reads hit the in-memory caches and the existence checks
+        cost nothing."""
         k = k or self.k
-        cents = self.centroids()
-        qdf = self.spark.createDataFrame(
-            [(text, modality)], "text string, modality string")
-        q = qdf.select(
-            route_embedding(F.col("text"), F.col("modality")).alias("qv"))
-        corpus = self.corpus()
-        idx = self.ivf_index() if not cents.isEmpty() else None
-        # probe only when BOTH halves of the index exist — _update_index
-        # orders its writes so centroids imply members, but a reader of a
-        # half-built external directory still degrades to the full scan
-        # rather than semi-joining everything to an empty member set
-        if idx is not None and not idx.isEmpty():
+        out_schema = "doc_id bigint, modality string, s double"
+        qv = self._query_literal(text, modality)
+        if qv is None:
+            return self.spark.createDataFrame([], out_schema)
+        if self._warm:
+            corpus = self._warm["corpus"]
+            cents = self._warm.get("centroids")
+            idx = self._warm.get("index")
+        else:
+            corpus = self.corpus()
+            cents = self.centroids()
+            if cents.isEmpty():
+                cents = idx = None
+            else:
+                idx = self.ivf_index()
+                # probe only when BOTH halves of the index exist —
+                # _update_index orders its writes so centroids imply
+                # members, but a reader of a half-built external directory
+                # still degrades to the full scan rather than semi-joining
+                # everything to an empty member set
+                if idx.isEmpty():
+                    cents = idx = None
+        if idx is not None:
             probe_cids = (
-                cents.crossJoin(F.broadcast(q))
-                .select("cid", cosine_similarity(
-                    F.col("cvec"), F.col("qv")).alias("cs"))
+                cents.select("cid", cosine_similarity(
+                    F.col("cvec"), qv).alias("cs"))
                 .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
                 .select("cid")
             )
@@ -487,11 +558,10 @@ class IngestPipeline:
                 F.broadcast(probe_cids), "cid").select("doc_id")
             corpus = corpus.join(F.broadcast(members), "doc_id", "left_semi")
         return (
-            corpus.crossJoin(F.broadcast(q))
-            .select(
+            corpus.select(
                 "doc_id", "modality",
-                snap_double(cosine_similarity(F.col("embedding"),
-                                              F.col("qv"))).alias("s"),
+                snap_double(cosine_similarity(F.col("embedding"), qv))
+                .alias("s"),
             )
             .orderBy(F.desc("s"), F.asc("doc_id"))
             .limit(k)
@@ -850,28 +920,37 @@ class IngestPipeline:
                modality: str = "text") -> DataFrame:
         """`/search` analog (main.py:90-125): embed the query, the same
         modality-balanced ``search_knn`` selection as the submit path (no
-        self-pin — the query is not a stored doc), then 1-hop expansion."""
+        self-pin — the query is not a stored doc), then 1-hop expansion.
+
+        The query embeds on the DRIVER (``route_embedding_local`` — the
+        same kernel the UDF maps, value-identical) and enters the plan as
+        an array literal: a one-row query needs no embed job, no
+        broadcast, no cross join. With ``warm()`` state the corpus and
+        edge reads hit the in-memory caches."""
         from multi_model_vectorsearch_spark.operators.graph import (
             DECAY,
             expand_one_hop,
         )
 
         k = k or self.k
-        qdf = self.spark.createDataFrame([(int(-1), text, modality)],
-                                         "doc_id bigint, text string, modality string")
-        q = qdf.select(
-            route_embedding(F.col("text"), F.col("modality")).alias("qv"))
-        corpus = self.corpus()
-        cand = corpus.crossJoin(F.broadcast(q)).select(
-            F.lit(-1).cast("bigint").alias("qid"),
-            F.lit(modality).alias("qm"),
-            "doc_id", "modality",
-            snap_double(cosine_similarity(F.col("embedding"),
-                                          F.col("qv"))).alias("s"),
-        )
+        qv = self._query_literal(text, modality)
+        corpus = self._warm["corpus"] if self._warm else self.corpus()
+        edges = self._warm["edges"] if self._warm else self.edges()
+        if qv is None:
+            cand = self.spark.createDataFrame(
+                [], "qid bigint, qm string, doc_id bigint, modality string, "
+                    "s double")
+        else:
+            cand = corpus.select(
+                F.lit(-1).cast("bigint").alias("qid"),
+                F.lit(modality).alias("qm"),
+                "doc_id", "modality",
+                snap_double(cosine_similarity(F.col("embedding"), qv))
+                .alias("s"),
+            )
         balanced = self._balanced_select(cand, k, k * OVERFETCH)
         seeds = balanced.select(F.col("doc_id").alias("vec_id"), "s")
-        return expand_one_hop(seeds, self.edges(), k=k, decay=DECAY)
+        return expand_one_hop(seeds, edges, k=k, decay=DECAY)
 
 
 # --- reference API facade ----------------------------------------------------

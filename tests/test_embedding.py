@@ -12,6 +12,7 @@ from multi_model_vectorsearch_spark.functions.embedding import (
     CLIP_DIM,
     clip_embed_udf,
     route_embedding,
+    route_embedding_local,
 )
 
 
@@ -41,6 +42,22 @@ def test_audio_routes_through_image_tower(spark):
     assert rows["audio"] != rows["text"]
     # unsupported modality → NULL (toVect returns None, vec.py:24-26)
     assert rows["video"] is None
+
+
+def test_route_embedding_local_matches_udf_path(spark):
+    """Serving embeds single queries on the DRIVER (route_embedding_local)
+    and splices the vector in as a literal; the value must be identical to
+    what the distributed UDF path produces for every modality route —
+    otherwise a served query would rank against a different vector than
+    the stored corpus was embedded with."""
+    rows = [("the query", "text"), ("the query", "image"),
+            ("the query", "audio"), ("the query", "video"), (None, "text")]
+    df = spark.createDataFrame(rows, "data string, modality string")
+    dist = [r.v for r in df.select(
+        route_embedding(F.col("data"), F.col("modality")).alias("v")
+    ).collect()]
+    local = [route_embedding_local(d, m) for d, m in rows]
+    assert dist == local
 
 
 def test_route_embedding_unit_norm(spark):

@@ -779,6 +779,54 @@ def test_ivf_index_maintained_incrementally(spark, tables, tmp_path):
     assert len(rows) == 6 and rows[0].s == 1.0
 
 
+def test_warm_serving_cached_plan_and_equality(spark, tables, tmp_path):
+    """Round-8 warm serving: ``warm()`` pins corpus/edges (and the IVF
+    tables once bootstrapped) in executor memory; serving queries must
+    then plan as in-memory scans — NO parquet scan between queries — and
+    return row-identical results to the cold paths (driver-side query
+    embed is the same kernel the UDF maps)."""
+    docs = tables["documents"].limit(120).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark, str(tmp_path / "wstate"), k=6,
+                          maintain_ivf=True)
+    for b in range(3):
+        pipe.process_batch(docs.filter(F.col("doc_id") % 3 == b), b)
+    sample = docs.orderBy("doc_id").first()
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    cold_search = snap(pipe.search(sample.text, k=6))
+    cold_probed = snap(pipe.search_ivf(sample.text, k=6, probes=2))
+    sizes = pipe.warm()
+    assert sizes["corpus_rows"] == 120 and sizes["index_rows"] == 120
+    try:
+        from multi_model_vectorsearch_spark.plans.explain import (
+            scan_leaf_classes,
+        )
+
+        for df in (pipe.search_ivf(sample.text, k=6, probes=2),
+                   pipe.search(sample.text, k=6)):
+            leaves = scan_leaf_classes(df)
+            assert any("InMemoryTableScan" in c for c in leaves), leaves
+            assert not any("FileSourceScan" in c or "BatchScan" in c
+                           for c in leaves), (
+                f"warm serving must not re-scan parquet state: {leaves}")
+        assert snap(pipe.search(sample.text, k=6)) == cold_search
+        assert snap(pipe.search_ivf(
+            sample.text, k=6, probes=2)) == cold_probed
+        # ingest invalidates the snapshot (stale serving would miss docs)
+        pipe.process_batch(docs.limit(1), 99)
+        assert not pipe._warm
+    finally:
+        pipe.unwarm()
+
+
 def test_ohlc_batch_equivalence(spark, tables, replay):
     """dq184's bars from the file-replay stream equal the batch bars:
     every OHLC aggregate is algebraic, so incremental merge order can't
