@@ -68,11 +68,12 @@ OVERFETCH = 6  # reference main.py:209: KNN pool is k*6 before the modality spli
 class IngestPipeline:
     """Stateful `/submit` pipeline over parquet-backed corpus + edge stores.
 
-    ``max_collect`` is the driver-materialization guard: micro-batches at or
-    under it take the vectorized numpy-kernel KNN (one bounded ``collect`` of
-    the query vectors); larger batches switch to a pure DataFrame
-    broadcast-join path that never materializes the batch on the driver, so a
-    fat micro-batch cannot OOM the driver at ingest scale.
+    ``max_collect`` is the driver-materialization guard: the vectorized
+    numpy-kernel KNN collects at most that many query vectors per kernel
+    call — micro-batches at or under it run as one call, larger batches
+    run the same kernel over ``max_collect``-sized query chunks (union of
+    independent per-query selections ≡ one pass), so a fat micro-batch
+    cannot OOM the driver at ingest scale and stays exact.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
@@ -587,16 +588,19 @@ class IngestPipeline:
           global per-query window is exact. One corpus scan, ~batch×k*6
           shuffled candidate rows, vectorized arithmetic (7.3 s → <1 s per
           sf0.1 batch).
-        * **join path** (fat batch): no driver ``collect`` at all. Once
-          the maintained IVF index has bootstrapped (``maintain_ivf``),
-          the join probes each query's ``ivf_probes`` nearest cells and
-          scores only their members — per-batch cost ~ batch ×
-          corpus·probes/n_centroids instead of the full corpus × batch
-          nested loop (152 s/batch at the 10× probe scale). Recall
-          follows the coarse-probe trade the dq120/dq229 gauges measure;
-          the exact ``corpus × broadcast(fresh)`` join remains the
-          pre-bootstrap fallback and the reference-parity baseline
-          (main.py:206-215 scans exactly).
+        * **chunked kernel path** (fat batch): the SAME kernel, applied to
+          query chunks of ``max_collect`` rows — each chunk's driver
+          collect stays bounded, queries are independent so the union of
+          per-chunk selections is byte-identical to one giant kernel pass,
+          and every chunk is exact (the round-6 IVF-pruned join this
+          replaces traded recall for speed and still lost: its pair table
+          flowed through interpreted HOF cosines and a pair-sized shuffle
+          — 284 s/batch vs the chunked kernel's numpy matmuls at the 10×
+          probe scale). All chunk branches materialize in ONE job, so the
+          corpus scan parallelism multiplies across chunks.
+          ``_knn_join`` / ``_knn_join_ivf`` remain as the independent
+          semantic reference (kernel≡join equivalence tests) and an
+          explicitly-callable approximate scorer respectively.
         """
         corpus = self.corpus()  # includes the batch just appended
         k = self.k
@@ -607,51 +611,46 @@ class IngestPipeline:
             return self.spark.createDataFrame(
                 [], "qid bigint, qm string, doc_id bigint, modality string, "
                     "s double, rn int")
-        if n_queries <= self.max_collect:
-            # Kernel path. Candidate emission is P x pool_k x Q (each
-            # partition's local top-pool_k per query), so partition count P
-            # — not corpus size — drives the shuffle into the selection
-            # windows. Right-size P to ~100k corpus rows per partition: a
-            # small/freshly-bootstrapped corpus collapses to a handful of
-            # partitions (32 -> 1 at sf0.1, 2.4M -> 75k candidate rows)
-            # while a 100 TB corpus keeps its natural parquet split
-            # parallelism. This sizing is kernel-path-ONLY: applying it
-            # before the path split serialized the fat-batch join onto one
-            # task (measured: a 12.5k-doc batch x 50k corpus never
-            # finished; the 10x scale probe caught it). The corpus count
-            # that feeds it is also kernel-path-only — hoisted above the
-            # split it charged every fat batch a full corpus scan whose
-            # result was never read.
-            target = max(1, corpus.count() // 100_000)
-            if target < corpus.rdd.getNumPartitions():
-                corpus = corpus.coalesce(target)
+        # Candidate emission is P x pool_k x Q (each partition's local
+        # top-pool_k per query), so partition count P — not corpus size —
+        # drives the shuffle into the selection windows. Right-size P to
+        # ~100k corpus rows per partition: a small/freshly-bootstrapped
+        # corpus collapses to a handful of partitions (32 -> 1 at sf0.1,
+        # 2.4M -> 75k candidate rows) while a 100 TB corpus keeps its
+        # natural parquet split parallelism. The count that feeds it is a
+        # parquet-footer count (no column decode).
+        target = max(1, corpus.count() // 100_000)
+        if target < corpus.rdd.getNumPartitions():
+            corpus = corpus.coalesce(target)
+
+        def one_chunk(chunk: DataFrame) -> DataFrame:
             # single-partition corpus: every task sees the whole corpus, so
             # the kernel's local pool IS the global pool — finish the
-            # balanced selection inside the kernel (numpy over <=pool_k rows
-            # per query) and skip the window stage + its shuffle entirely
+            # balanced selection inside the kernel (numpy over <=pool_k
+            # rows per query) and skip the window stage + its shuffle
             if target == 1:
-                return self._knn_kernel(corpus, fresh, pool_k,
-                                        finish_k=k)
-            cand = self._knn_kernel(corpus, fresh, pool_k)
-        else:
-            # Join path. Route through the maintained IVF index when it
-            # exists: the exact nested loop is the pre-bootstrap fallback.
-            cents = self.centroids() if self.maintain_ivf else None
-            idx = (self.ivf_index()
-                   if cents is not None and not cents.isEmpty() else None)
-            if idx is not None and not idx.isEmpty():
-                cand = self._knn_join_ivf(corpus, fresh, cents, idx)
-            else:
-                # the pair count is n_corpus x n_queries, and the
-                # nested-loop join's parallelism IS the corpus partition
-                # count — spread a small corpus across the executors
-                # instead of letting a single file (or the kernel sizing
-                # above) serialize the scoring.
-                par = self.spark.sparkContext.defaultParallelism
-                if corpus.rdd.getNumPartitions() < par:
-                    corpus = corpus.repartition(par)
-                cand = self._knn_join(corpus, fresh)
-        return self._balanced_select(cand, k, pool_k)
+                return self._knn_kernel(corpus, chunk, pool_k, finish_k=k)
+            return self._balanced_select(
+                self._knn_kernel(corpus, chunk, pool_k), k, pool_k)
+
+        if n_queries <= self.max_collect:
+            return one_chunk(fresh)
+        # Fat batch: deterministic query chunks via a global row_number —
+        # a single-task sort, but over the MICRO-BATCH (trigger-sized),
+        # never the corpus, so it is bounded by ingest configuration.
+        mc = self.max_collect
+        frc = fresh.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("doc_id")))
+        parts = [
+            one_chunk(
+                frc.filter((F.col("_rn") > i * mc)
+                           & (F.col("_rn") <= (i + 1) * mc)).drop("_rn"))
+            for i in range(-(-n_queries // mc))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _knn_kernel(self, corpus: DataFrame, fresh: DataFrame,
                     pool_k: int, finish_k: int | None = None) -> DataFrame:
@@ -661,6 +660,15 @@ class IngestPipeline:
         kernel also applies the modality-quota selection per query and emits
         the final ranked top-``finish_k`` rows — semantically identical to
         ``_balanced_select`` over the same pool, minus its shuffle.
+
+        Memory discipline (round-8, from a measured profile): the score
+        matrix is computed QUERY-BLOCK at a time into one reused buffer
+        with queries as ROWS — a fresh (corpus × queries) allocation per
+        numpy op page-faults gigabytes (a 50k×4096 matmul measured 10 s
+        freshly-allocated vs 0.5 s blocked into a reused buffer), and
+        axis-0 selection on a C-order matrix strides the whole row width
+        per element. Every full-matrix op is in-place; per-query state
+        (pin, pool, quotas) lives in (block × pool) arrays.
         """
         import numpy as np
         import pandas as pd
@@ -674,6 +682,7 @@ class IngestPipeline:
         # of NaN (NaN compares false and silently vanishes from top-k)
         qn = qmat / np.maximum(
             np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+        QBLOCK = 1024
 
         def score(batches):
             if finish_k is not None:
@@ -682,71 +691,110 @@ class IngestPipeline:
                 # spark.sql.execution.arrow.maxRecordsPerBatch rows, and an
                 # independent "final" top-k per batch would emit duplicate
                 # (qid, rn) rows. Concatenate first — this path is gated to a
-                # single coalesced partition of < 200k rows, so the matrix is
-                # bounded (~800 MB float64 at dim 512).
+                # single coalesced partition of < 200k rows, so the corpus
+                # matrix is bounded (~800 MB float64 at dim 512).
                 whole = [b for b in batches if len(b)]
                 batches = [pd.concat(whole, ignore_index=True)] if whole else []
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                if finish_k is not None:
-                    # row order IS the tie-break for the stable argsort below
-                    pdf = pdf.sort_values("doc_id", kind="stable")
+                # row position IS the doc_id tie-break for the composite
+                # key below, and sorted docs enable the binary-search pin
+                pdf = pdf.sort_values("doc_id", kind="stable")
                 c = np.stack([np.asarray(v, dtype=np.float64)
                               for v in pdf["embedding"].values])
                 cn = c / np.maximum(
                     np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-                # floor snap, not np.round: half-to-even vs the join path's
-                # half-up can rank a .xxxxxx5 cosine tie differently between
-                # the two paths the kernel≡join contract promises identical
-                sims = np.floor(cn @ qn.T * 1e6 + 0.5) / 1e6  # (n_chunk, n_q)
                 docs = pdf["doc_id"].values.astype(np.int64)
-                pin = docs[:, None] == qids[None, :]
-                sims[pin] = 1.0  # self-pin (main.py:223-224)
-                n = sims.shape[0]
-                if finish_k is None:
-                    if n > pool_k:
-                        thresh = np.partition(
-                            sims, n - pool_k, axis=0)[n - pool_k, :]
-                        keep = sims >= thresh[None, :]
-                    else:
-                        keep = np.ones_like(sims, dtype=bool)
-                    ci, qi = np.nonzero(keep)
-                    yield pd.DataFrame({
-                        "qid": qids[qi],
-                        "qm": np.array(qms, dtype=object)[qi],
-                        "doc_id": docs[ci],
-                        "modality": pdf["modality"].values[ci],
-                        "s": sims[ci, qi],
-                    })
-                    continue
-                # in-task balanced finish, fully vectorized: rows are
-                # pre-sorted by doc_id, so a stable argsort of -sims orders
-                # each query's pool by (s desc, doc_id asc); cumulative
-                # same/cross counts apply the k//2 quotas and the final
-                # top-k; the surviving rows are already in final rank order.
-                # Byte-for-byte what _balanced_select computes on this pool.
                 mods = pdf["modality"].values
                 qarr = np.array(qms, dtype=object)
-                half = finish_k // 2
+                n, nq = cn.shape[0], qn.shape[0]
+                # position term fits 24 bits: partitions are bounded far
+                # below 16.7M rows (finish path < 200k by the coalesce
+                # gate; scan partitions by maxPartitionBytes)
+                assert n < (1 << 24), n
+                # self-pin (main.py:223-224) via binary search on the
+                # sorted docs — the old n×q equality matrix was a full
+                # extra pass. [lo, hi) covers duplicate doc_ids too.
+                pin_lo = np.searchsorted(docs, qids, side="left")
+                pin_hi = np.searchsorted(docs, qids, side="right")
                 pk = min(pool_k, n)
-                top = np.argsort(-sims, axis=0, kind="stable")[:pk]
-                same = mods[top] == qarr[None, :]
-                cs = np.cumsum(same, axis=0)
-                cc = np.cumsum(~same, axis=0)
-                kept = np.where(same, cs <= half, cc <= half)
-                fin = kept & (np.cumsum(kept, axis=0) <= finish_k)
-                rn = np.cumsum(fin, axis=0)
-                q_idx, p_idx = np.nonzero(fin.T)  # (query, pool-position)
-                rows = top[p_idx, q_idx]
-                yield pd.DataFrame({
-                    "qid": qids[q_idx],
-                    "qm": qarr[q_idx],
-                    "doc_id": docs[rows],
-                    "modality": mods[rows],
-                    "s": sims[rows, q_idx],
-                    "rn": rn[p_idx, q_idx].astype("int32"),
-                })
+                posval = (2.0**24 - 1.0) - np.arange(n, dtype=np.float64)
+                buf = np.empty((min(QBLOCK, nq), n))
+                half = (finish_k or 0) // 2
+                for lo in range(0, nq, QBLOCK):
+                    hi = min(lo + QBLOCK, nq)
+                    b = hi - lo
+                    blk = buf[:b]
+                    np.dot(qn[lo:hi], cn.T, out=blk)
+                    # floor snap, not np.round: half-to-even vs the join
+                    # path's half-up can rank a .xxxxxx5 cosine tie
+                    # differently between two paths the kernel≡join
+                    # contract promises identical. blk now holds s_int —
+                    # the snapped score on the micro grid (integer-valued,
+                    # |s_int| <= 1e6)
+                    np.multiply(blk, 1e6, out=blk)
+                    np.add(blk, 0.5, out=blk)
+                    np.floor(blk, out=blk)
+                    for j in np.nonzero(pin_hi[lo:hi] > pin_lo[lo:hi])[0]:
+                        blk[j, pin_lo[lo + j]:pin_hi[lo + j]] = 1e6
+                    if finish_k is None:
+                        # partition-local pool: emit every row at-or-above
+                        # the query's pk-th score — ties included, so the
+                        # global per-query window downstream stays exact
+                        if pk < n:
+                            thresh = np.partition(
+                                blk, n - pk, axis=1)[:, n - pk]
+                            qi, ci = np.nonzero(blk >= thresh[:, None])
+                        else:
+                            qi = np.repeat(np.arange(b), n)
+                            ci = np.tile(np.arange(n), b)
+                        yield pd.DataFrame({
+                            "qid": qids[lo + qi],
+                            "qm": qarr[lo + qi],
+                            "doc_id": docs[ci],
+                            "modality": mods[ci],
+                            "s": blk[qi, ci] / 1e6,
+                        })
+                        continue
+                    # in-task balanced finish: the composite float64 key
+                    # s_int·2^24 + (2^24-1-position) totally orders each
+                    # query's candidates by (s desc, doc_id asc) with NO
+                    # ties and stays integer-exact (|key| < 2^45 < 2^53).
+                    # Row-wise argpartition + a pool-sized argsort replace
+                    # the old full column sort. Cumulative same/cross
+                    # counts then apply the k//2 quotas and the final
+                    # top-k; surviving rows are already in rank order —
+                    # byte-for-byte what _balanced_select computes.
+                    np.multiply(blk, 2.0**24, out=blk)
+                    np.add(blk, posval, out=blk)
+                    np.negative(blk, out=blk)
+                    if pk < n:
+                        part = np.argpartition(blk, pk - 1, axis=1)[:, :pk]
+                    else:
+                        part = np.broadcast_to(
+                            np.arange(n), (b, n)).copy()
+                    sub = np.take_along_axis(blk, part, axis=1)
+                    order = np.argsort(sub, axis=1)
+                    top = np.take_along_axis(part, order, axis=1)  # (b, pk)
+                    keyval = -np.take_along_axis(sub, order, axis=1)
+                    s_top = np.floor(keyval / 2.0**24) / 1e6
+                    same = mods[top] == qarr[lo:hi, None]
+                    cs = np.cumsum(same, axis=1)
+                    cc = np.cumsum(~same, axis=1)
+                    kept = np.where(same, cs <= half, cc <= half)
+                    fin = kept & (np.cumsum(kept, axis=1) <= finish_k)
+                    rn = np.cumsum(fin, axis=1)
+                    qi, pi = np.nonzero(fin)
+                    rows = top[qi, pi]
+                    yield pd.DataFrame({
+                        "qid": qids[lo + qi],
+                        "qm": qarr[lo + qi],
+                        "doc_id": docs[rows],
+                        "modality": mods[rows],
+                        "s": s_top[qi, pi],
+                        "rn": rn[qi, pi].astype("int32"),
+                    })
 
         schema = ("qid bigint, qm string, doc_id bigint, modality string, "
                   "s double")
@@ -788,8 +836,12 @@ class IngestPipeline:
     def _knn_join_ivf(self, corpus: DataFrame, fresh: DataFrame,
                       cents: DataFrame, idx: DataFrame,
                       probes: int | None = None) -> DataFrame:
-        """IVF-pruned fat-batch candidate scorer (round-6): probe each
-        query's ``probes`` nearest cells and score only their members.
+        """IVF-pruned candidate scorer (round-6) — an explicitly-callable
+        APPROXIMATE alternative, no longer on the default ingest route
+        (round 8 replaced it with the exact chunked kernel after the 10×
+        profile showed this pair table paying interpreted HOF cosines and
+        a pair-sized shuffle): probe each query's ``probes`` nearest cells
+        and score only their members.
 
         Membership = the maintained index UNION this batch's own on-the-fly
         assignment (``_update_index`` runs AFTER the KNN step, so the

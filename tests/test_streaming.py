@@ -379,9 +379,11 @@ class TestIngestPipeline:
 
 
 def test_knn_join_path_matches_kernel(spark, tables, tmp_path):
-    """Driver-materialization guard: a batch over ``max_collect`` takes the
-    broadcast-join path (zero driver collect of query vectors) and must
-    produce the same balanced neighbor set as the vectorized kernel."""
+    """Triple equivalence of the KNN scorers: the one-pass kernel, the
+    chunked kernel (max_collect=1 → one chunk per query: every fat-batch
+    seam exercised), and the JVM broadcast-join reference (``_knn_join`` —
+    the independent semantic implementation the kernels are checked
+    against) must produce the same balanced neighbor set."""
     docs = tables["documents"].limit(30).select(
         "doc_id", "text",
         F.element_at(
@@ -390,56 +392,62 @@ def test_knn_join_path_matches_kernel(spark, tables, tmp_path):
         ).alias("modality"),
     )
     kernel = IngestPipeline(spark, str(tmp_path / "a"), k=4)
-    joined = IngestPipeline(spark, str(tmp_path / "b"), k=4, max_collect=1)
+    chunked = IngestPipeline(spark, str(tmp_path / "b"), k=4, max_collect=1)
     kernel.process_batch(docs, 0)
-    joined.process_batch(docs, 0)
+    chunked.process_batch(docs, 0)
 
     def snap(p):
         fresh = p.corpus()
         out = p.knn_against_corpus(fresh).collect()
         return sorted((r.qid, r.doc_id, r.rn, round(r.s, 6)) for r in out)
 
-    assert snap(kernel) == snap(joined)
+    assert snap(kernel) == snap(chunked)
+    # the JVM join reference over the same corpus agrees row-for-row
+    corpus = kernel.corpus()
+    ref = kernel._balanced_select(
+        kernel._knn_join(corpus.repartition(4), corpus),
+        kernel.k, kernel.k * 6)
+    assert snap(kernel) == sorted(
+        (r.qid, r.doc_id, r.rn, round(r.s, 6)) for r in ref.collect())
     # and the stored edge sets agree
     ek = sorted((r.src, r.dst, round(r.score, 6))
                 for r in kernel.edges().collect())
     ej = sorted((r.src, r.dst, round(r.score, 6))
-                for r in joined.edges().collect())
+                for r in chunked.edges().collect())
     assert ek == ej and len(ek) > 0
 
 
-def test_knn_join_path_parallelizes(spark, tables, tmp_path):
-    """Regression pin for the 10×-probe finding: the fat-batch join path's
-    nested-loop parallelism IS the corpus partition count, and the
-    kernel path's ~100k-rows-per-partition coalesce must never apply to
-    it — with both, a single-file corpus ran the corpus × batch scoring
-    on ONE task (a 12.5k-doc batch against a 50k corpus never finished).
-    Spies on the two scorers to assert the corpus each actually receives:
-    join path ≥ defaultParallelism partitions, kernel path coalesced."""
+def test_fat_batch_chunks_bound_driver_collect(spark, tables, tmp_path):
+    """Driver-materialization guard for fat batches: a batch over
+    ``max_collect`` runs the kernel once per query chunk, and no single
+    kernel call ever collects more than ``max_collect`` query vectors —
+    the bound holds at ANY batch size, which is what makes the exact
+    chunked path safe where the old IVF-pruned join traded recall."""
     docs = tables["documents"].limit(40).select(
         "doc_id", "text", F.lit("text").alias("modality"))
     pipe = IngestPipeline(spark, str(tmp_path / "s"), k=4, max_collect=8)
     pipe.process_batch(docs, 0)
 
-    seen = {}
-    orig_join, orig_kernel = pipe._knn_join, pipe._knn_kernel
-
-    def spy_join(corpus, fresh):
-        seen["join_parts"] = corpus.rdd.getNumPartitions()
-        return orig_join(corpus, fresh)
+    calls = []
+    orig_kernel = pipe._knn_kernel
 
     def spy_kernel(corpus, fresh, pool_k, finish_k=None):
-        seen["kernel_parts"] = corpus.rdd.getNumPartitions()
+        calls.append((corpus.rdd.getNumPartitions(), fresh.count()))
         return orig_kernel(corpus, fresh, pool_k, finish_k=finish_k)
 
-    pipe._knn_join, pipe._knn_kernel = spy_join, spy_kernel
+    pipe._knn_kernel = spy_kernel
     fresh = pipe.corpus()
-    # fat batch (40 > max_collect=8) -> join path, spread corpus
-    pipe.knn_against_corpus(fresh, n_queries=40)
-    # small batch -> kernel path, corpus coalesced for candidate economy
+    # fat batch (40 > max_collect=8) -> 5 chunks of exactly 8 queries
+    out = pipe.knn_against_corpus(fresh, n_queries=40)
+    assert sorted(r.qid for r in out.select("qid").distinct().collect()) \
+        == sorted(r.doc_id for r in fresh.select("doc_id").collect())
+    assert [q for _, q in calls] == [8, 8, 8, 8, 8]
+    # 40-row corpus -> single partition per chunk (candidate economy)
+    assert all(p == 1 for p, _ in calls)
+    # small batch -> one kernel call
+    calls.clear()
     pipe.knn_against_corpus(fresh.limit(4), n_queries=4)
-    assert seen["join_parts"] >= spark.sparkContext.defaultParallelism
-    assert seen["kernel_parts"] == 1  # 40-row corpus -> single partition
+    assert [q for _, q in calls] == [4]
 
 
 def test_snap_double_jvm_matches_numpy_on_half_boundaries(spark):
@@ -908,11 +916,15 @@ def test_ewma_stream_batch_equivalence(spark, tables, replay):
         # unrounded emission (the same three IEEE ops applied here).
         assert math.floor(got[k] * 1_000_000.0 + 0.5) == v, (k, got[k], v)
 
-def test_fat_batch_routes_through_ivf_index(spark, tables, tmp_path):
-    """Once the IVF index has bootstrapped, a fat batch (> max_collect)
-    must take the probed join: every query still gets k results, pins
-    itself at s=1.0, and recall vs the exact join path stays high on the
-    smoke corpus (cells are few, so 2 probes cover most neighbors)."""
+def test_fat_batch_exact_and_ivf_join_operator(spark, tables, tmp_path):
+    """Two contracts on a maintained-IVF pipeline. (1) A fat batch
+    (> max_collect) now takes the EXACT chunked kernel — its neighbor set
+    must equal the exact join reference row-for-row (the old routing sent
+    fat batches through the approximate IVF-pruned join; exactness at any
+    batch size is the point of the chunked path). (2) ``_knn_join_ivf``
+    stays available as an explicitly-callable approximate scorer: every
+    query keeps its self-pin through the pruning and recall vs exact
+    stays high on the smoke corpus."""
     docs = tables["documents"].limit(150).select(
         "doc_id", "text", F.lit("text").alias("modality"))
     # bootstrap corpus + index with a first batch
@@ -922,7 +934,6 @@ def test_fat_batch_routes_through_ivf_index(spark, tables, tmp_path):
     pipe.process_batch(docs.filter("doc_id < 60"), 0)
     assert not pipe.centroids().isEmpty()
     assert not pipe.ivf_index().isEmpty()
-    # second batch is "fat" (> max_collect=2) -> join path -> IVF route
     batch2 = docs.filter("doc_id >= 60")
     pipe.process_batch(batch2, 1)
     corpus = pipe.corpus()
@@ -937,7 +948,18 @@ def test_fat_batch_routes_through_ivf_index(spark, tables, tmp_path):
         .select("doc_id", "content_sha256", "modality", "embedding")
         .localCheckpoint(eager=True)
     )
-    ivf = pipe.knn_against_corpus(fresh, n_queries=20)
+    exact_ref = pipe._balanced_select(
+        pipe._knn_join(corpus, fresh), pipe.k, pipe.k * 6)
+    e_rows = sorted((r.qid, r.doc_id, r.rn, round(r.s, 6))
+                    for r in exact_ref.collect())
+    # (1) fat batch (20 > max_collect=2) is exact despite maintain_ivf
+    got = pipe.knn_against_corpus(fresh, n_queries=20)
+    assert sorted((r.qid, r.doc_id, r.rn, round(r.s, 6))
+                  for r in got.collect()) == e_rows
+    # (2) the explicit IVF-pruned scorer: self-pin survives, recall high
+    ivf = pipe._balanced_select(
+        pipe._knn_join_ivf(corpus, fresh, pipe.centroids(),
+                           pipe.ivf_index()), pipe.k, pipe.k * 6)
     rows = ivf.collect()
     by_q: dict = {}
     for r in rows:
@@ -945,12 +967,7 @@ def test_fat_batch_routes_through_ivf_index(spark, tables, tmp_path):
     assert set(by_q) == {r.doc_id for r in fresh.select("doc_id").collect()}
     for qid, rs in by_q.items():
         assert len(rs) <= pipe.k
-        # self-match pinned through the pruning
         assert any(r.doc_id == qid and r.s == 1.0 for r in rs), qid
-    # recall of the probed join vs the exact join over the same pool
-    exact = pipe._balanced_select(
-        pipe._knn_join(corpus, fresh), pipe.k, pipe.k * 6)
-    e_pairs = {(r.qid, r.doc_id) for r in exact.collect()}
+    e_pairs = {(q, d) for q, d, _, _ in e_rows}
     i_pairs = {(r.qid, r.doc_id) for r in rows}
-    recall = len(e_pairs & i_pairs) / len(e_pairs)
-    assert recall >= 0.5, recall
+    assert len(e_pairs & i_pairs) / len(e_pairs) >= 0.5
