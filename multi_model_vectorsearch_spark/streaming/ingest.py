@@ -106,6 +106,10 @@ class IngestPipeline:
         # batch-subdirectory namespace for direct process_batch callers;
         # run_stream() replaces it with a checkpoint-derived one
         self._stream_ns = "b"
+        # kernel corpus-partition sizing: ~rows of corpus per scoring task
+        # (tests shrink it to exercise the multi-partition kernel path on
+        # small corpora)
+        self.rows_per_partition = 100_000
         # warm-serving state (warm()): cached corpus/edges/centroids/index
         self._warm: dict[str, DataFrame] = {}
 
@@ -619,7 +623,7 @@ class IngestPipeline:
         # 2.4M -> 75k candidate rows) while a 100 TB corpus keeps its
         # natural parquet split parallelism. The count that feeds it is a
         # parquet-footer count (no column decode).
-        target = max(1, corpus.count() // 100_000)
+        target = max(1, corpus.count() // self.rows_per_partition)
         if target < corpus.rdd.getNumPartitions():
             corpus = corpus.coalesce(target)
 
