@@ -1004,7 +1004,15 @@ class IngestPipeline:
                 snap_double(cosine_similarity(F.col("embedding"), qv))
                 .alias("s"),
             )
-        balanced = self._balanced_select(cand, k, k * OVERFETCH)
+        # pre-reduce the pool with a distributed top-k (TakeOrdered: local
+        # top per partition + merge) BEFORE the quota selection: with ONE
+        # qid, _balanced_select's window would funnel the entire corpus
+        # through a single task — the same pool order (s desc, doc_id asc;
+        # doc_id makes it tie-free) as the window's prn <= pool_k stage,
+        # so the selection input is row-identical, just driver-bounded
+        pool_k = k * OVERFETCH
+        pool = cand.orderBy(F.desc("s"), F.asc("doc_id")).limit(pool_k)
+        balanced = self._balanced_select(pool, k, pool_k)
         seeds = balanced.select(F.col("doc_id").alias("vec_id"), "s")
         return expand_one_hop(seeds, edges, k=k, decay=DECAY)
 
