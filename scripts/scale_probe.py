@@ -299,6 +299,16 @@ def main() -> None:
                 row["factor"] = float(f)
                 rows.append(row)
             finally:
+                # drop the per-corpus session caches (shingles, signatures,
+                # pair tables) before the next factor: each factor's cached
+                # tables stay pinned in executor storage otherwise, and the
+                # accumulated factors OOM'd the 1000× PPJoin leg that runs
+                # clean in isolation (r8 probe post-mortem)
+                from multi_model_vectorsearch_spark.operators.textpipe import (
+                    clear_session_caches,
+                )
+
+                clear_session_caches()
                 if f != 1 and not args.keep:
                     shutil.rmtree(out_dir, ignore_errors=True)
         print(json.dumps({
