@@ -30,8 +30,10 @@ def scan_leaf_classes(df: DataFrame) -> list[str]:
     checks for "Scan parquet" false-positive on fully-warm plans; the
     executed plan's leaves are the structural truth (InMemoryTableScan
     leaf = served from cache, FileSourceScan leaf = hits storage).
-    AdaptiveSparkPlanExec presents as a leaf until executed — unwrap into
-    its initial plan (ReusedExchange/QueryStage likewise)."""
+    AdaptiveSparkPlanExec presents as a leaf until executed — it is
+    unwrapped into its initial plan. ReusedExchangeExec and AQE query
+    stages are NOT unwrapped: they appear as leaves by class name, which
+    the callers' assertions treat as non-storage nodes."""
     out: list[str] = []
 
     def walk(node) -> None:

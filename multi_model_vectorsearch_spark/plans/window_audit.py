@@ -39,11 +39,20 @@ def partitionless_windows(df: DataFrame) -> list[str]:
     """
     out: list[str] = []
 
+    from py4j.protocol import Py4JError
+
     def walk(node) -> None:
         cls = node.getClass().getSimpleName()
-        if cls in ("Window", "WindowGroupLimit") and hasattr(
-                node, "partitionSpec"):
-            if node.partitionSpec().isEmpty():
+        if cls in ("Window", "WindowGroupLimit"):
+            # NOTE: hasattr() on a py4j JavaObject is always True (member
+            # resolution is lazy), so it cannot guard this call — catch
+            # the resolution error instead, should the class list ever
+            # grow a node without partitionSpec()
+            try:
+                empty = node.partitionSpec().isEmpty()
+            except Py4JError:
+                empty = False
+            if empty:
                 out.append(node.simpleString(120))
         # children() covers the main tree; subqueries are inlined by the
         # optimizer before this runs

@@ -7,6 +7,8 @@ reference's /submit semantics (dedup, KNN, boosted edges) incrementally.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1002,3 +1004,207 @@ def test_fat_batch_exact_and_ivf_join_operator(spark, tables, tmp_path):
     e_pairs = {(q, d) for q, d, _, _ in e_rows}
     i_pairs = {(r.qid, r.doc_id) for r in rows}
     assert len(e_pairs & i_pairs) / len(e_pairs) >= 0.5
+
+
+# --- round-9: compact()/torn-batch hardening (r8 advisor findings) ----------
+
+
+def _moddocs(tables, n):
+    return tables["documents"].limit(n).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+
+
+def test_compact_invalidates_warm_snapshot(spark, tables, tmp_path):
+    """r8 advisor (medium): compact() swaps/deletes the parquet dirs the
+    warm() caches' lineage points at — it must invalidate the snapshot
+    like process_batch does, and serving must keep working after."""
+    docs = _moddocs(tables, 24)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
+    pipe.process_batch(docs, 0)
+    sample = docs.orderBy("doc_id").first().text
+    before = sorted(map(tuple, pipe.search(sample, k=4).collect()))
+    pipe.warm()
+    assert pipe._warm
+    pipe.compact()
+    assert not pipe._warm, "compact() must drop the warm snapshot"
+    after = sorted(map(tuple, pipe.search(sample, k=4).collect()))
+    assert after == before
+
+
+def test_torn_nontrailing_submit_preserved_and_reported(spark, tmp_path):
+    """r8 advisor: a facade submit torn mid-sequence and then buried by
+    later successful submits is NON-trailing — compact() must still detect
+    it (every key is checked), preserve its subdirectories verbatim, and
+    report it via torn_batch_keys() since facade keys never replay."""
+
+
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
+    for i, txt in enumerate(["alpha doc", "beta doc", "gamma doc"]):
+        pipe.submit(txt, "text", doc_id=100 + i)
+    # simulate s1 killed between its corpus and edge commits
+    os.remove(os.path.join(pipe.edges_dir, "s1", "_SUCCESS"))
+    assert pipe.torn_batch_keys() == {"s1"}
+    pipe.submit("delta doc", "text", doc_id=103)  # s3 succeeds after it
+    assert pipe.torn_batch_keys() == {"s1"}
+    n_before = pipe.corpus().count()
+    pipe.compact()
+    assert os.path.isdir(os.path.join(pipe.corpus_dir, "s1")), \
+        "torn submit's corpus subdirectory must be carried over un-folded"
+    assert pipe.torn_batch_keys() == {"s1"}
+    assert pipe.corpus().count() == n_before
+
+
+def test_compact_heals_index_holes(spark, tables, tmp_path):
+    """r8 advisor follow-through: a committed batch whose index write was
+    lost (torn submit buried by later ones — facade keys never replay)
+    leaves corpus rows with no IVF assignment. compact() under
+    maintain_ivf must detect and heal the hole against the current
+    centroids."""
+    import shutil
+
+    docs = _moddocs(tables, 120)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True)
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        pipe.process_batch(bdf, b)
+    n = pipe.corpus().count()
+    assert pipe.ivf_index().count() == n
+    # b1 triggered the bootstrap, so it has a per-batch assignment;
+    # simulate losing a NON-trailing batch's index write
+    shutil.rmtree(os.path.join(pipe.index_dir, "b1"))
+    n_hole = n - pipe.ivf_index().count()
+    assert n_hole > 0
+    done = pipe.compact()
+    assert done.get("ivf_healed") == n_hole
+    idx = pipe.ivf_index()
+    assert idx.count() == n
+    assert idx.select("doc_id").distinct().count() == n
+    # idempotent: a second compact heals nothing
+    assert pipe.compact().get("ivf_healed") == 0
+
+
+def test_bootstrap_in_flight_detected_torn_and_replay_completes(
+        spark, tables, tmp_path):
+    """r8 advisor (bootstrap blind spot): index data WITHOUT committed
+    centroids is a bootstrap caught mid-flight — the trailing batch must
+    read as torn, compact() must carry it over, and a checkpoint replay
+    must complete the bootstrap exactly-once."""
+    import shutil
+
+    docs = _moddocs(tables, 80)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True)
+    batches = [docs.filter(F.col("doc_id") % 2 == b) for b in range(2)]
+    pipe.process_batch(batches[0], 0)
+    assert pipe.centroids().isEmpty()  # 40 < 64: not bootstrapped
+    pipe.process_batch(batches[1], 1)  # bootstraps
+    assert not pipe.centroids().isEmpty()
+    # simulate the bootstrap crash window: root index written, centroids
+    # not yet committed
+    shutil.rmtree(pipe.centroids_dir)
+    assert "b1" in pipe.torn_batch_keys()
+    pipe.compact()
+    assert os.path.isdir(os.path.join(pipe.corpus_dir, "b1"))
+    # at-least-once: the stream replays the torn epoch wholesale
+    pipe.process_batch(batches[1], 1)
+    assert not pipe.centroids().isEmpty()
+    n = pipe.corpus().count()
+    assert n == 80
+    idx = pipe.ivf_index()
+    assert idx.count() == n
+    assert idx.select("doc_id").distinct().count() == n
+    assert pipe.torn_batch_keys() == set()
+
+
+def test_run_stream_refuses_unnamespaced_state(spark, tables, tmp_path):
+    """r8 advisor (namespace migration hazard): attaching a stream
+    checkpoint over legacy un-namespaced ``b<id>`` state must fail fast;
+    after compact() folds the committed batches the stream attaches."""
+    docs = _moddocs(tables, 20)
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
+    pipe.process_batch(docs, 0)  # default namespace -> corpus/b0
+
+    def stream():
+        return (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+    with pytest.raises(RuntimeError, match="un-namespaced"):
+        pipe.run_stream(stream(), str(tmp_path / "ck"))
+    pipe.compact()  # no live checkpoint: committed b0 folds away
+    pipe.run_stream(stream(), str(tmp_path / "ck"))
+    assert pipe.corpus().count() == 20  # stream re-ingest deduped
+
+
+# --- round-9: auto-sized IVF + replay-safe re-train --------------------------
+
+
+def test_ivf_auto_sizing_retrain_replay_exactly_once(spark, tables, tmp_path):
+    """r8 verdict item 1: with ``n_centroids=None`` the index bootstraps at
+    ~sqrt(n) centroids and re-trains when the ideal count reaches 2x the
+    active one. The re-train must be exactly-once under at-least-once
+    batch delivery: replaying the triggering batch reproduces the index
+    byte-for-byte (hash-ordered seeds + overwrite writes)."""
+    docs = _moddocs(tables, 360)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20)
+    pipe.process_batch(b0, 0)
+    c0 = pipe.centroids().count()
+    assert c0 == pipe._target_centroids(20)  # sqrt sizing at bootstrap
+    pipe.process_batch(b1, 1)  # 360 docs: target 19 >= 2*c0 -> re-train
+    c1 = pipe.centroids().count()
+    assert c1 == pipe._target_centroids(360) and c1 >= 2 * c0
+    n = pipe.corpus().count()
+    idx = pipe.ivf_index()
+    assert idx.count() == n
+    assert idx.select("doc_id").distinct().count() == n
+
+    def state():
+        return (sorted(map(tuple, pipe.ivf_index().collect())),
+                sorted((r.cid, tuple(r.cvec))
+                       for r in pipe.centroids().collect()))
+
+    before = state()
+    pipe.process_batch(b1, 1)  # at-least-once replay of the whole batch
+    assert state() == before, "replayed re-train batch must be a no-op"
+    # probing every cell reproduces the exact scan's top hit
+    sample = docs.orderBy("doc_id").first()
+    rows = pipe.search_ivf(sample.text, k=6, probes=c1).collect()
+    assert rows[0].s == 1.0 and len(rows) == 6
+
+
+def test_retrain_swap_seam_rolls_forward(spark, tables, tmp_path):
+    """The one non-atomic seam in a re-train is between the index rename
+    and the centroid rename. A committed ``centroids.next`` without an
+    ``ivf.next`` is the redo record: any writer entry point must finish
+    the swap, restoring a matched centroid/assignment pair."""
+    docs = _moddocs(tables, 120)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.process_batch(docs, 0)
+    cents_before = sorted(
+        (r.cid, tuple(r.cvec)) for r in pipe.centroids().collect())
+    # simulate the crash: index swap done, centroid swap pending
+    os.rename(pipe.centroids_dir, pipe.centroids_dir + ".next")
+    assert pipe.centroids().isEmpty()  # degraded (full-scan) window
+    pipe.compact()  # any writer entry point rolls the seam forward
+    assert sorted((r.cid, tuple(r.cvec))
+                  for r in pipe.centroids().collect()) == cents_before
+    n = pipe.corpus().count()
+    assert pipe.ivf_index().count() == n
+    sample = docs.orderBy("doc_id").first()
+    rows = pipe.search_ivf(sample.text, k=6).collect()
+    assert rows[0].s == 1.0
