@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.checkpointing import pin, pin_lazy
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap, snap_double
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
 from multi_model_vectorsearch_spark.operators.vector_ops import (
@@ -164,7 +165,7 @@ def expand_top1_only(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
     """
     # seeds feed both the top-1 selection and the rest-union: materialize
     # once instead of running the KNN scan twice
-    seeds = dq29_knn_topk(t, query_vec_id, k).localCheckpoint(eager=True)
+    seeds = dq29_knn_topk(t, query_vec_id, k).transform(pin)
     top1 = seeds.orderBy(F.desc("s_micro"), F.asc("vec_id")).limit(1)
     edges = dq33_build_edges(t)
     expanded = expand_one_hop_micro(top1, edges, k=1 << 30)
@@ -199,7 +200,7 @@ def dq55_expand_2hop(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame
         frontier = expand_one_hop_micro(frontier, edges, k=1 << 30)
         frontier = frontier.select(
             F.col("id").alias("vec_id"), F.col("score_micro").alias("s_micro")
-        ).localCheckpoint(eager=False)
+        ).transform(pin_lazy)
     return (
         frontier.select(F.col("vec_id").alias("id"),
                         F.col("s_micro").alias("score_micro"))
@@ -220,7 +221,7 @@ def expand_multi_hop(seeds: DataFrame, edges: DataFrame, depth: int,
         frontier = expand_one_hop(frontier, edges, k=1 << 30, decay=decay)
         frontier = frontier.select(
             F.col("id").alias("vec_id"), F.col("score").alias("s")
-        ).localCheckpoint(eager=False)
+        ).transform(pin_lazy)
     return (
         frontier.select(F.col("vec_id").alias("id"), F.col("s").alias("score"))
         .orderBy(F.desc("score"), F.asc("id"))
@@ -340,7 +341,7 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
     adj = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(edges.select(F.col("dst"), F.col("src")))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = adj.groupBy("n").agg(F.count("*").alias("d"))
     n_nodes = adj.select("v").distinct().count()
@@ -360,7 +361,7 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
         # lineage only needs truncating on long runs: a 3-iteration unroll
         # is a shallow plan, and each eager checkpoint is a full extra job
         if (i + 1) % 4 == 0:
-            pr = pr.localCheckpoint(eager=True)
+            pr = pr.transform(pin)
     return pr.select(F.col("v").alias("id"), snap(F.col("p")).alias("pr_micro"))
 
 
@@ -413,7 +414,7 @@ def star_contract(pairs: DataFrame, max_rounds: int = 30
     fixed-point test is a (count, hash-sum) checksum of the edge set — one
     tiny aggregate per round instead of a set-difference join.
     """
-    nbrs = _neighbors(pairs).localCheckpoint(eager=True)
+    nbrs = _neighbors(pairs).transform(pin)
     prev_sig = None
     rounds = 0
     for _ in range(max_rounds):
@@ -428,7 +429,7 @@ def star_contract(pairs: DataFrame, max_rounds: int = 30
                 small.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         rounds += 1
         sig = nbrs.agg(
@@ -496,7 +497,7 @@ def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
         pairs.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(pairs.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     labels = adj.select("v").distinct().withColumn("comp", F.col("v"))
 
@@ -520,7 +521,7 @@ def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
         # tiny relative to the fixed cost of a round-trip (checkpoint +
         # changed-count job), so halving the number of round-trips — not
         # shrinking the per-round plan — is what cuts wall time
-        new_labels = step(step(labels)).localCheckpoint(eager=True)
+        new_labels = step(step(labels)).transform(pin)
         changed = (
             new_labels.withColumnRenamed("comp", "nc")
             .join(labels, "v")
@@ -553,7 +554,7 @@ def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     visited = adj.select("v").distinct().filter(F.col("v") == 0) \
         .withColumn("d", F.lit(0))
@@ -666,7 +667,7 @@ def dq190_kcore(t: Tables, k: int = 2, rounds: int = 3) -> DataFrame:
         # each round references `alive` three times (two degree legs + the
         # restriction join) — checkpoint so the plan stays one round deep
         # instead of exploding 3^rounds scan legs
-        alive = alive.localCheckpoint(eager=False)
+        alive = alive.transform(pin_lazy)
         deg = (
             alive.select(F.col("src").alias("v"))
             .unionAll(alive.select(F.col("dst").alias("v")))

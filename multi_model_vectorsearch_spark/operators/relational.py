@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.checkpointing import pin, pin_lazy
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 
 Tables = dict
@@ -1099,7 +1100,7 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
     )
     wp = Window.partitionBy("l_returnflag")
     per_v = (li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
-             .localCheckpoint(eager=False))
+             .transform(pin_lazy))
 
     def lower_median(pv, col: str, out: str):
         cum = (

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.checkpointing import pin
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 
 
@@ -99,9 +100,9 @@ def merge_upsert(spark: SparkSession, state_path: str, updates: DataFrame,
     ):
         current = spark.read.parquet(state_path)
         kept = current.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates).localCheckpoint(eager=True)
+        merged = kept.unionByName(updates).transform(pin)
     else:
-        merged = updates.localCheckpoint(eager=True)
+        merged = updates.transform(pin)
     merged.write.mode("overwrite").parquet(state_path)
     return merged.count()
 
@@ -174,7 +175,7 @@ def global_order_scalable(df: DataFrame, order_cols: list,
         df.repartitionByRange(n_ranges, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    keyed = keyed.localCheckpoint(eager=True)  # pin partitioning for both passes
+    keyed = keyed.transform(pin)  # pin partitioning for both passes
     aggs = [F.count("*").alias("_n")] + [
         F.sum(src).alias(f"_s_{out}") for out, src in cum_sums
     ]

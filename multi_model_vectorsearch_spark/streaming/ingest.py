@@ -46,6 +46,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from multi_model_vectorsearch_spark.checkpointing import pin, pin_lazy
 from multi_model_vectorsearch_spark.functions.embedding import route_embedding
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap_double
 from multi_model_vectorsearch_spark.functions.vector import cosine_similarity
@@ -228,7 +229,7 @@ class IngestPipeline:
             # `batch`, and an unpinned dropDuplicates could keep a DIFFERENT
             # row on recomputation, storing a signature for text the corpus
             # doesn't hold
-            batch = batch.localCheckpoint(eager=False)
+            batch = batch.transform(pin_lazy)
         embedded = (
             batch
             .withColumn("content_sha256", F.sha2("text", 256))
@@ -251,7 +252,7 @@ class IngestPipeline:
             prev.select("content_sha256"), "content_sha256", "left_anti"
         )
         # cache: fresh is reused for append, KNN, and edge build
-        fresh = fresh.localCheckpoint(eager=True)
+        fresh = fresh.transform(pin)
         n_fresh = fresh.count()
         if n_fresh == 0:
             return
@@ -261,7 +262,7 @@ class IngestPipeline:
         # checkpoint: the KNN scan is the expensive stage; edge build must
         # reuse its result, not recompute the corpus scan
         neighbors = self.knn_against_corpus(
-            fresh, n_queries=n_fresh).localCheckpoint(eager=True)
+            fresh, n_queries=n_fresh).transform(pin)
         edges = self.build_edges(neighbors)
         edges.write.mode("overwrite").parquet(
             self._bdir(self.edges_dir, key))
@@ -427,7 +428,7 @@ class IngestPipeline:
             self.corpus_dir, CORPUS_SCHEMA, torn)
         missing = committed.join(
             self.ivf_index().select("doc_id"), "doc_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         n = missing.count()
         if n == 0:
             return {"ivf_healed": 0}
@@ -469,7 +470,7 @@ class IngestPipeline:
         sig_fresh = self._batch_signatures(
             batch.join(fresh.select("doc_id"), "doc_id", "left_semi")
             .select("doc_id", "text")
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         store = self._read_state_excluding(self.sig_dir, SIG_SCHEMA, key)
         flags = neardup_flags_incremental(sig_fresh, store)
         flags.write.mode("overwrite").parquet(
@@ -521,7 +522,7 @@ class IngestPipeline:
         return seeds.select(
             (F.row_number().over(ws) - 1).cast("int").alias("cid"),
             F.col("embedding").alias("cvec"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
 
     def _update_index(self, fresh: DataFrame, key: str = "b0") -> None:
         """Keep a coarse IVF index in sync with the corpus as it grows.
@@ -551,7 +552,7 @@ class IngestPipeline:
                 cents = seeds.select(
                     (F.row_number().over(ws) - 1).cast("int").alias("cid"),
                     F.col("embedding").alias("cvec"),
-                ).localCheckpoint(eager=True)
+                ).transform(pin)
             else:
                 cents = self._seed_centroids(
                     corpus, self._target_centroids(n_corpus))
