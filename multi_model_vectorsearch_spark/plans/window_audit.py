@@ -112,3 +112,60 @@ GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {
         "aggregate; the user-dimension ntile was migrated to "
         "global_order_scalable this round"),
 }
+
+
+# --- serving/ingest plan audit (round-9 verdict item 3) ---------------------
+# The registry loop above only walks dq.queries(); the serving and ingest
+# paths plan their own windows. serving_plan_suite builds the
+# representative DataFrames (without executing them) and the enforcement
+# test in tests/test_plans.py applies the same classified-or-fail rule.
+# Classes as above, plus:
+#   "trigger-bounded": window input is one streaming MICRO-BATCH — bounded
+#       by ingest trigger configuration, never by corpus size.
+SERVING_WINDOW_CLASS: dict[str, tuple[str, str]] = {
+    "search.exact": (
+        "driver-bounded",
+        "the balanced-selection windows run on the post-TakeOrdered pool "
+        "(≤ k·OVERFETCH = 60 rows by the .limit(pool_k) pre-reduce) — "
+        "they APPEAR partitionless because the single query's constant "
+        "qid literal is folded out of the PARTITION BY by the optimizer; "
+        "the corpus-sized scoring never passes through a window "
+        "(ingest.search, r8 round's distributed-top-k pre-reduce)"),
+    "knn.fat_batch_chunking": (
+        "trigger-bounded",
+        "row_number chunking of a fat batch into max_collect query chunks "
+        "runs over the MICRO-BATCH (trigger-sized, ingest configuration), "
+        "never the corpus — ingest._chunk_ranked; the window executes in "
+        "the kernel's per-chunk driver collect, so the returned candidate "
+        "plan (knn.fat_batch, audited at zero windows) does not carry it"),
+    "ingest.centroid_seeds": (
+        "driver-bounded",
+        "cid numbering window over the post-LIMIT ncent≈√n seed rows — "
+        "ingest._seed_centroids_plan (both bootstrap modes share the "
+        "shape: TakeOrdered bounds the input before the window)"),
+}
+
+
+def serving_plan_suite(pipe, query_text: str) -> dict[str, "DataFrame"]:
+    """Representative serving/ingest DataFrames for the audit — covers the
+    paths the r8 audit missed: exact `/search` (cold or warm per the
+    pipeline's current state), probed `search_ivf`, the ingest KNN on both
+    physical routes (kernel ≤ max_collect and the chunked fat-batch), and
+    the centroid-seed plan. Builds plans only (collect-free except the
+    bounded counts the builders themselves run)."""
+    corpus = pipe.corpus()
+    fresh = corpus.limit(3)
+    saved = pipe.max_collect
+    try:
+        pipe.max_collect = 1  # force the fat-batch chunking route
+        fat = pipe.knn_against_corpus(fresh, n_queries=3)
+    finally:
+        pipe.max_collect = saved
+    return {
+        "search.exact": pipe.search(query_text, k=4),
+        "search_ivf.probed": pipe.search_ivf(query_text, k=4),
+        "knn.kernel": pipe.knn_against_corpus(fresh, n_queries=3),
+        "knn.fat_batch": fat,
+        "knn.fat_batch_chunking": pipe._chunk_ranked(fresh),
+        "ingest.centroid_seeds": pipe._seed_centroids_plan(corpus, 4),
+    }

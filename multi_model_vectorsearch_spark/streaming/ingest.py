@@ -510,19 +510,26 @@ class IngestPipeline:
 
         return max(4, min(65536, int(round(math.sqrt(n_corpus)))))
 
-    def _seed_centroids(self, corpus: DataFrame, ncent: int) -> DataFrame:
+    @staticmethod
+    def _seed_centroids_plan(corpus: DataFrame, ncent: int) -> DataFrame:
         """Deterministic centroid seeds: ``ncent`` docs by xxhash64 order
         (a stable pseudo-random sample — the standard k-means-style init,
         spread across the corpus rather than the ``ncent`` lowest ids),
         numbered by doc_id. TakeOrdered keeps the driver materialization
-        at ncent ≈ √n rows; identical on every replay."""
+        at ncent ≈ √n rows; identical on every replay. The cid-numbering
+        window is partitionless by construction and DRIVER-BOUNDED (it
+        runs over the post-LIMIT seed rows) — classified in
+        plans/window_audit.SERVING_WINDOW_CLASS."""
         seeds = (corpus.select("doc_id", "embedding")
                  .orderBy(F.xxhash64("doc_id"), "doc_id").limit(ncent))
         ws = Window.orderBy("doc_id")  # ncent rows — driver-bounded
         return seeds.select(
             (F.row_number().over(ws) - 1).cast("int").alias("cid"),
             F.col("embedding").alias("cvec"),
-        ).transform(pin)
+        )
+
+    def _seed_centroids(self, corpus: DataFrame, ncent: int) -> DataFrame:
+        return self._seed_centroids_plan(corpus, ncent).transform(pin)
 
     def _update_index(self, fresh: DataFrame, key: str = "b0") -> None:
         """Keep a coarse IVF index in sync with the corpus as it grows.
@@ -845,8 +852,7 @@ class IngestPipeline:
         # a single-task sort, but over the MICRO-BATCH (trigger-sized),
         # never the corpus, so it is bounded by ingest configuration.
         mc = self.max_collect
-        frc = fresh.withColumn(
-            "_rn", F.row_number().over(Window.orderBy("doc_id")))
+        frc = self._chunk_ranked(fresh)
         parts = [
             one_chunk(
                 frc.filter((F.col("_rn") > i * mc)
@@ -857,6 +863,18 @@ class IngestPipeline:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    @staticmethod
+    def _chunk_ranked(fresh: DataFrame) -> DataFrame:
+        """Global chunk rank over a fat micro-batch. The partitionless
+        window is TRIGGER-BOUNDED: its input is one streaming micro-batch
+        (sized by ingest configuration), never the corpus — classified in
+        plans/window_audit.SERVING_WINDOW_CLASS and exercised by the
+        serving-plan audit (the window runs inside the kernel's per-chunk
+        driver collect, so it is invisible in the returned candidate
+        plan — this builder is the auditable form)."""
+        return fresh.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("doc_id")))
 
     def _knn_kernel(self, corpus: DataFrame, fresh: DataFrame,
                     pool_k: int, finish_k: int | None = None) -> DataFrame:

@@ -428,3 +428,56 @@ def test_partitionless_windows_all_classified(tables):
         f"unclassified partitionless windows (migrate to "
         f"scale.global_order_scalable or classify): {unclassified}")
     assert not stale, f"classified entries no longer plan one: {stale}"
+
+
+def test_partitionless_windows_serving_plans_classified(tables, tmp_path):
+    """Round-9 verdict item 3: the registry audit above misses serving and
+    ingest plans. Build the representative serving DataFrames (exact
+    /search cold+warm, probed search_ivf, ingest KNN on both physical
+    routes, centroid seeding) and apply the same classified-or-fail rule
+    via SERVING_WINDOW_CLASS — any NEW unclassified global window in the
+    serving path fails here, and a classified plan that stops planning one
+    goes stale-red."""
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.plans.window_audit import (
+        SERVING_WINDOW_CLASS,
+        partitionless_windows,
+        serving_plan_suite,
+    )
+    from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+
+    docs = tables["documents"].limit(80).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    pipe = IngestPipeline(spark=tables["documents"].sparkSession,
+                          state_dir=str(tmp_path / "st"), k=4,
+                          maintain_ivf=True)
+    pipe.process_batch(docs, 0)  # 80 docs: IVF bootstrapped
+    text = docs.orderBy("doc_id").first().text
+
+    def audit(tag):
+        found = {
+            name: w
+            for name, df in serving_plan_suite(pipe, text).items()
+            if (w := partitionless_windows(df))
+        }
+        unclassified = {k: found[k]
+                        for k in set(found) - set(SERVING_WINDOW_CLASS)}
+        assert not unclassified, (
+            f"[{tag}] unclassified partitionless windows in serving "
+            f"plans: {unclassified}")
+        stale = sorted(set(SERVING_WINDOW_CLASS) - set(found))
+        assert not stale, (
+            f"[{tag}] classified serving plans no longer plan one: {stale}")
+
+    audit("cold")
+    pipe.warm()
+    try:
+        audit("warm")
+    finally:
+        pipe.unwarm()
