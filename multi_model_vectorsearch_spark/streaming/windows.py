@@ -14,6 +14,8 @@ Kafka/Kinesis with identical plan shapes downstream.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,39 @@ def session_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """B45: stateful streaming dedup on event_id within the watermark horizon."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def state_store_provider(spark: SparkSession, provider: str):
+    """Run streaming queries under an alternate state-store provider.
+
+    The default HDFS-backed provider keeps every store's full state map in
+    executor heap — fine for windowed aggs whose state is O(open windows),
+    but the B44/B45 dedup contract holds state proportional to the key
+    space inside the watermark horizon, and ``applyInPandasWithState``
+    holds O(groups): at 100 TB those outgrow the heap. RocksDB
+    (``ROCKSDB_PROVIDER``, rocksdbjni ships with Spark) spills state to
+    local disk with a block-cache working set, bounding the footprint by
+    disk instead of heap. The provider is read per-query at ``start()``,
+    so this only needs to wrap the query launch; checkpointed queries must
+    keep the provider they started with (state files are format-specific).
+    Equivalence across providers is pinned by
+    tests/test_streaming.py::test_stateful_surface_rocksdb_equivalence.
+    """
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, provider)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
 
 
 def run_to_memory(stream_df: DataFrame, table: str, mode: str = "complete"):
