@@ -1245,3 +1245,91 @@ def test_stateful_surface_rocksdb_equivalence(spark, replay, name):
         results[tag] = _rows(spark.table(tbl))
     assert results["rocksdb"] == results["default"], name
     assert results["rocksdb"], name  # non-vacuous
+
+
+# --- round-9: bulk_load backfill ------------------------------------------
+
+def _mk_docs(tables, lo, hi):
+    return tables["documents"].filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"))
+
+
+def test_bulk_load_backfill_then_incremental(spark, tables, tmp_path):
+    """bulk_load lands corpus + IVF state without edges; a later
+    process_batch sees bulk-loaded docs as dedup state AND as KNN
+    candidates; re-loading the same docs adds nothing."""
+    pipe = IngestPipeline(spark, str(tmp_path / "bl"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    key = pipe.bulk_load(_mk_docs(tables, 0, 60))
+    assert key == "l0"
+    assert pipe.corpus().count() == 60
+    assert pipe.edges().count() == 0  # contract: no edges until a graph pass
+    # IVF bootstrapped over the bulk corpus: every doc assigned, once
+    assert pipe.ivf_index().count() == 60
+    assert pipe.ivf_index().select("doc_id").distinct().count() == 60
+    # serving works immediately
+    q = _mk_docs(tables, 0, 1).first().text
+    rows = pipe.search_ivf(q, k=4).collect()
+    assert rows and rows[0].s == 1.0
+    # idempotent: same docs again -> nothing fresh
+    pipe.bulk_load(_mk_docs(tables, 0, 60))
+    assert pipe.corpus().count() == 60
+    # incremental batch on top: only ITS docs get edges, and its neighbors
+    # may include bulk-loaded docs
+    pipe.process_batch(_mk_docs(tables, 60, 70), 0)
+    assert pipe.corpus().count() == 70
+    e = pipe.edges()
+    assert e.count() > 0
+    new_ids = set(range(60, 70))
+    touched = {v for r in e.select("src", "dst").collect() for v in (r.src, r.dst)}
+    assert touched - new_ids, "bulk-loaded docs never appear as neighbors"
+
+
+def test_bulk_load_same_key_retry_exactly_once(spark, tables, tmp_path):
+    pipe = IngestPipeline(spark, str(tmp_path / "bl2"), k=4)
+    pipe.bulk_load(_mk_docs(tables, 0, 30), key="l7")
+    pipe.bulk_load(_mk_docs(tables, 0, 30), key="l7")  # retry, same key
+    assert pipe.corpus().count() == 30
+    assert pipe.torn_batch_keys() == set()
+    # compact folds the bulk key like any committed batch
+    pipe.compact()
+    assert pipe.corpus().count() == 30
+
+
+def test_auto_ivf_lloyd_recall_and_determinism(spark, tables, tmp_path):
+    """Auto-sized serving quality contract: Lloyd-refined cells +
+    2·√ncent auto-probing hold recall@10 at-or-above the dq120 gauge
+    class (≥0.8 asserted; measured 0.95+ at the 5k corpus), and the
+    refinement is REPLAY-EXACT — two independent builds over the same
+    corpus produce bit-identical centroids (integer-lane sums, no
+    double-summation order dependence)."""
+    docs = _mk_docs(tables, 0, 80)
+    cents = []
+    for i in range(2):
+        pipe = IngestPipeline(spark, str(tmp_path / f"lr{i}"), k=4,
+                              maintain_ivf=True, n_centroids=None,
+                              ivf_bootstrap=16)
+        pipe.bulk_load(docs)
+        cents.append(sorted((r.cid, tuple(r.cvec))
+                            for r in pipe.centroids().collect()))
+    assert cents[0] == cents[1]
+
+    ncent = len(cents[0])
+    import math
+    assert pipe._auto_probes(ncent) == max(
+        pipe.ivf_probes, 2 * math.isqrt(ncent))
+
+    queries = [r.text for r in docs.orderBy("doc_id").limit(5).collect()]
+    hits = 0
+    for q in queries:
+        exact = {r.doc_id for r in
+                 pipe.search_ivf(q, k=10, probes=ncent).collect()}
+        approx = {r.doc_id for r in pipe.search_ivf(q, k=10).collect()}
+        hits += len(exact & approx)
+    assert hits / (10 * len(queries)) >= 0.8
