@@ -150,10 +150,15 @@ def expand_one_hop(seeds: DataFrame, edges: DataFrame, k: int = 10,
     )
 
 
-def dq34_expand(t: Tables, query_vec_id: int = 0, k: int = 10) -> DataFrame:
-    """B52/A20: seeds = exact-KNN top-10, expanded 1 hop over DQ-33 edges."""
+def dq34_expand(t: Tables, query_vec_id: int = 0, k: int = 10,
+                n_queries: int = 20) -> DataFrame:
+    """B52/A20: seeds = exact-KNN top-10, expanded 1 hop over DQ-33 edges.
+
+    ``n_queries`` sizes the underlying edge graph (default = the dq33
+    registry graph); the scale probe grows it with the corpus so the
+    expansion exponent reflects a graph that grows too."""
     seeds = dq29_knn_topk(t, query_vec_id, k)
-    edges = dq33_build_edges(t)
+    edges = dq33_build_edges(t, n_queries=n_queries)
     return expand_one_hop_micro(seeds, edges, k)
 
 
@@ -327,7 +332,8 @@ def dq105_degree_histogram(t: Tables) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
-def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame:
+def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85,
+                  n_queries: int = 20) -> DataFrame:
     """Graph analytics beyond the reference: PageRank over the edge graph.
 
     Fixed-iteration power method on the undirected dq33 graph:
@@ -335,9 +341,10 @@ def dq72_pagerank(t: Tables, iters: int = 3, damping: float = 0.85) -> DataFrame
     one join + one aggregation with the rank vector checkpointed between
     rounds (constant plan size); edges and degrees are materialized once.
     Deterministic for a fixed iteration count, so it is oracle-checkable by
-    unrolling the same iterations as SQL CTEs.
+    unrolling the same iterations as SQL CTEs. ``n_queries`` sizes the
+    underlying edge graph (probe knob; default = the registry graph).
     """
-    edges = dq33_build_edges(t)
+    edges = dq33_build_edges(t, n_queries=n_queries)
     adj = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(edges.select(F.col("dst"), F.col("src")))
@@ -535,7 +542,8 @@ def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
     return labels
 
 
-def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
+def dq121_bfs_layers(t: Tables, max_depth: int = 3,
+                     n_queries: int = 20) -> DataFrame:
     """BFS layer sizes from node 0 over the semantic KNN graph — the
     reachability profile that tells you how fast dq34-style expansion
     saturates (and therefore what expansion depth is worth paying for).
@@ -544,9 +552,10 @@ def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
     frontier ⨝ adjacency, anti-joined against the visited set. Rounds are
     data-independent joins so AQE plans each with actual frontier sizes;
     at 100 TB graph scale the visited set stays partitioned by node id and
-    only frontiers (small) move.
+    only frontiers (small) move. ``n_queries`` sizes the underlying edge
+    graph (probe knob; default = the registry graph).
     """
-    edges = dq33_build_edges(t).select("src", "dst")
+    edges = dq33_build_edges(t, n_queries=n_queries).select("src", "dst")
     # checkpoint: adj is re-read every unrolled round (and the visited
     # accumulator references it transitively) — without this the KNN
     # edge-build lineage re-executes per layer (measured 8.5 s -> ~2 s)
@@ -576,7 +585,7 @@ def dq121_bfs_layers(t: Tables, max_depth: int = 3) -> DataFrame:
 
 def dq165_graph_ann(t: Tables, query_vec_id: int = 0, beam: int = 16,
                     rounds: int = 2, k: int = 10,
-                    n_entries: int = 8) -> DataFrame:
+                    n_entries: int = 8, n_queries: int = 20) -> DataFrame:
     """Graph-based ANN (the HNSW/NSG family, single-layer): beam search
     over the semantic KNN graph. Seed the beam with the fixed entry-point
     vectors, then for a fixed number of rounds expand the beam's
@@ -593,7 +602,7 @@ def dq165_graph_ann(t: Tables, query_vec_id: int = 0, beam: int = 16,
     e = t["embeddings"]
     q = e.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"))
-    edges = dq33_build_edges(t)
+    edges = dq33_build_edges(t, n_queries=n_queries)
     adj = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(edges.select(F.col("dst").alias("v"), F.col("src").alias("n")))

@@ -241,7 +241,67 @@ def bench_dedup_chain(spark, out_dir: str,
     return out
 
 
-def _exponents(rows: list[dict]) -> dict[str, float]:
+def bench_graph_chains(spark, out_dir: str, factor: int) -> dict[str, float]:
+    """Round-9 verdict item 4: measured exponents for the graph chains.
+
+    Two regimes per factor:
+    - ``*_fixed``: the registry semantics (n_queries=20 edge graph) — the
+      graph is constant-size, so the expected exponent is ~1 from the
+      similarity_scan edge build and ~0 for everything riding it;
+    - ``*_scaled``: n_queries = 20·factor, so the edge graph grows with
+      the corpus — this measures the graph ALGORITHMS (pagerank, BFS,
+      expansion, beam search) on a growing graph, the regime that matters
+      at 100 TB.
+    The shared edge build is timed separately (``edges_*_sec``) and each
+    chain is timed riding the session-cached edges, so chain exponents
+    measure the algorithm, not a re-run of the scan.
+    """
+    from multi_model_vectorsearch_spark.operators.graph import (
+        dq33_build_edges,
+        dq34_expand,
+        dq72_pagerank,
+        dq121_bfs_layers,
+        dq165_graph_ann,
+    )
+
+    tables = load_tables(spark, out_dir)
+    out: dict[str, float] = {
+        "n_docs": float(tables["documents"].count()),
+        "n_vecs": float(tables["embeddings"].count()),
+    }
+
+    def timed(key, fn):
+        t0 = time.perf_counter()
+        v = fn()
+        out[key + "_sec"] = round(time.perf_counter() - t0, 3)
+        out[key] = float(v)
+        print(f"# {key}: {v} ({out[key + '_sec']} s)", flush=True)
+
+    for tag, nq in (("fixed", 20), ("scaled", 20 * factor)):
+        timed(f"edges_{tag}",
+              lambda: dq33_build_edges(tables, n_queries=nq).count())
+        timed(f"dq34_expand_{tag}",
+              lambda: dq34_expand(tables, n_queries=nq).count())
+        timed(f"dq72_pagerank_{tag}",
+              lambda: dq72_pagerank(tables, n_queries=nq).count())
+        timed(f"dq121_bfs_{tag}",
+              lambda: dq121_bfs_layers(tables, n_queries=nq).count())
+        timed(f"dq165_graph_ann_{tag}",
+              lambda: dq165_graph_ann(tables, n_queries=nq).count())
+    return out
+
+
+GRAPH_METRICS = [
+    "edges_fixed_sec", "dq34_expand_fixed_sec", "dq72_pagerank_fixed_sec",
+    "dq121_bfs_fixed_sec", "dq165_graph_ann_fixed_sec",
+    "edges_scaled", "edges_scaled_sec", "dq34_expand_scaled_sec",
+    "dq72_pagerank_scaled_sec", "dq121_bfs_scaled_sec",
+    "dq165_graph_ann_scaled_sec",
+]
+
+
+def _exponents(rows: list[dict],
+               keys: tuple | None = None) -> dict[str, float]:
     """Fitted scaling exponent per metric between consecutive factors:
     e = log(v2/v1) / log(n2/n1) on doc count — e<1 is sublinear."""
     import math
@@ -249,9 +309,9 @@ def _exponents(rows: list[dict]) -> dict[str, float]:
     exps: dict[str, float] = {}
     for a, b in zip(rows, rows[1:]):
         ratio_n = b["n_docs"] / a["n_docs"]
-        for k in ("lsh_candidates", "lsh_strict_candidates",
-                  "dq61_clusters", "ppjoin_candidates",
-                  "dq183_pairs", "dq148_drops"):
+        for k in keys or ("lsh_candidates", "lsh_strict_candidates",
+                          "dq61_clusters", "ppjoin_candidates",
+                          "dq183_pairs", "dq148_drops"):
             if a[k] > 0 and b[k] > 0:
                 exps[f"{k}@{int(a['factor'])}x->{int(b['factor'])}x"] = round(
                     math.log(b[k] / a[k]) / math.log(ratio_n), 3)
@@ -265,7 +325,7 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf_scaled")
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized dataset on disk")
-    ap.add_argument("--mode", choices=("flagships", "dedup"),
+    ap.add_argument("--mode", choices=("flagships", "dedup", "graph"),
                     default="flagships",
                     help="dedup: run the dedup-chain candidate-growth "
                          "probe at factors 1/10/.../--factor and report "
@@ -280,6 +340,34 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
+    if args.mode == "graph":
+        from multi_model_vectorsearch_spark.operators.textpipe import (
+            clear_session_caches,
+        )
+
+        factors = [f for f in (1, 10, 100) if f <= args.factor] or [1]
+        rows = []
+        for f in factors:
+            out_dir = args.src if f == 1 else f"{args.out}_graph_f{f}"
+            t0 = time.perf_counter()
+            if f != 1 and not os.path.isdir(out_dir):
+                synthesize(spark, args.src, out_dir, f,
+                           pair_density="constant")
+            print(f"## factor {f} (gen {time.perf_counter() - t0:.1f} s)",
+                  flush=True)
+            try:
+                row = bench_graph_chains(spark, out_dir, f)
+                row["factor"] = float(f)
+                rows.append(row)
+            finally:
+                clear_session_caches()
+                if f != 1 and not args.keep:
+                    shutil.rmtree(out_dir, ignore_errors=True)
+        print(json.dumps({
+            "mode": "graph", "src": args.src, "rows": rows,
+            "exponents": _exponents(rows, keys=tuple(GRAPH_METRICS)),
+        }, indent=1, sort_keys=True))
+        return
     if args.mode == "dedup":
         factors = [f for f in (1, 10, 100, 1000) if f <= args.factor] or [1]
         rows = []
