@@ -195,6 +195,51 @@ class IngestPipeline:
         self.process_batch(docs, -1, key=key, build_edges=False)
         return key
 
+    def build_graph(self, key: str | None = None,
+                    probes: int | None = None) -> str:
+        """One-pass distributed graph build — ``bulk_load``'s companion.
+
+        Computes the reference's modality-balanced KNN selection
+        (main.py:206-253) + boosted canonical edges (main.py:258-279) for
+        EVERY corpus doc in a single distributed pass and writes them
+        under a ``g<n>`` edges-only key (same overwrite exactly-once
+        semantics; a torn graph key is detected via its missing edge
+        ``_SUCCESS`` and preserved by ``compact()`` — repair by
+        re-running with the same key). Candidate scoring routes by what
+        state exists:
+
+        - with a live IVF index: the probed join
+          (``_knn_join_ivf(broadcast_queries=False)``) — per doc
+          ~probes·(n/ncent) candidates, total ~n^3/2 under √n sizing,
+          all shuffle joins (nothing corpus-sized is broadcast). The
+          neighbor set is approximate exactly as ``search_ivf`` is, with
+          the same self-pin guarantee;
+        - otherwise: the exact chunked kernel (``knn_against_corpus``) —
+          n² pair work, right for small corpora and the parity baseline.
+
+        Edges for the SAME canonical pair may land from both endpoints'
+        query rows (and from earlier incremental batches) — the same
+        cross-key multiplicity ``process_batch`` already produces, which
+        every consumer reduces over.
+        """
+        key = key or self._next_key("g")
+        corpus = self.corpus().transform(pin_lazy)
+        n = corpus.count()
+        cents = self.centroids()
+        idx = self.ivf_index()
+        if cents.isEmpty() or idx.isEmpty():
+            neighbors = self.knn_against_corpus(corpus, n_queries=n)
+        else:
+            cand = self._knn_join_ivf(
+                corpus, corpus, cents.transform(pin), idx, probes=probes,
+                broadcast_queries=False, include_fresh_assignment=False)
+            neighbors = self._balanced_select(cand, self.k,
+                                              self.k * OVERFETCH)
+        self.unwarm()  # the edge append invalidates any warm snapshot
+        self.build_edges(neighbors).write.mode("overwrite").parquet(
+            self._bdir(self.edges_dir, key))
+        return key
+
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch
         subdirectories), or an empty frame before its first write — the one
@@ -386,6 +431,20 @@ class IngestPipeline:
                     ok = False
                 if not ok:
                     torn.add(key)
+        # edges-only keys (build_graph's g<n>): no corpus counterpart, so
+        # the loop above never sees them — a torn graph build is a torn
+        # edge write, detected by its own missing _SUCCESS
+        corpus_keys = {f"{ns}{bid}" for ns, bids in keys.items()
+                       for bid in bids}
+        if os.path.isdir(self.edges_dir):
+            for entry in os.listdir(self.edges_dir):
+                if (re.fullmatch(r"(.*?)(\d+)", entry)
+                        and entry not in corpus_keys
+                        and os.path.isdir(
+                            os.path.join(self.edges_dir, entry))
+                        and not self._write_committed(
+                            self.edges_dir, entry)):
+                    torn.add(entry)
         return torn
 
     def torn_batch_keys(self) -> set[str]:
@@ -1175,7 +1234,9 @@ class IngestPipeline:
 
     def _knn_join_ivf(self, corpus: DataFrame, fresh: DataFrame,
                       cents: DataFrame, idx: DataFrame,
-                      probes: int | None = None) -> DataFrame:
+                      probes: int | None = None,
+                      broadcast_queries: bool = True,
+                      include_fresh_assignment: bool = True) -> DataFrame:
         """IVF-pruned candidate scorer (round-6) — an explicitly-callable
         APPROXIMATE alternative, no longer on the default ingest route
         (round 8 replaced it with the exact chunked kernel after the 10×
@@ -1194,8 +1255,24 @@ class IngestPipeline:
         self-match is pinned exactly as in the exact join: a query's own
         assignment cell is its top-1 probe cell, so it always survives
         the pruning.
+
+        ``broadcast_queries=False`` is the corpus-sized-query-set mode
+        (``build_graph``: fresh IS the corpus): every join runs as a
+        shuffle join instead of broadcasting the query table — nothing
+        corpus-sized crosses a broadcast. The qcells window is
+        qid-partitioned over the n·ncent cell-scoring rows, the same
+        volume order (n^3/2 under √n sizing) as the candidate scoring
+        itself, so it adds no asymptotic cost.
+        ``include_fresh_assignment=False`` skips the fresh-side
+        on-the-fly assignment union — REQUIRED when fresh's docs are
+        already in ``idx`` (bulk graph build), where the union would
+        double every member row and the downstream per-query rank would
+        count candidates twice.
         """
         probes = probes or self.ivf_probes
+
+        def maybe_b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if broadcast_queries else df
         from multi_model_vectorsearch_spark.functions.vector import (
             cosine_with_norms,
             l2_norm,
@@ -1216,11 +1293,12 @@ class IngestPipeline:
             .filter(F.col("rn") <= probes)
             .select("qid", "cid")
         )
-        members = idx.select("doc_id", "cid").unionByName(
-            self._assign(fresh, cents))
-        pairs = members.join(F.broadcast(qcells), "cid").select(
+        members = idx.select("doc_id", "cid")
+        if include_fresh_assignment:
+            members = members.unionByName(self._assign(fresh, cents))
+        pairs = members.join(maybe_b(qcells), "cid").select(
             "qid", "doc_id")
-        q = F.broadcast(fresh.select(
+        q = maybe_b(fresh.select(
             F.col("doc_id").alias("qid"),
             F.col("modality").alias("qm"),
             F.col("embedding").alias("qv"),

@@ -1333,3 +1333,75 @@ def test_auto_ivf_lloyd_recall_and_determinism(spark, tables, tmp_path):
         approx = {r.doc_id for r in pipe.search_ivf(q, k=10).collect()}
         hits += len(exact & approx)
     assert hits / (10 * len(queries)) >= 0.8
+
+
+def test_build_graph_exact_equals_single_batch_edges(spark, tables, tmp_path):
+    """bulk_load + build_graph (exact route, no index) must produce
+    edge-for-edge the same graph as process_batch ingesting the same docs
+    in ONE batch: both run knn_against_corpus over identical corpus and
+    query sets, so the backfill contract 'graph built afterwards in one
+    pass' is exact parity, not an approximation."""
+    docs = _mk_docs(tables, 0, 50)
+    a = IngestPipeline(spark, str(tmp_path / "a"), k=4)
+    a.bulk_load(docs)
+    assert a.edges().count() == 0
+    gkey = a.build_graph()
+    assert gkey == "g0"
+    b = IngestPipeline(spark, str(tmp_path / "b"), k=4)
+    b.process_batch(docs, 0)
+    ea = sorted((r.src, r.dst, r.score) for r in a.edges().collect())
+    eb = sorted((r.src, r.dst, r.score) for r in b.edges().collect())
+    assert ea == eb and ea
+    # the serving path consumes them: /graph-data hydrates
+    nodes, kept = a.graph_data()
+    assert nodes.count() > 0 and kept.count() == len(ea)
+
+
+def test_build_graph_ivf_route_probed(spark, tables, tmp_path):
+    """With a live auto-sized index build_graph takes the probed join:
+    canonical invariants hold, every scored pair shared with the exact
+    graph carries the identical snapped score, and overlap with the
+    exact edge set is high (the probed route is approximate exactly as
+    search_ivf is)."""
+    docs = _mk_docs(tables, 0, 80)
+    pipe = IngestPipeline(spark, str(tmp_path / "ivf"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    pipe.build_graph()
+    e = {(r.src, r.dst): r.score for r in pipe.edges().collect()}
+    assert e
+    assert all(s < d for (s, d) in e)
+    exact = IngestPipeline(spark, str(tmp_path / "ex"), k=4)
+    exact.bulk_load(docs)
+    exact.build_graph()
+    ee = {(r.src, r.dst): r.score for r in exact.edges().collect()}
+    shared = set(e) & set(ee)
+    assert len(shared) / len(ee) >= 0.5
+    assert all(e[p] == ee[p] for p in shared)
+
+
+def test_build_graph_torn_key_detected_and_preserved(spark, tables, tmp_path):
+    import os
+    docs = _mk_docs(tables, 0, 30)
+    pipe = IngestPipeline(spark, str(tmp_path / "t"), k=4)
+    pipe.bulk_load(docs)
+    pipe.build_graph()
+    # simulate a graph build killed mid-write: edges/g1 without _SUCCESS
+    torn_dir = os.path.join(pipe.edges_dir, "g1")
+    os.makedirs(torn_dir)
+    committed = pipe.edges().count()
+    import shutil as _sh
+    src = next(f for f in os.listdir(os.path.join(pipe.edges_dir, "g0"))
+               if f.endswith(".parquet"))
+    _sh.copy(os.path.join(pipe.edges_dir, "g0", src),
+             os.path.join(torn_dir, src))
+    assert "g1" in pipe.torn_batch_keys()
+    pipe.compact()
+    # the torn key is preserved verbatim, not folded into flat state
+    assert os.path.isdir(torn_dir)
+    assert "g1" in pipe.torn_batch_keys()
+    # repair = rerun with the same key; the overwrite commits it
+    pipe.build_graph(key="g1")
+    assert "g1" not in pipe.torn_batch_keys()
+    assert pipe.edges().count() >= committed
