@@ -168,4 +168,7 @@ def serving_plan_suite(pipe, query_text: str) -> dict[str, "DataFrame"]:
         "knn.fat_batch": fat,
         "knn.fat_batch_chunking": pipe._chunk_ranked(fresh),
         "ingest.centroid_seeds": pipe._seed_centroids_plan(corpus, 4),
+        # bulk graph build (round-9): every window is qid-partitioned —
+        # expected to contribute ZERO partitionless windows
+        "build_graph.neighbors": pipe._build_graph_neighbors(),
     }

@@ -149,16 +149,21 @@ class IngestPipeline:
         namespace → a replay still rewrites exactly its own directory."""
         return f"{self._stream_ns}{batch_id}"
 
-    def _next_key(self, prefix: str) -> str:
+    def _next_key(self, prefix: str, root: str | None = None) -> str:
         """Disk-derived next key in a single-letter namespace: facade
         submits (``s<n>``) and bulk loads (``l<n>``) each get their own
         sequence — their counters and a stream checkpoint's epoch counter
         are independent, and sharing the ``b`` namespace let one overwrite
         the other's batch directory (id collision after a compact() reset,
-        or a submit between stream runs)."""
+        or a submit between stream runs). ``root`` is the directory whose
+        subdirectories carry the sequence — the corpus store for keys
+        that write corpus rows, the EDGES store for ``build_graph``'s
+        edges-only ``g<n>`` keys (scanning the corpus dir for those would
+        always see none and hand out ``g0`` forever)."""
         mx = -1
-        if os.path.isdir(self.corpus_dir):
-            for entry in os.listdir(self.corpus_dir):
+        root = root or self.corpus_dir
+        if os.path.isdir(root):
+            for entry in os.listdir(root):
                 m = re.fullmatch(re.escape(prefix) + r"(\d+)", entry)
                 if m:
                     mx = max(mx, int(m.group(1)))
@@ -222,23 +227,29 @@ class IngestPipeline:
         cross-key multiplicity ``process_batch`` already produces, which
         every consumer reduces over.
         """
-        key = key or self._next_key("g")
+        key = key or self._next_key("g", root=self.edges_dir)
+        neighbors = self._build_graph_neighbors(probes)
+        self.unwarm()  # the edge append invalidates any warm snapshot
+        self.build_edges(neighbors).write.mode("overwrite").parquet(
+            self._bdir(self.edges_dir, key))
+        return key
+
+    def _build_graph_neighbors(self, probes: int | None = None) -> DataFrame:
+        """The neighbor-selection plan behind ``build_graph`` — exposed so
+        the serving-plan window audit (plans/window_audit.py) walks the
+        actual plan the bulk build executes. All its windows partition by
+        qid (balanced selection, qcells top-p), so the partitionless
+        audit expects zero here."""
         corpus = self.corpus().transform(pin_lazy)
         n = corpus.count()
         cents = self.centroids()
         idx = self.ivf_index()
         if cents.isEmpty() or idx.isEmpty():
-            neighbors = self.knn_against_corpus(corpus, n_queries=n)
-        else:
-            cand = self._knn_join_ivf(
-                corpus, corpus, cents.transform(pin), idx, probes=probes,
-                broadcast_queries=False, include_fresh_assignment=False)
-            neighbors = self._balanced_select(cand, self.k,
-                                              self.k * OVERFETCH)
-        self.unwarm()  # the edge append invalidates any warm snapshot
-        self.build_edges(neighbors).write.mode("overwrite").parquet(
-            self._bdir(self.edges_dir, key))
-        return key
+            return self.knn_against_corpus(corpus, n_queries=n)
+        cand = self._knn_join_ivf(
+            corpus, corpus, cents.transform(pin), idx, probes=probes,
+            broadcast_queries=False, include_fresh_assignment=False)
+        return self._balanced_select(cand, self.k, self.k * OVERFETCH)
 
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch

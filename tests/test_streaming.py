@@ -1405,3 +1405,6 @@ def test_build_graph_torn_key_detected_and_preserved(spark, tables, tmp_path):
     pipe.build_graph(key="g1")
     assert "g1" not in pipe.torn_batch_keys()
     assert pipe.edges().count() >= committed
+    # the g-sequence is derived from the EDGES store (g-keys never write
+    # corpus rows): the next auto key advances past both committed builds
+    assert pipe._next_key("g", root=pipe.edges_dir) == "g2"
