@@ -94,9 +94,9 @@ def build_state(spark, data_dir: str, state: str) -> tuple:
 
 def mode_scaling(spark, args) -> None:
     rows = []
-    for f in (1, 10, 100):
-        if f > args.factor:
-            break
+    factors = ([int(x) for x in args.factors.split(",")] if args.factors
+               else [f for f in (1, 10, 100, 1000) if f <= args.factor])
+    for f in factors:
         if f == 1:
             data_dir, cleanup = args.src, False
         else:
@@ -216,6 +216,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=("scaling", "mixed"), default="scaling")
     ap.add_argument("--factor", type=int, default=100)
+    ap.add_argument("--factors", default=None,
+                    help="comma list of explicit factors (overrides "
+                         "--factor's 1,10,100,1000 prefix), e.g. 100,1000")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf_scaled")
     ap.add_argument("--keep", action="store_true")
