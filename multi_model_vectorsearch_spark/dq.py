@@ -3228,6 +3228,25 @@ _REGISTRY: list[DQ] = [
        "SELECT d1, d2, matches, "
        "CAST(floor((matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) "
        "AS est_j_micro FROM p WHERE matches >= 3"),
+    DQ("dq246_span_dedup", C.dq246_span_dedup,
+       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+       "FROM documents), "
+       "sp AS (SELECT doc_id, CAST(j AS INT) AS si, "
+       "array_to_string(ws[CAST(j*3+1 AS BIGINT):CAST(j*3+3 AS BIGINT)], "
+       "' ') AS span "
+       "FROM w, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(j)), "
+       "hot AS (SELECT span FROM sp GROUP BY span "
+       "HAVING count(DISTINCT doc_id) > 2), "
+       "kept AS (SELECT sp.* FROM sp ANTI JOIN hot USING (span)), "
+       "agg AS (SELECT doc_id, count(*) AS n_kept, "
+       "string_agg(span, ' ' ORDER BY si) AS clean_text "
+       "FROM kept GROUP BY doc_id), "
+       "tot AS (SELECT doc_id, count(*) AS n_spans FROM sp "
+       "GROUP BY doc_id) "
+       "SELECT tot.doc_id, tot.n_spans, "
+       "COALESCE(agg.n_kept, 0) AS n_kept, "
+       "COALESCE(agg.clean_text, '') AS clean_text "
+       "FROM tot LEFT JOIN agg USING (doc_id)"),
 ]
 
 

@@ -1229,3 +1229,67 @@ def dq242_split_uniformity(t: Tables, mod: int = 100) -> DataFrame:
         )
     )
     return agg
+
+
+def dq246_span_dedup(t: Tables, span_words: int = 3,
+                     max_df: int = 2) -> DataFrame:
+    """C4-style cross-corpus span deduplication (per doc: drop every
+    fixed-width word-span that occurs in more than ``max_df`` documents,
+    then reassemble the survivors in order).
+
+    The C4/RefinedWeb cleaning step is line-level ("drop any line that
+    appears ≥3 times in the corpus"); the synthetic corpus has no line
+    structure, so the unit here is the consecutive ``span_words``-word
+    chunk — same global-frequency semantics, deterministic chunking.
+
+    Scale shape (100 TB): spans explode map-side from the doc scan
+    (~n_words/span rows, no state); the document-frequency table is one
+    partial-aggregating groupBy on the span string; the drop decision is
+    a LEFT ANTI join on span — both sides shuffle on the span key, no
+    broadcast of anything corpus-sized, and AQE's skew handling splits
+    pathological hot spans (boilerplate that appears everywhere is
+    exactly the skewed key this op exists to find). Reassembly groups by
+    doc_id — the same key the scan was partitioned by.
+
+    Determinism: spans are exact strings, ``si`` is a per-doc ordinal
+    from posexplode, and reassembly sorts the (si, span) structs — no
+    floats anywhere, so the driver hash is stable. Docs whose every span
+    is hot survive with ``clean_text = ''`` via the left join back to
+    the corpus (an inner groupBy would silently drop them).
+    """
+    docs = t["documents"]
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda j: F.array_join(
+            F.slice(words, j * span_words + 1, span_words), " "),
+    )
+    ex = docs.select("doc_id", F.posexplode(spans).alias("si", "span"))
+    hot = (
+        ex.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("span")
+    )
+    kept = ex.join(hot, "span", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("si", "span"))),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

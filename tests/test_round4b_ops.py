@@ -981,3 +981,30 @@ def test_growth_accounting_ledger(tables):
         assert r["active"] == r["new_users"] + r["returning"]
     n_users = tables["events"].select("user_id").distinct().count()
     assert sum(r["new_users"] for r in rows) == n_users
+
+
+def test_dq246_span_dedup_semantics(spark):
+    """Hot spans (df > max_df) are dropped everywhere, survivors rebuild
+    in original order, and an all-hot doc survives with empty text."""
+    from multi_model_vectorsearch_spark.operators.curation import (
+        dq246_span_dedup,
+    )
+
+    hot = "a b c"  # appears in 3 docs -> df=3 > max_df=2 -> dropped
+    docs = spark.createDataFrame(
+        [
+            (0, f"{hot} x y z p q r"),   # hot + 2 unique spans
+            (1, f"u v w {hot}"),          # unique + hot
+            (2, hot),                      # all-hot doc
+            (3, "m n o a b"),             # unique spans incl. short tail
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           dq246_span_dedup({"documents": docs}).collect()}
+    assert out[0].n_spans == 3 and out[0].n_kept == 2
+    assert out[0].clean_text == "x y z p q r"  # order preserved
+    assert out[1].clean_text == "u v w"
+    assert out[2].n_spans == 1 and out[2].n_kept == 0
+    assert out[2].clean_text == ""  # all-hot doc not silently dropped
+    assert out[3].clean_text == "m n o a b"  # short tail span kept
