@@ -106,8 +106,11 @@ def synthesize(spark, src: str, out: str, factor: int,
             ),
             " ",
         )
+    # same single-task-fusion hazard as big_embs below: exchange first,
+    # then the interpreted per-word salting transform runs 32-wide
     big_docs = (
         docs.crossJoin(reps)
+        .repartition(32)
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
             F.when(F.col("rep") == 0, F.col("text"))
@@ -132,9 +135,16 @@ def synthesize(spark, src: str, out: str, factor: int,
     # stored vectors are unit-norm (cosine == dot); an additive nudge
     # alone would leave replicas on a different score scale than the
     # originals for any prenormalized-dot consumer run over probe data
+    # repartition BEFORE the heavy projection: the perturb+renormalize
+    # chain is higher-order-function expressions (interpreted, no
+    # codegen) and the source is a one-row-group file — without the
+    # exchange the whole n_vecs×factor transform fuses onto the single
+    # read task (measured: 13+ min on one core at factor 1000 while 31
+    # cores idled; the exchange moves only the cheap pre-projection rows)
     big_embs = (
         embs.crossJoin(reps)
         .withColumn("new_vec_id", F.col("vec_id") + F.col("rep") * n_vecs)
+        .repartition(32)
         .select(
             F.col("new_vec_id").alias("vec_id"),
             F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
@@ -146,9 +156,9 @@ def synthesize(spark, src: str, out: str, factor: int,
             *[c for c in embs.columns if c not in ("vec_id", "embedding")],
         )
     )
-    big_docs.repartition(32).write.mode("overwrite").parquet(
+    big_docs.write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet"))
-    big_embs.repartition(32).write.mode("overwrite").parquet(
+    big_embs.write.mode("overwrite").parquet(
         os.path.join(out, "embeddings.parquet"))
 
 
