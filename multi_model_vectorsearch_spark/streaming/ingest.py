@@ -597,16 +597,44 @@ class IngestPipeline:
 
     # --- incremental IVF index maintenance ---------------------------------
 
+    # Below this centroid count, assignment routes to the Arrow kernel:
+    # the JVM expression path evaluates an interpreted (no-codegen)
+    # higher-order cosine per docs×cents candidate, which is the right
+    # cost at fixed-mode scale (8 cells) but dominates bootstrap at √n
+    # sizing — a 5M-doc bootstrap is ~1.1e10 interpreted evals per Lloyd
+    # pass. The threshold is a deterministic function of the input, so a
+    # stream replay always re-picks the path the original attempt took.
+    ASSIGN_KERNEL_MIN_CENTS = 64
+
     def _assign(self, docs: DataFrame, cents: DataFrame) -> DataFrame:
-        """Nearest-centroid assignment: broadcast the tiny centroid set,
-        take the per-doc argmax with a map-side-combining aggregate. A
-        row_number window here would move every docs×cents candidate row
-        (n·ncent — 350M at 500k docs under √n sizing) through an
+        """Nearest-centroid assignment — (doc_id, cid), one row per doc.
+
+        Tiebreak everywhere: highest snapped cosine, then lowest cid.
+        Routes by centroid count: small sets (fixed mode's 8) keep the
+        JVM expression plan; √n-sized sets take the numpy kernel, whose
+        per-pair cost is a fused matmul lane instead of an interpreted
+        expression tree. The centroid set is collected either way —
+        bounded by the 65536-cell cap (~8 MB at dim 16) and already
+        driver-built at bootstrap. Kernel vs JVM agreement: both snap
+        through snap_double's exact op sequence in float64; the dot/norm
+        SUMMATION order differs (sequential fold vs pairwise matmul), a
+        ≤ few-ulp difference the 1e-6 snap absorbs except exactly on a
+        bucket boundary — pinned row-identical on the fixture corpora by
+        test_assign_kernel_matches_join, and immaterial to serving
+        semantics (an assignment is an index routing choice, and each
+        path is deterministic, so replays reproduce state bit-for-bit)."""
+        crows = cents.collect()
+        if len(crows) < self.ASSIGN_KERNEL_MIN_CENTS:
+            return self._assign_join(docs, cents)
+        return self._assign_kernel(docs, crows)
+
+    def _assign_join(self, docs: DataFrame, cents: DataFrame) -> DataFrame:
+        """JVM expression path: broadcast the tiny centroid set, take the
+        per-doc argmax with a map-side-combining aggregate. A row_number
+        window here would move every docs×cents candidate row through an
         exchange; ``max_by`` folds each doc's ncent candidates to ONE
         partial row before the shuffle, since the broadcast cross join
-        produces all of a doc's candidates inside one task. Tiebreak:
-        highest cs, then lowest cid — value-identical to the former
-        desc(cs), asc(cid) row_number pick."""
+        produces all of a doc's candidates inside one task."""
         sims = docs.select("doc_id", "embedding").crossJoin(
             F.broadcast(cents)).select(
             "doc_id", "cid",
@@ -616,6 +644,52 @@ class IngestPipeline:
         return sims.groupBy("doc_id").agg(
             F.max_by("cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc")))
             .alias("cid"))
+
+    def _assign_kernel(self, docs: DataFrame, crows: list) -> DataFrame:
+        """Arrow kernel path: centroids ride the mapInPandas closure (the
+        same broadcast-into-closure pattern as ``_knn_kernel``); each
+        worker scores its Arrow batch against the centroid matrix in one
+        float64 matmul, snaps via snap_double's numpy twin, and emits the
+        argmax row. Rows are chunked so the score buffer stays ≤ ~32 MB
+        regardless of centroid count. Tie-break: centroids are sorted by
+        cid ascending, and np.argmax returns the FIRST maximum — lowest
+        cid on equal snapped scores, the JVM path's exact rule."""
+        import numpy as np
+        import pandas as pd
+
+        crows = sorted(crows, key=lambda r: r.cid)
+        cids = np.array([r.cid for r in crows], dtype=np.int32)
+        cmat = np.stack([np.asarray(r.cvec, dtype=np.float64)
+                         for r in crows])
+        cnorm = np.maximum(np.linalg.norm(cmat, axis=1), 0.0)
+        chunk = max(1, 4_000_000 // max(len(crows), 1))
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                e = np.stack([np.asarray(v, dtype=np.float64)
+                              for v in pdf["embedding"].values])
+                en = np.linalg.norm(e, axis=1)
+                ids = pdf["doc_id"].values.astype(np.int64)
+                out = np.empty(len(pdf), dtype=np.int64)
+                for lo in range(0, len(pdf), chunk):
+                    hi = min(lo + chunk, len(pdf))
+                    sims = e[lo:hi] @ cmat.T
+                    denom = np.maximum(
+                        en[lo:hi, None] * cnorm[None, :], 1e-12)
+                    np.divide(sims, denom, out=sims)
+                    # snap_double numpy twin (fixedpoint.py contract):
+                    # same three IEEE ops; the /1e6 is argmax-invariant
+                    np.multiply(sims, 1e6, out=sims)
+                    np.add(sims, 0.5, out=sims)
+                    np.floor(sims, out=sims)
+                    out[lo:hi] = sims.argmax(axis=1)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "cid": cids[out].astype(np.int32)})
+
+        return docs.select("doc_id", "embedding").mapInPandas(
+            assign, "doc_id bigint, cid int")
 
     def _target_centroids(self, n_corpus: int) -> int:
         """Centroid count the index SHOULD have at ``n_corpus`` docs.

@@ -1408,3 +1408,36 @@ def test_build_graph_torn_key_detected_and_preserved(spark, tables, tmp_path):
     # the g-sequence is derived from the EDGES store (g-keys never write
     # corpus rows): the next auto key advances past both committed builds
     assert pipe._next_key("g", root=pipe.edges_dir) == "g2"
+
+
+def test_assign_kernel_matches_join(spark, tables, tmp_path):
+    """The Arrow-kernel assignment path is row-identical to the JVM
+    expression path on the fixture corpus (snap-absorbed ulp contract —
+    see _assign's docstring), including the equal-score → lowest-cid
+    tie-break, and the router picks the kernel at >= 64 centroids."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
+    docs = _moddocs(tables, 300)
+    from multi_model_vectorsearch_spark.functions.embedding import (
+        route_embedding,
+    )
+
+    emb = docs.select(
+        "doc_id",
+        route_embedding(F.col("text"), F.col("modality")).alias("embedding"),
+    )
+    cents = pipe._seed_centroids_plan(emb, 80)
+    crows = cents.collect()
+    assert len(crows) >= pipe.ASSIGN_KERNEL_MIN_CENTS
+    jvm = sorted(map(tuple, pipe._assign_join(emb, cents).collect()))
+    ker = sorted(map(tuple, pipe._assign_kernel(emb, crows).collect()))
+    assert jvm == ker
+    routed = sorted(map(tuple, pipe._assign(emb, cents).collect()))
+    assert routed == ker
+    # duplicate centroid vectors force exact snapped-score ties: both
+    # paths must break toward the LOWEST cid
+    dup = spark.createDataFrame(
+        [(i, crows[0].cvec) for i in range(70)], "cid int, cvec array<double>")
+    ker_dup = pipe._assign_kernel(emb, dup.collect()).collect()
+    assert {r.cid for r in ker_dup} == {0}
+    jvm_dup = pipe._assign_join(emb, dup).collect()
+    assert {r.cid for r in jvm_dup} == {0}
