@@ -201,7 +201,8 @@ class IngestPipeline:
         return key
 
     def build_graph(self, key: str | None = None,
-                    probes: int | None = None) -> str:
+                    probes: int | None = None,
+                    method: str = "auto") -> str:
         """One-pass distributed graph build — ``bulk_load``'s companion.
 
         Computes the reference's modality-balanced KNN selection
@@ -226,15 +227,29 @@ class IngestPipeline:
         query rows (and from earlier incremental batches) — the same
         cross-key multiplicity ``process_batch`` already produces, which
         every consumer reduces over.
+
+        ``method`` overrides the auto-routing: ``"exact"`` forces the
+        chunked kernel even when an IVF index exists — n²·d flops, but
+        they are dgemm lanes, which on measurement beats the probed
+        join's interpreted per-candidate expressions well past the
+        million-doc mark (the join's n^7/4 candidate ROWS cost more to
+        materialize than the kernel's n² flops cost to compute);
+        ``"ivf"`` forces the probed join (errors if no index). The
+        asymptotic story at 10⁹⁺ docs is neither: bulk graphs there are
+        built within cells (the dq148 SemDeDup tiling primitive) or
+        incrementally by the maintained ingest path.
         """
+        if method not in ("auto", "exact", "ivf"):
+            raise ValueError(f"unknown method {method!r}")
         key = key or self._next_key("g", root=self.edges_dir)
-        neighbors = self._build_graph_neighbors(probes)
+        neighbors = self._build_graph_neighbors(probes, method=method)
         self.unwarm()  # the edge append invalidates any warm snapshot
         self.build_edges(neighbors).write.mode("overwrite").parquet(
             self._bdir(self.edges_dir, key))
         return key
 
-    def _build_graph_neighbors(self, probes: int | None = None) -> DataFrame:
+    def _build_graph_neighbors(self, probes: int | None = None,
+                               method: str = "auto") -> DataFrame:
         """The neighbor-selection plan behind ``build_graph`` — exposed so
         the serving-plan window audit (plans/window_audit.py) walks the
         actual plan the bulk build executes. All its windows partition by
@@ -244,7 +259,9 @@ class IngestPipeline:
         n = corpus.count()
         cents = self.centroids()
         idx = self.ivf_index()
-        if cents.isEmpty() or idx.isEmpty():
+        if method == "ivf" and (cents.isEmpty() or idx.isEmpty()):
+            raise ValueError("method='ivf' requires a live IVF index")
+        if method == "exact" or cents.isEmpty() or idx.isEmpty():
             return self.knn_against_corpus(corpus, n_queries=n)
         cand = self._knn_join_ivf(
             corpus, corpus, cents.transform(pin), idx, probes=probes,

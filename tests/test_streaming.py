@@ -1441,3 +1441,27 @@ def test_assign_kernel_matches_join(spark, tables, tmp_path):
     assert {r.cid for r in ker_dup} == {0}
     jvm_dup = pipe._assign_join(emb, dup).collect()
     assert {r.cid for r in jvm_dup} == {0}
+
+
+def test_build_graph_method_override(spark, tables, tmp_path):
+    """method='exact' on an indexed pipeline produces the exact-kernel
+    graph byte-identically to the index-free pipeline; method='ivf'
+    without an index fails fast; unknown methods are rejected."""
+    docs = _mk_docs(tables, 0, 60)
+    pipe = IngestPipeline(spark, str(tmp_path / "ivf"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    pipe.build_graph(method="exact")
+    got = sorted(map(tuple, pipe.edges().collect()))
+
+    ref = IngestPipeline(spark, str(tmp_path / "ex"), k=4)
+    ref.bulk_load(docs)
+    ref.build_graph()
+    assert got == sorted(map(tuple, ref.edges().collect()))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires a live IVF index"):
+        ref.build_graph(method="ivf")
+    with _pytest.raises(ValueError, match="unknown method"):
+        pipe.build_graph(method="bogus")
