@@ -45,7 +45,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from multi_model_vectorsearch_spark import dq, get_spark, load_tables  # noqa: E402
-from multi_model_vectorsearch_spark.functions.vector import l2_normalize  # noqa: E402
 
 FLAGSHIPS = [
     "dq135_curation_funnel",
@@ -141,16 +140,28 @@ def synthesize(spark, src: str, out: str, factor: int,
     # exchange the whole n_vecs×factor transform fuses onto the single
     # read task (measured: 13+ min on one core at factor 1000 while 31
     # cores idled; the exchange moves only the cheap pre-projection rows)
+    # ... and each interpreted expression is evaluated ONCE per row: the
+    # perturbed array and its norm are materialized as their own columns
+    # before the per-lane division, because inlining l2_normalize(perturbed)
+    # re-evaluates the norm aggregate (and inside it the whole perturb
+    # transform) for every output lane — measured ~20 min for the 2M-row
+    # factor-1000 leg vs seconds hoisted; values are bit-identical (the
+    # norm recomputation yields the same float64 every time).
+    from multi_model_vectorsearch_spark.functions.vector import l2_norm
+
     big_embs = (
         embs.crossJoin(reps)
         .withColumn("new_vec_id", F.col("vec_id") + F.col("rep") * n_vecs)
         .repartition(32)
+        .withColumn("_p", perturbed)
+        .withColumn("_nrm", F.greatest(l2_norm(F.col("_p")), F.lit(1e-12)))
         .select(
             F.col("new_vec_id").alias("vec_id"),
             F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
                 F.transform(
-                    l2_normalize(perturbed),
-                    lambda x: x.cast("float"),
+                    F.col("_p"),
+                    lambda x: (x.cast("double") / F.col("_nrm"))
+                    .cast("float"),
                 )
             ).alias("embedding"),
             *[c for c in embs.columns if c not in ("vec_id", "embedding")],
