@@ -229,15 +229,18 @@ class IngestPipeline:
         every consumer reduces over.
 
         ``method`` overrides the auto-routing: ``"exact"`` forces the
-        chunked kernel even when an IVF index exists — n²·d flops, but
-        they are dgemm lanes, which on measurement beats the probed
-        join's interpreted per-candidate expressions well past the
-        million-doc mark (the join's n^7/4 candidate ROWS cost more to
-        materialize than the kernel's n² flops cost to compute);
-        ``"ivf"`` forces the probed join (errors if no index). The
-        asymptotic story at 10⁹⁺ docs is neither: bulk graphs there are
-        built within cells (the dq148 SemDeDup tiling primitive) or
-        incrementally by the maintained ingest path.
+        chunked dgemm kernel even when an IVF index exists; ``"ivf"``
+        forces the probed join (errors if no index). Measured
+        (scripts/probe_graph_build.py, dim-16 corpus, BASELINE.md r9):
+        exact 5.5 / 220 / 646 s at 5k / 50k / 500k docs, probed join
+        6.4 / 78 s at 5k / 50k (e ≈ 1.09 → ~900 s projected at 500k) —
+        the two scorers trade places with scale (exact pays n²·d flops
+        at dgemm speed; the join pays ~n^7/4 candidate ROWS at
+        shuffle+expression speed), so the choice is a measurement, not
+        a rule — which is why it is a parameter. The asymptotic story
+        at 10⁹⁺ docs is neither: bulk graphs there are built within
+        cells (the dq148 SemDeDup tiling primitive) or incrementally by
+        the maintained ingest path.
         """
         if method not in ("auto", "exact", "ivf"):
             raise ValueError(f"unknown method {method!r}")
