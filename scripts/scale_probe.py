@@ -262,7 +262,8 @@ def bench_dedup_chain(spark, out_dir: str,
     return out
 
 
-def bench_graph_chains(spark, out_dir: str, factor: int) -> dict[str, float]:
+def bench_graph_chains(spark, out_dir: str, factor: int,
+                       regimes: tuple = ("fixed", "scaled")) -> dict[str, float]:
     """Round-9 verdict item 4: measured exponents for the graph chains.
 
     Two regimes per factor:
@@ -299,6 +300,11 @@ def bench_graph_chains(spark, out_dir: str, factor: int) -> dict[str, float]:
         print(f"# {key}: {v} ({out[key + '_sec']} s)", flush=True)
 
     for tag, nq in (("fixed", 20), ("scaled", 20 * factor)):
+        if tag not in regimes:
+            # past ~100x the scaled regime's exact edge build is n_q x n
+            # pair work by construction (density math, BASELINE.md r9
+            # graph table) — --regimes fixed measures the chains alone
+            continue
         timed(f"edges_{tag}",
               lambda: dq33_build_edges(tables, n_queries=nq).count())
         timed(f"dq34_expand_{tag}",
@@ -333,7 +339,7 @@ def _exponents(rows: list[dict],
         for k in keys or ("lsh_candidates", "lsh_strict_candidates",
                           "dq61_clusters", "ppjoin_candidates",
                           "dq183_pairs", "dq148_drops"):
-            if a[k] > 0 and b[k] > 0:
+            if a.get(k, 0) > 0 and b.get(k, 0) > 0:
                 exps[f"{k}@{int(a['factor'])}x->{int(b['factor'])}x"] = round(
                     math.log(b[k] / a[k]) / math.log(ratio_n), 3)
     return exps
@@ -344,6 +350,8 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf_scaled")
+    ap.add_argument("--regimes", default="fixed,scaled",
+                    help="graph mode: comma list of fixed/scaled")
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthesized dataset on disk")
     ap.add_argument("--mode", choices=("flagships", "dedup", "graph"),
@@ -366,7 +374,7 @@ def main() -> None:
             clear_session_caches,
         )
 
-        factors = [f for f in (1, 10, 100) if f <= args.factor] or [1]
+        factors = [f for f in (1, 10, 100, 1000) if f <= args.factor] or [1]
         rows = []
         for f in factors:
             out_dir = args.src if f == 1 else f"{args.out}_graph_f{f}"
@@ -377,7 +385,9 @@ def main() -> None:
             print(f"## factor {f} (gen {time.perf_counter() - t0:.1f} s)",
                   flush=True)
             try:
-                row = bench_graph_chains(spark, out_dir, f)
+                row = bench_graph_chains(
+                    spark, out_dir, f,
+                    regimes=tuple(args.regimes.split(",")))
                 row["factor"] = float(f)
                 rows.append(row)
             finally:
