@@ -1021,6 +1021,22 @@ class IngestPipeline:
         qv = self._query_literal(text, modality)
         if qv is None:
             return self.spark.createDataFrame([], out_schema)
+        corpus = self._probed_corpus(qv, probes)
+        return (
+            corpus.select(
+                "doc_id", "modality",
+                snap_double(cosine_similarity(F.col("embedding"), qv))
+                .alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _probed_corpus(self, qv, probes: int | None = None) -> DataFrame:
+        """The corpus restricted to the query's probed IVF cells — the one
+        probing plan ``search_ivf`` and ``search(route="ivf")`` share.
+        Falls back to the full corpus while the index hasn't bootstrapped
+        (or is half-written — see the read-order note below)."""
         if self._warm:
             corpus = self._warm["corpus"]
             cents = self._warm.get("centroids")
@@ -1039,27 +1055,19 @@ class IngestPipeline:
                 # everything to an empty member set
                 if idx.isEmpty():
                     cents = idx = None
-        if idx is not None:
-            if probes is None:
-                probes = self._auto_probes(cents.count())
-            probe_cids = (
-                cents.select("cid", cosine_similarity(
-                    F.col("cvec"), qv).alias("cs"))
-                .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
-                .select("cid")
-            )
-            members = idx.join(
-                F.broadcast(probe_cids), "cid").select("doc_id")
-            corpus = corpus.join(F.broadcast(members), "doc_id", "left_semi")
-        return (
-            corpus.select(
-                "doc_id", "modality",
-                snap_double(cosine_similarity(F.col("embedding"), qv))
-                .alias("s"),
-            )
-            .orderBy(F.desc("s"), F.asc("doc_id"))
-            .limit(k)
+        if idx is None:
+            return corpus
+        if probes is None:
+            probes = self._auto_probes(cents.count())
+        probe_cids = (
+            cents.select("cid", cosine_similarity(
+                F.col("cvec"), qv).alias("cs"))
+            .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
+            .select("cid")
         )
+        members = idx.join(
+            F.broadcast(probe_cids), "cid").select("doc_id")
+        return corpus.join(F.broadcast(members), "doc_id", "left_semi")
 
     def knn_against_corpus(self, fresh: DataFrame,
                            n_queries: int | None = None) -> DataFrame:
@@ -1522,7 +1530,8 @@ class IngestPipeline:
         return q
 
     def search(self, text: str, k: int | None = None,
-               modality: str = "text") -> DataFrame:
+               modality: str = "text", route: str = "exact",
+               probes: int | None = None) -> DataFrame:
         """`/search` analog (main.py:90-125): embed the query, the same
         modality-balanced ``search_knn`` selection as the submit path (no
         self-pin — the query is not a stored doc), then 1-hop expansion.
@@ -1531,7 +1540,20 @@ class IngestPipeline:
         same kernel the UDF maps, value-identical) and enters the plan as
         an array literal: a one-row query needs no embed job, no
         broadcast, no cross join. With ``warm()`` state the corpus and
-        edge reads hit the in-memory caches."""
+        edge reads hit the in-memory caches.
+
+        ``route`` picks the candidate scan feeding the (unchanged)
+        balanced-selection + expansion pipeline: ``"exact"`` (default —
+        reference parity) scans the corpus; ``"ivf"`` restricts it to the
+        query's probed cells (``_probed_corpus`` — the exact plan
+        ``search_ivf`` serves from), approximate exactly as ``search_ivf``
+        is and LOSSLESS at ``probes = n_centroids`` (pinned by test);
+        ``"auto"`` probes when an index exists. At the 5M-doc corpus the
+        exact scan is what made warm ``/search`` grow (1.7 s/q in the
+        BASELINE.md r9 1000× table) while probed ``search_ivf`` stayed
+        flat — this gives the full-semantics endpoint the same flat scan."""
+        if route not in ("exact", "ivf", "auto"):
+            raise ValueError(f"unknown route {route!r}")
         from multi_model_vectorsearch_spark.operators.graph import (
             DECAY,
             expand_one_hop,
@@ -1539,7 +1561,10 @@ class IngestPipeline:
 
         k = k or self.k
         qv = self._query_literal(text, modality)
-        corpus = self._warm["corpus"] if self._warm else self.corpus()
+        if route == "exact" or qv is None:
+            corpus = self._warm["corpus"] if self._warm else self.corpus()
+        else:
+            corpus = self._probed_corpus(qv, probes)
         edges = self._warm["edges"] if self._warm else self.edges()
         if qv is None:
             cand = self.spark.createDataFrame(

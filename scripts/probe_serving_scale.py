@@ -124,6 +124,8 @@ def mode_scaling(spark, args) -> None:
                     queries),
                 "warm_search_sq": per_query(
                     lambda q: pipe.search(q, k=10), queries),
+                "warm_search_routed_sq": per_query(
+                    lambda q: pipe.search(q, k=10, route="ivf"), queries),
                 "recall_at_10": recall_at_k(pipe, queries),
                 "index_rows": sizes.get("index_rows", 0),
             }

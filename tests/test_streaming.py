@@ -1465,3 +1465,41 @@ def test_build_graph_method_override(spark, tables, tmp_path):
         ref.build_graph(method="ivf")
     with _pytest.raises(ValueError, match="unknown method"):
         pipe.build_graph(method="bogus")
+
+
+def test_search_route_ivf_lossless_at_full_probing(spark, tables, tmp_path):
+    """search(route='ivf', probes=n_centroids) is row-identical to the
+    exact route (probing every cell degenerates to the full scan), the
+    default-probe route returns the same shape, and bad routes fail."""
+    docs = _mk_docs(tables, 0, 80)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    pipe.build_graph()
+    ncent = pipe.centroids().count()
+    q = docs.orderBy("doc_id").first().text
+
+    exact = sorted(map(tuple, pipe.search(q, k=4).collect()))
+    full = sorted(map(tuple,
+                      pipe.search(q, k=4, route="ivf",
+                                  probes=ncent).collect()))
+    assert exact == full
+    probed = pipe.search(q, k=4, route="ivf").collect()
+    assert len(probed) == len(exact)
+    auto = sorted(map(tuple, pipe.search(q, k=4, route="auto",
+                                         probes=ncent).collect()))
+    assert auto == exact
+    # warm state serves the probed route too, identically
+    pipe.warm()
+    try:
+        warm_full = sorted(map(tuple,
+                               pipe.search(q, k=4, route="ivf",
+                                           probes=ncent).collect()))
+        assert warm_full == exact
+    finally:
+        pipe.unwarm()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown route"):
+        pipe.search(q, route="bogus")
