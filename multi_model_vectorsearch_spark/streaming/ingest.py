@@ -237,12 +237,17 @@ class IngestPipeline:
         the two scorers trade places with scale (exact pays n²·d flops
         at dgemm speed; the join pays ~n^7/4 candidate ROWS at
         shuffle+expression speed), so the choice is a measurement, not
-        a rule — which is why it is a parameter. The asymptotic story
-        at 10⁹⁺ docs is neither: bulk graphs there are built within
-        cells (the dq148 SemDeDup tiling primitive) or incrementally by
-        the maintained ingest path.
+        a rule — which is why it is a parameter. ``"cells"`` is the
+        10⁹⁺-doc design implemented: within-cell dgemm cohorts
+        (``_within_cell_neighbors`` — n^{3/2}·d flops, one exchange on
+        cid, no cross-cell candidates), strictly narrower than the
+        probed join but with exact self-pins and identical snapped
+        scores on shared pairs — measured 3.97 / 43.8 s at 50k / 500k
+        docs (32× / 13× faster than exact, ~linear; BASELINE.md r9);
+        the alternative at that scale is the maintained incremental
+        ingest path.
         """
-        if method not in ("auto", "exact", "ivf"):
+        if method not in ("auto", "exact", "ivf", "cells"):
             raise ValueError(f"unknown method {method!r}")
         key = key or self._next_key("g", root=self.edges_dir)
         neighbors = self._build_graph_neighbors(probes, method=method)
@@ -262,14 +267,99 @@ class IngestPipeline:
         n = corpus.count()
         cents = self.centroids()
         idx = self.ivf_index()
-        if method == "ivf" and (cents.isEmpty() or idx.isEmpty()):
-            raise ValueError("method='ivf' requires a live IVF index")
+        if method in ("ivf", "cells") and (cents.isEmpty()
+                                           or idx.isEmpty()):
+            raise ValueError(f"method={method!r} requires a live IVF index")
+        if method == "cells":
+            return self._within_cell_neighbors(corpus)
         if method == "exact" or cents.isEmpty() or idx.isEmpty():
             return self.knn_against_corpus(corpus, n_queries=n)
         cand = self._knn_join_ivf(
             corpus, corpus, cents.transform(pin), idx, probes=probes,
             broadcast_queries=False, include_fresh_assignment=False)
         return self._balanced_select(cand, self.k, self.k * OVERFETCH)
+
+    def _within_cell_neighbors(self, corpus: DataFrame) -> DataFrame:
+        """Within-cell candidate pool — ``build_graph(method="cells")``.
+
+        The 10⁹⁺-doc bulk-build design the other two scorers can't reach:
+        every doc's candidates are the members of its OWN IVF cell, so
+        the similarity square never crosses a cell boundary. Work =
+        Σ m_cell² · d ≈ n^{3/2}·d flops under √n sizing, ALL of it dgemm
+        inside one ``applyInPandas`` per cell (the dq148 SemDeDup tiling
+        pattern applied to graph construction); shuffle = one exchange of
+        the corpus on cid plus n·pool_k emitted candidate rows. Nothing
+        corpus-sized is collected or broadcast, and cells are ~√n by
+        Lloyd balance with re-train keeping the ideal/active ratio ≤ 2×
+        (a pathological giant cell still lands in one task — the known
+        applyInPandas bound, same as dq148's).
+
+        Approximation: neighbors outside the query's cell are missed —
+        strictly narrower than the probed join (probes ≥ 1 cell) and the
+        exact scan; the self-match pin is exact (a doc is always in its
+        own cell; diagonal pinned to 1.0 AFTER the snap, mirroring the
+        join paths' ``when(doc_id == qid, 1.0)``). Scores are
+        snap_double's numpy twin — identical to both other scorers on
+        shared pairs. Per-cell emission of each query's top ``pool_k``
+        by (snapped s desc, doc_id asc) is LOSSLESS for the downstream
+        ``_balanced_select`` pool because all of a query's candidates
+        live in this one cell."""
+        import numpy as np
+        import pandas as pd
+
+        pool_k = self.k * OVERFETCH
+        members = self.ivf_index().select("doc_id", "cid").join(
+            corpus.select("doc_id", "modality", "embedding"), "doc_id")
+
+        def score_cell(pdf):
+            pdf = pdf.sort_values("doc_id", kind="stable")
+            ids = pdf["doc_id"].values.astype(np.int64)
+            mods = pdf["modality"].values
+            e = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"].values])
+            n = len(ids)
+            assert n < (1 << 24), n  # position term fits 24 bits
+            norms = np.linalg.norm(e, axis=1)
+            kk = min(pool_k, n)
+            # doc_id-ascending position → higher posval = lower doc_id,
+            # so the composite key's tie-break matches _balanced_select's
+            # (s desc, doc_id asc) window order exactly
+            posval = (2.0**24 - 1.0) - np.arange(n, dtype=np.float64)
+            chunk = max(1, 4_000_000 // max(n, 1))
+            out_q, out_d, out_s = [], [], []
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                sims = e[lo:hi] @ e.T
+                denom = np.maximum(
+                    norms[lo:hi, None] * norms[None, :], 1e-12)
+                np.divide(sims, denom, out=sims)
+                np.multiply(sims, 1e6, out=sims)
+                np.add(sims, 0.5, out=sims)
+                np.floor(sims, out=sims)
+                for r in range(hi - lo):  # self-pin: exactly 1.0 * 1e6
+                    sims[r, lo + r] = 1e6
+                key = sims * (2.0**24)
+                np.add(key, posval[None, :], out=key)
+                top = np.argpartition(key, n - kk, axis=1)[:, n - kk:]
+                out_q.append(np.repeat(np.arange(lo, hi), kk))
+                out_d.append(top.reshape(-1))
+                # gather the snapped micro scores straight from the block
+                # buffer — the emitted score IS the selection key's score
+                rows = np.arange(hi - lo)[:, None]
+                out_s.append((sims[rows, top] / 1e6).reshape(-1))
+            qpos = np.concatenate(out_q)
+            dpos = np.concatenate(out_d)
+            return pd.DataFrame({
+                "qid": ids[qpos], "qm": mods[qpos],
+                "doc_id": ids[dpos], "modality": mods[dpos],
+                "s": np.concatenate(out_s),
+            })
+
+        cand = members.groupBy("cid").applyInPandas(
+            score_cell,
+            "qid bigint, qm string, doc_id bigint, modality string, "
+            "s double")
+        return self._balanced_select(cand, self.k, pool_k)
 
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch

@@ -74,9 +74,13 @@ def main() -> None:
             row = {"factor": f, "n_docs": n, "bulk_load_sec": bulk_sec,
                    "n_centroids": pipe.centroids().count()}
             t0 = time.perf_counter()
+            pipe.build_graph(method="cells", key="gc")
+            row["cells_sec"] = round(time.perf_counter() - t0, 2)
+            row["cells_edges"] = pipe.edges().count()
+            t0 = time.perf_counter()
             pipe.build_graph(method="exact", key="gx")
             row["exact_sec"] = round(time.perf_counter() - t0, 2)
-            row["exact_edges"] = pipe.edges().count()
+            row["edges_after_exact"] = pipe.edges().count()
             if f <= args.ivf_max_factor:
                 t0 = time.perf_counter()
                 pipe.build_graph(method="ivf", key="gi")
@@ -91,7 +95,7 @@ def main() -> None:
     exps = {}
     for a, b in zip(rows, rows[1:]):
         rn = math.log(b["n_docs"] / a["n_docs"])
-        for kk in ("exact_sec", "ivf_sec"):
+        for kk in ("exact_sec", "ivf_sec", "cells_sec"):
             if a.get(kk) and b.get(kk):
                 exps[f"{kk}@{a['factor']}x->{b['factor']}x"] = round(
                     math.log(b[kk] / a[kk]) / rn, 3)

@@ -1503,3 +1503,37 @@ def test_search_route_ivf_lossless_at_full_probing(spark, tables, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown route"):
         pipe.search(q, route="bogus")
+
+
+def test_build_graph_cells_method(spark, tables, tmp_path):
+    """method='cells': canonical edge invariants hold, every pair shared
+    with the exact graph carries the identical snapped score, overlap is
+    meaningful (cells capture near neighbors), and a one-cell index
+    makes the within-cell build EQUAL the exact build (the whole corpus
+    is the cohort, so nothing is pruned)."""
+    docs = _mk_docs(tables, 0, 80)
+    pipe = IngestPipeline(spark, str(tmp_path / "c"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    assert pipe.centroids().count() > 1
+    pipe.build_graph(method="cells")
+    cells = {(r.src, r.dst): r.score for r in pipe.edges().collect()}
+    assert cells and all(s < d for (s, d) in cells)
+
+    exact = IngestPipeline(spark, str(tmp_path / "e"), k=4)
+    exact.bulk_load(docs)
+    exact.build_graph()
+    ee = {(r.src, r.dst): r.score for r in exact.edges().collect()}
+    shared = set(cells) & set(ee)
+    assert shared, "within-cell graph shares edges with the exact graph"
+    assert all(cells[p] == ee[p] for p in shared)
+
+    # one cell = no pruning: within-cell build == exact build exactly
+    one = IngestPipeline(spark, str(tmp_path / "o"), k=4,
+                         maintain_ivf=True, n_centroids=1,
+                         ivf_bootstrap=16)
+    one.bulk_load(docs)
+    one.build_graph(method="cells")
+    got = {(r.src, r.dst): r.score for r in one.edges().collect()}
+    assert got == ee
