@@ -47,6 +47,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,10")
     ap.add_argument("--ivf-max-factor", type=int, default=10)
+    ap.add_argument("--exact-max-factor", type=int, default=100)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sf_scaled")
     ap.add_argument("--keep", action="store_true")
@@ -77,10 +78,11 @@ def main() -> None:
             pipe.build_graph(method="cells", key="gc")
             row["cells_sec"] = round(time.perf_counter() - t0, 2)
             row["cells_edges"] = pipe.edges().count()
-            t0 = time.perf_counter()
-            pipe.build_graph(method="exact", key="gx")
-            row["exact_sec"] = round(time.perf_counter() - t0, 2)
-            row["edges_after_exact"] = pipe.edges().count()
+            if f <= args.exact_max_factor:
+                t0 = time.perf_counter()
+                pipe.build_graph(method="exact", key="gx")
+                row["exact_sec"] = round(time.perf_counter() - t0, 2)
+                row["edges_after_exact"] = pipe.edges().count()
             if f <= args.ivf_max_factor:
                 t0 = time.perf_counter()
                 pipe.build_graph(method="ivf", key="gi")
