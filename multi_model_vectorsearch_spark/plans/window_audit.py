@@ -138,6 +138,11 @@ SERVING_WINDOW_CLASS: dict[str, tuple[str, str]] = {
         "never the corpus — ingest._chunk_ranked; the window executes in "
         "the kernel's per-chunk driver collect, so the returned candidate "
         "plan (knn.fat_batch, audited at zero windows) does not carry it"),
+    "search.routed": (
+        "driver-bounded",
+        "search(route='ivf') — the identical balanced-selection windows "
+        "as search.exact (post-TakeOrdered ≤ pool_k rows), fed by the "
+        "probed semi-join instead of the full scan"),
     "ingest.centroid_seeds": (
         "driver-bounded",
         "cid numbering window over the post-LIMIT ncent≈√n seed rows — "
@@ -171,4 +176,11 @@ def serving_plan_suite(pipe, query_text: str) -> dict[str, "DataFrame"]:
         # bulk graph build (round-9): every window is qid-partitioned —
         # expected to contribute ZERO partitionless windows
         "build_graph.neighbors": pipe._build_graph_neighbors(),
+        # probed /search route: same balanced-selection windows as
+        # search.exact, over the probed scan
+        "search.routed": pipe.search(query_text, k=4, route="ivf"),
+        # within-cell bulk build: the applyInPandas cohort emits the
+        # per-query pool; the only windows are _balanced_select's
+        # qid-partitioned ones — expected ZERO partitionless
+        "build_graph.cells": pipe._within_cell_neighbors(corpus),
     }
