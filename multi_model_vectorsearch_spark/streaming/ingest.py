@@ -318,7 +318,9 @@ class IngestPipeline:
             e = np.stack([np.asarray(v, dtype=np.float64)
                           for v in pdf["embedding"].values])
             n = len(ids)
-            assert n < (1 << 24), n  # position term fits 24 bits
+            if n >= (1 << 24):  # position term fits 24 bits; enforced
+                raise ValueError(  # regardless of python -O assert strip
+                    f"cell of {n} rows exceeds the 2^24 packing bound")
             norms = np.linalg.norm(e, axis=1)
             kk = min(pool_k, n)
             # doc_id-ascending position → higher posval = lower doc_id,
@@ -735,7 +737,11 @@ class IngestPipeline:
         path is deterministic, so replays reproduce state bit-for-bit)."""
         crows = cents.collect()
         if len(crows) < self.ASSIGN_KERNEL_MIN_CENTS:
-            return self._assign_join(docs, cents)
+            # rebuild the tiny broadcast frame from the collected rows so
+            # the centroid plan executes exactly once per call (not once
+            # for the route decision and again inside the broadcast join)
+            cents_local = self.spark.createDataFrame(crows, cents.schema)
+            return self._assign_join(docs, cents_local)
         return self._assign_kernel(docs, crows)
 
     def _assign_join(self, docs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1122,11 +1128,16 @@ class IngestPipeline:
             .limit(k)
         )
 
-    def _probed_corpus(self, qv, probes: int | None = None) -> DataFrame:
+    def _probed_corpus(self, qv, probes: int | None = None,
+                       require: bool = False) -> DataFrame:
         """The corpus restricted to the query's probed IVF cells — the one
         probing plan ``search_ivf`` and ``search(route="ivf")`` share.
         Falls back to the full corpus while the index hasn't bootstrapped
-        (or is half-written — see the read-order note below)."""
+        (or is half-written — see the read-order note below) — unless
+        ``require`` (a caller who EXPLICITLY asked for the probed route,
+        e.g. ``search(route="ivf")``), where degrading to the full scan
+        would silently pay exactly the latency the route exists to avoid:
+        raise instead, matching ``build_graph(method="ivf")``'s contract."""
         if self._warm:
             corpus = self._warm["corpus"]
             cents = self._warm.get("centroids")
@@ -1146,6 +1157,11 @@ class IngestPipeline:
                 if idx.isEmpty():
                     cents = idx = None
         if idx is None:
+            if require:
+                raise ValueError(
+                    "route='ivf' requested but no live IVF index exists; "
+                    "use route='auto' for silent fallback, or enable "
+                    "maintain_ivf / call bulk_load first")
             return corpus
         if probes is None:
             probes = self._auto_probes(cents.count())
@@ -1314,7 +1330,9 @@ class IngestPipeline:
                 # position term fits 24 bits: partitions are bounded far
                 # below 16.7M rows (finish path < 200k by the coalesce
                 # gate; scan partitions by maxPartitionBytes)
-                assert n < (1 << 24), n
+                if n >= (1 << 24):
+                    raise ValueError(f"partition of {n} rows exceeds the "
+                                     "2^24 packing bound")
                 # self-pin (main.py:223-224) via binary search on the
                 # sorted docs — the old n×q equality matrix was a full
                 # extra pass. [lo, hi) covers duplicate doc_ids too.
@@ -1654,7 +1672,8 @@ class IngestPipeline:
         if route == "exact" or qv is None:
             corpus = self._warm["corpus"] if self._warm else self.corpus()
         else:
-            corpus = self._probed_corpus(qv, probes)
+            corpus = self._probed_corpus(qv, probes,
+                                         require=(route == "ivf"))
         edges = self._warm["edges"] if self._warm else self.edges()
         if qv is None:
             cand = self.spark.createDataFrame(

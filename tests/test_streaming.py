@@ -1414,7 +1414,12 @@ def test_assign_kernel_matches_join(spark, tables, tmp_path):
     """The Arrow-kernel assignment path is row-identical to the JVM
     expression path on the fixture corpus (snap-absorbed ulp contract —
     see _assign's docstring), including the equal-score → lowest-cid
-    tie-break, and the router picks the kernel at >= 64 centroids."""
+    tie-break, and the router picks the kernel at >= 64 centroids.
+
+    FIXTURE DEPENDENCY: matmul vs sequential-fold summation differ by a
+    few ulps; byte-identity holds because no fixture score lands exactly
+    on a 1e-6 snap-bucket boundary. On another corpus this equality
+    could legitimately differ by one snap bucket (1e-6)."""
     pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
     docs = _moddocs(tables, 300)
     from multi_model_vectorsearch_spark.functions.embedding import (
@@ -1505,12 +1510,36 @@ def test_search_route_ivf_lossless_at_full_probing(spark, tables, tmp_path):
         pipe.search(q, route="bogus")
 
 
+def test_search_route_ivf_requires_live_index(spark, tables, tmp_path):
+    """An EXPLICIT route='ivf' on an index-less pipeline raises (same
+    contract as build_graph(method='ivf')) instead of silently paying
+    the full-scan latency the route exists to avoid; route='auto' keeps
+    the silent fallback and matches the exact route row-for-row."""
+    import pytest as _pytest
+
+    docs = _mk_docs(tables, 0, 30)
+    pipe = IngestPipeline(spark, str(tmp_path / "noivf"), k=4)
+    pipe.bulk_load(docs)
+    pipe.build_graph()
+    q = docs.orderBy("doc_id").first().text
+    with _pytest.raises(ValueError, match="no live IVF index"):
+        pipe.search(q, k=4, route="ivf")
+    exact = sorted(map(tuple, pipe.search(q, k=4).collect()))
+    auto = sorted(map(tuple, pipe.search(q, k=4, route="auto").collect()))
+    assert auto == exact
+
+
 def test_build_graph_cells_method(spark, tables, tmp_path):
     """method='cells': canonical edge invariants hold, every pair shared
     with the exact graph carries the identical snapped score, overlap is
     meaningful (cells capture near neighbors), and a one-cell index
     makes the within-cell build EQUAL the exact build (the whole corpus
-    is the cohort, so nothing is pruned)."""
+    is the cohort, so nothing is pruned).
+
+    FIXTURE DEPENDENCY: shared-pair score equality relies on no fixture
+    score landing exactly on a 1e-6 snap-bucket boundary (matmul vs
+    fold ulp difference — see _assign's docstring); off this fixture a
+    one-bucket (1e-6) difference would be within contract."""
     docs = _mk_docs(tables, 0, 80)
     pipe = IngestPipeline(spark, str(tmp_path / "c"), k=4,
                           maintain_ivf=True, n_centroids=None,
