@@ -80,14 +80,35 @@ class IngestPipeline:
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
                  max_collect: int = 4096, n_centroids: int | None = 8,
                  ivf_bootstrap: int = 64, maintain_ivf: bool = False,
-                 maintain_neardup: bool = False, ivf_probes: int = 2):
+                 maintain_neardup: bool = False, ivf_probes: int = 2,
+                 fs=None, commit_mode: str = "auto"):
         self.spark = spark
-        self.corpus_dir = os.path.join(state_dir, "corpus")
-        self.edges_dir = os.path.join(state_dir, "edges")
-        self.centroids_dir = os.path.join(state_dir, "centroids")
-        self.index_dir = os.path.join(state_dir, "ivf")
-        self.sig_dir = os.path.join(state_dir, "signatures")
-        self.flags_dir = os.path.join(state_dir, "neardup_flags")
+        # every state-FS operation routes through ONE adapter (statefs.py)
+        # so the commit protocol runs unchanged on local disk, HDFS, or an
+        # object store — ``fs`` injects a backend (tests force Hadoop on a
+        # local path); default picks by the state root's URI scheme
+        from multi_model_vectorsearch_spark.streaming.statefs import (
+            statefs_for,
+        )
+
+        self.fs = fs if fs is not None else statefs_for(spark, state_dir)
+        # swap strategy for compaction / IVF re-train: "rename" builds the
+        # commit point on an atomic directory rename (POSIX, HDFS);
+        # "pointer" publishes a new generation directory by atomically
+        # rewriting a tiny ``_CURRENT`` pointer file — the only commit an
+        # object store (no atomic rename) can honor. "auto" picks from
+        # the backend's rename guarantee.
+        if commit_mode not in ("auto", "rename", "pointer"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
+        if commit_mode == "auto":
+            commit_mode = "rename" if self.fs.atomic_rename else "pointer"
+        self.commit_mode = commit_mode
+        self.corpus_dir = self.fs.join(state_dir, "corpus")
+        self.edges_dir = self.fs.join(state_dir, "edges")
+        self.centroids_dir = self.fs.join(state_dir, "centroids")
+        self.index_dir = self.fs.join(state_dir, "ivf")
+        self.sig_dir = self.fs.join(state_dir, "signatures")
+        self.flags_dir = self.fs.join(state_dir, "neardup_flags")
         self.k = k
         self.max_collect = max_collect
         # ``n_centroids=None`` turns on auto sizing: √n centroids at
@@ -127,17 +148,39 @@ class IngestPipeline:
         # warm-serving state (warm()): cached corpus/edges/centroids/index
         self._warm: dict[str, DataFrame] = {}
 
-    @staticmethod
-    def _has_parquet(path: str) -> bool:
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def _has_parquet(self, path: str) -> bool:
+        return self.fs.has_parquet(path)
 
-    @staticmethod
-    def _bdir(root: str, key: str) -> str:
+    # --- generation pointers (object-store commit mode) ----------------------
+    # Under commit_mode="pointer" a state root holds a tiny ``_CURRENT``
+    # file naming the live generation subdirectory (``.gen-<n>`` — hidden,
+    # so a Spark read of the root never sees a staged one). Publishing a
+    # rebuilt store = atomically rewriting that one small file, the only
+    # commit primitive an object store honors; readers resolve through
+    # ``_phys``. Under commit_mode="rename" no pointer ever exists and
+    # ``_phys`` is the identity, preserving the original layout exactly.
+
+    def _phys(self, root: str) -> str:
+        """The physical directory a logical state root resolves to."""
+        cur = self.fs.read_text(self.fs.join(root, "_CURRENT"))
+        if cur:
+            return self.fs.join(root, cur.strip())
+        return root
+
+    def _gen_num(self, root: str) -> int:
+        """Live generation number (0 = the pre-pointer root itself)."""
+        cur = self.fs.read_text(self.fs.join(root, "_CURRENT"))
+        if cur:
+            m = re.fullmatch(r"\.gen-(\d+)", cur.strip())
+            if not m:
+                raise ValueError(
+                    f"corrupt _CURRENT pointer in {root}: {cur!r}")
+            return int(m.group(1))
+        return 0
+
+    def _bdir(self, root: str, key: str) -> str:
         """Deterministic per-batch subdirectory — the exactly-once unit."""
-        return os.path.join(root, key)
+        return self.fs.join(self._phys(root), key)
 
     def _batch_key(self, batch_id: int) -> str:
         """Subdirectory name for a streaming epoch. Namespaced per
@@ -162,11 +205,10 @@ class IngestPipeline:
         always see none and hand out ``g0`` forever)."""
         mx = -1
         root = root or self.corpus_dir
-        if os.path.isdir(root):
-            for entry in os.listdir(root):
-                m = re.fullmatch(re.escape(prefix) + r"(\d+)", entry)
-                if m:
-                    mx = max(mx, int(m.group(1)))
+        for entry in self.fs.listdir(self._phys(root)):
+            m = re.fullmatch(re.escape(prefix) + r"(\d+)", entry)
+            if m:
+                mx = max(mx, int(m.group(1)))
         return f"{prefix}{mx + 1}"
 
     def _next_submit_key(self) -> str:
@@ -303,13 +345,32 @@ class IngestPipeline:
         shared pairs. Per-cell emission of each query's top ``pool_k``
         by (snapped s desc, doc_id asc) is LOSSLESS for the downstream
         ``_balanced_select`` pool because all of a query's candidates
-        live in this one cell."""
+        live in this one cell.
+
+        Skew bound (r9 verdict item 2 closed): a cell larger than
+        ``cell_rows_cap`` no longer lands its whole m² square in one
+        task. Oversized cells are hash-split into r = ceil(m/cap) row
+        blocks and scored as r² independent (query-block × candidate-
+        block) tasks — ``_block_pair_neighbors`` — whose per-query block
+        tops union into a SUPERSET of the cell-local top pool; the
+        ``prn <= pool_k`` window that opens ``_balanced_select`` then
+        reduces it to exactly the rows the one-task kernel would have
+        kept (same (s desc, doc_id asc) order), so the split is
+        value-identical by construction and pinned by test. A dominant
+        near-dup cluster — the workload dedup exists for — now costs
+        ~2r·m shuffled rows instead of an executor-OOM or the 2^24
+        packing abort."""
         import numpy as np
         import pandas as pd
 
         pool_k = self.k * OVERFETCH
         members = self.ivf_index().select("doc_id", "cid").join(
             corpus.select("doc_id", "modality", "embedding"), "doc_id")
+        cap = self.cell_rows_cap
+        counts = members.groupBy("cid").agg(F.count("*").alias("m"))
+        sized = members.join(F.broadcast(counts), "cid")
+        big = sized.filter(F.col("m") > cap)
+        members = sized.filter(F.col("m") <= cap).drop("m")
 
         def score_cell(pdf):
             pdf = pdf.sort_values("doc_id", kind="stable")
@@ -361,15 +422,121 @@ class IngestPipeline:
             score_cell,
             "qid bigint, qm string, doc_id bigint, modality string, "
             "s double")
+        if not big.isEmpty():
+            cand = cand.unionByName(self._block_pair_neighbors(big, pool_k))
         return self._balanced_select(cand, self.k, pool_k)
+
+    # ~rows per side of a within-cell scoring task. Balanced √n cells sit
+    # far below this (a 5M-doc corpus has ~2.2k-row cells), so the block
+    # split only engages on pathological skew; tests shrink it to exercise
+    # the block path on small fixtures.
+    cell_rows_cap = 200_000
+
+    def _block_pair_neighbors(self, big: DataFrame,
+                              pool_k: int) -> DataFrame:
+        """Block-pair decomposition of oversized IVF cells.
+
+        Each row of a cell with m > ``cell_rows_cap`` is hashed into one
+        of r = ceil(m/cap) blocks (xxhash64 of doc_id — deterministic, no
+        ordering shuffle). A row is replicated r times as a QUERY (once
+        per candidate block) and r times as a CANDIDATE (once per query
+        block), so task (cid, qb, cb) holds exactly query-block qb and
+        candidate-block cb of its cell: r² bounded dgemm tasks instead of
+        one m² task. Emitted per-query block tops are a superset of the
+        cell-local pool; the caller's ``_balanced_select`` window reduces
+        them under the same (s desc, doc_id asc) key — value-identical to
+        the single-task kernel (pinned by test_build_graph_cells_blocked).
+        The self-pin lands in the qb == cb diagonal task, matched by
+        doc_id rather than position."""
+        import numpy as np
+        import pandas as pd
+
+        big = big.withColumn(
+            "r", F.ceil(F.col("m") / F.lit(self.cell_rows_cap)).cast("int")
+        ).withColumn(
+            "blk", F.pmod(F.xxhash64("doc_id"), F.col("r")).cast("int"))
+        blocks = F.sequence(F.lit(0), F.col("r") - 1)
+        qrep = big.select(
+            "cid", F.col("blk").alias("qb"),
+            F.explode(blocks).alias("cb"), F.lit(True).alias("is_q"),
+            "doc_id", "modality", "embedding")
+        crep = big.select(
+            "cid", F.explode(blocks).alias("qb"),
+            F.col("blk").alias("cb"), F.lit(False).alias("is_q"),
+            "doc_id", "modality", "embedding")
+
+        def score_block(pdf):
+            q = pdf[pdf["is_q"]].sort_values("doc_id", kind="stable")
+            c = pdf[~pdf["is_q"]].sort_values("doc_id", kind="stable")
+            if q.empty or c.empty:
+                return pd.DataFrame({
+                    "qid": np.array([], dtype=np.int64), "qm": [],
+                    "doc_id": np.array([], dtype=np.int64),
+                    "modality": [], "s": np.array([], dtype=np.float64)})
+            qids = q["doc_id"].values.astype(np.int64)
+            qmods = q["modality"].values
+            qe = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in q["embedding"].values])
+            cids = c["doc_id"].values.astype(np.int64)
+            cmods = c["modality"].values
+            ce = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in c["embedding"].values])
+            nc = len(cids)
+            if nc >= (1 << 24):
+                raise ValueError(f"candidate block of {nc} rows exceeds "
+                                 "the 2^24 packing bound")
+            qn = np.linalg.norm(qe, axis=1)
+            cn = np.linalg.norm(ce, axis=1)
+            kk = min(pool_k, nc)
+            posval = (2.0**24 - 1.0) - np.arange(nc, dtype=np.float64)
+            # self-pin: for each query, its own row's slot in this block's
+            # candidates (present iff qb == cb), found by binary search
+            pin_lo = np.searchsorted(cids, qids, side="left")
+            pin_hi = np.searchsorted(cids, qids, side="right")
+            nq = len(qids)
+            chunk = max(1, 4_000_000 // max(nc, 1))
+            out_q, out_d, out_s = [], [], []
+            for lo in range(0, nq, chunk):
+                hi = min(lo + chunk, nq)
+                sims = qe[lo:hi] @ ce.T
+                denom = np.maximum(qn[lo:hi, None] * cn[None, :], 1e-12)
+                np.divide(sims, denom, out=sims)
+                np.multiply(sims, 1e6, out=sims)
+                np.add(sims, 0.5, out=sims)
+                np.floor(sims, out=sims)
+                for r_i in range(hi - lo):
+                    a, b = pin_lo[lo + r_i], pin_hi[lo + r_i]
+                    if a < b:
+                        sims[r_i, a:b] = 1e6
+                key = sims * (2.0**24)
+                np.add(key, posval[None, :], out=key)
+                top = np.argpartition(key, nc - kk, axis=1)[:, nc - kk:]
+                out_q.append(np.repeat(np.arange(lo, hi), kk))
+                out_d.append(top.reshape(-1))
+                rows = np.arange(hi - lo)[:, None]
+                out_s.append((sims[rows, top] / 1e6).reshape(-1))
+            qpos = np.concatenate(out_q)
+            dpos = np.concatenate(out_d)
+            return pd.DataFrame({
+                "qid": qids[qpos], "qm": qmods[qpos],
+                "doc_id": cids[dpos], "modality": cmods[dpos],
+                "s": np.concatenate(out_s),
+            })
+
+        return qrep.unionByName(crep).groupBy("cid", "qb", "cb") \
+            .applyInPandas(
+                score_block,
+                "qid bigint, qm string, doc_id bigint, modality string, "
+                "s double")
 
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch
         subdirectories), or an empty frame before its first write — the one
         definition of 'state exists'."""
-        if os.path.isdir(path) and self._has_parquet(path):
+        phys = self._phys(path)
+        if self.fs.isdir(phys) and self._has_parquet(phys):
             return (self.spark.read.schema(schema)
-                    .option("recursiveFileLookup", "true").parquet(path))
+                    .option("recursiveFileLookup", "true").parquet(phys))
         return self.spark.createDataFrame([], schema)
 
     def _read_state_excluding(self, path: str, schema: str,
@@ -384,15 +551,15 @@ class IngestPipeline:
     def _read_state_excluding_keys(self, path: str, schema: str,
                                    skip: set[str]) -> DataFrame:
         parts: list[str] = []
-        if os.path.isdir(path):
-            for entry in sorted(os.listdir(path)):
-                if entry in skip:
-                    continue
-                p = os.path.join(path, entry)
-                if os.path.isdir(p) and self._has_parquet(p):
-                    parts.append(p)
-                elif entry.endswith(".parquet"):
-                    parts.append(p)
+        phys = self._phys(path)
+        for entry in self.fs.listdir(phys):
+            if entry in skip or entry.startswith((".", "_")):
+                continue
+            p = self.fs.join(phys, entry)
+            if self.fs.isdir(p) and self._has_parquet(p):
+                parts.append(p)
+            elif entry.endswith(".parquet"):
+                parts.append(p)
         if not parts:
             return self.spark.createDataFrame([], schema)
         return (self.spark.read.schema(schema)
@@ -492,13 +659,14 @@ class IngestPipeline:
         """True iff batch ``key``'s write to ``root`` completed — parquet
         writes drop a ``_SUCCESS`` marker on job commit, so a directory
         torn mid-write (or never written) reads as uncommitted."""
-        return os.path.isfile(os.path.join(root, key, "_SUCCESS"))
+        return self.fs.isfile(self.fs.join(self._bdir(root, key),
+                                           "_SUCCESS"))
 
-    @staticmethod
-    def _write_committed_root(root: str) -> bool:
-        """True iff ``root`` itself holds a committed flat write (the
-        centroids store is written whole, not per-batch)."""
-        return os.path.isfile(os.path.join(root, "_SUCCESS"))
+    def _write_committed_root(self, path: str) -> bool:
+        """True iff ``path`` (a PHYSICAL directory — a resolved root or a
+        staged build) holds a committed flat write (the centroids store
+        is written whole, not per-batch)."""
+        return self.fs.isfile(self.fs.join(path, "_SUCCESS"))
 
     def _torn_batch_keys(self) -> set[str]:
         """Batch keys whose write sequence did not finish — only these may
@@ -528,15 +696,16 @@ class IngestPipeline:
         with the same maintain_* configuration as the ingest it compacts.
         """
         keys: dict[str, list[int]] = {}
-        if os.path.isdir(self.corpus_dir):
-            for entry in os.listdir(self.corpus_dir):
-                m = re.fullmatch(r"(.*?)(\d+)", entry)
-                if m and os.path.isdir(os.path.join(self.corpus_dir, entry)):
-                    keys.setdefault(m.group(1), []).append(int(m.group(2)))
-        cents_ok = self._write_committed_root(self.centroids_dir)
+        corpus_phys = self._phys(self.corpus_dir)
+        for entry in self.fs.listdir(corpus_phys):
+            m = re.fullmatch(r"(.*?)(\d+)", entry)
+            if m and self.fs.isdir(self.fs.join(corpus_phys, entry)):
+                keys.setdefault(m.group(1), []).append(int(m.group(2)))
+        cents_ok = self._write_committed_root(
+            self._phys(self.centroids_dir))
         bootstrap_in_flight = (
             self.maintain_ivf and not cents_ok
-            and self._has_parquet(self.index_dir)
+            and self._has_parquet(self._phys(self.index_dir))
         )
         torn: set[str] = set()
         for ns, bids in keys.items():
@@ -559,15 +728,14 @@ class IngestPipeline:
         # edge write, detected by its own missing _SUCCESS
         corpus_keys = {f"{ns}{bid}" for ns, bids in keys.items()
                        for bid in bids}
-        if os.path.isdir(self.edges_dir):
-            for entry in os.listdir(self.edges_dir):
-                if (re.fullmatch(r"(.*?)(\d+)", entry)
-                        and entry not in corpus_keys
-                        and os.path.isdir(
-                            os.path.join(self.edges_dir, entry))
-                        and not self._write_committed(
-                            self.edges_dir, entry)):
-                    torn.add(entry)
+        edges_phys = self._phys(self.edges_dir)
+        for entry in self.fs.listdir(edges_phys):
+            if (re.fullmatch(r"(.*?)(\d+)", entry)
+                    and entry not in corpus_keys
+                    and self.fs.isdir(self.fs.join(edges_phys, entry))
+                    and not self._write_committed(
+                        self.edges_dir, entry)):
+                torn.add(entry)
         return torn
 
     def torn_batch_keys(self) -> set[str]:
@@ -610,8 +778,6 @@ class IngestPipeline:
         parquet directories the cached DataFrames' lineage points at, so
         a stale cache would FileNotFound on eviction or executor loss.
         """
-        import shutil
-
         self.unwarm()
         self._finish_pending_retrain()
         torn = self._torn_batch_keys()
@@ -621,7 +787,8 @@ class IngestPipeline:
                              (self.index_dir, INDEX_SCHEMA),
                              (self.sig_dir, SIG_SCHEMA),
                              (self.flags_dir, FLAG_SCHEMA)):
-            if not (os.path.isdir(path) and self._has_parquet(path)):
+            phys = self._phys(path)
+            if not (self.fs.isdir(phys) and self._has_parquet(phys)):
                 continue
             df = self._read_state_excluding_keys(path, schema, torn)
             n = df.count()
@@ -629,17 +796,35 @@ class IngestPipeline:
                 # only torn-batch subdirectories here — nothing to fold
                 continue
             files = max(1, -(-n // target_rows_per_file))
-            tmp = path + ".compact"
-            old = path + ".old"
-            df.coalesce(files).write.mode("overwrite").parquet(tmp)
-            os.rename(path, old)
-            os.rename(tmp, path)
-            for key in torn:
-                src = os.path.join(old, key)
-                if os.path.isdir(src):
-                    os.rename(src, os.path.join(path, key))
-            shutil.rmtree(old)
-            done[os.path.basename(path)] = files
+            if self.commit_mode == "pointer":
+                # stage the fold as the next generation, carry the torn
+                # subdirectories in BEFORE the pointer flip (after the
+                # flip, a replay resolves _bdir to the NEW generation —
+                # its torn directory must already be there; a crash
+                # before the flip leaves _CURRENT on the old generation,
+                # where the replay rewrites its subdirectory from
+                # scratch, so the moved copies are just re-staged litter
+                # the rerun's overwrite clears)
+                tmp = self._stage_dir(path)
+                self.fs.rmtree(tmp)
+                df.coalesce(files).write.mode("overwrite").parquet(tmp)
+                for key in torn:
+                    src = self.fs.join(phys, key)
+                    if self.fs.isdir(src):
+                        self.fs.rename(src, self.fs.join(tmp, key))
+                self._swap_dir(path, tmp)
+            else:
+                tmp = path + ".compact"
+                old = path + ".old"
+                df.coalesce(files).write.mode("overwrite").parquet(tmp)
+                self.fs.rename(path, old)
+                self.fs.rename(tmp, path)
+                for key in torn:
+                    src = self.fs.join(old, key)
+                    if self.fs.isdir(src):
+                        self.fs.rename(src, self.fs.join(path, key))
+                self.fs.rmtree(old)
+            done[path.rstrip("/").rsplit("/", 1)[-1]] = files
         if self.maintain_ivf:
             done.update(self._heal_index_holes(torn))
         return done
@@ -662,7 +847,7 @@ class IngestPipeline:
         if n == 0:
             return {"ivf_healed": 0}
         self._assign(missing, cents).write.mode("append").parquet(
-            self.index_dir)
+            self._phys(self.index_dir))
         return {"ivf_healed": n}
 
     # --- incremental near-dup flagging --------------------------------------
@@ -957,8 +1142,9 @@ class IngestPipeline:
             prev = self._read_state_excluding(
                 self.corpus_dir, CORPUS_SCHEMA, key)
             self._assign(prev, cents).write.mode(
-                "overwrite").parquet(self.index_dir)
-            cents.write.mode("overwrite").parquet(self.centroids_dir)
+                "overwrite").parquet(self._phys(self.index_dir))
+            cents.write.mode("overwrite").parquet(
+                self._phys(self.centroids_dir))
             self._assign(fresh, cents).write.mode("overwrite").parquet(
                 self._bdir(self.index_dir, key))
         else:
@@ -993,34 +1179,77 @@ class IngestPipeline:
         assignment (n × ncent broadcast scoring) — with the 2× ratio
         trigger that totals O(log n) re-trains over the corpus's life.
         """
-        import shutil
-
         corpus = self.corpus()
         ncent = self._target_centroids(corpus.count())
         cents = self._lloyd_refine(
             corpus, self._seed_centroids(corpus, ncent))
-        inext = self.index_dir + ".next"
-        cnext = self.centroids_dir + ".next"
-        shutil.rmtree(inext, ignore_errors=True)
+        inext = self._stage_dir(self.index_dir)
+        cnext = self._stage_dir(self.centroids_dir)
+        self.fs.rmtree(inext)
         prev = self._read_state_excluding(self.corpus_dir, CORPUS_SCHEMA, key)
         self._assign(prev, cents).write.mode("overwrite").parquet(inext)
         self._assign(fresh, cents).write.mode("overwrite").parquet(
-            os.path.join(inext, key))
+            self.fs.join(inext, key))
         cents.write.mode("overwrite").parquet(cnext)
         self._swap_dir(self.index_dir, inext)
         self._swap_dir(self.centroids_dir, cnext)
 
-    @staticmethod
-    def _swap_dir(live: str, nxt: str) -> None:
-        """Swap ``nxt`` into ``live``'s place (rename-level, same fs)."""
-        import shutil
+    def _stage_dir(self, root: str) -> str:
+        """Where a rebuilt store is staged before its swap: a ``.next``
+        sibling under rename commit, the next (hidden) generation
+        subdirectory under pointer commit. Both are deterministic — a
+        replayed re-train re-stages the SAME location and its overwrite
+        writes clear any half-built residue (the pointer target stays
+        fixed across attempts because ``_CURRENT`` only advances at the
+        flip)."""
+        if self.commit_mode == "pointer":
+            return self.fs.join(root, f".gen-{self._gen_num(root) + 1}")
+        return root + ".next"
 
+    def _staged_pending(self, root: str) -> str | None:
+        """The staged-but-not-yet-live build of ``root``, if one exists —
+        the redo-record probe ``_finish_pending_retrain`` keys off. Under
+        pointer commit a completed swap leaves the generation directory
+        in place but advances ``_CURRENT`` past it, so 'pending' is
+        exactly 'the next-generation directory exists'; under rename the
+        staged ``.next`` sibling disappears into the live name at swap."""
+        staged = self._stage_dir(root)
+        return staged if self.fs.isdir(staged) else None
+
+    def _swap_dir(self, live: str, nxt: str) -> None:
+        """Publish staged ``nxt`` as the live content of root ``live``.
+
+        rename mode (POSIX/HDFS): the classic dance — live → ``.old``,
+        staged → live, drop ``.old``. The commit point is the second
+        rename, atomic on these filesystems.
+
+        pointer mode (object stores): the commit point is one atomic
+        small-object write of ``_CURRENT`` naming the staged generation —
+        no directory ever moves, so the protocol never leans on the
+        store's non-atomic O(data) rename. The superseded generation
+        (or, on the first flip, the root-level gen-0 files) is deleted
+        after the flip; a crash mid-cleanup leaves unreferenced litter
+        that the next swap's sweep removes, never readable state."""
+        if self.commit_mode == "pointer":
+            old_phys = self._phys(live)
+            gen = nxt.rstrip("/").rsplit("/", 1)[-1]
+            self.fs.write_text(self.fs.join(live, "_CURRENT"), gen)
+            for entry in self.fs.listdir(live):
+                p = self.fs.join(live, entry)
+                if entry in (gen, "_CURRENT", "_CURRENT.tmp"):
+                    continue
+                if old_phys == live and not entry.startswith((".", "_")):
+                    # first flip: gen-0 state lived at root level
+                    self.fs.rmtree(p)
+                elif re.fullmatch(r"\.gen-\d+", entry):
+                    self.fs.rmtree(p)
+            return
         old = live + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(live):
-            os.rename(live, old)
-        os.rename(nxt, live)
-        shutil.rmtree(old, ignore_errors=True)
+        self.fs.rmtree(old)
+        if self.fs.isdir(live):
+            self.fs.rename(live, old)
+        self.fs.rename(nxt, live)
+        self.fs.rmtree(old)
 
     def _finish_pending_retrain(self) -> None:
         """Roll a re-train's swap seam forward.
@@ -1033,12 +1262,21 @@ class IngestPipeline:
         landed between the two renames): finish it, restoring a matched
         centroid/assignment pair. Called from every writer entry point
         (``_update_index``, ``compact``) and from ``warm()``.
+
+        The same machine holds under pointer commit with 'staged build
+        exists' in place of '``.next`` exists' (``_staged_pending``): a
+        completed pointer flip advances ``_CURRENT`` past the staged
+        generation, so the probe goes quiet exactly when the rename-mode
+        ``.next`` would have disappeared. One pointer-mode nuance: a
+        crashed compact() can also leave a committed staged centroids
+        generation — flipping it here is content-neutral (a compaction
+        stages the same rows, re-folded), so the roll-forward stays
+        correct for both writers.
         """
-        inext = self.index_dir + ".next"
-        cnext = self.centroids_dir + ".next"
-        if os.path.isdir(inext):
+        if self._staged_pending(self.index_dir):
             return
-        if os.path.isdir(cnext) and self._write_committed_root(cnext):
+        cnext = self._staged_pending(self.centroids_dir)
+        if cnext and self._write_committed_root(cnext):
             self._swap_dir(self.centroids_dir, cnext)
 
     # --- warm serving (round-8) ---------------------------------------------
@@ -1597,12 +1835,11 @@ class IngestPipeline:
         migration (rename ``b<id>`` → ``b<sha1(checkpoint)[:8]>-<id>`` for
         the checkpoint that wrote them, or compact() the state first from
         a pipeline WITHOUT a live checkpoint so the dirs fold away)."""
-        if not os.path.isdir(self.corpus_dir):
-            return
+        phys = self._phys(self.corpus_dir)
         legacy = sorted(
-            e for e in os.listdir(self.corpus_dir)
+            e for e in self.fs.listdir(phys)
             if re.fullmatch(r"b\d+", e)
-            and os.path.isdir(os.path.join(self.corpus_dir, e))
+            and self.fs.isdir(self.fs.join(phys, e))
         )
         if legacy:
             raise RuntimeError(
@@ -1627,7 +1864,9 @@ class IngestPipeline:
         """
         self._require_no_unnamespaced_state()
         self._stream_ns = "b" + hashlib.sha1(
-            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8] + "-"
+            (checkpoint_dir if "://" in checkpoint_dir
+             else os.path.abspath(checkpoint_dir)
+             ).encode()).hexdigest()[:8] + "-"
         q = (
             doc_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)

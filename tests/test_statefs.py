@@ -1,0 +1,224 @@
+"""StateFS adapter + generation-pointer commit protocol.
+
+The ingest state machine's seven FS primitives route through one adapter
+(streaming/statefs.py) so the exactly-once protocol runs unchanged on
+local disk, HDFS, or an object store. These tests pin (a) op-level parity
+between the POSIX and Hadoop backends over the same tree, (b) the
+pointer-commit swap (the object-store mode, where no directory rename is
+ever trusted) producing byte-identical pipeline state to the rename swap,
+and (c) the pointer-mode re-train swap seam rolling forward exactly like
+the rename-mode seam the r9 suite already pins.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from multi_model_vectorsearch_spark.streaming.ingest import IngestPipeline
+from multi_model_vectorsearch_spark.streaming.statefs import (
+    HadoopStateFS,
+    LocalStateFS,
+    statefs_for,
+)
+
+
+def _moddocs(tables, n):
+    return tables["documents"].limit(n).select(
+        "doc_id", "text",
+        F.element_at(
+            F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+
+
+def test_backend_op_parity(spark, tmp_path):
+    """Every adapter primitive agrees between the POSIX backend and the
+    Hadoop backend resolved over the same local tree."""
+    root = str(tmp_path / "tree")
+    lfs = LocalStateFS()
+    hfs = HadoopStateFS(spark, root)
+    assert hfs.scheme == "file" and hfs.atomic_rename
+
+    spark.range(3).write.parquet(lfs.join(root, "b0"))
+    os.makedirs(lfs.join(root, "empty"))
+    lfs.write_text(lfs.join(root, "_CURRENT"), ".gen-2")
+
+    for fs in (lfs, hfs):
+        assert fs.isdir(root) and fs.isdir(fs.join(root, "b0"))
+        assert not fs.isdir(fs.join(root, "nope"))
+        assert fs.isfile(fs.join(root, "_CURRENT"))
+        assert not fs.isfile(fs.join(root, "b0"))
+        assert fs.listdir(root) == ["_CURRENT", "b0", "empty"]
+        assert fs.listdir(fs.join(root, "nope")) == []
+        assert fs.has_parquet(fs.join(root, "b0"))
+        assert fs.has_parquet(root)  # via the non-hidden child
+        assert not fs.has_parquet(fs.join(root, "empty"))
+        assert fs.read_text(fs.join(root, "_CURRENT")) == ".gen-2"
+        assert fs.read_text(fs.join(root, "nope")) is None
+
+    # hidden subtrees don't count as readable state, on either backend
+    spark.range(2).write.parquet(lfs.join(root, ".gen-3", "b0"))
+    for fs in (lfs, hfs):
+        assert not fs.has_parquet(fs.join(root, "empty"))
+        assert fs.has_parquet(fs.join(root, ".gen-3"))  # explicit root ok
+
+    # rename + recursive delete round-trip through the Hadoop API
+    hfs.rename(hfs.join(root, "b0"), hfs.join(root, "b1"))
+    assert lfs.isdir(lfs.join(root, "b1"))
+    assert not lfs.isdir(lfs.join(root, "b0"))
+    hfs.rmtree(hfs.join(root, "b1"))
+    assert not lfs.isdir(lfs.join(root, "b1"))
+    hfs.write_text(hfs.join(root, "ptr"), "x\ny")
+    assert lfs.read_text(lfs.join(root, "ptr")) == "x\ny"
+    hfs.rmtree(hfs.join(root, "ptr"))  # plain-file delete, both backends
+    assert lfs.read_text(lfs.join(root, "ptr")) is None
+
+
+def test_statefs_routing_and_commit_mode(spark, tmp_path):
+    """Bare paths get the POSIX backend; URI schemes go through Hadoop.
+    commit_mode='auto' resolves from the backend's rename guarantee."""
+    assert isinstance(statefs_for(spark, str(tmp_path)), LocalStateFS)
+    assert isinstance(statefs_for(spark, "file:///tmp/x"), HadoopStateFS)
+
+    class FakeObjectStore(LocalStateFS):
+        atomic_rename = False
+
+    p1 = IngestPipeline(spark, str(tmp_path / "a"))
+    assert p1.commit_mode == "rename"
+    p2 = IngestPipeline(spark, str(tmp_path / "b"), fs=FakeObjectStore())
+    assert p2.commit_mode == "pointer"
+    with pytest.raises(ValueError, match="commit_mode"):
+        IngestPipeline(spark, str(tmp_path / "c"), commit_mode="bogus")
+
+
+def test_pointer_compact_matches_rename_compact(spark, tables, tmp_path):
+    """The generation-pointer compact publishes byte-identical state to
+    the rename compact, flips atomically (a _CURRENT file names the live
+    generation), sweeps the superseded generation, and keeps advancing
+    across repeated compactions."""
+    docs = _moddocs(tables, 40)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20)
+
+    ref = IngestPipeline(spark, str(tmp_path / "ref"), k=5)
+    ptr = IngestPipeline(spark, str(tmp_path / "ptr"), k=5,
+                         commit_mode="pointer")
+    for pipe in (ref, ptr):
+        pipe.process_batch(b0, 0)
+        pipe.process_batch(b1, 1)
+        assert pipe.compact().get("corpus") == 1
+
+    def snap(pipe):
+        return (sorted(map(tuple, pipe.corpus().collect())),
+                sorted(map(tuple, pipe.edges().collect())))
+
+    assert snap(ptr) == snap(ref)
+    cur = ptr.fs.read_text(ptr.fs.join(ptr.corpus_dir, "_CURRENT"))
+    assert cur == ".gen-1"
+    # gen-0 root-level state was swept: only the pointer + live gen remain
+    visible = [e for e in ptr.fs.listdir(ptr.corpus_dir)
+               if not e.startswith(("_", "."))]
+    assert visible == []
+    # a second compact advances the generation and removes the old one
+    ptr.process_batch(b0.limit(5).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" v2"))), 2)
+    ptr.compact()
+    assert ptr.fs.read_text(
+        ptr.fs.join(ptr.corpus_dir, "_CURRENT")) == ".gen-2"
+    assert not ptr.fs.isdir(ptr.fs.join(ptr.corpus_dir, ".gen-1"))
+    assert ptr.corpus().count() == 45
+
+
+def test_pointer_torn_batch_survives_compact_and_replays(
+        spark, tables, tmp_path):
+    """Pointer-mode twin of the r8 kill-compact pin: a torn batch's
+    subdirectories are carried into the new generation BEFORE the flip,
+    so a post-compact replay still excludes its own partial writes and
+    finishes the batch with state identical to an uninterrupted run."""
+    docs = _moddocs(tables, 40)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20)
+
+    ref = IngestPipeline(spark, str(tmp_path / "ref"), k=5)
+    ref.process_batch(b0, 0)
+    ref.process_batch(b1, 1)
+
+    ptr = IngestPipeline(spark, str(tmp_path / "ptr"), k=5,
+                         commit_mode="pointer")
+    ptr.process_batch(b0, 0)
+    orig = ptr.knn_against_corpus
+
+    def dying(*a, **kw):
+        raise RuntimeError("injected crash after corpus write")
+
+    ptr.knn_against_corpus = dying
+    with pytest.raises(RuntimeError, match="injected"):
+        ptr.process_batch(b1, 1)
+    ptr.knn_against_corpus = orig
+    assert ptr._torn_batch_keys() == {"b1"}
+
+    ptr.compact()
+    key_dir = ptr._bdir(ptr.corpus_dir, "b1")
+    assert ptr.fs.isdir(key_dir), "torn subdir must ride into the new gen"
+    assert ptr._torn_batch_keys() == {"b1"}
+
+    ptr.process_batch(b1, 1)  # the checkpoint replay
+    def snap(pipe):
+        return (sorted(map(tuple, pipe.corpus().collect())),
+                sorted(map(tuple, pipe.edges().collect())))
+
+    assert snap(ptr) == snap(ref)
+
+
+def test_pointer_retrain_seam_rolls_forward(spark, tables, tmp_path):
+    """The re-train's one non-atomic seam — between the index flip and
+    the centroid flip — under pointer commit: a crash there leaves the
+    index pointer advanced with the committed next-generation centroids
+    still staged, and any writer entry point must finish the flip,
+    restoring a matched centroid/assignment pair (the rename-mode twin
+    of this pin is test_retrain_swap_seam_rolls_forward)."""
+    docs = _moddocs(tables, 360)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16, commit_mode="pointer")
+    pipe.process_batch(docs.filter(F.col("doc_id") < 20), 0)
+    c0 = pipe.centroids().count()
+    assert c0 > 1
+
+    orig_swap = pipe._swap_dir
+    calls = {"n": 0}
+
+    def crash_on_second_flip(live, nxt):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash between the two flips")
+        return orig_swap(live, nxt)
+
+    pipe._swap_dir = crash_on_second_flip
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.process_batch(docs.filter(F.col("doc_id") >= 20), 1)
+    pipe._swap_dir = orig_swap
+    # crash window: index flipped to the new generation, centroids stale
+    assert pipe._gen_num(pipe.index_dir) == 1
+    assert pipe._gen_num(pipe.centroids_dir) == 0
+    assert pipe.centroids().count() == c0  # the degraded (old) set
+
+    # a fresh pipeline object (the restarted process) rolls it forward
+    pipe2 = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                           maintain_ivf=True, n_centroids=None,
+                           ivf_bootstrap=16, commit_mode="pointer")
+    pipe2.compact()  # any writer entry point
+    assert pipe2._gen_num(pipe2.centroids_dir) >= 1
+    c1 = pipe2.centroids().count()
+    assert c1 >= 2 * c0, "rolled-forward pair must be the re-trained one"
+    n = pipe2.corpus().count()
+    idx = pipe2.ivf_index()
+    assert idx.count() == n
+    assert idx.select("doc_id").distinct().count() == n
+    # serving works against the converged pair
+    sample = docs.orderBy("doc_id").first()
+    rows = pipe2.search_ivf(sample.text, k=6, probes=c1).collect()
+    assert rows[0].s == 1.0

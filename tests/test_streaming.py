@@ -94,6 +94,27 @@ def test_dedup_within_watermark(spark, replay):
     assert got.select("event_id").distinct().count() == total
 
 
+@pytest.fixture(params=["posix", "hadoop", "pointer"])
+def state_backend(request, spark):
+    """Constructor kwargs that re-run a state-machine test on each commit
+    backend: the direct POSIX adapter (the default), the Hadoop
+    FileSystem adapter resolved over local disk (the API a cluster's
+    hdfs:// state dir goes through), and the generation-pointer commit
+    protocol (what an object store with no atomic rename gets). The
+    reference pipelines inside each test stay on the default backend, so
+    the final snapshot equality IS the zero-output-diff proof across
+    backends."""
+    if request.param == "hadoop":
+        from multi_model_vectorsearch_spark.streaming.statefs import (
+            HadoopStateFS,
+        )
+
+        return {"fs": HadoopStateFS(spark, "file:///tmp")}
+    if request.param == "pointer":
+        return {"commit_mode": "pointer"}
+    return {}
+
+
 class TestIngestPipeline:
     @pytest.fixture()
     def docs(self, tables):
@@ -163,7 +184,7 @@ class TestIngestPipeline:
         return pipe
 
     def test_checkpoint_restart_torn_batch_exactly_once(
-            self, spark, docs, tmp_path):
+            self, spark, docs, tmp_path, state_backend):
         """Kill-and-resume pin (r5/r6 verdict item): a batch killed AFTER
         its corpus write but BEFORE its edge write must, on restart from
         the stream checkpoint, end with state identical to an uninterrupted
@@ -191,7 +212,7 @@ class TestIngestPipeline:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        pipe = IngestPipeline(spark, state, k=5)
+        pipe = IngestPipeline(spark, state, k=5, **state_backend)
         orig_knn = pipe.knn_against_corpus
         calls = {"n": 0}
 
@@ -219,7 +240,7 @@ class TestIngestPipeline:
         assert self._state_snapshot(pipe) == (ref_corpus, ref_edges)
 
     def test_checkpoint_restart_after_uncommitted_batch(
-            self, spark, docs, tmp_path):
+            self, spark, docs, tmp_path, state_backend):
         """The other kill point: the foreachBatch body finished all its
         writes but the stream checkpoint never committed the batch —
         at-least-once delivery replays the WHOLE batch, and the replay must
@@ -240,7 +261,7 @@ class TestIngestPipeline:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        pipe = IngestPipeline(spark, state, k=5)
+        pipe = IngestPipeline(spark, state, k=5, **state_backend)
         orig_pb = pipe.process_batch
         calls = {"n": 0}
 
@@ -262,7 +283,8 @@ class TestIngestPipeline:
         pipe.run_stream(stream2, ckpt)
         assert self._state_snapshot(pipe) == ref_snap
 
-    def test_kill_compact_restart_exactly_once(self, spark, docs, tmp_path):
+    def test_kill_compact_restart_exactly_once(self, spark, docs, tmp_path,
+                                               state_backend):
         """Round-8 pin: a compact() between a torn batch and its replay
         must not fold the torn batch's subdirectories into flat files —
         the replay excludes its OWN subdirectory to recompute the fresh
@@ -287,7 +309,7 @@ class TestIngestPipeline:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        pipe = IngestPipeline(spark, state, k=5)
+        pipe = IngestPipeline(spark, state, k=5, **state_backend)
         orig_knn = pipe.knn_against_corpus
         calls = {"n": 0}
 
@@ -302,16 +324,15 @@ class TestIngestPipeline:
             pipe.run_stream(stream, ckpt)
 
         # ops runs compact between the crash and the restart
-        import os
-
         done = pipe.compact()
         assert done.get("corpus") == 1 and done.get("edges") == 1
-        # the torn batch survived as an excludable subdirectory
+        # the torn batch survived as an excludable subdirectory (in the
+        # live generation, wherever this backend's swap put it)
         torn = pipe._torn_batch_keys()
         assert len(torn) == 1
         key = next(iter(torn))
-        assert os.path.isdir(os.path.join(pipe.corpus_dir, key))
-        assert not os.path.isdir(os.path.join(pipe.edges_dir, key))
+        assert pipe.fs.isdir(pipe._bdir(pipe.corpus_dir, key))
+        assert not pipe.fs.isdir(pipe._bdir(pipe.edges_dir, key))
 
         pipe.knn_against_corpus = orig_knn
         stream2 = (
@@ -1148,7 +1169,8 @@ def test_run_stream_refuses_unnamespaced_state(spark, tables, tmp_path):
 # --- round-9: auto-sized IVF + replay-safe re-train --------------------------
 
 
-def test_ivf_auto_sizing_retrain_replay_exactly_once(spark, tables, tmp_path):
+def test_ivf_auto_sizing_retrain_replay_exactly_once(spark, tables, tmp_path,
+                                                     state_backend):
     """r8 verdict item 1: with ``n_centroids=None`` the index bootstraps at
     ~sqrt(n) centroids and re-trains when the ideal count reaches 2x the
     active one. The re-train must be exactly-once under at-least-once
@@ -1157,7 +1179,7 @@ def test_ivf_auto_sizing_retrain_replay_exactly_once(spark, tables, tmp_path):
     docs = _moddocs(tables, 360)
     pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
                           maintain_ivf=True, n_centroids=None,
-                          ivf_bootstrap=16)
+                          ivf_bootstrap=16, **state_backend)
     b0 = docs.filter(F.col("doc_id") < 20)
     b1 = docs.filter(F.col("doc_id") >= 20)
     pipe.process_batch(b0, 0)
@@ -1566,3 +1588,34 @@ def test_build_graph_cells_method(spark, tables, tmp_path):
     one.build_graph(method="cells")
     got = {(r.src, r.dst): r.score for r in one.edges().collect()}
     assert got == ee
+
+
+def test_build_graph_cells_blocked_matches_single_task(
+        spark, tables, tmp_path):
+    """r9 verdict item 2: the forced-skew fixture — ONE cell holding the
+    whole corpus with ``cell_rows_cap`` far below it — must build through
+    the r² block-pair decomposition (no task sees more than ~cap rows per
+    side) and emit the exact edge set the single-task kernel produces.
+    A mixed fixture (some cells above cap, some below) pins the union of
+    the two paths too."""
+    docs = _mk_docs(tables, 0, 120)
+
+    def edges_of(tag, n_centroids, cap):
+        pipe = IngestPipeline(spark, str(tmp_path / tag), k=4,
+                              maintain_ivf=True, n_centroids=n_centroids,
+                              ivf_bootstrap=16)
+        if cap is not None:
+            pipe.cell_rows_cap = cap
+        pipe.bulk_load(docs)
+        pipe.build_graph(method="cells")
+        return {(r.src, r.dst): r.score for r in pipe.edges().collect()}
+
+    # max skew: one 120-row cell, cap 25 -> r = 5 -> 25 block tasks
+    whole = edges_of("one", 1, None)
+    blocked = edges_of("blk", 1, 25)
+    assert blocked == whole and len(whole) > 0
+
+    # mixed: auto-sized cells, cap 12 splits only the oversized ones
+    auto_whole = edges_of("aw", None, None)
+    auto_blocked = edges_of("ab", None, 12)
+    assert auto_blocked == auto_whole and len(auto_whole) > 0
