@@ -109,3 +109,20 @@ def test_sql_named_vector_functions_match_builders(spark, tables):
         "SELECT round(vec_l2_norm(vec_l2_normalize(embedding)), 6) AS n "
         "FROM sqlfn_emb").collect()
     assert all(abs(r.n - 1.0) < 1e-5 for r in norm1)
+
+
+def test_semdedup_blocked_matches_single_task(tables):
+    """r9 verdict item 2 (dq148's kernel): forcing ``cluster_rows_cap``
+    far below every cluster size routes the whole corpus through the
+    r² block-pair decomposition, which must reproduce the single-task
+    kernel's drop list exactly — same droppables, same keepers, same
+    scores (the global highest-s / lowest-keeper-id tie rule)."""
+    from multi_model_vectorsearch_spark.operators.ann import dq148_semdedup
+
+    whole = {(r.vec_id, r.cid): (r.kept_by, r.s_micro)
+             for r in dq148_semdedup(tables).collect()}
+    blocked = {(r.vec_id, r.cid): (r.kept_by, r.s_micro)
+               for r in dq148_semdedup(
+                   tables, cluster_rows_cap=10).collect()}
+    assert len(whole) > 0
+    assert blocked == whole
