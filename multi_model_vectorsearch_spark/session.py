@@ -47,11 +47,23 @@ def configure(spark: SparkSession) -> SparkSession:
 
 def get_spark(app_name: str = "multi_model_vectorsearch_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              fair_scheduler: bool = False) -> SparkSession:
     """Build (or reuse) a SparkSession with engine configuration.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) for
     local runs; on a cluster, leave it to spark-submit.
+
+    ``fair_scheduler=True`` sets ``spark.scheduler.mode=FAIR`` — required
+    for a concurrent-serving deployment (N client threads sharing one
+    session): under the default FIFO scheduler a long scan parks every
+    other client's one-stage query behind it, while FAIR round-robins
+    task slots so warm probed queries keep their sequential latency
+    under concurrency (measured in BASELINE.md's r10 QPS table). Client
+    threads should be ``pyspark.InheritableThread`` and may isolate
+    further with ``sc.setLocalProperty("spark.scheduler.pool", ...)``.
+    Scheduler mode is fixed at context build, so this only applies when
+    this call CREATES the session.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -67,6 +79,8 @@ def get_spark(app_name: str = "multi_model_vectorsearch_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    if fair_scheduler:
+        builder = builder.config("spark.scheduler.mode", "FAIR")
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())

@@ -288,6 +288,19 @@ class IngestPipeline:
         docs (32× / 13× faster than exact, ~linear; BASELINE.md r9);
         the alternative at that scale is the maintained incremental
         ingest path.
+
+        FRESHNESS CONTRACT (pinned by
+        test_bulk_then_ingest_edge_freshness_contract): the edge store is
+        APPEND-ONLY, matching the reference's semantic graph. An edge
+        describes the corpus as of the pass that wrote it: bulk
+        ``cells``/``ivf`` edges are cell-/probe-bounded AT BUILD TIME and
+        are never retroactively refreshed by later ingests or index
+        re-trains (a re-train re-partitions FUTURE candidate scans, not
+        past edges); every doc ingested after the build still gets exact
+        per-doc KNN edges from ``process_batch`` regardless of index
+        generation. An operator wanting bulk edges recomputed against
+        the current index generation re-runs ``build_graph`` — a new
+        ``g<n>`` key appended to the same reduce-over-multiplicity store.
         """
         if method not in ("auto", "exact", "ivf", "cells"):
             raise ValueError(f"unknown method {method!r}")

@@ -214,9 +214,101 @@ def mode_mixed(spark, args) -> None:
     print(json.dumps(out, indent=1, sort_keys=True))
 
 
+def mode_qps(spark, args) -> None:
+    """Concurrent-serving throughput (r9 verdict item 4): N client
+    threads share ONE warm pipeline and fire probed queries in parallel.
+    All serving numbers so far were sequential s/q; a FastAPI-analog
+    deployment serves concurrent clients, so this measures QPS and
+    latency quantiles at N ∈ {1, 8, 32} for both probed endpoints
+    (``search_ivf`` and the full-semantics ``search(route="ivf")``).
+    Launch with the FAIR scheduler (``get_spark(fair_scheduler=True)``
+    here) so one client's scan cannot park the others behind it; client
+    threads are ``pyspark.InheritableThread`` so local properties and
+    the active session propagate per Spark's threading contract."""
+    import statistics
+    import threading
+
+    from pyspark import InheritableThread
+
+    f = args.factor
+    if f == 1:
+        data_dir, cleanup = args.src, False
+    else:
+        data_dir, cleanup = f"{args.out}_serve_f{f}", not args.keep
+        if not os.path.isdir(data_dir):
+            synthesize(spark, args.src, data_dir, f, pair_density="constant")
+    state = tempfile.mkdtemp(prefix=f"serve_qps_f{f}_")
+    out = {"mode": "qps", "factor": f, "scheduler":
+           spark.conf.get("spark.scheduler.mode", "FIFO"), "levels": []}
+    try:
+        pipe, docs, bulk_sec = build_state(spark, data_dir, state)
+        out["n_docs"] = pipe.corpus().count()
+        out["n_centroids"] = pipe.centroids().count()
+        pipe.warm()
+        qtexts = [r.text for r in
+                  docs.orderBy("doc_id").limit(64).collect()]
+
+        def run_level(n_clients: int, endpoint: str) -> dict:
+            lat: list[float] = []
+            lock = threading.Lock()
+            start = threading.Event()
+
+            def client(cid: int):
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"serve-{cid}")
+                mine = [qtexts[(cid * args.queries_per_client + i)
+                               % len(qtexts)]
+                        for i in range(args.queries_per_client)]
+                start.wait()
+                local = []
+                for q in mine:
+                    t0 = time.perf_counter()
+                    if endpoint == "search_ivf":
+                        pipe.search_ivf(q, k=10).collect()
+                    else:
+                        pipe.search(q, k=10, route="ivf").collect()
+                    local.append(time.perf_counter() - t0)
+                with lock:
+                    lat.extend(local)
+
+            threads = [InheritableThread(target=client, args=(i,))
+                       for i in range(n_clients)]
+            for t in threads:
+                t.start()
+            t0 = time.perf_counter()
+            start.set()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            lat.sort()
+            nq = len(lat)
+            return {"clients": n_clients, "endpoint": endpoint,
+                    "queries": nq, "wall_s": round(wall, 2),
+                    "qps": round(nq / wall, 2),
+                    "p50_s": round(statistics.median(lat), 3),
+                    "p95_s": round(lat[max(0, int(nq * 0.95) - 1)], 3),
+                    "max_s": round(lat[-1], 3)}
+
+        # untimed warm-up of both plan shapes
+        pipe.search_ivf(qtexts[0], k=10).collect()
+        pipe.search(qtexts[0], k=10, route="ivf").collect()
+        for endpoint in ("search_ivf", "search_routed"):
+            for n_clients in (int(x) for x in args.clients.split(",")):
+                row = run_level(n_clients, endpoint)
+                out["levels"].append(row)
+                print(f"## {json.dumps(row)}", flush=True)
+        pipe.unwarm()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(data_dir, ignore_errors=True)
+    print(json.dumps(out, indent=1, sort_keys=True))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("scaling", "mixed"), default="scaling")
+    ap.add_argument("--mode", choices=("scaling", "mixed", "qps"),
+                    default="scaling")
     ap.add_argument("--factor", type=int, default=100)
     ap.add_argument("--factors", default=None,
                     help="comma list of explicit factors (overrides "
@@ -227,10 +319,20 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--batch-docs", type=int, default=500)
     ap.add_argument("--queries-per-batch", type=int, default=5)
+    ap.add_argument("--clients", default="1,8,32",
+                    help="comma list of concurrency levels for --mode qps")
+    ap.add_argument("--queries-per-client", type=int, default=8)
+    ap.add_argument("--scheduler", choices=("fair", "fifo"), default="fair",
+                    help="qps mode: scheduler A/B (fair is the serving "
+                         "recommendation)")
     args = ap.parse_args()
-    spark = get_spark("serving-scale-probe")
+    spark = get_spark("serving-scale-probe",
+                      fair_scheduler=(args.mode == "qps"
+                                      and args.scheduler == "fair"))
     if args.mode == "scaling":
         mode_scaling(spark, args)
+    elif args.mode == "qps":
+        mode_qps(spark, args)
     else:
         mode_mixed(spark, args)
 

@@ -1532,6 +1532,55 @@ def test_search_route_ivf_lossless_at_full_probing(spark, tables, tmp_path):
         pipe.search(q, route="bogus")
 
 
+def test_search_route_ivf_media_queries(spark, tables, tmp_path):
+    """r9 verdict item 7 (serving-route matrix closed): the `/search`
+    media path — the reference's temp-write → embed → search file flow
+    (main.py:102-111), here ``search(content, modality=...)`` — gets the
+    probed route too. Image and audio queries must (a) route through the
+    same probed plan SHAPE as a text query (node-class sequence equal up
+    to the query literal), (b) be lossless at probes = n_centroids
+    against the exact route, and (c) keep the audio-through-image
+    embedding quirk (vec.py:20-21): the identical audio document is the
+    top hit at s = 1.0."""
+    docs = _moddocs(tables, 120)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    pipe.build_graph()
+    ncent = pipe.centroids().count()
+    by_mod = {r.modality: r.text for r in docs.orderBy("doc_id").collect()}
+
+    def node_classes(df):
+        out = []
+
+        def walk(node):
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.initialPlan())
+                return
+            out.append(cls)
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return out
+
+    text_plan = node_classes(pipe.search(by_mod["text"], k=6, route="ivf"))
+    for modality in ("image", "audio"):
+        q = by_mod[modality]
+        exact = sorted(map(tuple,
+                           pipe.search(q, k=6, modality=modality).collect()))
+        full = sorted(map(tuple,
+                          pipe.search(q, k=6, modality=modality,
+                                      route="ivf", probes=ncent).collect()))
+        assert full == exact and len(exact) > 0
+        probed = pipe.search(q, k=6, modality=modality, route="ivf")
+        assert node_classes(probed) == text_plan
+        rows = probed.collect()
+        assert rows and rows[0].score == 1.0  # the identical doc, probed
+
+
 def test_search_route_ivf_requires_live_index(spark, tables, tmp_path):
     """An EXPLICIT route='ivf' on an index-less pipeline raises (same
     contract as build_graph(method='ivf')) instead of silently paying
@@ -1588,6 +1637,45 @@ def test_build_graph_cells_method(spark, tables, tmp_path):
     one.build_graph(method="cells")
     got = {(r.src, r.dst): r.score for r in one.edges().collect()}
     assert got == ee
+
+
+def test_bulk_then_ingest_edge_freshness_contract(spark, tables, tmp_path):
+    """r9 verdict item 8: the edge store is append-only across a
+    bulk-build → incremental-ingest → re-train sequence. Pins: (a) the
+    cells-built edges survive verbatim (never retroactively refreshed by
+    the later ingest or the re-train it triggers), (b) every edge added
+    after the build touches a freshly ingested doc — new docs get exact
+    per-doc KNN edges regardless of index generation, (c) re-running
+    build_graph appends a new generation's edges under a fresh g<n> key
+    rather than rewriting history."""
+    docs = _moddocs(tables, 360)
+    base = docs.filter(F.col("doc_id") < 60)
+    fresh = docs.filter(F.col("doc_id") >= 60)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(base)
+    pipe.build_graph(method="cells")
+    bulk_edges = {(r.src, r.dst, r.score) for r in pipe.edges().collect()}
+    c0 = pipe.centroids().count()
+    assert bulk_edges
+
+    pipe.process_batch(fresh, 0)  # 360 docs total: triggers the re-train
+    assert pipe.centroids().count() >= 2 * c0, "sequence must re-train"
+    after = {(r.src, r.dst, r.score) for r in pipe.edges().collect()}
+    assert bulk_edges <= after, "bulk edges are immutable history"
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    for src, dst, _s in after - bulk_edges:
+        assert src in fresh_ids or dst in fresh_ids, (
+            "post-build edges may only involve freshly ingested docs")
+
+    key2 = pipe.build_graph(method="cells")  # operator-requested refresh
+    assert key2.startswith("g")
+    refreshed = {(r.src, r.dst, r.score) for r in pipe.edges().collect()}
+    assert after <= refreshed, "refresh appends; history still intact"
+    # the new pass covers the re-trained cells: old+new docs now co-edge
+    assert any(src not in fresh_ids and dst in fresh_ids
+               for src, dst, _s in refreshed - after)
 
 
 def test_build_graph_cells_blocked_matches_single_task(
