@@ -20,32 +20,17 @@ DuckDB dialect shims used in oracles (SURVEY.md §5.3 rule 4):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
-from multi_model_vectorsearch_spark.operators import ann as N
-from multi_model_vectorsearch_spark.operators import curation as C
-from multi_model_vectorsearch_spark.operators import embed as E
-from multi_model_vectorsearch_spark.operators import graph as G
-from multi_model_vectorsearch_spark.operators import relational as R
-from multi_model_vectorsearch_spark.operators import retrieval as RT
-from multi_model_vectorsearch_spark.operators import scale as S
-from multi_model_vectorsearch_spark.operators import textpipe as T
-from multi_model_vectorsearch_spark.operators import timeseries as TS
-from multi_model_vectorsearch_spark.operators import tpch as Q
-from multi_model_vectorsearch_spark.operators import vector_ops as V
-from multi_model_vectorsearch_spark.operators import windows_batch as W
+from multi_model_vectorsearch_spark.operators.registrations import (
+    MODULES,
+)
+from multi_model_vectorsearch_spark.operators.registrations.base import (
+    DQ,  # noqa: F401  (re-exported: the registry's public record type)
+)
 from multi_model_vectorsearch_spark.sources.registry import load_tables
-
-
-@dataclass(frozen=True)
-class DQ:
-    name: str
-    builder: Callable[[dict], DataFrame]
-    oracle: str | None  # None → non-SQL-expressible; driver does rows-only check
-    note: str = ""
 
 
 def _run(builder: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
@@ -54,3200 +39,268 @@ def _run(builder: Callable[[dict], DataFrame]) -> Callable[[SparkSession, str], 
     return runner
 
 
-# --- DuckDB oracle SQL fragments for the vector/graph suite -----------------
-
-def _cos(e: str, q: str) -> str:
-    return f"list_cosine_similarity(CAST({e}.embedding AS DOUBLE[]), CAST({q}.qv AS DOUBLE[]))"
-
-
-# 16-bit SimHash signatures (dq43's pipeline, shared with dq128's LSH bands)
-_SIMHASH_CTE = (
-    "toks AS (SELECT DISTINCT doc_id, tok FROM "
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
-    "hv AS (SELECT doc_id, "
-    "((strpos('0123456789abcdef', substr(h4, 1, 1)) - 1) * 4096 + "
-    "(strpos('0123456789abcdef', substr(h4, 2, 1)) - 1) * 256 + "
-    "(strpos('0123456789abcdef', substr(h4, 3, 1)) - 1) * 16 + "
-    "(strpos('0123456789abcdef', substr(h4, 4, 1)) - 1)) AS thv FROM "
-    "(SELECT doc_id, substr(sha256(tok), 1, 4) AS h4 FROM toks) t2), "
-    "bits AS (SELECT doc_id, p, "
-    "CAST(CAST(floor(thv / pow(2, 15 - p)) AS BIGINT) % 2 AS INT) AS bit "
-    "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 16)) pos), "
-    "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
-    "GROUP BY doc_id, p), "
-    "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN "
-    "CAST(pow(2, 15 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
-    "FROM votes GROUP BY doc_id)"
+# --- registry aggregation ----------------------------------------------------
+# Entries live next to their operator modules (operators/registrations/*,
+# r9 verdict item 6 — dq.py was a 183 KB merge-conflict magnet); this stays
+# the one aggregation point. _GATE_ORDER pins the historical, curated gate
+# order the per-round CORRECTNESS/GATE artifacts were recorded against;
+# future entries may simply be appended to their module's DQS — unordered
+# names sort after the pinned ones, by name, deterministically.
+_GATE_ORDER: tuple[str, ...] = (
+    "dq01_scan_project",
+    "dq02_filter_battery",
+    "dq03_case_expr",
+    "dq04_join_broadcast",
+    "dq05_left_outer",
+    "dq06_left_semi",
+    "dq07_left_anti",
+    "dq08_range_join",
+    "dq09_asof_join",
+    "dq10_hash_agg",
+    "dq11_count_distinct",
+    "dq12_rollup",
+    "dq13_ordered_collect",
+    "dq14_conditional_agg",
+    "dq15_topk_per_group",
+    "dq16_lag",
+    "dq17_running_sum",
+    "dq18_ntile",
+    "dq19_union",
+    "dq20_intersect_except",
+    "dq21_string_battery",
+    "dq22_datetime_battery",
+    "dq23_math_battery",
+    "dq24_array_battery",
+    "dq25_json_extract",
+    "dq26_tokenize_explode",
+    "dq27_sha256",
+    "dq28_dedup_by_hash",
+    "dq65_unpivot",
+    "dq66_regex_battery",
+    "dq67_null_battery",
+    "dq68_date_arith",
+    "dq69_array_ops",
+    "dq29_knn_topk",
+    "dq30_l2_normalize",
+    "dq31_knn_join",
+    "dq32_modality_balanced_topk",
+    "dq33_build_edges",
+    "dq34_expand",
+    "dq72_pagerank",
+    "dq35_hydrate_filter",
+    "dq54_expand_top1",
+    "dq55_expand_2hop",
+    "dq56_bigram_udtf",
+    "dq57_approx_distinct",
+    "dq58_pivot",
+    "dq59_percentiles",
+    "dq60_stats_agg",
+    "dq63_bm25_topk",
+    "dq64_hybrid_rrf",
+    "dq84_normalize_text",
+    "dq85_vocab_topk",
+    "dq86_length_filter",
+    "dq62_winnow_fingerprint",
+    "dq61_dedup_clusters",
+    "dq36_tumbling",
+    "dq37_sliding",
+    "dq38_session",
+    "dq75_window_battery",
+    "dq76_nullsafe_join",
+    "dq73_cube",
+    "dq74_histogram",
+    "dq82_correlated_subquery",
+    "dq83_map_ops",
+    "dq81_sql_text",
+    "dq77_tpch_q1",
+    "dq78_tpch_q3",
+    "dq79_tpch_q5",
+    "dq80_tpch_q6",
+    "dq87_tpch_q4",
+    "dq88_tpch_q10",
+    "dq89_tpch_q12",
+    "dq90_tpch_q14",
+    "dq91_tpch_q15",
+    "dq92_tpch_q18",
+    "dq93_tpch_q19",
+    "dq94_tpch_q22",
+    "dq70_gapfill",
+    "dq71_funnel",
+    "dq40_minhash_signatures",
+    "dq41_minhash_lsh_pairs",
+    "dq42_ngram_jaccard_topk",
+    "dq43_simhash",
+    "dq44_langid",
+    "dq45_quality",
+    "dq46_cosine_neardup_topk",
+    "dq47_ivf_knn",
+    "dq51_lsh_ann",
+    "dq52_centroid_applyinpandas",
+    "dq53_bpe_tokens",
+    "dq48_embed_stub",
+    "dq49_embed_knn",
+    "dq95_hash_split",
+    "dq96_stratified_sample",
+    "dq97_pack_sequences",
+    "dq98_contamination",
+    "dq99_pii_redact",
+    "dq100_pmi_bigrams",
+    "dq107_temperature_mixture",
+    "dq108_int8_quantize",
+    "dq109_matryoshka_knn",
+    "dq110_hamming_knn",
+    "dq111_word_entropy",
+    "dq112_weighted_sample",
+    "dq113_cluster_representatives",
+    "dq114_pq_assign",
+    "dq115_epoch_plan",
+    "dq116_salted_agg",
+    "dq117_sessionize",
+    "dq118_rolling_range",
+    "dq119_edit_distance_neighbors",
+    "dq120_ivf_recall",
+    "dq121_bfs_layers",
+    "dq122_kmeans_lloyd",
+    "dq123_tfidf_keywords",
+    "dq124_lateral_topn",
+    "dq125_column_profile",
+    "dq126_integrity_audit",
+    "dq127_unigram_surprisal",
+    "dq128_simhash_band_pairs",
+    "dq130_repeated_ngrams",
+    "dq131_quality_ensemble",
+    "dq132_latest_event",
+    "dq133_dedup_apply",
+    "dq134_heavy_hitters",
+    "dq135_curation_funnel",
+    "dq136_ivf_multiprobe",
+    "dq137_dup_rate_by_source",
+    "dq138_prenorm_dot_knn",
+    "dq139_blocked_fuzzy_join",
+    "dq140_approx_quantiles",
+    "dq141_bloom_screen",
+    "dq142_count_anomalies",
+    "dq143_retention_cohorts",
+    "dq144_transition_matrix",
+    "dq145_filtered_knn",
+    "dq146_grouped_maxsim",
+    "dq147_mutual_knn",
+    "dq129_reagg_rollup",
+    "dq106_view_purchase_join",
+    "dq102_gopher_repetition",
+    "dq103_bpe_merge_pairs",
+    "dq104_triangles",
+    "dq105_degree_histogram",
+    "dq101_scd2_intervals",
+    "dq148_semdedup",
+    "dq149_diversity_filter",
+    "dq150_doc_chunks",
+    "dq151_zipf_slope",
+    "dq152_perplexity_buckets",
+    "dq153_lsh_recall",
+    "dq154_centroid_drift",
+    "dq155_ngram_novelty",
+    "dq156_tpch_q7",
+    "dq157_tpch_q8",
+    "dq158_tpch_q13",
+    "dq159_tpch_q17",
+    "dq160_tpch_q21",
+    "dq161_incremental_dedup",
+    "dq162_chunk_dedup_stats",
+    "dq163_quality_by_dup_status",
+    "dq164_countmin_freq",
+    "dq165_graph_ann",
+    "dq166_graph_ann_recall",
+    "dq167_dataset_card",
+    "dq168_dup_spans",
+    "dq169_source_cap",
+    "dq170_knn_label_prop",
+    "dq171_global_ntile_scalable",
+    "dq173_tpch_q2",
+    "dq174_tpch_q9",
+    "dq175_tpch_q11",
+    "dq176_tpch_q16",
+    "dq177_tpch_q20",
+    "dq178_interpolate",
+    "dq179_rolling_median",
+    "dq180_tfidf_top_terms",
+    "dq181_neardup_first_occurrence",
+    "dq182_hard_negatives",
+    "dq172_minhash_estimate_audit",
+    "dq183_prefix_filter_join",
+    "dq184_ohlc_bars",
+    "dq185_inverted_index",
+    "dq186_basket_lift",
+    "dq187_changelog_compact",
+    "dq188_psi_drift",
+    "dq189_zorder_layout",
+    "dq190_kcore",
+    "dq191_pit_features",
+    "dq192_source_kl",
+    "dq193_user_trend",
+    "dq194_training_triplets",
+    "dq195_winsorized_stats",
+    "dq196_hll_rollup",
+    "dq197_skyline",
+    "dq198_ewma",
+    "dq199_weighted_median",
+    "dq201_compaction_plan",
+    "dq200_sorted_neighborhood",
+    "dq202_bigram_lm",
+    "dq203_containment_join",
+    "dq204_grid_dbscan",
+    "dq205_feature_auc",
+    "dq206_mutual_info",
+    "dq207_ks_test",
+    "dq208_cusum",
+    "dq209_dup_flow_matrix",
+    "dq210_cluster_purity",
+    "dq211_calibration_bins",
+    "dq212_grouping_sets",
+    "dq213_rolling_zscore",
+    "dq214_link_prediction",
+    "dq215_local_clustering",
+    "dq216_seasonal_profile",
+    "dq217_dedup_savings",
+    "dq218_phrase_search",
+    "dq219_order_audit",
+    "dq220_ari",
+    "dq221_langid_confusion",
+    "dq222_lsh_pr_curve",
+    "dq223_nearest_event_join",
+    "dq224_weighted_reservoir",
+    "dq225_mad_outliers",
+    "dq226_time_weighted_avg",
+    "dq227_vocab_coverage_curve",
+    "dq228_ivfpq_search",
+    "dq229_ivfpq_recall",
+    "dq230_template_mining",
+    "dq231_autocorr",
+    "dq232_period_over_period",
+    "dq233_benford_audit",
+    "dq234_equiheight_histogram",
+    "dq235_markov_nll",
+    "dq236_gini",
+    "dq237_assortativity",
+    "dq238_rfm_segments",
+    "dq239_quantile_normalize",
+    "dq240_burstiness",
+    "dq241_effective_sources",
+    "dq242_split_uniformity",
+    "dq243_lorenz_deciles",
+    "dq244_growth_accounting",
+    "dq245_lsh_pairs_strict",
+    "dq246_span_dedup",
 )
 
-
-_SEEDS_CTE = (
-    "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-    "seeds AS (SELECT e.vec_id, CAST(floor(("
-    + _cos("e", "qq")
-    + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-    "FROM embeddings e CROSS JOIN qq "
-    "ORDER BY s_micro DESC, vec_id LIMIT 10)"
-)
-
-_EDGES_CTE = (
-    "q AS (SELECT vec_id AS qid, embedding AS qv, label % 3 AS qm FROM embeddings "
-    "WHERE vec_id < 20), "
-    "sims AS (SELECT q.qid, q.qm, e.vec_id, e.label % 3 AS em, "
-    "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 ELSE "
-    + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-    "FROM embeddings e CROSS JOIN q), "
-    "ranked AS (SELECT *, row_number() OVER "
-    "(PARTITION BY qid ORDER BY s_micro DESC, vec_id) "
-    "AS rnk FROM sims), "
-    "pairs AS (SELECT * FROM ranked WHERE rnk <= 5 AND vec_id <> qid), "
-    "edges AS (SELECT least(qid, vec_id) AS src, greatest(qid, vec_id) AS dst, "
-    "max(CASE WHEN qm <> em THEN greatest(s_micro, 800000) "
-    "ELSE s_micro END) AS score_micro "
-    "FROM pairs GROUP BY src, dst)"
-)
+_REGISTRY: list[DQ] = [e for m in MODULES for e in m.DQS]
+_names = [e.name for e in _REGISTRY]
+if len(_names) != len(set(_names)):
+    raise AssertionError("duplicate DQ registration names")
+_IDX = {n: i for i, n in enumerate(_GATE_ORDER)}
+_REGISTRY.sort(key=lambda e: (_IDX.get(e.name, len(_GATE_ORDER)), e.name))
 
 
-# --- DuckDB oracle fragments for the retrieval suite ------------------------
-
-_BM25_CTE = (
-    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-    "FROM documents), "
-    "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
-    "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
-    "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
-    "WHERE tok IN ('vector','merge','stream') GROUP BY doc_id, tok), "
-    "dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
-    "bm25 AS (SELECT tf.doc_id, sum("
-    "ln((stats.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0) * tf.tf * 2.2 / "
-    "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw "
-    "FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats "
-    "GROUP BY tf.doc_id)"
-)
-
-
-# --- DuckDB oracle fragments for the text-pipeline suite --------------------
-
-# word 3-gram shingles, distinct per doc (mirrors textpipe._shingles)
-_SH_CTE = (
-    "sh AS (SELECT DISTINCT doc_id, shingle FROM ("
-    "SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
-    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle "
-    "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d) s)"
-)
-
-# df-capped shingles for the exact-Jaccard arms (mirrors
-# textpipe.jaccard_pairs_shared / JACCARD_MAX_DF): stop-grams present in more
-# than max_df docs are dropped before the inverted-index self-join.
-_SHC_CTE = (
-    _SH_CTE + ", "
-    "shk AS (SELECT shingle FROM sh GROUP BY shingle "
-    f"HAVING count(*) <= {T.JACCARD_MAX_DF}), "
-    "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shk USING (shingle))"
-)
-
-_SIG_CTE = (
-    _SH_CTE + ", "
-    "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
-    "sig AS (SELECT doc_id, seed, "
-    "min(substr(sha256(shingle), seed * 8 + 1, 8)) AS mh "
-    "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)"
-)
-
-# value of the first 8 hex chars of column h (hash_embed fold, exact in DOUBLE)
-_HEXFOLD = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h, {c}, 1)) - 1) * {16 ** (8 - c)}"
-    for c in range(1, 9)
-)
-
-# partsupp surrogate for the Q2/Q9/Q11/Q16/Q20 shapes (the fixtures ship no
-# partsupp table): availqty = total quantity shipped for the pair,
-# supplycost = min observed unit price as exact integer cents.
-_PS_CTE = (
-    "ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, "
-    "CAST(sum(l_quantity) AS BIGINT) AS ps_availqty, "
-    "CAST(min(floor(CAST(round(l_extendedprice * 100) AS BIGINT) "
-    "/ CAST(l_quantity AS BIGINT))) AS BIGINT) AS ps_cost_cents "
-    "FROM lineitem GROUP BY l_partkey, l_suppkey)"
-)
-
-# hash_embed pseudo-embeddings per (doc_id, p), normalized
-_EMB_CTE = (
-    "pos AS (SELECT CAST(range AS INT) AS p FROM range(0, 16)), "
-    # lane p of the stub embedding = hex chars [8*(p%8), 8*(p%8)+8) of
-    # sha256(text || ':' || p//8) — mirrors hash_embed_text's digest lanes
-    "hx AS (SELECT doc_id, p, "
-    "substr(sha256(text || ':' || CAST(p // 8 AS VARCHAR)), "
-    "(p % 8) * 8 + 1, 8) AS h "
-    "FROM documents CROSS JOIN pos), "
-    "v AS (SELECT doc_id, p, ((" + _HEXFOLD + ") / 4294967296.0) * 2 - 1 AS vj "
-    "FROM hx), "
-    "norms AS (SELECT doc_id, sqrt(sum(vj*vj)) AS nrm FROM v GROUP BY doc_id), "
-    "nv AS (SELECT v.doc_id, p, vj / nrm AS x FROM v JOIN norms n "
-    "ON v.doc_id = n.doc_id)"
-)
-
-
-def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
-    """DuckDB oracle for dq190: the identical unrolled peeling rounds."""
-    parts = ["e0 AS (SELECT src, dst FROM edges)"]
-    for r in range(1, rounds + 1):
-        p = r - 1
-        parts.append(
-            f"d{r} AS (SELECT v, count(*) AS d FROM "
-            f"(SELECT src AS v FROM e{p} UNION ALL SELECT dst FROM e{p}) u "
-            f"GROUP BY v)")
-        parts.append(f"k{r} AS (SELECT v FROM d{r} WHERE d >= {k})")
-        parts.append(
-            f"e{r} AS (SELECT e.src, e.dst FROM e{p} e "
-            f"JOIN k{r} a ON e.src = a.v JOIN k{r} b ON e.dst = b.v)")
-    parts.append(
-        f"fd AS (SELECT v, count(*) AS core_deg FROM "
-        f"(SELECT src AS v FROM e{rounds} UNION ALL "
-        f"SELECT dst FROM e{rounds}) u GROUP BY v)")
-    parts.append(
-        "nodes AS (SELECT DISTINCT v AS id FROM "
-        "(SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) u)")
-    return (
-        ", ".join(parts)
-        + " SELECT id, CAST(coalesce(fd.core_deg, 0) AS BIGINT) AS core_deg, "
-        "fd.core_deg IS NOT NULL AS in_kcore "
-        "FROM nodes LEFT JOIN fd ON nodes.id = fd.v"
-    )
-
-
-def _spread_sql(x: str, bits: int = 10) -> str:
-    """DuckDB expression: Morton bit-spread of ``x`` (mirrors
-    scale.dq189_zorder_layout's magic-mask interleave)."""
-    e = f"({x} & {(1 << bits) - 1})"
-    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
-                  (2, 0x33333333), (1, 0x55555555)):
-        e = f"((({e}) | (({e}) << {sh})) & {m})"
-    return e
-
-
-_REGISTRY: list[DQ] = [
-    DQ("dq01_scan_project", R.dq01_scan_project,
-       "SELECT l_orderkey, l_linenumber, CAST(floor((l_quantity) * 100.0 + 0.5) AS BIGINT) AS l_quantity_cents FROM lineitem"),
-    DQ("dq02_filter_battery", R.dq02_filter_battery,
-       "SELECT o_orderkey FROM orders "
-       "WHERE o_totalprice BETWEEN 1000 AND 5000 AND o_orderstatus IN ('O','F') "
-       "AND o_orderpriority LIKE '%URGENT%'"),
-    DQ("dq03_case_expr", R.dq03_case_expr,
-       "SELECT l_orderkey, l_linenumber, "
-       "CASE WHEN l_discount > 0.05 THEN 'HI' WHEN l_discount > 0.02 THEN 'MID' "
-       "ELSE 'LO' END AS band FROM lineitem"),
-    DQ("dq04_join_broadcast", R.dq04_join_broadcast,
-       "SELECT c_custkey, n_name, r_name FROM customer "
-       "JOIN nation ON c_nationkey = n_nationkey "
-       "JOIN region ON n_regionkey = r_regionkey"),
-    DQ("dq05_left_outer", R.dq05_left_outer,
-       "SELECT c_custkey, o_orderkey FROM customer "
-       "LEFT JOIN orders ON c_custkey = o_custkey"),
-    DQ("dq06_left_semi", R.dq06_left_semi,
-       "SELECT c_custkey FROM customer c "
-       "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
-    DQ("dq07_left_anti", R.dq07_left_anti,
-       "SELECT c_custkey FROM customer c "
-       "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
-    DQ("dq08_range_join", R.dq08_range_join,
-       "SELECT s_suppkey, c_custkey FROM supplier JOIN customer "
-       "ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10"),
-    DQ("dq09_asof_join", R.dq09_asof_join,
-       "SELECT e.event_id, max(o.o_orderkey) AS ok FROM events e JOIN orders o "
-       "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts GROUP BY e.event_id"),
-    DQ("dq10_hash_agg", R.dq10_hash_agg,
-       "SELECT l_returnflag, l_linestatus, "
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sq_cents, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sp_cents, "
-       "count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus"),
-    DQ("dq11_count_distinct", R.dq11_count_distinct,
-       "SELECT o_orderstatus, count(DISTINCT o_custkey) AS u FROM orders "
-       "GROUP BY o_orderstatus"),
-    DQ("dq12_rollup", R.dq12_rollup,
-       "SELECT n_name, o_orderstatus, count(*) AS c, "
-       "CAST(grouping(n_name) AS INT) AS g1, "
-       "CAST(grouping(o_orderstatus) AS INT) AS g2 "
-       "FROM orders JOIN customer ON o_custkey = c_custkey "
-       "JOIN nation ON c_nationkey = n_nationkey "
-       "GROUP BY ROLLUP(n_name, o_orderstatus)"),
-    DQ("dq13_ordered_collect", R.dq13_ordered_collect,
-       "SELECT o_custkey, array_to_string(list_sort(list(o_orderkey)), ',') "
-       "AS orderkeys FROM orders GROUP BY o_custkey"),
-    DQ("dq14_conditional_agg", R.dq14_conditional_agg,
-       "SELECT user_id, "
-       "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases, "
-       "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors "
-       "FROM events GROUP BY user_id"),
-    DQ("dq15_topk_per_group", R.dq15_topk_per_group,
-       "SELECT * FROM (SELECT o_custkey, o_orderkey, "
-       "CAST(row_number() OVER (PARTITION BY o_custkey "
-       "ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders) t "
-       "WHERE rn <= 3"),
-    DQ("dq16_lag", R.dq16_lag,
-       "SELECT event_id, lag(event_type) OVER "
-       "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events"),
-    DQ("dq17_running_sum", R.dq17_running_sum,
-       "SELECT event_id, CAST(floor((sum(value) OVER (PARTITION BY user_id "
-       "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT "
-       "ROW)) * 100.0 + 0.5) AS BIGINT) AS rs_cents FROM events"),
-    DQ("dq18_ntile", R.dq18_ntile,
-       "SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) "
-       "AS q FROM customer"),
-    DQ("dq19_union", R.dq19_union,
-       "SELECT o_custkey AS x FROM orders UNION SELECT user_id FROM events"),
-    DQ("dq20_intersect_except", R.dq20_intersect_except,
-       "SELECT x, 'intersect' AS op FROM "
-       "(SELECT o_custkey AS x FROM orders INTERSECT SELECT user_id FROM events) "
-       "UNION ALL "
-       "SELECT x, 'except' AS op FROM "
-       "(SELECT o_custkey AS x FROM orders EXCEPT SELECT user_id FROM events)"),
-    DQ("dq21_string_battery", R.dq21_string_battery,
-       "SELECT p_partkey, upper(p_brand) AS ub, lower(p_type) AS lt, "
-       "CAST(length(p_name) AS INT) AS ln, substr(p_name, 1, 5) AS s5, "
-       "replace(p_type, ' ', '_') AS rp, p_brand || ':' || p_name AS cc FROM part"),
-    DQ("dq22_datetime_battery", R.dq22_datetime_battery,
-       "SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, "
-       "CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, "
-       "CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS d FROM orders"),
-    DQ("dq23_math_battery", R.dq23_math_battery,
-       "SELECT l_orderkey, l_linenumber, CAST(floor((sqrt(l_quantity)) * 1000000.0 + 0.5) AS BIGINT) AS sq_micro, "
-       "CAST(floor((ln(l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro, "
-       "CAST(floor((abs(l_discount - 0.05)) * 1000000.0 + 0.5) AS BIGINT) AS ad_micro, "
-       "l_orderkey % 7 AS md FROM lineitem"),
-    DQ("dq24_array_battery", R.dq24_array_battery,
-       "SELECT vec_id, CAST(len(embedding) AS INT) AS n, "
-       "CAST(floor((CAST(embedding[1] AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS e1_micro, "
-       "CAST(floor((list_sum(CAST(embedding AS DOUBLE[]))) * 1000000.0 + 0.5) AS BIGINT) AS s_micro FROM embeddings"),
-    DQ("dq25_json_extract", R.dq25_json_extract,
-       "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
-       "FROM events"),
-    DQ("dq26_tokenize_explode", R.dq26_tokenize_explode,
-       "SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq FROM "
-       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t "
-       "GROUP BY doc_id"),
-    DQ("dq27_sha256", R.dq27_sha256,
-       "SELECT doc_id, sha256(text) AS h FROM documents"),
-    DQ("dq28_dedup_by_hash", R.dq28_dedup_by_hash,
-       "SELECT h, min(doc_id) AS keeper, count(*) AS dups FROM "
-       "(SELECT doc_id, sha256(text) AS h FROM documents) t GROUP BY h"),
-    DQ("dq65_unpivot", R.dq65_unpivot,
-       "SELECT o_orderkey, 'totalprice' AS metric, "
-       "CAST(floor((CAST(o_totalprice AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) AS val_cents FROM orders "
-       "UNION ALL SELECT o_orderkey, 'custkey', "
-       "CAST(floor((CAST(o_custkey AS DOUBLE)) * 100.0 + 0.5) AS BIGINT) FROM orders"),
-    DQ("dq66_regex_battery", R.dq66_regex_battery,
-       "SELECT p_partkey, "
-       "regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS w1, "
-       "CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a, "
-       "CAST(regexp_matches(p_name, '^b') AS INT) AS starts_b, "
-       "regexp_replace(p_type, '[aeiou]', '', 'g') AS novowel FROM part"),
-    DQ("dq67_null_battery", R.dq67_null_battery,
-       "SELECT c_custkey, o_orderkey, "
-       "coalesce(o_orderkey, -1) AS ok_filled, "
-       "nullif(c_nationkey, 0) AS nk_nz, "
-       "CAST(floor((greatest(c_acctbal, coalesce(o_totalprice, 0.0))) * 100.0 + 0.5) AS BIGINT) AS hi_cents, "
-       "CAST(floor((least(c_acctbal, coalesce(o_totalprice, 1e18))) * 100.0 + 0.5) AS BIGINT) AS lo_cents, "
-       "CAST(o_orderkey IS NULL AS INT) AS no_orders "
-       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
-    DQ("dq68_date_arith", R.dq68_date_arith,
-       "SELECT o_orderkey, "
-       "CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30, "
-       "CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT) "
-       "AS days_since, "
-       "last_day(o_orderdate) AS eom, "
-       "CAST(date_trunc('month', o_orderdate) AS DATE) AS som, "
-       "CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow, "
-       "CAST(quarter(o_orderdate) AS INT) AS qtr FROM orders"),
-    DQ("dq69_array_ops", R.dq69_array_ops,
-       "SELECT doc_id, "
-       "coalesce(array_to_string(list_sort(list_intersect("
-       "string_split(text, ' '), ['the','data','spark'])), ','), '') AS hit, "
-       "CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq, "
-       "coalesce(array_to_string(list_sort(list_distinct("
-       "string_split(text, ' ')))[1:3], ','), '') AS first3, "
-       "CAST(list_contains(string_split(text, ' '), 'vector') AS INT) "
-       "AS has_vector FROM documents"),
-    # --- vector suite (B47-B50) ---------------------------------------------
-    DQ("dq29_knn_topk", V.dq29_knn_topk,
-       "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, CAST(floor((" + _cos("e", "qq")
-       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN qq "
-       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq30_l2_normalize", V.dq30_l2_normalize,
-       "SELECT vec_id, CAST(floor(sqrt(list_sum(list_transform("
-       "list_transform(CAST(embedding AS DOUBLE[]), "
-       "x -> x / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), y -> y*y)))), "
-       "x -> x*x))) * 1000000.0 + 0.5) AS BIGINT) AS one_micro FROM embeddings"),
-    DQ("dq31_knn_join", V.dq31_knn_join,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
-       "WHERE vec_id < 20), "
-       "sims AS (SELECT q.qid, e.vec_id, "
-       "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 "
-       "ELSE " + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro FROM embeddings e CROSS JOIN q), "
-       "ranked AS (SELECT qid, vec_id, s_micro, CAST(row_number() OVER "
-       "(PARTITION BY qid ORDER BY s_micro DESC, vec_id) AS INT) AS rnk "
-       "FROM sims) "
-       "SELECT qid, rnk, vec_id, s_micro FROM ranked WHERE rnk <= 5"),
-    DQ("dq32_modality_balanced_topk", V.dq32_modality_balanced_topk,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label % 3 AS qm "
-       "FROM embeddings WHERE vec_id = 0), "
-       "sims AS (SELECT e.vec_id, "
-       "CAST(floor((CASE WHEN e.vec_id = q.qid THEN 1.0 "
-       "ELSE " + _cos("e", "q") + " END) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro, "
-       "CAST((e.label % 3) = q.qm AS INT) AS same_mod "
-       "FROM embeddings e CROSS JOIN q), "
-       "ranked AS (SELECT *, row_number() OVER (PARTITION BY same_mod "
-       "ORDER BY s_micro DESC, vec_id) AS rn FROM sims) "
-       "SELECT vec_id, s_micro, same_mod FROM ranked WHERE rn <= 5 "
-       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    # --- graph suite (B51-B52, A18-A22) -------------------------------------
-    DQ("dq33_build_edges", G.dq33_build_edges,
-       "WITH " + _EDGES_CTE + " SELECT src, dst, score_micro FROM edges"),
-    DQ("dq34_expand", G.dq34_expand,
-       "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
-       "neigh AS ("
-       "SELECT e.dst AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM seeds s JOIN edges e ON s.vec_id = e.src "
-       "UNION ALL "
-       "SELECT e.src AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM seeds s JOIN edges e ON s.vec_id = e.dst "
-       "UNION ALL SELECT vec_id AS id, s_micro AS score_micro FROM seeds) "
-       "SELECT id, max(score_micro) AS score_micro FROM neigh GROUP BY id "
-       "ORDER BY score_micro DESC, id LIMIT 10"),
-    DQ("dq72_pagerank", G.dq72_pagerank,
-       "WITH " + _EDGES_CTE + ", "
-       "adj AS (SELECT src AS v, dst AS n FROM edges "
-       "UNION ALL SELECT dst, src FROM edges), "
-       "deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n), "
-       "nodes AS (SELECT DISTINCT v FROM adj), "
-       "nn AS (SELECT count(*) AS c FROM nodes), "
-       "pr0 AS (SELECT v, 1.0 / nn.c AS p FROM nodes CROSS JOIN nn), "
-       + ", ".join(
-           f"pr{i + 1} AS (SELECT a.v, 0.15 / nn.c + 0.85 * "
-           f"sum(pr{i}.p / deg.d) AS p FROM adj a "
-           f"JOIN pr{i} ON a.n = pr{i}.v JOIN deg ON deg.n = a.n "
-           f"CROSS JOIN nn GROUP BY a.v, nn.c)"
-           for i in range(3))
-       + " SELECT v AS id, CAST(floor(p * 1000000.0 + 0.5) AS BIGINT) AS pr_micro FROM pr3"),
-    DQ("dq35_hydrate_filter", G.dq35_hydrate_filter,
-       "WITH " + _EDGES_CTE + ", "
-       "valid AS (SELECT vec_id FROM embeddings WHERE label <> 9) "
-       "SELECT src, dst, score_micro FROM edges e "
-       "WHERE EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.src) "
-       "AND EXISTS (SELECT 1 FROM valid v WHERE v.vec_id = e.dst)"),
-    DQ("dq54_expand_top1", G.dq54_expand_top1,
-       "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
-       "top1 AS (SELECT vec_id, s_micro FROM seeds "
-       "ORDER BY s_micro DESC, vec_id LIMIT 1), "
-       "neigh AS ("
-       "SELECT e.dst AS id, CAST(floor(t.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM top1 t JOIN edges e ON t.vec_id = e.src "
-       "UNION ALL "
-       "SELECT e.src AS id, CAST(floor(t.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM top1 t JOIN edges e ON t.vec_id = e.dst "
-       "UNION ALL SELECT vec_id AS id, s_micro AS score_micro FROM seeds) "
-       "SELECT id, max(score_micro) AS score_micro FROM neigh GROUP BY id "
-       "ORDER BY score_micro DESC, id LIMIT 10"),
-    DQ("dq55_expand_2hop", G.dq55_expand_2hop,
-       "WITH " + _EDGES_CTE + ", " + _SEEDS_CTE + ", "
-       "h1 AS (SELECT id, max(score_micro) AS s_micro FROM ("
-       "SELECT e.dst AS id, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM seeds s JOIN edges e ON s.vec_id = e.src "
-       "UNION ALL SELECT e.src, CAST(floor(s.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) "
-       "FROM seeds s JOIN edges e ON s.vec_id = e.dst "
-       "UNION ALL SELECT vec_id, s_micro FROM seeds) u GROUP BY id), "
-       "h2 AS (SELECT id, max(score_micro) AS score_micro FROM ("
-       "SELECT e.dst AS id, CAST(floor(h.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) AS score_micro "
-       "FROM h1 h JOIN edges e ON h.id = e.src "
-       "UNION ALL SELECT e.src, CAST(floor(h.s_micro * e.score_micro * 0.9 / 1000000.0 + 0.5) AS BIGINT) "
-       "FROM h1 h JOIN edges e ON h.id = e.dst "
-       "UNION ALL SELECT id, s_micro FROM h1) u2 GROUP BY id) "
-       "SELECT id, score_micro FROM h2 ORDER BY score_micro DESC, id LIMIT 10"),
-    DQ("dq56_bigram_udtf", T.dq56_bigram_udtf,
-       "SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS n_bg_uniq FROM ("
-       "SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
-       "i -> toks[i] || ' ' || toks[i+1])) AS bg "
-       "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d"
-       ") t GROUP BY doc_id"),
-    DQ("dq57_approx_distinct", R.dq57_approx_distinct,
-       # engine-specific HLL estimate stays out of the hash set; the
-       # oracle checks the exact distinct + the est_ok bound as constant 1
-       "SELECT o_orderstatus, "
-       "CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_u, "
-       "CAST(1 AS INT) AS est_ok FROM orders GROUP BY o_orderstatus",
-       note="B20 HyperLogLog sketch — estimate is engine-specific "
-            "(SURVEY.md §5.3 rule 5); hash checks exact_u + est_ok"),
-    DQ("dq58_pivot", R.dq58_pivot,
-       "SELECT o_orderstatus, "
-       + ", ".join(
-           f"CAST(count(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT) "
-           f"AS p{i + 1}"
-           for i, p in enumerate(
-               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]))
-       + " FROM orders GROUP BY o_orderstatus"),
-    DQ("dq59_percentiles", R.dq59_percentiles,
-       "SELECT l_returnflag, "
-       "CAST(floor((quantile_cont(l_quantity, 0.25)) * 1000000.0 + 0.5) AS BIGINT) AS q25_micro, "
-       "CAST(floor((quantile_cont(l_quantity, 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS q50_micro, "
-       "CAST(floor((quantile_cont(l_quantity, 0.75)) * 1000000.0 + 0.5) AS BIGINT) AS q75_micro "
-       "FROM lineitem GROUP BY l_returnflag"),
-    DQ("dq60_stats_agg", R.dq60_stats_agg,
-       "SELECT l_returnflag, "
-       "CAST(floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) AS BIGINT) AS sd_qty_micro, "
-       "CAST(floor((var_samp(l_discount)) * 1000000.0 + 0.5) AS BIGINT) AS var_disc_micro, "
-       "CAST(floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS corr_qp_micro, "
-       "CAST(floor((covar_samp(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) AS BIGINT) AS cov_qp_micro "
-       "FROM lineitem GROUP BY l_returnflag"),
-    DQ("dq63_bm25_topk", RT.dq63_bm25_topk,
-       "WITH " + _BM25_CTE + " "
-       "SELECT doc_id, CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro FROM bm25 "
-       "ORDER BY s_micro DESC, doc_id LIMIT 20"),
-    DQ("dq64_hybrid_rrf", RT.dq64_hybrid_rrf,
-       "WITH " + _BM25_CTE + ", "
-       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "sims AS (SELECT e.vec_id, CAST(floor((" + _cos("e", "qq")
-       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN qq), "
-       "varm AS (SELECT vec_id AS id, rv FROM (SELECT vec_id, "
-       "row_number() OVER (ORDER BY s_micro DESC, vec_id) AS rv FROM sims) v "
-       "WHERE rv <= 50), "
-       "ls AS (SELECT doc_id, CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro FROM bm25), "
-       "larm AS (SELECT doc_id AS id, rl FROM (SELECT doc_id, "
-       "row_number() OVER (ORDER BY s_micro DESC, doc_id) AS rl FROM ls) l "
-       "WHERE rl <= 50), "
-       "fused AS (SELECT coalesce(v.id, l.id) AS id, "
-       "CAST(floor((coalesce(1.0 / (60 + v.rv), 0) "
-       "+ coalesce(1.0 / (60 + l.rl), 0)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS rrf_micro FROM varm v FULL OUTER JOIN larm l ON v.id = l.id) "
-       "SELECT id, rrf_micro FROM fused ORDER BY rrf_micro DESC, id LIMIT 10"),
-    DQ("dq84_normalize_text", T.dq84_normalize_text,
-       "WITH c AS (SELECT doc_id, trim(regexp_replace(regexp_replace("
-       "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean "
-       "FROM documents) "
-       "SELECT doc_id, clean, sha256(clean) AS clean_sha FROM c"),
-    DQ("dq85_vocab_topk", T.dq85_vocab_topk,
-       "SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM "
-       "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents) t GROUP BY tok ORDER BY tf DESC, tok LIMIT 100"),
-    DQ("dq86_length_filter", T.dq86_length_filter,
-       "WITH lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) "
-       "AS n_tok FROM documents), "
-       "b AS (SELECT quantile_cont(n_tok, 0.05) AS plo, "
-       "quantile_cont(n_tok, 0.95) AS phi FROM lens) "
-       "SELECT doc_id, n_tok FROM lens CROSS JOIN b "
-       "WHERE n_tok >= plo AND n_tok <= phi"),
-    DQ("dq62_winnow_fingerprint", T.dq62_winnow_fingerprint,
-       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
-       "FROM documents), "
-       "grams AS (SELECT doc_id, p, sha256(tk[p] || ' ' || tk[p+1] || ' ' "
-       "|| tk[p+2]) AS h FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(p)), "
-       "hv AS (SELECT doc_id, p, " + _HEXFOLD + " AS hb FROM grams), "
-       "wins AS (SELECT doc_id, CAST(min(hb) OVER (PARTITION BY doc_id "
-       "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
-       "AS fp FROM hv) "
-       "SELECT DISTINCT doc_id, fp FROM wins"),
-    DQ("dq61_dedup_clusters", T.dq61_dedup_clusters,
-       "WITH RECURSIVE " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "adj AS (SELECT d1 AS v, d2 AS n FROM p "
-       "UNION SELECT d2, d1 FROM p), "
-       "reach AS (SELECT v, v AS r FROM (SELECT DISTINCT v FROM adj) base "
-       "UNION SELECT e.v, reach.r FROM adj e JOIN reach ON e.n = reach.v) "
-       "SELECT v AS doc_id, min(r) AS comp FROM reach GROUP BY v"),
-    # --- streaming batch-equivalents (B41-B43) ------------------------------
-    DQ("dq36_tumbling", W.dq36_tumbling,
-       "SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type, "
-       "count(*) AS c, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
-       "FROM events GROUP BY ws, event_type"),
-    DQ("dq37_sliding", W.dq37_sliding,
-       "WITH ev AS (SELECT (epoch_us(ts) // 1800000000) * 1800 AS s1, event_type, value "
-       "FROM events), "
-       "exploded AS (SELECT s1 AS ws, event_type, value FROM ev "
-       "UNION ALL SELECT s1 - 1800 AS ws, event_type, value FROM ev) "
-       "SELECT ws, event_type, count(*) AS c, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
-       "FROM exploded GROUP BY ws, event_type"),
-    DQ("dq38_session", W.dq38_session,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events), "
-       "flagged AS (SELECT user_id, tus, value, "
-       "CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL "
-       "OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 1800000000 "
-       "THEN 1 ELSE 0 END AS new_s FROM ev), "
-       "sess AS (SELECT user_id, tus, value, sum(new_s) OVER (PARTITION BY user_id "
-       "ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
-       "SELECT user_id, min(tus) AS ss, count(*) AS c, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv_cents "
-       "FROM sess GROUP BY user_id, sid"),
-    DQ("dq75_window_battery", R.dq75_window_battery,
-       "SELECT o_orderkey, "
-       "first_value(o_orderkey) OVER w AS best, "
-       "nth_value(o_orderkey, 2) OVER w AS second, "
-       "CAST(floor((cume_dist() OVER w) * 1000000.0 + 0.5) AS BIGINT) AS cd_micro, "
-       "CAST(floor((percent_rank() OVER w) * 1000000.0 + 0.5) AS BIGINT) AS pr_micro "
-       "FROM orders WINDOW w AS (PARTITION BY o_custkey "
-       "ORDER BY o_totalprice DESC, o_orderkey)"),
-    DQ("dq76_nullsafe_join", R.dq76_nullsafe_join,
-       "WITH keyed AS (SELECT o_orderkey, "
-       "CASE WHEN o_orderkey % 50 != 0 THEN o_custkey END AS pk FROM orders) "
-       "SELECT a.pk AS p1, count(*) AS pairs, "
-       "count(DISTINCT a.o_orderkey) AS lhs "
-       "FROM keyed a JOIN keyed b "
-       "ON a.pk IS NOT DISTINCT FROM b.pk AND a.o_orderkey < b.o_orderkey "
-       "GROUP BY a.pk"),
-    DQ("dq73_cube", R.dq73_cube,
-       "SELECT o_orderstatus, o_orderpriority, count(*) AS c, "
-       "CAST(grouping(o_orderstatus) AS INT) AS g1, "
-       "CAST(grouping(o_orderpriority) AS INT) AS g2 "
-       "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
-    DQ("dq74_histogram", R.dq74_histogram,
-       "WITH stats AS (SELECT min(l_extendedprice) AS lo, "
-       "max(l_extendedprice) AS hi FROM lineitem) "
-       "SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE "
-       "least(9, floor((l_extendedprice - lo) / ((hi - lo) / 10))) END "
-       "AS INT) AS bucket, count(*) AS c "
-       "FROM lineitem CROSS JOIN stats GROUP BY bucket"),
-    DQ("dq82_correlated_subquery", R.dq82_correlated_subquery,
-       "SELECT c_custkey, (SELECT CAST(floor(max(o_totalprice) * 100.0 + 0.5) "
-       "AS BIGINT) FROM orders "
-       "WHERE o_custkey = c_custkey) AS mx_cents FROM customer"),
-    DQ("dq83_map_ops", R.dq83_map_ops,
-       "SELECT event_id, "
-       "CAST(json_extract_string(props, '$.k') AS INT) AS k, "
-       "CAST(len(json_keys(props)) AS INT) AS n_keys, "
-       "array_to_string(list_sort(json_keys(props)), ',') AS keys "
-       "FROM events"),
-    DQ("dq81_sql_text", R.dq81_sql_text,
-       "SELECT n_name, "
-       "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS total_cents, count(*) AS n_orders "
-       "FROM orders JOIN customer ON o_custkey = c_custkey "
-       "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
-    DQ("dq77_tpch_q1", Q.dq77_tpch_q1,
-       "SELECT l_returnflag, l_linestatus, "
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS sum_qty_cents, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS sum_base_cents, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS sum_disc_e4, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * "
-       "(CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) "
-       "* 1000000 AS BIGINT) AS sum_charge_e6, "
-       "CAST(floor((CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) "
-       "AS DECIMAL(18,2)) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS avg_qty_micro, "
-       "count(*) AS n "
-       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
-       "GROUP BY l_returnflag, l_linestatus"),
-    DQ("dq78_tpch_q3", Q.dq78_tpch_q3,
-       "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS revenue_e4 "
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey "
-       "WHERE c_mktsegment = 'BUILDING' "
-       "AND o_orderdate < TIMESTAMP '1998-01-01' "
-       "AND l_shipdate > TIMESTAMP '1998-01-01' "
-       "GROUP BY l_orderkey, o_orderdate "
-       "ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10"),
-    DQ("dq79_tpch_q5", Q.dq79_tpch_q5,
-       "SELECT n_name, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS revenue_e4 "
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey "
-       "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey "
-       "JOIN nation ON c_nationkey = n_nationkey "
-       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
-       "AND o_orderdate < TIMESTAMP '1997-01-01' "
-       "GROUP BY n_name"),
-    DQ("dq80_tpch_q6", Q.dq80_tpch_q6,
-       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT) "
-       "AS revenue_e4 "
-       "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-       "AND l_shipdate < TIMESTAMP '1997-01-01' "
-       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
-    DQ("dq87_tpch_q4", Q.dq87_tpch_q4,
-       "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
-       "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
-       "AND o_orderdate < TIMESTAMP '1996-07-01' "
-       "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
-       "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
-       "GROUP BY o_orderpriority"),
-    DQ("dq88_tpch_q10", Q.dq88_tpch_q10,
-       "SELECT c_custkey, c_name, "
-       "CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_acctbal_cents, "
-       "n_name, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS revenue_e4 "
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey "
-       "JOIN nation ON c_nationkey = n_nationkey "
-       "WHERE l_returnflag = 'R' "
-       "AND o_orderdate >= TIMESTAMP '1996-01-01' "
-       "AND o_orderdate < TIMESTAMP '1996-04-01' "
-       "GROUP BY c_custkey, c_name, c_acctbal, n_name "
-       "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20"),
-    DQ("dq89_tpch_q12", Q.dq89_tpch_q12,
-       "SELECT l_linestatus, "
-       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-       "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
-       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
-       "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-       "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_linestatus"),
-    DQ("dq90_tpch_q14", Q.dq90_tpch_q14,
-       "WITH j AS (SELECT p_type, "
-       "CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev "
-       "FROM lineitem JOIN part ON l_partkey = p_partkey "
-       "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
-       "AND l_shipdate < TIMESTAMP '1996-10-01'), "
-       "a AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev "
-       "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS promo, "
-       "CAST(sum(rev) AS DECIMAL(18,4)) AS total FROM j) "
-       "SELECT CAST(floor((100.0 * CAST(promo AS DOUBLE) "
-       "/ CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS promo_share_micro FROM a"),
-    DQ("dq91_tpch_q15", Q.dq91_tpch_q15,
-       "WITH rev AS (SELECT l_suppkey, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "AS DECIMAL(18,4)) AS total_rev FROM lineitem "
-       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-       "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
-       "SELECT s_suppkey, s_name, "
-       "CAST(total_rev * 10000 AS BIGINT) AS total_rev_e4 FROM rev "
-       "JOIN supplier ON l_suppkey = s_suppkey "
-       "WHERE total_rev = (SELECT max(total_rev) FROM rev)"),
-    DQ("dq92_tpch_q18", Q.dq92_tpch_q18,
-       "WITH big AS (SELECT l_orderkey, "
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
-       "AS sum_qty FROM lineitem GROUP BY l_orderkey "
-       "HAVING sum_qty > CAST(250 AS DECIMAL(18,2))) "
-       "SELECT c_custkey, c_name, o_orderkey, "
-       "CAST(o_orderdate AS DATE) AS o_orderdate, "
-       "CAST(sum_qty * 100 AS BIGINT) AS sum_qty_cents "
-       "FROM big JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey"),
-    DQ("dq93_tpch_q19", Q.dq93_tpch_q19,
-       "SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS revenue_e4 "
-       "FROM lineitem JOIN part ON l_partkey = p_partkey "
-       "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 "
-       "AND l_quantity BETWEEN 5 AND 15) "
-       "OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 "
-       "AND l_quantity BETWEEN 15 AND 25) "
-       "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35 "
-       "AND l_quantity BETWEEN 25 AND 35)"),
-    DQ("dq94_tpch_q22", Q.dq94_tpch_q22,
-       "WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) "
-       "AS DECIMAL(38,2)) AS s, count(*) AS n FROM customer "
-       "WHERE c_acctbal > 0), "
-       "rich AS (SELECT c.* FROM customer c CROSS JOIN pos "
-       "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s), "
-       "inactive AS (SELECT * FROM rich c WHERE NOT EXISTS "
-       "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
-       "AND o.o_orderdate >= TIMESTAMP '2000-01-01')) "
-       "SELECT c_nationkey, count(*) AS numcust, "
-       "CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS totacctbal_cents FROM inactive GROUP BY c_nationkey"),
-    DQ("dq70_gapfill", TS.dq70_gapfill,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
-       "FROM events), "
-       "hourly AS (SELECT user_id, hb, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv "
-       "FROM ev GROUP BY user_id, hb), "
-       "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
-       "GROUP BY user_id), "
-       "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb FROM bounds), "
-       "j AS (SELECT g.user_id, g.hb, h.sv FROM grid g LEFT JOIN hourly h "
-       "ON g.user_id = h.user_id AND g.hb = h.hb) "
-       "SELECT user_id, hb, last_value(sv IGNORE NULLS) OVER "
-       "(PARTITION BY user_id ORDER BY hb ROWS BETWEEN UNBOUNDED PRECEDING "
-       "AND CURRENT ROW) AS filled_cents FROM j"),
-    DQ("dq71_funnel", TS.dq71_funnel,
-       "WITH u AS (SELECT DISTINCT user_id FROM events), "
-       "v AS (SELECT user_id, min(ts) AS t1 FROM events "
-       "WHERE event_type = 'view' GROUP BY user_id), "
-       "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
-       "JOIN v ON e.user_id = v.user_id "
-       "WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id), "
-       "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
-       "JOIN c ON e.user_id = c.user_id "
-       "WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id) "
-       "SELECT u.user_id, CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 "
-       "WHEN c.t2 IS NOT NULL THEN 2 WHEN v.t1 IS NOT NULL THEN 1 "
-       "ELSE 0 END AS INT) AS stage "
-       "FROM u LEFT JOIN v ON u.user_id = v.user_id "
-       "LEFT JOIN c ON u.user_id = c.user_id "
-       "LEFT JOIN p ON u.user_id = p.user_id"),
-    # --- LLM training-data pipeline suite (B53-B56 extensions) --------------
-    DQ("dq40_minhash_signatures", T.dq40_minhash_signatures,
-       "WITH " + _SIG_CTE + " SELECT doc_id, seed, mh FROM sig"),
-    DQ("dq41_minhash_lsh_pairs", T.dq41_minhash_lsh_pairs,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2) "
-       "SELECT d1, d2, matches, CAST(floor((matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j_micro FROM p "
-       "WHERE matches >= 2"),
-    DQ("dq42_ngram_jaccard_topk", T.dq42_ngram_jaccard_topk,
-       "WITH " + _SHC_CTE + ", "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
-       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2) "
-       "SELECT d1, d2, CAST(floor((i / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) AS j_micro "
-       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
-       "JOIN sizes sb ON sb.doc_id = d2 "
-       "ORDER BY j_micro DESC, d1, d2 LIMIT 20"),
-    DQ("dq43_simhash", T.dq43_simhash,
-       "WITH " + _SIMHASH_CTE + " SELECT doc_id, simhash FROM sig"),
-    DQ("dq44_langid", T.dq44_langid,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "hits AS (SELECT doc_id, lang, count(*) AS n_hits FROM toks "
-       "JOIN " + T.stopwords_values_sql() + " ON tok = w "
-       "GROUP BY doc_id, lang), "
-       "best AS (SELECT doc_id, lang AS pred, n_hits, row_number() OVER "
-       "(PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn FROM hits) "
-       "SELECT d.doc_id, coalesce(b.pred, 'unknown') AS pred, "
-       "CAST(coalesce(b.n_hits, 0) AS BIGINT) AS n_hits "
-       "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
-       "ON d.doc_id = b.doc_id"),
-    DQ("dq45_quality", T.dq45_quality,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "stats AS (SELECT doc_id, count(*) AS n_tok, "
-       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
-       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
-       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
-       "q AS (SELECT d.doc_id, n_tok, "
-       "CAST(floor((tok_chars / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS avg_len_micro, "
-       "CAST(floor((sw_hits / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS sw_ratio_micro, "
-       "CAST(floor((length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS alpha_ratio_micro "
-       "FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
-       "SELECT doc_id, n_tok, avg_len_micro, sw_ratio_micro, "
-       "alpha_ratio_micro, "
-       "CAST(floor((0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (sw_ratio_micro / 1000000.0) + 0.3 * least(avg_len_micro / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS score_micro FROM q"),
-    DQ("dq46_cosine_neardup_topk", N.dq46_cosine_neardup_topk,
-       "SELECT a.vec_id AS v1, b.vec_id AS v2, "
-       "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-       "CAST(b.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro "
-       "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-       "ORDER BY s_micro DESC, v1, v2 LIMIT 20"),
-    DQ("dq47_ivf_knn", N.dq47_ivf_knn,
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
-       "q AS (SELECT embedding AS qv, cid AS qcid FROM assigned WHERE vec_id = 0), "
-       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
-       "JOIN q ON a.cid = q.qcid) "
-       "SELECT cand.vec_id, CAST(floor(list_cosine_similarity("
-       "CAST(cand.embedding AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM cand CROSS JOIN q q2 ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq51_lsh_ann", N.dq51_lsh_ann,
-       # the seeded neighbor set is engine-specific; the hash checks the
-       # structural invariants (count, self-hit, recall bound vs the
-       # Spark-side exact top-k), all constants the oracle reproduces
-       "SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS INT) AS "
-       "self_found, CAST(1 AS INT) AS recall_ok",
-       note="B54 approx ANN (MLlib BucketedRandomProjectionLSH) — "
-            "neighbor set is seed/engine-specific (SURVEY.md §5.3 rule "
-            "5); hash checks count/self-hit/recall-bound invariants"),
-    DQ("dq52_centroid_applyinpandas", N.dq52_centroid_applyinpandas,
-       "SELECT label, "
-       + ", ".join(
-           f"CAST(floor(avg(CAST(embedding[{i}] AS DOUBLE)) "
-           f"* 1000000.0 + 0.5) AS BIGINT) AS c{i}_micro"
-           for i in range(1, 5))
-       + " FROM embeddings GROUP BY label"),
-    DQ("dq53_bpe_tokens", T.dq53_bpe_tokens,
-       "SELECT doc_id, "
-       "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) "
-       "AS n_bpe, "
-       "CAST(len(list_distinct(regexp_extract_all(text, "
-       "'[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_bpe_uniq FROM documents"),
-    DQ("dq48_embed_stub", E.dq48_embed_stub,
-       "WITH " + _EMB_CTE + ", "
-       "e1s AS (SELECT doc_id, CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) "
-       "AS e1_micro FROM nv WHERE p = 0), "
-       "ones AS (SELECT doc_id, CAST(floor(sqrt(sum(x*x)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS one_micro FROM nv "
-       "GROUP BY doc_id) "
-       "SELECT e1s.doc_id, CAST(16 AS INT) AS dim, e1s.e1_micro, "
-       "ones.one_micro "
-       "FROM e1s JOIN ones ON e1s.doc_id = ones.doc_id"),
-    DQ("dq49_embed_knn", E.dq49_embed_knn,
-       "WITH " + _EMB_CTE + ", "
-       "q AS (SELECT p, x AS qx FROM nv WHERE doc_id = 0), "
-       "cos AS (SELECT nv.doc_id, "
-       "CAST(floor(sum(nv.x * q.qx) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM nv JOIN q ON nv.p = q.p GROUP BY nv.doc_id) "
-       "SELECT doc_id, s_micro FROM cos "
-       "ORDER BY s_micro DESC, doc_id LIMIT 10"),
-    DQ("dq95_hash_split", C.dq95_hash_split,
-       "WITH hx AS (SELECT doc_id, sha256(CAST(doc_id AS VARCHAR)) AS h "
-       "FROM documents), "
-       "b AS (SELECT doc_id, CAST((" + _HEXFOLD + ") AS BIGINT) % 100 "
-       "AS bucket FROM hx) "
-       "SELECT doc_id, bucket, CASE WHEN bucket < 90 THEN 'train' "
-       "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b"),
-    DQ("dq96_stratified_sample", C.dq96_stratified_sample,
-       "WITH hx AS (SELECT doc_id, lang, "
-       "sha256('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), "
-       "b AS (SELECT doc_id, lang, CAST((" + _HEXFOLD + ") AS BIGINT) % 100 "
-       "AS bucket, CASE WHEN lang = 'en' THEN 80 ELSE 40 END AS keep_pct "
-       "FROM hx) "
-       "SELECT doc_id, lang, bucket, keep_pct FROM b WHERE bucket < keep_pct"),
-    DQ("dq97_pack_sequences", C.dq97_pack_sequences,
-       "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, "
-       "len(string_split(text, ' ')) AS n_tok FROM documents), "
-       "s AS (SELECT doc_id, shard, n_tok, "
-       "CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
-       "AS start_tok FROM d) "
-       "SELECT doc_id, shard, n_tok, start_tok, "
-       "CAST(floor(start_tok / 256) AS INT) AS bin_first, "
-       "CAST(floor((start_tok + n_tok - 1) / 256) AS INT) AS bin_last FROM s"),
-    DQ("dq98_contamination", C.dq98_contamination,
-       "WITH " + _SH_CTE + ", "
-       "shs AS (SELECT sh.doc_id, shingle, d.source FROM sh "
-       "JOIN documents d ON sh.doc_id = d.doc_id), "
-       "bench AS (SELECT DISTINCT shingle FROM shs WHERE source = 'src0') "
-       "SELECT s.doc_id, count(*) AS n_contaminated FROM shs s "
-       "JOIN bench b ON s.shingle = b.shingle WHERE s.source <> 'src0' "
-       "GROUP BY s.doc_id"),
-    DQ("dq99_pii_redact", C.dq99_pii_redact,
-       "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
-       "text || ' user' || CAST(doc_id AS VARCHAR) || "
-       "'@example.com call 555-123-4567' ELSE text END AS txt "
-       "FROM documents) "
-       "SELECT doc_id, "
-       "CAST(len(regexp_extract_all(txt, '" + C._EMAIL + "')) AS INT) "
-       "AS n_email, "
-       "CAST(len(regexp_extract_all(txt, '" + C._PHONE + "')) AS INT) "
-       "AS n_phone, "
-       "CAST(length(regexp_replace(regexp_replace(txt, '" + C._EMAIL + "', "
-       "'<EMAIL>', 'g'), '" + C._PHONE + "', '<PHONE>', 'g')) AS INT) "
-       "AS redacted_len, "
-       "sha256(regexp_replace(regexp_replace(txt, '" + C._EMAIL + "', "
-       "'<EMAIL>', 'g'), '" + C._PHONE + "', '<PHONE>', 'g')) "
-       "AS redacted_sha FROM d"),
-    DQ("dq100_pmi_bigrams", C.dq100_pmi_bigrams,
-       "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks "
-       "FROM documents), "
-       "grams AS (SELECT unnest(list_transform(range(1, len(toks)), "
-       "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk), "
-       "unic AS (SELECT tok, count(*) AS c_uni FROM "
-       "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u "
-       "GROUP BY tok), "
-       "nu AS (SELECT sum(c_uni) AS n_uni FROM unic), "
-       "bgc AS (SELECT bg, count(*) AS c_bg FROM grams GROUP BY bg), "
-       "nb AS (SELECT sum(c_bg) AS n_bg FROM bgc), "
-       "j AS (SELECT bgc.bg, bgc.c_bg, u1.c_uni AS c1, u2.c_uni AS c2 "
-       "FROM bgc JOIN unic u1 ON u1.tok = string_split(bgc.bg, ' ')[1] "
-       "JOIN unic u2 ON u2.tok = string_split(bgc.bg, ' ')[2] "
-       "WHERE bgc.c_bg >= 5) "
-       "SELECT bg, c_bg, CAST(floor((ln((c_bg / n_bg) / ((c1 / n_uni) * (c2 / n_uni)))) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro "
-       "FROM j CROSS JOIN nu CROSS JOIN nb "
-       "ORDER BY pmi_micro DESC, bg LIMIT 40"),
-    DQ("dq107_temperature_mixture", C.dq107_temperature_mixture,
-       "WITH counts AS (SELECT source, count(*) AS n_s FROM documents "
-       "GROUP BY source), "
-       "sums AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, 0.7)) AS sum_w "
-       "FROM counts), "
-       "rates AS (SELECT source, n_s, CAST(least(1000, floor(1000.0 * "
-       "((0.5 * n_tot) * (pow(n_s, 0.7) / sum_w)) / n_s + 1e-6)) AS INT) "
-       "AS rate_pm FROM counts CROSS JOIN sums), "
-       "die AS (SELECT doc_id, source, CAST((" + _HEXFOLD + ") AS BIGINT) "
-       "% 1000 AS d FROM (SELECT doc_id, source, "
-       "sha256('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) x), "
-       "kept AS (SELECT die.source, count(*) AS n_kept FROM die "
-       "JOIN rates USING (source) WHERE d < rate_pm GROUP BY die.source) "
-       "SELECT rates.source, n_s, rate_pm, coalesce(n_kept, 0) AS n_kept "
-       "FROM rates LEFT JOIN kept ON rates.source = kept.source"),
-    DQ("dq108_int8_quantize", V.dq108_int8_quantize,
-       "WITH u AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x "
-       "FROM embeddings), "
-       "s AS (SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM u "
-       "GROUP BY vec_id), "
-       "q AS (SELECT u.vec_id, x, scale, "
-       "greatest(-127, least(127, floor(x / scale + 0.5))) AS qi "
-       "FROM u JOIN s USING (vec_id)) "
-       "SELECT vec_id, CAST(sum(qi) AS BIGINT) AS qsum, "
-       "CAST(floor(max(scale) * 1000000.0 + 0.5) AS BIGINT) AS scale_micro, "
-       "CAST(floor(sqrt(sum(pow(x - qi * scale, 2))) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS l2_err_micro "
-       "FROM q GROUP BY vec_id"),
-    DQ("dq109_matryoshka_knn", V.dq109_matryoshka_knn,
-       "WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv "
-       "FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, CAST(floor(list_cosine_similarity("
-       "CAST(e.embedding[1:16] AS DOUBLE[]), q.qv) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN q "
-       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq110_hamming_knn", V.dq110_hamming_knn,
-       "WITH u AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x "
-       "FROM embeddings, range(64) r(i)), "
-       "sigs AS (SELECT vec_id, "
-       "CAST(sum(CASE WHEN i < 32 AND x > 0 THEN CAST(pow(2, i) AS BIGINT) "
-       "ELSE 0 END) AS BIGINT) AS lo, "
-       "CAST(sum(CASE WHEN i >= 32 AND x > 0 THEN CAST(pow(2, i - 32) "
-       "AS BIGINT) ELSE 0 END) AS BIGINT) AS hi "
-       "FROM u GROUP BY vec_id), "
-       "q AS (SELECT lo AS qlo, hi AS qhi FROM sigs WHERE vec_id = 0) "
-       "SELECT s.vec_id, CAST(bit_count(xor(s.lo, qlo)) "
-       "+ bit_count(xor(s.hi, qhi)) AS INT) AS hd "
-       "FROM sigs s CROSS JOIN q ORDER BY hd, vec_id LIMIT 10"),
-    DQ("dq111_word_entropy", T.dq111_word_entropy,
-       "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-       "FROM documents), "
-       "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w) "
-       "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
-       "CAST(floor((log2(sum(c)) - sum(c * log2(c)) / sum(c)) * 1000000.0 + 0.5) AS BIGINT) AS entropy_micro "
-       "FROM wc GROUP BY doc_id "
-       "ORDER BY entropy_micro DESC, doc_id LIMIT 50"),
-    DQ("dq112_weighted_sample", C.dq112_weighted_sample,
-       "WITH f AS (SELECT doc_id, n_chars, "
-       "sha256('wrs:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) "
-       "SELECT doc_id, n_chars, "
-       "CAST(floor((ln(((" + _HEXFOLD + ") + 0.5) / 4294967296.0) "
-       "/ n_chars) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS wkey_micro FROM f ORDER BY wkey_micro DESC, doc_id LIMIT 50"),
-    DQ("dq113_cluster_representatives", N.dq113_cluster_representatives,
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
-       "scored AS (SELECT a.cid, a.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s "
-       "FROM assigned a JOIN cents c ON a.cid = c.cid), "
-       "m AS (SELECT * FROM scored WHERE vec_id <> cid), "
-       "reps AS (SELECT cid, vec_id AS rep_vec_id, s AS rep_s_micro FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY cid "
-       "ORDER BY s DESC, vec_id) AS rn FROM m) r WHERE rn = 1), "
-       "stats AS (SELECT cid, count(*) AS n_members, "
-       "CAST(floor(SUM(s) / count(*) + 0.5) AS BIGINT) "
-       "AS mean_s_micro FROM m GROUP BY cid) "
-       "SELECT reps.cid, rep_vec_id, rep_s_micro, n_members, mean_s_micro "
-       "FROM reps JOIN stats ON reps.cid = stats.cid ORDER BY reps.cid"),
-    DQ("dq114_pq_assign", N.dq114_pq_assign,
-       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-       "FROM embeddings), "
-       "subs AS (SELECT vec_id, i AS sub, v[i * 16 + 1:i * 16 + 16] AS sv "
-       "FROM e, range(4) r(i)), "
-       "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
-       "WHERE vec_id < 8), "
-       "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS d "
-       "FROM subs s JOIN cb ON s.sub = cb.sub), "
-       "a AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
-       "ORDER BY d, code) AS rn FROM d) "
-       "SELECT vec_id, sub, code, d AS d_micro FROM a WHERE rn = 1 "
-       "ORDER BY vec_id, sub"),
-    DQ("dq115_epoch_plan", C.dq115_epoch_plan,
-       "WITH tok AS (SELECT source, CAST(sum(len(string_split(text, ' '))) "
-       "AS BIGINT) AS n_tok FROM documents GROUP BY source), "
-       "tots AS (SELECT sum(n_tok) AS total, sum(sqrt(n_tok)) AS sw FROM tok) "
-       "SELECT source, n_tok, CAST(floor((sqrt(n_tok) / sw) * 1000000.0 + 0.5) AS BIGINT) AS w_micro, "
-       "least(4000, CAST(floor((2.0 * total * (sqrt(n_tok) / sw) / n_tok) "
-       "* 1000.0 + 0.5) AS BIGINT)) AS epochs_milli, "
-       "CAST(floor(least(4000, CAST(floor((2.0 * total * (sqrt(n_tok) / sw) "
-       "/ n_tok) * 1000.0 + 0.5) AS BIGINT)) * n_tok / 1000.0) AS BIGINT) "
-       "AS planned_tok "
-       "FROM tok CROSS JOIN tots ORDER BY source"),
-    DQ("dq116_salted_agg", S.dq116_salted_agg,
-       "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS sum_value_cents, "
-       "CAST(floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) "
-       "/ count(*)) * 1000000.0 + 0.5) AS BIGINT) AS avg_value_micro "
-       "FROM events GROUP BY event_type ORDER BY event_type"),
-    DQ("dq117_sessionize", TS.dq117_sessionize,
-       "WITH f AS (SELECT user_id, event_id, ts, "
-       "CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) "
-       "OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
-       "THEN 1 ELSE 0 END AS new_sess FROM events), "
-       "s AS (SELECT user_id, event_id, ts, sum(new_sess) OVER "
-       "(PARTITION BY user_id ORDER BY ts, event_id "
-       "ROWS UNBOUNDED PRECEDING) AS sess FROM f) "
-       "SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events, "
-       "max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) "
-       "AS dur_sec FROM s GROUP BY user_id, sess ORDER BY user_id, sess"),
-    DQ("dq118_rolling_range", TS.dq118_rolling_range,
-       "WITH ev AS (SELECT user_id, event_id, "
-       "epoch_us(ts) // 1000000 AS ep, "
-       "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
-       "SELECT user_id, event_id, CAST(count(*) OVER w AS BIGINT) AS n_7d, "
-       "CAST(sum(v) OVER w * 100 AS BIGINT) AS sum_7d_cents "
-       "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ep "
-       "RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) "
-       "ORDER BY user_id, event_id"),
-    DQ("dq119_edit_distance_neighbors", T.dq119_edit_distance_neighbors,
-       "WITH d AS (SELECT doc_id, lower(substr(text, 1, 32)) AS p "
-       "FROM documents WHERE doc_id < 200), "
-       "x AS (SELECT doc_id, levenshtein(p, lead(p) OVER "
-       "(PARTITION BY substr(p, 1, 2) ORDER BY doc_id)) AS lev FROM d) "
-       "SELECT doc_id, lev FROM x WHERE lev IS NOT NULL ORDER BY doc_id"),
-    DQ("dq120_ivf_recall", N.dq120_ivf_recall,
-       "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
-       "ORDER BY CAST(floor((" + _cos("e", "qq")
-       + ") * 1000000.0 + 0.5) AS BIGINT) DESC, vec_id LIMIT 10), "
-       "cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
-       "q AS (SELECT embedding AS qv, cid AS qcid FROM assigned "
-       "WHERE vec_id = 0), "
-       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
-       "JOIN q ON a.cid = q.qcid), "
-       "approx AS (SELECT cand.vec_id FROM cand CROSS JOIN q q2 "
-       "ORDER BY CAST(floor(list_cosine_similarity(CAST(cand.embedding "
-       "AS DOUBLE[]), CAST(q2.qv AS DOUBLE[])) * 1000000.0 + 0.5) "
-       "AS BIGINT) DESC, vec_id LIMIT 10) "
-       "SELECT CAST(count(*) AS INT) AS n_overlap, "
-       "CAST(floor((count(*) / 10.0) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS recall_micro "
-       "FROM exact JOIN approx USING (vec_id)"),
-    DQ("dq121_bfs_layers", G.dq121_bfs_layers,
-       "WITH " + _EDGES_CTE + ", "
-       "adj AS (SELECT src AS v, dst AS n FROM edges "
-       "UNION SELECT dst, src FROM edges), "
-       "l0 AS (SELECT 0 AS v), "
-       "l1 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
-       "(SELECT v FROM l0) AND n NOT IN (SELECT v FROM l0)), "
-       "l2 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
-       "(SELECT v FROM l1) AND n NOT IN "
-       "(SELECT v FROM l0 UNION SELECT v FROM l1)), "
-       "l3 AS (SELECT DISTINCT n AS v FROM adj WHERE v IN "
-       "(SELECT v FROM l2) AND n NOT IN (SELECT v FROM l0 "
-       "UNION SELECT v FROM l1 UNION SELECT v FROM l2)), "
-       "u AS (SELECT 0 AS d, count(*) AS n_nodes FROM l0 "
-       "UNION ALL SELECT 1, count(*) FROM l1 "
-       "UNION ALL SELECT 2, count(*) FROM l2 "
-       "UNION ALL SELECT 3, count(*) FROM l3) "
-       "SELECT d, CAST(n_nodes AS BIGINT) AS n_nodes FROM u "
-       "WHERE n_nodes > 0 ORDER BY d"),
-    DQ("dq122_kmeans_lloyd", N.dq122_kmeans_lloyd,
-       "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-       "FROM embeddings), "
-       "c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4), "
-       "d1 AS (SELECT e.vec_id, c0.cid, CAST(floor(list_distance(e.v, c0.cv) * 1000000.0 + 0.5) "
-       "AS BIGINT) "
-       "AS dist FROM e CROSS JOIN c0), "
-       "a1 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
-       "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1) r "
-       "WHERE rn = 1), "
-       "u1 AS (SELECT a1.cid, i, avg(e.v[i + 1]) AS x FROM a1 "
-       "JOIN e USING (vec_id) CROSS JOIN range(64) r(i) GROUP BY a1.cid, i), "
-       "c1 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u1 GROUP BY cid), "
-       "d2 AS (SELECT e.vec_id, c1.cid, CAST(floor(list_distance(e.v, c1.cv) * 1000000.0 + 0.5) "
-       "AS BIGINT) "
-       "AS dist FROM e CROSS JOIN c1), "
-       "a2 AS (SELECT vec_id, cid FROM (SELECT *, row_number() OVER "
-       "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d2) r "
-       "WHERE rn = 1), "
-       "u2 AS (SELECT a2.cid, i, avg(e.v[i + 1]) AS x FROM a2 "
-       "JOIN e USING (vec_id) CROSS JOIN range(64) r(i) GROUP BY a2.cid, i), "
-       "c2 AS (SELECT cid, list(x ORDER BY i) AS cv FROM u2 GROUP BY cid), "
-       "s AS (SELECT cid, count(*) AS n FROM a2 GROUP BY cid) "
-       "SELECT s.cid, CAST(n AS BIGINT) AS n, "
-       "CAST(floor(sqrt(list_sum(list_transform(c2.cv, x -> x * x))) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "AS c_norm_micro FROM s JOIN c2 USING (cid) ORDER BY s.cid"),
-    DQ("dq123_tfidf_keywords", RT.dq123_tfidf_keywords,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "dfq AS (SELECT tok, count(*) AS df FROM "
-       "(SELECT DISTINCT doc_id, tok FROM toks) x GROUP BY tok), "
-       "nd AS (SELECT count(*) AS n_docs FROM documents), "
-       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
-       "WHERE doc_id < 100 GROUP BY doc_id, tok), "
-       "sc AS (SELECT doc_id, tf.tok, "
-       "CAST(floor((tf * ln(n_docs / df)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS score_micro "
-       "FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN nd), "
-       "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
-       "ORDER BY score_micro DESC, tok) AS rn FROM sc) "
-       "SELECT doc_id, tok, score_micro, CAST(rn AS INT) AS rn FROM r "
-       "WHERE rn <= 3 ORDER BY doc_id, rn"),
-    DQ("dq124_lateral_topn", R.dq124_lateral_topn,
-       "SELECT c.c_custkey, o.o_orderkey, "
-       "CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) "
-       "AS o_totalprice_cents "
-       "FROM customer c, "
-       "LATERAL (SELECT o_orderkey, o_totalprice FROM orders "
-       "WHERE o_custkey = c.c_custkey "
-       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o "
-       "WHERE c.c_custkey < 50 "
-       "ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"),
-    DQ("dq125_column_profile", R.dq125_column_profile,
-       " UNION ALL ".join(
-           "SELECT '{c}' AS col_name, count(*) AS n_rows, "
-           "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-           "AS n_null, count(DISTINCT {c}) AS n_distinct, "
-           "CAST(min({e}) AS VARCHAR) AS min_s, "
-           "CAST(max({e}) AS VARCHAR) AS max_s FROM orders"
-           .format(c=c, e=e)
-           for c, e in [
-               ("o_orderkey", "o_orderkey"),
-               ("o_custkey", "o_custkey"),
-               ("o_orderstatus", "o_orderstatus"),
-               ("o_totalprice", "CAST(o_totalprice AS DECIMAL(18,2))"),
-               ("o_orderdate", "CAST(o_orderdate AS DATE)"),
-               ("o_orderpriority", "o_orderpriority"),
-           ]
-       ) + " ORDER BY col_name"),
-    DQ("dq126_integrity_audit", R.dq126_integrity_audit,
-       "SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) "
-       "AS n_customers, "
-       "(SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE EXISTS "
-       "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) "
-       "AS n_with_events, "
-       "(SELECT CAST(count(*) AS BIGINT) FROM customer c WHERE NOT EXISTS "
-       "(SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)) "
-       "AS n_without_events, "
-       "(SELECT CAST(count(*) AS BIGINT) FROM events e WHERE NOT EXISTS "
-       "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) "
-       "AS n_orphan_events"),
-    DQ("dq127_unigram_surprisal", T.dq127_unigram_surprisal,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
-       "tot AS (SELECT sum(c) AS n_total FROM freq), "
-       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
-       "GROUP BY doc_id, tok) "
-       "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, "
-       "CAST(floor((-sum(tf * log2(c / n_total)) / sum(tf)) * 1000000.0 + 0.5) AS BIGINT) AS bits_per_tok_micro "
-       "FROM tf JOIN freq USING (tok) CROSS JOIN tot "
-       "GROUP BY doc_id ORDER BY bits_per_tok_micro DESC, doc_id LIMIT 50"),
-    DQ("dq128_simhash_band_pairs", T.dq128_simhash_band_pairs,
-       "WITH " + _SIMHASH_CTE + ", "
-       "bands AS (SELECT doc_id, simhash, i AS b, "
-       "CAST(CAST(floor(simhash / pow(16, i)) AS BIGINT) % 16 AS BIGINT) "
-       "AS bv FROM sig CROSS JOIN range(4) r(i)), "
-       "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
-       "a.simhash AS s1, b.simhash AS s2 FROM bands a JOIN bands b "
-       "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
-       "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
-       "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"),
-    DQ("dq130_repeated_ngrams", T.dq130_repeated_ngrams,
-       "WITH g AS (SELECT doc_id, unnest(list_transform("
-       "range(1, len(toks) - 6), i -> toks[i] || ' ' || toks[i+1] || ' ' || "
-       "toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || "
-       "toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS g FROM "
-       "(SELECT doc_id, string_split(text, ' ') AS toks FROM documents) d) "
-       "SELECT g, CAST(count(*) AS BIGINT) AS n_occ, "
-       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
-       "FROM g GROUP BY g HAVING count(*) >= 3 "
-       "ORDER BY n_occ DESC, g LIMIT 40"),
-    DQ("dq131_quality_ensemble", T.dq131_quality_ensemble,
-       "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-       "FROM documents), "
-       "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
-       "sig AS (SELECT doc_id, sum(c) AS n_words, "
-       "log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy, "
-       "max(c) / sum(c) AS max_tok_frac FROM wc GROUP BY doc_id), "
-       "st AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
-       "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
-       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r FROM sig), "
-       "zs AS (SELECT doc_id, "
-       "CASE WHEN s_n = 0 THEN 0.0 ELSE (n_words - m_n) / s_n END AS zn, "
-       "CASE WHEN s_e = 0 THEN 0.0 ELSE (entropy - m_e) / s_e END AS ze, "
-       "CASE WHEN s_r = 0 THEN 0.0 ELSE (max_tok_frac - m_r) / s_r END "
-       "AS zr FROM sig CROSS JOIN st) "
-       "SELECT doc_id, CAST(floor((zn) * 1000000.0 + 0.5) AS BIGINT) AS z_len_micro, "
-       "CAST(floor((ze) * 1000000.0 + 0.5) AS BIGINT) AS z_entropy_micro, "
-       "CAST(floor((zr) * 1000000.0 + 0.5) AS BIGINT) AS z_rep_micro, "
-       "CAST(CASE WHEN abs(zn) <= 2 AND abs(ze) <= 2 AND abs(zr) <= 2 "
-       "THEN 1 ELSE 0 END AS INT) AS keep FROM zs"),
-    DQ("dq132_latest_event", TS.dq132_latest_event,
-       "SELECT user_id, event_type, "
-       "arg_max(event_id, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
-       "AS last_event_id, "
-       "max(epoch_us(ts)) AS last_ts_us, "
-       "arg_max(CAST(round(value * 100) AS BIGINT), "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id)) "
-       "AS last_value_cents "
-       "FROM events GROUP BY user_id, event_type "
-       "ORDER BY user_id, event_type"),
-    DQ("dq133_dedup_apply", C.dq133_dedup_apply,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
-       "dr AS (SELECT DISTINCT d2 FROM p WHERE matches >= 2) "
-       "SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total, "
-       "(SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_dropped, "
-       "(SELECT CAST(count(*) AS BIGINT) FROM documents) - "
-       "(SELECT CAST(count(*) AS BIGINT) FROM dr) AS n_kept"),
-    DQ("dq134_heavy_hitters", R.dq134_heavy_hitters,
-       "WITH c AS (SELECT user_id, count(*) AS c FROM events "
-       "GROUP BY user_id), "
-       "tot AS (SELECT count(*) AS n_tot FROM events) "
-       "SELECT user_id, CAST(c AS BIGINT) AS c, "
-       "CAST(floor((c / n_tot) * 1000000.0 + 0.5) AS BIGINT) AS share_micro FROM c CROSS JOIN tot "
-       "ORDER BY c DESC, user_id LIMIT 20"),
-    DQ("dq135_curation_funnel", C.dq135_curation_funnel,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
-       "dr AS (SELECT DISTINCT d2 FROM p WHERE matches >= 2), "
-       "clean AS (SELECT doc_id, sha256(trim(regexp_replace(regexp_replace("
-       "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) "
-       "AS clean_sha FROM documents), "
-       "qw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
-       "FROM documents), "
-       "qwc AS (SELECT doc_id, w, count(*) AS c FROM qw GROUP BY doc_id, w), "
-       "qsig AS (SELECT doc_id, sum(c) AS n_words, "
-       "log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy, "
-       "max(c) / sum(c) AS max_tok_frac FROM qwc GROUP BY doc_id), "
-       "qst AS (SELECT avg(n_words) AS m_n, stddev_pop(n_words) AS s_n, "
-       "avg(entropy) AS m_e, stddev_pop(entropy) AS s_e, "
-       "avg(max_tok_frac) AS m_r, stddev_pop(max_tok_frac) AS s_r "
-       "FROM qsig), "
-       "qual AS (SELECT doc_id FROM qsig CROSS JOIN qst "
-       "WHERE abs((n_words - m_n) / s_n) <= 2 "
-       "AND abs((entropy - m_e) / s_e) <= 2 "
-       "AND abs((max_tok_frac - m_r) / s_r) <= 2), "
-       "s1 AS (SELECT doc_id FROM documents "
-       "WHERE n_chars BETWEEN 100 AND 2000), "
-       "s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN "
-       "(SELECT doc_id FROM qual)), "
-       "s3 AS (SELECT min(doc_id) AS doc_id FROM s2 JOIN clean "
-       "USING (doc_id) GROUP BY clean_sha), "
-       "s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN "
-       "(SELECT d2 FROM dr)) "
-       "SELECT 's0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs "
-       "FROM documents "
-       "UNION ALL SELECT 's1_length', CAST(count(*) AS BIGINT) FROM s1 "
-       "UNION ALL SELECT 's2_quality', CAST(count(*) AS BIGINT) FROM s2 "
-       "UNION ALL SELECT 's3_exact', CAST(count(*) AS BIGINT) FROM s3 "
-       "UNION ALL SELECT 's4_neardup', CAST(count(*) AS BIGINT) FROM s4 "
-       "ORDER BY stage"),
-    DQ("dq136_ivf_multiprobe", N.dq136_ivf_multiprobe,
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored0 AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored0) r WHERE rn = 1), "
-       "probes AS (SELECT cid FROM (SELECT cid, row_number() OVER "
-       "(ORDER BY cs DESC, cid) AS rn FROM scored0 WHERE vec_id = 0) p "
-       "WHERE rn <= 2), "
-       "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "cand AS (SELECT a.vec_id, a.embedding FROM assigned a "
-       "JOIN probes ON a.cid = probes.cid) "
-       "SELECT cand.vec_id, CAST(floor(list_cosine_similarity("
-       "CAST(cand.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM cand CROSS JOIN q ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq137_dup_rate_by_source", C.dq137_dup_rate_by_source,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
-       "dr AS (SELECT DISTINCT d2 AS doc_id FROM p WHERE matches >= 2) "
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
-       "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 "
-       "ELSE 0 END) AS BIGINT) AS n_dup, "
-       "CAST(floor((sum(CASE WHEN doc_id IN (SELECT doc_id FROM dr) THEN 1 ELSE 0 END) / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS dup_rate_micro "
-       "FROM documents GROUP BY source ORDER BY source"),
-    DQ("dq138_prenorm_dot_knn", V.dq138_prenorm_dot_knn,
-       "WITH unit AS (SELECT vec_id, list_transform("
-       "CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_sum(list_transform("
-       "CAST(embedding AS DOUBLE[]), y -> y * y)))) AS nv FROM embeddings), "
-       "q AS (SELECT nv AS qnv FROM unit WHERE vec_id = 0) "
-       "SELECT u.vec_id, CAST(floor(list_inner_product(u.nv, q.qnv) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM unit u CROSS JOIN q ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq139_blocked_fuzzy_join", T.dq139_blocked_fuzzy_join,
-       "WITH d AS (SELECT doc_id, lower(substr(text, 1, 24)) AS p, "
-       "lower(substr(text, 1, 8)) AS blk FROM documents) "
-       "SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.p, b.p) AS lev "
-       "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
-       "WHERE levenshtein(a.p, b.p) <= 8"),
-    DQ("dq140_approx_quantiles", R.dq140_approx_quantiles,
-       # sketch values stay out of the hash set; the oracle checks the
-       # group counts + the ±1-unit-vs-exact bounds as constant 1
-       "SELECT l_returnflag, count(*) AS n, CAST(1 AS INT) AS p50_ok, "
-       "CAST(1 AS INT) AS p95_ok FROM lineitem GROUP BY l_returnflag",
-       note="B20-family approx_percentile sketch — engine internals "
-            "differ; hash checks counts + sketch-vs-exact bounds"),
-    DQ("dq141_bloom_screen", C.dq141_bloom_screen,
-       "WITH seeds AS (SELECT CAST(range AS INT) AS s FROM range(0, 4)), "
-       "mh AS (SELECT doc_id, s, sha256('bf' || CAST(s AS VARCHAR) || ':' "
-       "|| CAST(doc_id AS VARCHAR)) AS h FROM documents CROSS JOIN seeds "
-       "WHERE source = 'src0'), "
-       "bits AS (SELECT DISTINCT CAST((" + _HEXFOLD + ") AS BIGINT) % 4096 "
-       "AS b FROM mh), "
-       "ph AS (SELECT doc_id, source, s, sha256('bf' || CAST(s AS VARCHAR) "
-       "|| ':' || CAST(doc_id AS VARCHAR)) AS h FROM documents "
-       "CROSS JOIN seeds), "
-       "pr AS (SELECT doc_id, source, CAST((" + _HEXFOLD + ") AS BIGINT) "
-       "% 4096 AS b FROM ph), "
-       "v AS (SELECT doc_id, source, CAST(CASE WHEN sum(CASE WHEN b IN "
-       "(SELECT b FROM bits) THEN 1 ELSE 0 END) = 4 THEN 1 ELSE 0 END "
-       "AS INT) AS bloom_maybe FROM pr GROUP BY doc_id, source) "
-       "SELECT CAST(source = 'src0' AS INT) AS actual, bloom_maybe, "
-       "CAST(count(*) AS BIGINT) AS n FROM v GROUP BY actual, bloom_maybe "
-       "ORDER BY actual, bloom_maybe"),
-    DQ("dq142_count_anomalies", TS.dq142_count_anomalies,
-       "WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-       "event_type, count(*) AS n FROM events GROUP BY day, event_type), "
-       "scored AS (SELECT day, event_type, n, "
-       "avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd, "
-       "count(n) OVER w AS n_base FROM daily "
-       "WINDOW w AS (PARTITION BY event_type ORDER BY day "
-       "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
-       "SELECT day, event_type, CAST(n AS BIGINT) AS n, "
-       "CAST(floor(((n - mu) / sd) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS z_micro, "
-       "CAST(CASE WHEN abs((n - mu) / sd) > 2.0 THEN 1 ELSE 0 END AS INT) "
-       "AS anomaly FROM scored WHERE n_base >= 7 AND sd > 0"),
-    DQ("dq143_retention_cohorts", TS.dq143_retention_cohorts,
-       "WITH ev AS (SELECT DISTINCT user_id, "
-       "epoch_us(ts) // 604800000000 AS wk FROM events), "
-       "cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev "
-       "GROUP BY user_id) "
-       "SELECT cohort_wk, wk - cohort_wk AS wk_offset, "
-       "CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users "
-       "FROM ev JOIN cohort ON ev.user_id = cohort.user_id "
-       "GROUP BY cohort_wk, wk_offset"),
-    DQ("dq144_transition_matrix", TS.dq144_transition_matrix,
-       "WITH seq AS (SELECT user_id, event_type, "
-       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-       "AS prev_type FROM events) "
-       "SELECT prev_type AS from_type, event_type AS to_type, "
-       "CAST(count(*) AS BIGINT) AS n FROM seq "
-       "WHERE prev_type IS NOT NULL GROUP BY from_type, to_type"),
-    DQ("dq145_filtered_knn", V.dq145_filtered_knn,
-       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-       "SELECT e.vec_id, CAST(floor((" + _cos("e", "q")
-       + ") * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN q WHERE e.label % 3 = 1 "
-       "ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq146_grouped_maxsim", V.dq146_grouped_maxsim,
-       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "scored AS (SELECT label, vec_id, CAST(floor((" + _cos("e", "q")
-       + ") * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro FROM embeddings e CROSS JOIN q), "
-       "best AS (SELECT label, vec_id AS best_vec, s_micro FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY label "
-       "ORDER BY s_micro DESC, vec_id) AS rn FROM scored) r WHERE rn = 1) "
-       "SELECT label, best_vec, s_micro FROM best "
-       "ORDER BY s_micro DESC, label LIMIT 5"),
-    DQ("dq147_mutual_knn", V.dq147_mutual_knn,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
-       "WHERE vec_id < 100), "
-       "sims AS (SELECT q.qid, e.vec_id, round(CASE WHEN e.vec_id = q.qid "
-       "THEN 1.0 ELSE " + _cos("e", "q") + " END, 6) AS s "
-       "FROM embeddings e CROSS JOIN q), "
-       "ranked AS (SELECT qid, vec_id, s, CAST(row_number() OVER "
-       "(PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk "
-       "FROM sims), "
-       "topk AS (SELECT qid, vec_id, rnk FROM ranked WHERE rnk <= 5) "
-       "SELECT x.qid AS a, x.vec_id AS b, x.rnk AS ra, y.rnk AS rb "
-       "FROM topk x JOIN topk y ON x.qid = y.vec_id AND x.vec_id = y.qid "
-       "WHERE x.qid < x.vec_id"),
-    DQ("dq129_reagg_rollup", TS.dq129_reagg_rollup,
-       "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type, "
-       "CAST(value AS DECIMAL(18,2)) AS v FROM events) "
-       "SELECT day // 7 AS wk, event_type, CAST(count(*) AS BIGINT) AS n, "
-       "CAST(sum(v) * 100 AS BIGINT) AS sum_value_cents "
-       "FROM ev GROUP BY wk, event_type ORDER BY wk, event_type"),
-    DQ("dq106_view_purchase_join", TS.dq106_view_purchase_join,
-       "SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id "
-       "FROM events v JOIN events b ON v.user_id = b.user_id "
-       "WHERE v.event_type = 'view' AND b.event_type = 'purchase' "
-       "AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR"),
-    DQ("dq102_gopher_repetition", C.dq102_gopher_repetition,
-       "WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks "
-       "FROM documents), "
-       "ts AS (SELECT doc_id, unnest(toks) AS tok FROM tk), "
-       "tok_stats AS (SELECT doc_id, count(*) AS n_tok, "
-       "count(DISTINCT tok) AS n_uniq FROM ts GROUP BY doc_id), "
-       "bgl AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
-       "i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk), "
-       "bgc AS (SELECT doc_id, bg, count(*) AS c FROM bgl "
-       "GROUP BY doc_id, bg), "
-       "bgs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc "
-       "GROUP BY doc_id) "
-       "SELECT t.doc_id, n_tok, "
-       "CAST(floor((1 - n_uniq / n_tok) * 1000000.0 + 0.5) AS BIGINT) AS dup_tok_frac_micro, "
-       "CAST(floor((top_bg / n_bg) * 1000000.0 + 0.5) AS BIGINT) AS top_bigram_frac_micro, "
-       "(CAST(floor((top_bg / n_bg) * 1000000.0 + 0.5) AS BIGINT) <= 200000) AS keep "
-       "FROM tok_stats t JOIN bgs USING (doc_id)"),
-    DQ("dq103_bpe_merge_pairs", C.dq103_bpe_merge_pairs,
-       "WITH words AS (SELECT w, count(*) AS c_w FROM "
-       "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) u "
-       "WHERE length(w) >= 2 GROUP BY w), "
-       "pairs AS (SELECT c_w, unnest(list_transform(range(1, length(w)), "
-       "i -> substr(w, i, 2))) AS pair FROM words) "
-       "SELECT pair, CAST(sum(c_w) AS BIGINT) AS c FROM pairs GROUP BY pair "
-       "ORDER BY c DESC, pair LIMIT 30"),
-    DQ("dq104_triangles", G.dq104_triangles,
-       "WITH " + _EDGES_CTE + ", "
-       "ab AS (SELECT src AS a, dst AS b FROM edges), "
-       "bc AS (SELECT src AS b, dst AS c FROM edges), "
-       "ac AS (SELECT src AS a, dst AS c FROM edges), "
-       "tri AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc ON ab.b = bc.b "
-       "JOIN ac ON ac.a = ab.a AND ac.c = bc.c), "
-       "pn AS (SELECT id, count(*) AS n_tri FROM "
-       "(SELECT unnest([a, b, c]) AS id FROM tri) x GROUP BY id), "
-       "nodes AS (SELECT DISTINCT src AS id FROM edges "
-       "UNION SELECT DISTINCT dst FROM edges) "
-       "SELECT nodes.id, coalesce(n_tri, 0) AS n_tri FROM nodes "
-       "LEFT JOIN pn ON nodes.id = pn.id"),
-    DQ("dq105_degree_histogram", G.dq105_degree_histogram,
-       "WITH " + _EDGES_CTE + ", "
-       "adj AS (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges), "
-       "deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v) "
-       "SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree"),
-    DQ("dq101_scd2_intervals", C.dq101_scd2_intervals,
-       "WITH c AS (SELECT user_id, ts, event_id, event_type, "
-       "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-       "AS prev FROM events), "
-       "ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type) "
-       "SELECT user_id, event_type, epoch_us(ts) AS valid_from_us, "
-       "epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
-       "AS valid_to_us, "
-       "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-       "AS INT) AS version FROM ch"),
-    # --- round-2 additions: semantic dedup, diversity, chunking, corpus QA --
-    DQ("dq148_semdedup", N.dq148_semdedup,
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored AS (SELECT e.vec_id, e.embedding, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
-       "pairs AS (SELECT b.vec_id, a.cid, a.vec_id AS keep_id, "
-       "CAST(floor(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
-       "CAST(a.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s "
-       "FROM assigned a JOIN assigned b "
-       "ON a.cid = b.cid AND a.vec_id < b.vec_id) "
-       "SELECT vec_id, cid, keep_id AS kept_by, s AS s_micro FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY s DESC, keep_id) AS rn FROM pairs WHERE s >= 300000) q "
-       "WHERE rn = 1"),
-    DQ("dq149_diversity_filter", V.dq149_diversity_filter,
-       "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "cand AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(q.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro, "
-       "e.embedding "
-       "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 50), "
-       "ranked AS (SELECT vec_id, s_micro, embedding, "
-       "CAST(row_number() OVER (ORDER BY s_micro DESC, vec_id) AS INT) "
-       "AS rank FROM cand), "
-       "blocked AS (SELECT DISTINCT lo.vec_id FROM ranked lo JOIN ranked hi "
-       "ON hi.rank < lo.rank "
-       "AND CAST(floor(list_cosine_similarity(CAST(lo.embedding AS DOUBLE[]), "
-       "CAST(hi.embedding AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       ">= 250000) "
-       "SELECT vec_id, s_micro, rank FROM ranked "
-       "WHERE vec_id NOT IN (SELECT vec_id FROM blocked)"),
-    DQ("dq150_doc_chunks", T.dq150_doc_chunks,
-       "WITH st AS (SELECT doc_id, text, "
-       "unnest(range(0, greatest(length(text), 1), 150)) AS s FROM documents) "
-       "SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id, "
-       "CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS INT) AS n_chars, "
-       "sha256(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_sha FROM st"),
-    DQ("dq151_zipf_slope", T.dq151_zipf_slope,
-       "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "counts AS (SELECT source, tok, count(*) AS c FROM toks "
-       "GROUP BY source, tok), "
-       "ranked AS (SELECT source, c, row_number() OVER "
-       "(PARTITION BY source ORDER BY c DESC, tok) AS rank FROM counts "
-       "QUALIFY rank <= 100) "
-       "SELECT source, CAST(count(*) AS INT) AS n_terms, "
-       "CAST(floor((regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS zipf_slope_micro FROM ranked GROUP BY source"),
-    DQ("dq152_perplexity_buckets", C.dq152_perplexity_buckets,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
-       "tot AS (SELECT sum(c) AS n_total FROM freq), "
-       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
-       "GROUP BY doc_id, tok), "
-       "sc AS (SELECT doc_id, "
-       "CAST(floor((-sum(tf * log2(c / n_total)) / sum(tf)) * 1000000.0 + 0.5) AS BIGINT) AS bits "
-       "FROM tf JOIN freq USING (tok) CROSS JOIN tot GROUP BY doc_id), "
-       "b AS (SELECT d.lang, sc.bits, CAST(ntile(4) OVER "
-       "(PARTITION BY d.lang ORDER BY sc.bits DESC, sc.doc_id) AS INT) "
-       "AS bucket FROM sc JOIN documents d ON sc.doc_id = d.doc_id) "
-       "SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs, "
-       "CAST(floor(avg(bits) + 0.5) AS BIGINT) AS avg_bits_micro "
-       "FROM b GROUP BY lang, bucket"),
-    DQ("dq153_lsh_recall", T.dq153_lsh_recall,
-       "WITH " + _SIG_CTE + ", "
-       "shk AS (SELECT shingle FROM sh GROUP BY shingle "
-       f"HAVING count(*) <= {T.JACCARD_MAX_DF}), "
-       "shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shk USING (shingle)), "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
-       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2), "
-       "truth AS (SELECT d1, d2 FROM inter "
-       "JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2 "
-       "WHERE i / (sa.n + sb.n - i) >= 0.25), "
-       "cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
-       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "hit AS (SELECT t.d1, t.d2 FROM truth t "
-       "JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2) "
-       "SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true, "
-       "CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand, "
-       "CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit, "
-       "CAST(floor(((SELECT count(*) FROM hit) * 1.0 / "
-       "(SELECT count(*) FROM truth)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS recall_micro, "
-       "CAST(floor(((SELECT count(*) FROM hit) * 1.0 / "
-       "(SELECT count(*) FROM cand)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS precision_micro"),
-    DQ("dq154_centroid_drift", V.dq154_centroid_drift,
-       "WITH e AS (SELECT label, vec_id % 2 AS half, p AS pos, "
-       "CAST(embedding[p + 1] AS DOUBLE) AS v FROM embeddings "
-       "CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 64)) r), "
-       "dims AS (SELECT label, pos, "
-       "avg(CASE WHEN half = 0 THEN v END) AS a, "
-       "avg(CASE WHEN half = 1 THEN v END) AS b FROM e GROUP BY label, pos), "
-       "counts AS (SELECT label, "
-       "CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
-       "CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 "
-       "FROM embeddings GROUP BY label), "
-       "drift AS (SELECT label, CAST(floor((sum(a * b) / sqrt(sum(a * a)) "
-       "/ sqrt(sum(b * b))) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS drift_cos_micro FROM dims GROUP BY label) "
-       "SELECT label, n0, n1, drift_cos_micro "
-       "FROM counts JOIN drift USING (label)"),
-    DQ("dq155_ngram_novelty", T.dq155_ngram_novelty,
-       "WITH " + _SH_CTE + ", "
-       "fs AS (SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY shingle), "
-       "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
-       "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) "
-       "AS n_novel FROM sh JOIN fs USING (shingle) GROUP BY doc_id) "
-       "SELECT doc_id, n_shingles, n_novel, "
-       "CAST(floor((n_novel * 1.0 / n_shingles) * 1000000.0 + 0.5) AS BIGINT) AS novelty_micro FROM agg"),
-    DQ("dq156_tpch_q7", Q.dq156_tpch_q7,
-       "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
-       "CAST(year(l_shipdate) AS INT) AS l_year, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) AS revenue_e4 "
-       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey "
-       "JOIN supplier ON l_suppkey = s_suppkey "
-       "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
-       "JOIN region r1 ON n1.n_regionkey = r1.r_regionkey "
-       "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
-       "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
-       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-       "AND l_shipdate < TIMESTAMP '1998-01-01' "
-       "AND ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA') "
-       "OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA')) "
-       "GROUP BY supp_nation, cust_nation, l_year"),
-    DQ("dq157_tpch_q8", Q.dq157_tpch_q8,
-       "WITH j AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS sn, "
-       "CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev "
-       "FROM lineitem JOIN part ON l_partkey = p_partkey "
-       "JOIN orders ON l_orderkey = o_orderkey "
-       "JOIN customer ON o_custkey = c_custkey "
-       "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
-       "JOIN region ON n1.n_regionkey = r_regionkey "
-       "JOIN supplier ON l_suppkey = s_suppkey "
-       "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
-       "WHERE p_type = 'PROMO' AND r_name = 'ASIA' "
-       "AND o_orderdate >= TIMESTAMP '1996-01-01' "
-       "AND o_orderdate < TIMESTAMP '1998-01-01') "
-       "SELECT CAST(o_year AS INT) AS o_year, "
-       "CAST(floor((CAST(CAST(sum(CASE WHEN sn = 'NATION_2' THEN rev "
-       "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,4)) AS DOUBLE) / "
-       "CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS mkt_share_micro "
-       "FROM j GROUP BY o_year"),
-    DQ("dq158_tpch_q13", Q.dq158_tpch_q13,
-       "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
-       "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
-       "AND o_orderpriority NOT LIKE '%URGENT%' GROUP BY c_custkey) "
-       "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count"),
-    DQ("dq159_tpch_q17", Q.dq159_tpch_q17,
-       "WITH li AS (SELECT l.* FROM lineitem l JOIN part "
-       "ON l_partkey = p_partkey "
-       "WHERE p_brand = 'Brand#1' AND p_size = 1), "
-       "aq AS (SELECT l_partkey AS pk, "
-       "avg(CAST(l_quantity AS DOUBLE)) * 0.2 AS qlim FROM li "
-       "GROUP BY l_partkey) "
-       "SELECT CAST(floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
-       "AS DOUBLE) / 7.0) * 100.0 + 0.5) AS BIGINT) AS avg_yearly_cents, "
-       "CAST(count(*) AS BIGINT) AS n_lines "
-       "FROM li JOIN aq ON l_partkey = pk "
-       "WHERE CAST(l_quantity AS DOUBLE) < qlim"),
-    DQ("dq160_tpch_q21", Q.dq160_tpch_q21,
-       "WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem "
-       "JOIN orders ON l_orderkey = o_orderkey "
-       "WHERE l_returnflag = 'R' AND o_orderstatus = 'F'), "
-       "w AS (SELECT l1.l_orderkey, l1.l_suppkey FROM l1 "
-       "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
-       "WHERE l2.l_orderkey = l1.l_orderkey "
-       "AND l2.l_suppkey <> l1.l_suppkey) "
-       "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
-       "WHERE l3.l_orderkey = l1.l_orderkey "
-       "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')) "
-       "SELECT s_name, count(*) AS numwait FROM w "
-       "JOIN supplier ON l_suppkey = s_suppkey "
-       "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
-    DQ("dq161_incremental_dedup", C.dq161_incremental_dedup,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
-       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "d AS (SELECT doc_id, sha256(lower(trim(text))) AS sha "
-       "FROM documents), "
-       "ex AS (SELECT doc_id FROM d WHERE doc_id % 2 = 1 AND sha IN "
-       "(SELECT sha FROM d WHERE doc_id % 2 = 0)), "
-       "nr AS (SELECT DISTINCT a AS doc_id FROM "
-       "(SELECT d1 AS a, d2 AS b FROM p UNION ALL "
-       "SELECT d2 AS a, d1 AS b FROM p) u "
-       "WHERE a % 2 = 1 AND b % 2 = 0 "
-       "AND a NOT IN (SELECT doc_id FROM ex)), "
-       "v AS (SELECT doc_id, 'exact' AS verdict FROM ex "
-       "UNION ALL SELECT doc_id, 'near' FROM nr "
-       "UNION ALL SELECT doc_id, 'fresh' FROM d WHERE doc_id % 2 = 1 "
-       "AND doc_id NOT IN (SELECT doc_id FROM ex) "
-       "AND doc_id NOT IN (SELECT doc_id FROM nr)) "
-       "SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs "
-       "FROM v GROUP BY verdict"),
-    DQ("dq162_chunk_dedup_stats", C.dq162_chunk_dedup_stats,
-       "WITH st AS (SELECT doc_id, text, "
-       "unnest(range(0, greatest(length(text), 1), 150)) AS s "
-       "FROM documents), "
-       "ch AS (SELECT doc_id, CAST(s // 150 AS INT) AS chunk_id, "
-       "sha256(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_sha FROM st), "
-       "fo AS (SELECT chunk_sha, min(doc_id) AS fd FROM ch "
-       "GROUP BY chunk_sha), "
-       "fo2 AS (SELECT ch.chunk_sha, fo.fd, min(ch.chunk_id) AS fc "
-       "FROM ch JOIN fo ON ch.chunk_sha = fo.chunk_sha "
-       "AND ch.doc_id = fo.fd GROUP BY ch.chunk_sha, fo.fd), "
-       "mk AS (SELECT ch.doc_id, CASE WHEN ch.doc_id <> fo2.fd "
-       "OR ch.chunk_id <> fo2.fc THEN 1 ELSE 0 END AS is_dup "
-       "FROM ch JOIN fo2 ON ch.chunk_sha = fo2.chunk_sha) "
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_chunks, "
-       "CAST(sum(is_dup) AS BIGINT) AS n_dup, "
-       "CAST(floor((sum(is_dup) * 1.0 / count(*)) * 1000000.0 + 0.5) AS BIGINT) AS chunk_dup_rate_micro "
-       "FROM mk JOIN documents USING (doc_id) GROUP BY source"),
-    DQ("dq163_quality_by_dup_status", C.dq163_quality_by_dup_status,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
-       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "dup AS (SELECT DISTINCT d2 AS doc_id FROM p), "
-       "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "stats AS (SELECT doc_id, count(*) AS n_tok, "
-       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
-       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
-       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
-       "q AS (SELECT d.doc_id, d.lang, "
-       "CAST(floor((0.4 * least(n_tok / 100.0, 1.0) + 0.3 * (CAST(floor((sw_hits / n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) + 0.3 * least(CAST(floor((tok_chars / n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS score "
-       "FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
-       "SELECT lang, CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
-       "THEN 1 ELSE 0 END AS is_dup, "
-       "CAST(count(*) AS BIGINT) AS n_docs, "
-       "CAST(floor(avg(score) + 0.5) AS BIGINT) AS avg_score_micro "
-       "FROM q GROUP BY lang, is_dup"),
-    DQ("dq164_countmin_freq", C.dq164_countmin_freq,
-       "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
-       "se AS (SELECT CAST(range AS INT) AS s FROM range(0, 4)), "
-       "hx AS (SELECT tok, c, s, "
-       "sha256('cm' || CAST(s AS VARCHAR) || ':' || tok) AS h "
-       "FROM counts CROSS JOIN se), "
-       "bu AS (SELECT tok, c, s, CAST((" + _HEXFOLD + ") AS BIGINT) % 512 "
-       "AS b FROM hx), "
-       "cells AS (SELECT s, b, sum(c) AS cell FROM bu GROUP BY s, b), "
-       "top AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 20), "
-       "pr AS (SELECT bu.tok, bu.c, bu.s, bu.b FROM bu "
-       "JOIN top ON bu.tok = top.tok) "
-       "SELECT tok, CAST(c AS BIGINT) AS c, "
-       "CAST(min(cell) AS BIGINT) AS est, "
-       "CAST(min(cell) - c AS BIGINT) AS overcount "
-       "FROM pr JOIN cells USING (s, b) GROUP BY tok, c"),
-    DQ("dq165_graph_ann", G.dq165_graph_ann,
-       "WITH " + _EDGES_CTE + ", "
-       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "adj AS (SELECT src AS v, dst AS n FROM edges "
-       "UNION ALL SELECT dst, src FROM edges), "
-       "f0 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
-       "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
-       "JOIN f0 ON adj.v = f0.vec_id "
-       "UNION SELECT vec_id FROM f0), "
-       "f1 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
-       "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
-       "JOIN f1 ON adj.v = f1.vec_id "
-       "UNION SELECT vec_id FROM f1), "
-       "f2 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16) "
-       "SELECT vec_id, s_micro FROM f2 ORDER BY s_micro DESC, vec_id LIMIT 10"),
-    DQ("dq166_graph_ann_recall", G.dq166_graph_ann_recall,
-       "WITH " + _EDGES_CTE + ", "
-       "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "adj AS (SELECT src AS v, dst AS n FROM edges "
-       "UNION ALL SELECT dst, src FROM edges), "
-       "f0 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e CROSS JOIN qq WHERE e.vec_id < 8 "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
-       "c1 AS (SELECT DISTINCT n AS vec_id FROM adj "
-       "JOIN f0 ON adj.v = f0.vec_id "
-       "UNION SELECT vec_id FROM f0), "
-       "f1 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e JOIN c1 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
-       "c2 AS (SELECT DISTINCT n AS vec_id FROM adj "
-       "JOIN f1 ON adj.v = f1.vec_id "
-       "UNION SELECT vec_id FROM f1), "
-       "f2 AS (SELECT e.vec_id, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS s_micro "
-       "FROM embeddings e JOIN c2 USING (vec_id) CROSS JOIN qq "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 16), "
-       "approx AS (SELECT vec_id FROM f2 ORDER BY s_micro DESC, vec_id "
-       "LIMIT 10), "
-       "exact AS (SELECT vec_id FROM (SELECT e.vec_id, "
-       "CAST(floor((CASE WHEN e.vec_id = 0 THEN 1.0 ELSE "
-       "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) END) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro "
-       "FROM embeddings e CROSS JOIN qq "
-       "ORDER BY s_micro DESC, e.vec_id LIMIT 10) x) "
-       "SELECT CAST(10 AS INT) AS k, "
-       "CAST((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
-       "AS BIGINT) AS hits, "
-       "CAST(floor(((SELECT count(*) FROM approx JOIN exact USING (vec_id)) "
-       "/ 10.0) * 1000000.0 + 0.5) AS BIGINT) AS recall_micro"),
-    DQ("dq167_dataset_card", C.dq167_dataset_card,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sig a JOIN sig b "
-       "ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "dup AS (SELECT DISTINCT d2 AS doc_id FROM p), "
-       "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "stats AS (SELECT doc_id, count(*) AS n_tok, "
-       "CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
-       "CAST(sum(CASE WHEN tok IN ('the','a','and','of','to','in','is','it') "
-       "THEN 1 ELSE 0 END) AS BIGINT) AS sw_hits FROM toks GROUP BY doc_id), "
-       "q AS (SELECT d.doc_id, d.source, d.lang, stats.n_tok, "
-       "CAST(floor((0.4 * least(stats.n_tok / 100.0, 1.0) + 0.3 * (CAST(floor((sw_hits / stats.n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0) + 0.3 * least(CAST(floor((tok_chars / stats.n_tok) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 / 8.0, 1.0)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS score FROM documents d JOIN stats ON d.doc_id = stats.doc_id) "
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
-       "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
-       "CAST(floor(avg(score) + 0.5) AS BIGINT) AS avg_quality_micro, "
-       "CAST(floor((sum(CASE WHEN q.doc_id IN (SELECT doc_id FROM dup) "
-       "THEN 1 ELSE 0 END) * 1.0 / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS dup_rate_micro, "
-       "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs "
-       "FROM q GROUP BY source"),
-    DQ("dq168_dup_spans", T.dq168_dup_spans,
-       "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
-       "FROM documents), "
-       "grams AS (SELECT doc_id, p, sha256(tk[p] || ' ' || tk[p+1] || ' ' "
-       "|| tk[p+2]) AS h FROM toks, UNNEST(range(1, len(tk) - 1)) AS u(p)), "
-       "hv AS (SELECT doc_id, p, " + _HEXFOLD + " AS hb FROM grams), "
-       "wins AS (SELECT doc_id, p, CAST(min(hb) OVER (PARTITION BY doc_id "
-       "ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT) "
-       "AS fp FROM hv), "
-       "marked AS (SELECT doc_id, p, fp, CASE WHEN lag(fp) OVER "
-       "(PARTITION BY doc_id ORDER BY p) IS NULL OR lag(fp) OVER "
-       "(PARTITION BY doc_id ORDER BY p) != fp THEN 1 ELSE 0 END AS chg "
-       "FROM wins), "
-       "rid AS (SELECT doc_id, p, fp, sum(chg) OVER (PARTITION BY doc_id "
-       "ORDER BY p ROWS UNBOUNDED PRECEDING) AS r FROM marked), "
-       "runs AS (SELECT doc_id, min(p) AS ps, max(p) AS pe, min(fp) AS fp "
-       "FROM rid GROUP BY doc_id, r), "
-       "rare AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd "
-       "FROM runs GROUP BY fp) t WHERE nd BETWEEN 2 AND 20), "
-       "r2 AS (SELECT r.doc_id, r.ps, r.pe, r.fp FROM runs r "
-       "JOIN rare USING (fp)), "
-       "anchors AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.ps AS ps1, "
-       "a.pe AS pe1, b.ps - a.ps AS diag "
-       "FROM r2 a JOIN r2 b ON a.fp = b.fp AND a.doc_id < b.doc_id), "
-       "flagged AS (SELECT d1, d2, ps1, pe1, diag, "
-       "CASE WHEN lag(pe1) OVER w IS NULL OR ps1 - lag(pe1) OVER w > 7 "
-       "OR abs(diag - lag(diag) OVER w) > 4 THEN 1 ELSE 0 END AS new_span "
-       "FROM anchors WINDOW w AS (PARTITION BY d1, d2 ORDER BY ps1, diag)), "
-       "sp AS (SELECT d1, d2, ps1, pe1, sum(new_span) OVER "
-       "(PARTITION BY d1, d2 ORDER BY ps1, diag ROWS UNBOUNDED PRECEDING) "
-       "AS span_id FROM flagged), "
-       "spans AS (SELECT d1, d2, span_id, count(*) AS n_anchor, "
-       "max(pe1) - min(ps1) + 1 AS span_grams FROM sp "
-       "GROUP BY d1, d2, span_id) "
-       "SELECT d1, d2, CAST(sum(n_anchor) AS BIGINT) AS n_anchors, "
-       "CAST(count(*) AS BIGINT) AS n_spans, "
-       "CAST(max(span_grams) AS BIGINT) AS max_span_grams "
-       "FROM spans GROUP BY d1, d2"),
-    DQ("dq169_source_cap", C.dq169_source_cap,
-       "SELECT doc_id, source, rn FROM "
-       "(SELECT doc_id, source, CAST(row_number() OVER "
-       "(PARTITION BY source ORDER BY "
-       "substr(sha256('cap:' || CAST(doc_id AS VARCHAR)), 1, 16), doc_id) "
-       "AS INT) AS rn FROM documents) t "
-       "WHERE rn <= 400 ORDER BY source, rn"),
-    DQ("dq170_knn_label_prop", V.dq170_knn_label_prop,
-       # BIT-identical fold to the engine: sequential left fold with 0.0
-       # init (list_reduce over list_prepend ≡ Spark's aggregate), the
-       # same 1e-12 norm floor — so the doubles match to the last bit;
-       # the grid snap is floor(s·1e6 + 0.5) (engine-identical IEEE ops,
-       # unlike round() — Spark rounds the shortest decimal repr, DuckDB
-       # the binary value); everything after the snap is exact integer
-       # arithmetic (·60/n is an integer since 60 = lcm(1..5))
-       "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev "
-       "FROM embeddings), "
-       "unit AS (SELECT vec_id, label, list_transform(ev, x -> x / "
-       "greatest(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-       "list_transform(ev, y -> y * y)), (acc, x2) -> acc + x2)), "
-       "CAST(1e-12 AS DOUBLE))) AS nv FROM v), "
-       "s AS (SELECT vec_id AS sid, label, nv AS sv FROM unit "
-       "WHERE vec_id < 100), "
-       "c AS (SELECT vec_id AS qid, label AS tl, nv AS qv FROM unit "
-       "WHERE vec_id >= 100), "
-       "sims AS (SELECT c.qid, c.tl, s.sid, s.label, "
-       "CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-       "list_transform(generate_series(1, len(c.qv)), "
-       "i -> c.qv[i] * s.sv[i])), (acc, x2) -> acc + x2) "
-       "* 1000000 + 0.5) AS BIGINT) AS se6 FROM c CROSS JOIN s), "
-       "top AS (SELECT * FROM (SELECT qid, tl, sid, label, se6, "
-       "row_number() OVER (PARTITION BY qid ORDER BY se6 DESC, sid) AS rn "
-       "FROM sims) t WHERE rn <= 5), "
-       "votes AS (SELECT qid, tl, label, CAST(count(*) AS INT) AS n_votes, "
-       "(sum(se6) * 60) // count(*) AS m60 "
-       "FROM top GROUP BY qid, tl, label) "
-       "SELECT qid, label AS pred_label, tl AS true_label, n_votes, "
-       "CAST(floor(m60 / 60000000.0 * 1000000.0 + 0.5) AS BIGINT) "
-       "AS mean_sim_micro "
-       "FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY "
-       "n_votes DESC, m60 DESC, label) AS vr FROM votes) v2 "
-       "WHERE vr = 1"),
-    DQ("dq171_global_ntile_scalable", S.dq171_global_ntile_scalable,
-       "SELECT c_custkey, CAST(ntile(4) OVER "
-       "(ORDER BY c_acctbal, c_custkey) AS INT) AS q FROM customer"),
-    DQ("dq173_tpch_q2", Q.dq173_tpch_q2,
-       "WITH " + _PS_CTE + ", "
-       "j AS (SELECT p_partkey, ps_suppkey, s_name, s_acctbal, n_name, "
-       "ps_cost_cents FROM ps "
-       "JOIN part ON ps_partkey = p_partkey "
-       "JOIN supplier ON ps_suppkey = s_suppkey "
-       "JOIN nation ON s_nationkey = n_nationkey "
-       "JOIN region ON n_regionkey = r_regionkey "
-       "WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 "
-       "AND p_type = 'STANDARD') "
-       "SELECT p_partkey, ps_suppkey AS s_suppkey, s_name, "
-       "CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_acctbal_cents, "
-       "n_name, "
-       "CAST(ps_cost_cents AS BIGINT) AS supplycost_cents "
-       "FROM (SELECT *, min(ps_cost_cents) OVER (PARTITION BY p_partkey) "
-       "AS mc FROM j) x WHERE ps_cost_cents = mc"),
-    DQ("dq174_tpch_q9", Q.dq174_tpch_q9,
-       "WITH " + _PS_CTE + " "
-       "SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year, "
-       "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
-       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) "
-       "* 10000 AS BIGINT) "
-       "- CAST(sum(ps_cost_cents * CAST(l_quantity AS BIGINT)) "
-       "* 100 AS BIGINT) AS profit_e4 "
-       "FROM lineitem "
-       "JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%' "
-       "JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
-       "JOIN supplier ON l_suppkey = s_suppkey "
-       "JOIN nation ON s_nationkey = n_nationkey "
-       "GROUP BY n_name, o_year"),
-    DQ("dq175_tpch_q11", Q.dq175_tpch_q11,
-       "WITH " + _PS_CTE + ", "
-       "vals AS (SELECT ps_partkey, sum(ps_cost_cents * ps_availqty) AS v "
-       "FROM ps JOIN supplier ON ps_suppkey = s_suppkey "
-       "JOIN nation ON s_nationkey = n_nationkey "
-       "WHERE n_name = 'NATION_1' GROUP BY ps_partkey), "
-       "tot AS (SELECT sum(v) AS tv FROM vals) "
-       "SELECT ps_partkey, CAST(v AS BIGINT) AS value_cents "
-       "FROM vals CROSS JOIN tot WHERE v > 0.0001 * tv"),
-    DQ("dq176_tpch_q16", Q.dq176_tpch_q16,
-       "WITH " + _PS_CTE + " "
-       "SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size, "
-       "CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt "
-       "FROM ps JOIN part ON ps_partkey = p_partkey "
-       "WHERE p_brand != 'Brand#2' AND p_type NOT LIKE 'PROMO%' "
-       "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
-       "AND ps_suppkey NOT IN "
-       "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
-       "GROUP BY p_brand, p_type, p_size"),
-    DQ("dq177_tpch_q20", Q.dq177_tpch_q20,
-       "WITH " + _PS_CTE + ", "
-       "shipped AS (SELECT l_partkey, l_suppkey, "
-       "CAST(sum(l_quantity) AS BIGINT) AS qty FROM lineitem "
-       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
-       "AND l_shipdate < TIMESTAMP '1997-01-01' "
-       "GROUP BY l_partkey, l_suppkey) "
-       "SELECT DISTINCT ps_suppkey AS s_suppkey, s_name FROM ps "
-       "JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%' "
-       "JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey "
-       "JOIN supplier ON ps_suppkey = s_suppkey "
-       "JOIN nation ON s_nationkey = n_nationkey "
-       "WHERE n_name = 'NATION_2' AND ps_availqty > 0.5 * qty"),
-    DQ("dq178_interpolate", TS.dq178_interpolate,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, value "
-       "FROM events), "
-       "hourly AS (SELECT user_id, hb, "
-       "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sv "
-       "FROM ev GROUP BY user_id, hb), "
-       "bounds AS (SELECT user_id, min(hb) AS lo, max(hb) AS hi FROM ev "
-       "GROUP BY user_id), "
-       "grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS hb "
-       "FROM bounds), "
-       "j AS (SELECT g.user_id, g.hb, h.sv FROM grid g "
-       "LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hb = h.hb), "
-       "n AS (SELECT user_id, hb, sv, "
-       "last_value(sv IGNORE NULLS) OVER wb AS pv, "
-       "last_value(CASE WHEN sv IS NOT NULL THEN hb END IGNORE NULLS) "
-       "OVER wb AS ph, "
-       "first_value(sv IGNORE NULLS) OVER wf AS nv, "
-       "first_value(CASE WHEN sv IS NOT NULL THEN hb END IGNORE NULLS) "
-       "OVER wf AS nh FROM j "
-       "WINDOW wb AS (PARTITION BY user_id ORDER BY hb "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), "
-       "wf AS (PARTITION BY user_id ORDER BY hb "
-       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) "
-       "SELECT user_id, hb, CAST(floor((CASE WHEN sv IS NOT NULL THEN sv "
-       "WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
-       "ELSE pv + (nv - pv) * ((hb - ph) * 1.0 / (nh - ph)) END) "
-       "* 100 + 0.5) AS BIGINT) AS v_e4 "
-       "FROM n"),
-    DQ("dq179_rolling_median", TS.dq179_rolling_median,
-       "SELECT user_id, event_id, "
-       "CAST(floor((CASE WHEN len(a) % 2 = 1 THEN a[(len(a) + 1) // 2] "
-       "ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS med_5_micro "
-       "FROM (SELECT user_id, event_id, "
-       "list_sort(list(value) OVER (PARTITION BY user_id "
-       "ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) "
-       "AS a FROM events) t"),
-    DQ("dq180_tfidf_top_terms", T.dq180_tfidf_top_terms,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks "
-       "GROUP BY doc_id, tok), "
-       "dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
-       "nn AS (SELECT count(*) AS n FROM documents), "
-       "scored AS (SELECT doc_id, tok, tf, "
-       "CAST(floor((tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS tfidf_micro "
-       "FROM tf JOIN dfs USING (tok) CROSS JOIN nn) "
-       "SELECT doc_id, tok, tf, tfidf_micro, CAST(rank AS INT) AS rank FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY doc_id "
-       "ORDER BY tfidf_micro DESC, tok) AS rank FROM scored) r WHERE rank <= 5"),
-    DQ("dq181_neardup_first_occurrence", T.dq181_neardup_first_occurrence,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "dup AS (SELECT d2, min(d1) AS dup_of FROM p GROUP BY d2) "
-       "SELECT d.doc_id, dup.dup_of IS NOT NULL AS is_dup, dup.dup_of "
-       "FROM documents d LEFT JOIN dup ON d.doc_id = dup.d2"),
-    DQ("dq182_hard_negatives", V.dq182_hard_negatives,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel "
-       "FROM embeddings WHERE vec_id < 20), "
-       "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label AS neg_label, "
-       "CAST(floor((" + _cos("e", "q") + ") * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro "
-       "FROM embeddings e CROSS JOIN q WHERE e.label != q.qlabel), "
-       "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid "
-       "ORDER BY s_micro DESC, vec_id) AS INT) AS rnk FROM sims) "
-       "SELECT qid, qlabel, rnk, vec_id, neg_label, s_micro FROM ranked "
-       "WHERE rnk <= 5"),
-    DQ("dq172_minhash_estimate_audit", T.dq172_minhash_estimate_audit,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-       "iv AS (SELECT p.d1, p.d2, count(*) AS i FROM p "
-       "JOIN sh x ON x.doc_id = p.d1 "
-       "JOIN sh y ON y.doc_id = p.d2 AND y.shingle = x.shingle "
-       "GROUP BY p.d1, p.d2) "
-       "SELECT p.d1, p.d2, CAST(p.matches AS INT) AS matches, "
-       "CAST(floor((p.matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j_micro, "
-       "CAST(floor((iv.i * 1.0 / (sa.n + sb.n - iv.i)) * 1000000.0 + 0.5) AS BIGINT) AS exact_j_micro, "
-       "CAST(floor((abs(p.matches / 8.0 - iv.i * 1.0 / (sa.n + sb.n - iv.i))) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS abs_err_micro "
-       "FROM p JOIN iv ON p.d1 = iv.d1 AND p.d2 = iv.d2 "
-       "JOIN sz sa ON sa.doc_id = p.d1 JOIN sz sb ON sb.doc_id = p.d2"),
-    DQ("dq183_prefix_filter_join", T.dq183_prefix_filter_join,
-       # Oracle = brute-force all-pairs: equality proves the prefix filter
-       # is lossless.
-       "WITH " + _SH_CTE + ", "
-       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
-       "iv AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM sh a JOIN sh b ON a.shingle = b.shingle "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2), "
-       "j AS (SELECT d1, d2, CAST(floor((i * 1.0 / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS jaccard_micro FROM iv JOIN sz sa ON sa.doc_id = d1 "
-       "JOIN sz sb ON sb.doc_id = d2) "
-       "SELECT d1, d2, jaccard_micro FROM j WHERE jaccard_micro >= 600000"),
-    DQ("dq184_ohlc_bars", TS.dq184_ohlc_bars,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hb, "
-       "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k FROM events) "
-       "SELECT user_id, hb, "
-       "CAST(floor(arg_min(v, k) * 100.0 + 0.5) AS BIGINT) AS open_cents, "
-       "CAST(floor(max(v) * 100.0 + 0.5) AS BIGINT) AS high_cents, "
-       "CAST(floor(min(v) * 100.0 + 0.5) AS BIGINT) AS low_cents, "
-       "CAST(floor(arg_max(v, k) * 100.0 + 0.5) AS BIGINT) AS close_cents, "
-       "CAST(sum(CAST(v AS DECIMAL(18,2))) * 100 AS BIGINT) AS volume_cents, "
-       "count(*) AS n FROM ev GROUP BY user_id, hb"),
-    DQ("dq185_inverted_index", RT.dq185_inverted_index,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "tf AS (SELECT tok, doc_id, count(*) AS tf FROM toks "
-       "GROUP BY tok, doc_id), "
-       "r AS (SELECT tok, doc_id, "
-       "count(*) OVER (PARTITION BY tok) AS df, "
-       "CAST(sum(tf) OVER (PARTITION BY tok) AS BIGINT) AS total_tf, "
-       "row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn FROM tf) "
-       "SELECT tok, max(df) AS df, max(total_tf) AS total_tf, "
-       "array_to_string(list_sort(list(doc_id)), ',') AS postings_head "
-       "FROM r WHERE df >= 5 AND rn <= 8 GROUP BY tok"),
-    DQ("dq186_basket_lift", R.dq186_basket_lift,
-       "WITH items AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand "
-       "FROM lineitem JOIN part ON l_partkey = p_partkey), "
-       "no AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders), "
-       "marg AS (SELECT brand, count(*) AS nb FROM items GROUP BY brand), "
-       "pairs AS (SELECT a.brand AS b1, b.brand AS b2, count(*) AS pair_n "
-       "FROM items a JOIN items b ON a.okey = b.okey AND a.brand < b.brand "
-       "GROUP BY b1, b2 HAVING count(*) >= 5) "
-       "SELECT b1, b2, pair_n, CAST(floor((pair_n / n) * 1000000.0 + 0.5) AS BIGINT) AS support_micro, "
-       "CAST(floor((pair_n * n / (m1.nb * m2.nb)) * 1000000.0 + 0.5) AS BIGINT) AS lift_micro "
-       "FROM pairs JOIN marg m1 ON m1.brand = b1 "
-       "JOIN marg m2 ON m2.brand = b2 CROSS JOIN no "
-       "ORDER BY lift_micro DESC, b1, b2 LIMIT 30"),
-    DQ("dq187_changelog_compact", TS.dq187_changelog_compact,
-       "SELECT user_id, count(*) AS n_ops, "
-       "arg_max(CAST(round(value * 100) AS BIGINT), k) "
-       "AS last_value_cents, "
-       "arg_max(epoch_us(ts), k) AS last_ts_us "
-       "FROM (SELECT *, printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) AS k "
-       "FROM events) e GROUP BY user_id "
-       "HAVING NOT arg_max(event_type = 'purchase', k)"),
-    DQ("dq188_psi_drift", TS.dq188_psi_drift,
-       "WITH ev AS (SELECT event_type, event_id % 2 = 0 AS is_ref, "
-       "CAST(value AS DOUBLE) AS v FROM events), "
-       "bounds AS (SELECT event_type, min(v) AS lo, max(v) AS hi FROM ev "
-       "WHERE is_ref GROUP BY event_type), "
-       "bk AS (SELECT e.event_type, is_ref, "
-       "CASE WHEN hi = lo THEN 0 ELSE least(9, greatest(0, "
-       "CAST(floor((v - lo) / (hi - lo) * 10) AS INT))) END AS b "
-       "FROM ev e JOIN bounds bo ON e.event_type = bo.event_type), "
-       "counts AS (SELECT event_type, is_ref, b, count(*) AS c FROM bk "
-       "GROUP BY event_type, is_ref, b), "
-       "tot AS (SELECT event_type, is_ref, sum(c) AS n FROM counts "
-       "GROUP BY event_type, is_ref), "
-       "sm AS (SELECT c.event_type, c.b, c.is_ref, "
-       "(c.c + 0.5) / (t.n + 5.0) AS p FROM counts c JOIN tot t "
-       "ON c.event_type = t.event_type AND c.is_ref = t.is_ref), "
-       "tots AS (SELECT event_type, "
-       "max(CASE WHEN is_ref THEN n END) AS n_ref, "
-       "max(CASE WHEN NOT is_ref THEN n END) AS n_cur FROM tot "
-       "GROUP BY event_type), "
-       "grid AS (SELECT s.event_type, s.b, "
-       "coalesce(max(CASE WHEN s.is_ref THEN s.p END), "
-       "max(0.5 / (tt.n_ref + 5.0))) AS p, "
-       "coalesce(max(CASE WHEN NOT s.is_ref THEN s.p END), "
-       "max(0.5 / (tt.n_cur + 5.0))) AS q "
-       "FROM sm s JOIN tots tt ON s.event_type = tt.event_type "
-       "GROUP BY s.event_type, s.b) "
-       "SELECT event_type, CAST(sum(CAST(floor(((p - q) * ln(p / q)) "
-       "* 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS psi_pico, "
-       "count(*) AS n_buckets_hit FROM grid GROUP BY event_type"),
-    DQ("dq189_zorder_layout", S.dq189_zorder_layout,
-       "WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk, "
-       "CAST(l_suppkey AS BIGINT) AS sk FROM lineitem), "
-       "bounds AS (SELECT min(pk) AS pk_lo, max(pk) AS pk_hi, "
-       "min(sk) AS sk_lo, max(sk) AS sk_hi FROM li), "
-       "binned AS (SELECT pk, sk, "
-       "CAST(floor((pk - pk_lo) * 1024 / (pk_hi - pk_lo + 1)) AS BIGINT) "
-       "AS px, "
-       "CAST(floor((sk - sk_lo) * 1024 / (sk_hi - sk_lo + 1)) AS BIGINT) "
-       "AS sx FROM li CROSS JOIN bounds), "
-       "zed AS (SELECT pk, sk, "
-       "((" + _spread_sql("px") + ") | ((" + _spread_sql("sx") + ") << 1)) "
-       ">> 16 AS zb FROM binned) "
-       "SELECT CAST(zb AS INT) AS zbucket, count(*) AS n_rows, "
-       "min(pk) AS pk_min, max(pk) AS pk_max, "
-       "min(sk) AS sk_min, max(sk) AS sk_max FROM zed GROUP BY zb"),
-    DQ("dq190_kcore", G.dq190_kcore,
-       "WITH " + _EDGES_CTE + ", " + _kcore_sql()),
-    DQ("dq191_pit_features", TS.dq191_pit_features,
-       "WITH ev AS (SELECT user_id, event_id, event_type, "
-       "epoch_us(ts) AS us, CAST(value AS DOUBLE) AS v FROM events), "
-       "f AS (SELECT user_id, event_id, event_type, "
-       "last_value(CASE WHEN event_type = 'view' THEN v END IGNORE NULLS) "
-       "OVER (PARTITION BY user_id ORDER BY us, event_id "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-       "AS lvv_raw, "
-       "count(CASE WHEN event_type = 'view' THEN 1 END) OVER wr "
-       "AS views_24h, "
-       "CAST(coalesce(sum(CASE WHEN event_type = 'view' "
-       "THEN CAST(v AS DECIMAL(18,2)) END) OVER wr, 0) * 100 AS BIGINT) "
-       "AS view_spend_24h_cents, "
-       "CAST(floor((us - min(us) OVER (PARTITION BY user_id "
-       "ORDER BY us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-       "CURRENT ROW)) / 86400000000) AS INT) AS days_active "
-       "FROM ev WINDOW wr AS (PARTITION BY user_id ORDER BY us "
-       "RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)) "
-       "SELECT user_id, event_id, "
-       "CAST(floor(lvv_raw * 100.0 + 0.5) AS BIGINT) "
-       "AS last_view_value_cents, views_24h, "
-       "view_spend_24h_cents, days_active FROM f "
-       "WHERE event_type = 'purchase'"),
-    DQ("dq192_source_kl", C.dq192_source_kl,
-       "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "st AS (SELECT source, tok, count(*) AS c_sw FROM toks "
-       "GROUP BY source, tok), "
-       "ct AS (SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w FROM st "
-       "GROUP BY tok), "
-       "stot AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM st "
-       "GROUP BY source), "
-       "scal AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_c, count(*) AS v "
-       "FROM ct) "
-       "SELECT source, max(n_s) AS n_tokens, count(*) AS vocab_used, "
-       "CAST(sum(CAST(floor(((c_sw + 0.5) / (n_s + 0.5 * v) * "
-       "ln(((c_sw + 0.5) / (n_s + 0.5 * v)) / "
-       "((c_w + 0.5) / (n_c + 0.5 * v)))) * 1000000000000.0 + 0.5) "
-       "AS BIGINT)) AS BIGINT) AS kl_pico "
-       "FROM st JOIN ct USING (tok) JOIN stot USING (source) "
-       "CROSS JOIN scal GROUP BY source"),
-    DQ("dq193_user_trend", TS.dq193_user_trend,
-       "WITH ev AS (SELECT user_id, "
-       "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x, "
-       "CAST(value AS DECIMAL(18,2)) AS y FROM events), "
-       "a AS (SELECT user_id, count(*) AS n, sum(x) AS sx, "
-       "sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy, "
-       "sum(y * y) AS syy FROM ev GROUP BY user_id) "
-       "SELECT user_id, CAST(n AS BIGINT) AS n, "
-       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
-       "/ CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS slope_micro, "
-       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
-       "* CAST(n * sxy - sx * sy AS DOUBLE) "
-       "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
-       "* CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS r2_micro "
-       "FROM a WHERE n >= 5 AND n * sxx - sx * sx > 0 "
-       "AND n * syy - sy * sy > 0"),
-    DQ("dq194_training_triplets", V.dq194_training_triplets,
-       "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel "
-       "FROM embeddings WHERE vec_id < 20), "
-       "sims AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, "
-       "e.label = q.qlabel AS same, "
-       "CAST(floor((" + _cos("e", "q") + ") * 1000000.0 + 0.5) AS BIGINT) "
-       "AS s_micro "
-       "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid), "
-       "best AS (SELECT * FROM (SELECT *, row_number() OVER "
-       "(PARTITION BY qid, same ORDER BY s_micro DESC, vec_id) AS rn "
-       "FROM sims) r WHERE rn = 1) "
-       "SELECT p.qid, p.qlabel, p.vec_id AS pos_id, "
-       "p.s_micro AS pos_s_micro, "
-       "n.vec_id AS neg_id, n.s_micro AS neg_s_micro, "
-       "p.s_micro - n.s_micro AS margin_micro "
-       "FROM (SELECT * FROM best WHERE same) p "
-       "JOIN (SELECT * FROM best WHERE NOT same) n ON p.qid = n.qid"),
-    DQ("dq195_winsorized_stats", R.dq195_winsorized_stats,
-       "WITH b AS (SELECT l_returnflag, "
-       "quantile_cont(l_extendedprice, 0.05) AS p05, "
-       "quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem "
-       "GROUP BY l_returnflag), "
-       "c AS (SELECT l.l_returnflag, p05, p95, "
-       "least(greatest(l_extendedprice, p05), p95) AS cv, "
-       "CAST(l_extendedprice < p05 AS INT) AS lo, "
-       "CAST(l_extendedprice > p95 AS INT) AS hi "
-       "FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag) "
-       "SELECT l_returnflag, CAST(floor((max(p05)) * 1000000.0 + 0.5) AS BIGINT) AS p05_micro, "
-       "CAST(floor((max(p95)) * 1000000.0 + 0.5) AS BIGINT) AS p95_micro, "
-       "CAST(floor((CAST(sum(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS wins_mean_micro, "
-       "CAST(sum(lo) AS BIGINT) AS n_clipped_lo, "
-       "CAST(sum(hi) AS BIGINT) AS n_clipped_hi, count(*) AS n "
-       "FROM c GROUP BY l_returnflag"),
-    DQ("dq196_hll_rollup", R.dq196_hll_rollup,
-       # DataSketches estimate stays out of the hash set; exact audit
-       # columns + the est_ok bound (oracle: constant 1) are hashed
-       "WITH d AS (SELECT date_trunc('day', ts) AS day, user_id "
-       "FROM events), "
-       "daily AS (SELECT day, count(DISTINCT user_id) AS ed FROM d "
-       "GROUP BY day) "
-       "SELECT CAST(count(*) AS BIGINT) AS n_days, "
-       "CAST(SUM(ed) AS BIGINT) AS sum_daily_distinct, "
-       "(SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) "
-       "AS exact_distinct, CAST(1 AS INT) AS est_ok FROM daily",
-       note="mergeable-sketch distinct rollup — DataSketches HLL bits "
-            "are engine-specific (SURVEY.md §5.3 rule 5); hash checks "
-            "exact audit columns + est_ok"),
-    DQ("dq197_skyline", R.dq197_skyline,
-       # brute-force NOT EXISTS dominance: equality proves the sort-based
-       # rewrite in the engine
-       "SELECT a.p_partkey, CAST(floor((a.p_retailprice) * 100.0 + 0.5) AS BIGINT) AS price_cents, a.p_size AS size "
-       "FROM part a WHERE NOT EXISTS (SELECT 1 FROM part b "
-       "WHERE b.p_retailprice <= a.p_retailprice "
-       "AND b.p_size <= a.p_size "
-       "AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))"),
-    DQ("dq198_ewma", TS.dq198_ewma,
-       # rn-range self-join replays the bounded trailing frame; weights
-       # 2^(19-lag) and integer cents keep both engines in exact bigint
-       # arithmetic until one shared IEEE division
-       "WITH h AS (SELECT user_id, "
-       "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb, "
-       "SUM(CAST(round(value * 100) AS BIGINT)) AS v "
-       "FROM events GROUP BY user_id, hb), "
-       "r AS (SELECT user_id, hb, v, "
-       "row_number() OVER (PARTITION BY user_id ORDER BY hb) AS rn FROM h), "
-       "j AS (SELECT a.user_id, a.hb, b.v AS bv, a.rn - b.rn AS d "
-       "FROM r a JOIN r b ON a.user_id = b.user_id "
-       "AND b.rn BETWEEN a.rn - 19 AND a.rn), "
-       "s AS (SELECT user_id, hb, "
-       "SUM(bv * CAST(pow(2, 19 - d) AS BIGINT)) AS num, "
-       "SUM(CAST(pow(2, 19 - d) AS BIGINT)) AS den "
-       "FROM j GROUP BY user_id, hb) "
-       "SELECT user_id, hb, "
-       "CAST(floor((CAST(num AS DOUBLE) / den / 100.0) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS ewma_micro FROM s"),
-    DQ("dq199_weighted_median", R.dq199_weighted_median,
-       "WITH g AS (SELECT l_returnflag, l_extendedprice AS price, "
-       "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w "
-       "FROM lineitem GROUP BY l_returnflag, price), "
-       "c AS (SELECT l_returnflag, price, "
-       "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw, "
-       "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM g) "
-       "SELECT l_returnflag, CAST(floor((min(price)) * 100.0 + 0.5) AS BIGINT) AS wmedian_cents "
-       "FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag"),
-    DQ("dq201_compaction_plan", S.dq201_compaction_plan,
-       "WITH s AS (SELECT o_orderdate AS d, count(*) AS n FROM orders "
-       "GROUP BY o_orderdate), "
-       "b AS (SELECT d, n, CAST(floor(COALESCE(SUM(n) OVER "
-       "(ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-       "/ 500) AS BIGINT) AS bin FROM s) "
-       # CAST: DuckDB types bare SUM as HUGEINT -> pandas float64 (r6 red)
-       "SELECT bin, count(*) AS n_partitions, "
-       "CAST(SUM(n) AS BIGINT) AS total_rows, "
-       "CAST(min(d) AS DATE) AS d_min, CAST(max(d) AS DATE) AS d_max "
-       "FROM b GROUP BY bin"),
-    DQ("dq200_sorted_neighborhood", T.dq200_sorted_neighborhood,
-       "WITH k AS (SELECT doc_id, "
-       "substr(replace(text, ' ', ''), 1, 24) AS key, "
-       "list_distinct(string_split(text, ' ')) AS toks FROM documents), "
-       "r AS (SELECT doc_id, key, toks, substr(key, 1, 2) AS blk, "
-       "row_number() OVER (PARTITION BY substr(key, 1, 2) "
-       "ORDER BY key, doc_id) AS rn FROM k), "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
-       "len(list_intersect(a.toks, b.toks)) AS i, "
-       "len(a.toks) AS na, len(b.toks) AS nb "
-       "FROM r a JOIN r b ON a.blk = b.blk "
-       "AND b.rn > a.rn AND b.rn <= a.rn + 5) "
-       # filter on the ROUNDED value, same as the engine: the round output
-       # is bit-identical across engines, the raw ratio comparison is not
-       "SELECT d1, d2, CAST(floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS jacc_micro FROM p "
-       "WHERE CAST(floor((CAST(i AS DOUBLE) / (na + nb - i)) * 1000000.0 + 0.5) AS BIGINT) >= 200000"),
-    DQ("dq202_bigram_lm", T.dq202_bigram_lm,
-       "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
-       "generate_subscripts(string_split(text, ' '), 1) AS idx "
-       "FROM documents), "
-       "bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, a.tok AS w1 "
-       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1), "
-       "per_doc AS (SELECT doc_id, bg, w1, count(*) AS tf "
-       "FROM bg GROUP BY doc_id, bg, w1), "
-       "c2 AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg), "
-       "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), "
-       "v AS (SELECT count(DISTINCT tok) AS v FROM tk) "
-       "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, "
-       "CAST(floor(sum(CAST(floor((tf * ln((c2.c2 + 0.5) "
-       "/ (c1.c1 + 0.5 * v.v))) * 1000000.0 + 0.5) AS BIGINT)) "
-       "/ sum(tf) + 0.5) AS BIGINT)"
-       " AS mean_logp_micro "
-       "FROM per_doc JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v "
-       "GROUP BY doc_id"),
-    DQ("dq203_containment_join", T.dq203_containment_join,
-       "WITH " + _SHC_CTE + ", "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
-       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2), "
-       "p AS (SELECT d1, d2, i, sa.n AS na, sb.n AS nb "
-       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
-       "JOIN sizes sb ON sb.doc_id = d2), "
-       "directed AS (SELECT d1 AS src, d2 AS dst, "
-       "CAST(floor((CAST(i AS DOUBLE) / na) * 1000000.0 + 0.5) AS BIGINT) AS containment_micro FROM p "
-       "UNION ALL SELECT d2 AS src, d1 AS dst, "
-       "CAST(floor((CAST(i AS DOUBLE) / nb) * 1000000.0 + 0.5) AS BIGINT) AS containment_micro FROM p) "
-       "SELECT src, dst, containment_micro FROM directed "
-       "WHERE containment_micro >= 500000"),
-    DQ("dq204_grid_dbscan", N.dq204_grid_dbscan,
-       # brute-force O(N^2) epsilon join: equality proves the engine's
-       # grid-cell pruning lossless. Distance expr is written identically
-       # (two mults, one add) so both engines produce bit-equal doubles.
-       "WITH pts AS (SELECT vec_id, "
-       "CAST(embedding[1] AS DOUBLE) AS x, "
-       "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings), "
-       "nbrs AS (SELECT a.vec_id AS qid, b.vec_id AS nid "
-       "FROM pts a JOIN pts b ON "
-       "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
-       "<= 0.05 * 0.05), "
-       "counts AS (SELECT qid, count(*) AS n_nbrs FROM nbrs GROUP BY qid), "
-       "flags AS (SELECT qid, n_nbrs, n_nbrs >= 5 AS is_core FROM counts), "
-       "cn AS (SELECT n.qid, max(CASE WHEN f.is_core THEN 1 ELSE 0 END) "
-       "AS has_core_nbr FROM nbrs n JOIN flags f ON f.qid = n.nid "
-       "WHERE n.qid <> n.nid GROUP BY n.qid) "
-       "SELECT f.qid AS vec_id, f.n_nbrs, "
-       "CASE WHEN f.is_core THEN 'core' "
-       "WHEN COALESCE(cn.has_core_nbr, 0) = 1 THEN 'border' "
-       "ELSE 'noise' END AS label "
-       "FROM flags f LEFT JOIN cn ON cn.qid = f.qid"),
-    DQ("dq205_feature_auc", C.dq205_feature_auc,
-       "WITH d AS (SELECT source, n_chars AS score, "
-       "CAST(lang = 'en' AS BIGINT) AS pos FROM documents), "
-       "g AS (SELECT source, score, SUM(pos) AS p, "
-       "count(*) - SUM(pos) AS n FROM d GROUP BY source, score), "
-       "s AS (SELECT source, score, p, n, "
-       "COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY score "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg "
-       "FROM g), "
-       "a AS (SELECT source, SUM(p) AS n_pos, SUM(n) AS n_neg, "
-       "SUM(p * (2 * cum_neg + n)) AS num2 FROM s GROUP BY source) "
-       # floor snap, not round(): engine-identical IEEE ops (r5 red fix)
-       # CAST: HUGEINT SUM -> pandas float64 in the driver canon (r6 red)
-       "SELECT source, CAST(n_pos AS BIGINT) AS n_pos, "
-       "CAST(n_neg AS BIGINT) AS n_neg, "
-       "CAST(floor((CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS auc_micro "
-       "FROM a WHERE n_pos > 0 AND n_neg > 0"),
-    DQ("dq206_mutual_info", C.dq206_mutual_info,
-       "WITH j AS (SELECT source, lang, count(*) AS n_sl FROM documents "
-       "GROUP BY source, lang), "
-       "ms AS (SELECT source, SUM(n_sl) AS n_s FROM j GROUP BY source), "
-       "ml AS (SELECT lang, SUM(n_sl) AS n_l FROM j GROUP BY lang), "
-       "tot AS (SELECT SUM(n_sl) AS n FROM j) "
-       # per-term micro floor snap, then exact integer sum (r5 red fix:
-       # the old decimal(28,18)-cast-of-double + round(sum, 6) both split
-       # on shortest-repr-vs-binary across engines)
-       # outer CASTs: HUGEINT (max-of-SUM / SUM-of-BIGINT re-widened)
-       # -> pandas float64 in the driver canon (r6 red)
-       "SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs, "
-       "count(*) AS n_langs, "
-       "CAST(SUM(CAST(floor(((n_sl / n) * ln(n_sl * n / (n_s * n_l))) "
-       "* 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_part_micro "
-       "FROM j JOIN ms USING (source) JOIN ml USING (lang) CROSS JOIN tot "
-       "GROUP BY source"),
-    DQ("dq207_ks_test", TS.dq207_ks_test,
-       # integer KS: max|c1*n2 - c2*n1| over distinct values, one shared
-       # IEEE division at the end
-       "WITH pv AS (SELECT event_type, value AS v, "
-       "SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS a, "
-       "SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS b "
-       "FROM events GROUP BY event_type, v), "
-       "st AS (SELECT event_type, v, "
-       "SUM(a) OVER (PARTITION BY event_type ORDER BY v) AS c1, "
-       "SUM(b) OVER (PARTITION BY event_type ORDER BY v) AS c2, "
-       "SUM(a) OVER (PARTITION BY event_type) AS n1, "
-       "SUM(b) OVER (PARTITION BY event_type) AS n2 FROM pv), "
-       "g AS (SELECT event_type, v, n1, n2, "
-       "abs(c1 * n2 - c2 * n1) AS gap FROM st), "
-       "p AS (SELECT event_type, max(gap) AS maxgap FROM g "
-       "GROUP BY event_type) "
-       # CAST: max-of-HUGEINT-SUM -> pandas float64 in driver canon (r6 red)
-       "SELECT g.event_type, CAST(max(g.n1) AS BIGINT) AS n1, "
-       "CAST(max(g.n2) AS BIGINT) AS n2, "
-       "CAST(floor((CAST(max(p.maxgap) AS DOUBLE) / (max(g.n1) * max(g.n2))) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS ks_micro, "
-       "CAST(floor(min(g.v) * 1000000.0 + 0.5) AS BIGINT) AS v_at_micro "
-       "FROM g JOIN p ON g.event_type = p.event_type AND g.gap = p.maxgap "
-       "WHERE g.n1 > 0 AND g.n2 > 0 "  # degenerate-parity guard (see impl)
-       "GROUP BY g.event_type"),
-    DQ("dq208_cusum", TS.dq208_cusum,
-       "WITH ev AS (SELECT event_type, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "st AS (SELECT event_type, "
-       "row_number() OVER (PARTITION BY event_type ORDER BY k) AS rn, "
-       "SUM(cents) OVER (PARTITION BY event_type ORDER BY k) AS sk, "
-       "COUNT(*) OVER (PARTITION BY event_type) AS n, "
-       "SUM(cents) OVER (PARTITION BY event_type) AS sn FROM ev), "
-       "g AS (SELECT event_type, rn, n, abs(n * sk - rn * sn) AS dev "
-       "FROM st), "
-       "p AS (SELECT event_type, max(dev) AS maxdev FROM g "
-       "GROUP BY event_type) "
-       "SELECT g.event_type, max(g.n) AS n, min(g.rn) AS k_at, "
-       "CAST(floor((CAST(max(p.maxdev) AS DOUBLE) / (max(g.n) * 100.0)) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS cusum_micro "
-       "FROM g JOIN p ON g.event_type = p.event_type AND g.dev = p.maxdev "
-       "GROUP BY g.event_type"),
-    DQ("dq209_dup_flow_matrix", C.dq209_dup_flow_matrix,
-       "WITH " + _SHC_CTE + ", "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
-       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2), "
-       "pj AS (SELECT d1, d2, "
-       "CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000.0 + 0.5) AS BIGINT) AS j "
-       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
-       "JOIN sizes sb ON sb.doc_id = d2), "
-       "fl AS (SELECT least(da.source, db.source) AS src_a, "
-       "greatest(da.source, db.source) AS src_b, "
-       "j AS jd "
-       "FROM pj JOIN documents da ON da.doc_id = pj.d1 "
-       "JOIN documents db ON db.doc_id = pj.d2 WHERE j >= 300000) "
-       "SELECT src_a, src_b, count(*) AS n_pairs, "
-       "CAST(floor(SUM(jd) / count(*) + 0.5) AS BIGINT) AS mean_j_micro "
-       "FROM fl GROUP BY src_a, src_b"),
-    DQ("dq210_cluster_purity", N.dq210_cluster_purity,
-       # same assignment CTE as dq47 (broadcast centroids, rounded cosine)
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored AS (SELECT e.vec_id, e.label, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, label, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
-       "cl AS (SELECT cid, label, count(*) AS c FROM assigned "
-       "GROUP BY cid, label), "
-       "top AS (SELECT cid, label AS top_label, c AS n_top FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY cid "
-       "ORDER BY c DESC, label) AS rn FROM cl) r WHERE rn = 1), "
-       "sizes AS (SELECT cid, SUM(c) AS n, count(*) AS n_labels FROM cl "
-       "GROUP BY cid) "
-       # CAST s.n: HUGEINT SUM -> pandas float64 in driver canon (r6 red)
-       "SELECT t.cid, CAST(s.n AS BIGINT) AS n, s.n_labels, "
-       "t.top_label, t.n_top, "
-       "CAST(floor((CAST(t.n_top AS DOUBLE) / s.n) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS purity_micro "
-       "FROM top t JOIN sizes s ON t.cid = s.cid"),
-    DQ("dq211_calibration_bins", C.dq211_calibration_bins,
-       "WITH d AS (SELECT least(CAST(floor(n_chars / 60) AS BIGINT), 9) "
-       "AS bin, n_chars AS nc, CAST(lang = 'en' AS BIGINT) AS pos "
-       "FROM documents), "
-       "g AS (SELECT bin, count(*) AS n, SUM(nc) AS snc, SUM(pos) AS np "
-       "FROM d GROUP BY bin) "
-       "SELECT bin, n, "
-       "CAST(floor((CAST(snc AS DOUBLE) / (600.0 * n)) * 1000000.0 + 0.5) AS BIGINT) AS mean_pred_micro, "
-       "CAST(floor((CAST(np AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) AS pos_rate_micro, "
-       "CAST(floor((abs(CAST(snc AS DOUBLE) / (600.0 * n) - CAST(np AS DOUBLE) / n)) * 1000000.0 + 0.5) AS BIGINT) AS gap_micro "
-       "FROM g"),
-    DQ("dq212_grouping_sets", R.dq212_grouping_sets,
-       "SELECT l_returnflag, l_linestatus, "
-       "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
-       "count(*) AS n, "
-       "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) "
-       "AS sum_qty_cents FROM lineitem GROUP BY GROUPING SETS "
-       "((l_returnflag, l_linestatus), (l_returnflag), ())"),
-    DQ("dq213_rolling_zscore", TS.dq213_rolling_zscore,
-       "WITH ev AS (SELECT user_id, event_id, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k, CAST(round(value * 100) AS BIGINT) AS x FROM events), "
-       "st AS (SELECT user_id, event_id, x, "
-       "count(*) OVER w AS n, SUM(x) OVER w AS sx, "
-       "SUM(x * x) OVER w AS sxx FROM ev WINDOW w AS "
-       "(PARTITION BY user_id ORDER BY k "
-       "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)), "
-       "f AS (SELECT user_id, event_id, n, "
-       "n * x - sx AS dev, n * sxx - sx * sx AS varn "
-       "FROM st WHERE n >= 10), "
-       "g AS (SELECT user_id, event_id, n, "
-       "dev * dev * (n - 1) AS z2num, varn * n AS z2den "
-       "FROM f WHERE varn > 0) "
-       "SELECT user_id, event_id, n, "
-       "CAST(floor(sqrt(CAST(z2num AS DOUBLE) / CAST(z2den AS DOUBLE)) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "AS abs_z_micro FROM g WHERE z2num > 4 * z2den"),
-    DQ("dq214_link_prediction", G.dq214_link_prediction,
-       "WITH " + _EDGES_CTE + ", "
-       "adj AS (SELECT src, dst FROM edges "
-       "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
-       "deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src), "
-       "wdg AS (SELECT a1.src AS a, a2.dst AS b, count(*) AS cn "
-       "FROM adj a1 JOIN adj a2 ON a1.dst = a2.src "
-       "WHERE a1.src < a2.dst GROUP BY a, b), "
-       "cand AS (SELECT wdg.a, wdg.b, wdg.cn FROM wdg "
-       "WHERE NOT EXISTS (SELECT 1 FROM edges e "
-       "WHERE e.src = wdg.a AND e.dst = wdg.b)) "
-       "SELECT cand.a, cand.b, cand.cn, "
-       "CAST(floor((CAST(cand.cn AS DOUBLE) / (da.deg + db.deg - cand.cn)) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "AS score_micro FROM cand JOIN deg da ON da.src = cand.a "
-       "JOIN deg db ON db.src = cand.b"),
-    DQ("dq215_local_clustering", G.dq215_local_clustering,
-       "WITH " + _EDGES_CTE + ", "
-       "ab AS (SELECT src AS a, dst AS b FROM edges), "
-       "bc AS (SELECT src AS b, dst AS c FROM edges), "
-       "ac AS (SELECT src AS a, dst AS c FROM edges), "
-       "tri AS (SELECT ab.a, ab.b, bc.c FROM ab JOIN bc ON ab.b = bc.b "
-       "JOIN ac ON ac.a = ab.a AND ac.c = bc.c), "
-       "pn AS (SELECT id, count(*) AS n_tri FROM "
-       "(SELECT unnest([a, b, c]) AS id FROM tri) x GROUP BY id), "
-       "adj AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges), "
-       "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id) "
-       "SELECT deg.id, deg.deg, "
-       "CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri, "
-       "CASE WHEN deg.deg >= 2 THEN CAST(floor((2.0 * coalesce(pn.n_tri, 0) "
-       "/ (deg.deg * (deg.deg - 1))) * 1000000.0 + 0.5) AS BIGINT) "
-       "ELSE CAST(0 AS BIGINT) END AS lcc_micro "
-       "FROM deg LEFT JOIN pn ON deg.id = pn.id"),
-    DQ("dq216_seasonal_profile", TS.dq216_seasonal_profile,
-       "WITH ev AS (SELECT event_type, CAST(hour(ts) AS INT) AS hod, "
-       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "b AS (SELECT event_type, hod, count(*) AS n, SUM(cents) AS s "
-       "FROM ev GROUP BY event_type, hod), "
-       "t2 AS (SELECT event_type, SUM(n) AS tn, SUM(s) AS tts FROM b "
-       "GROUP BY event_type) "
-       "SELECT b.event_type, b.hod, b.n, "
-       "CAST(floor((CAST(s AS DOUBLE) / (100.0 * n)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS mean_val_micro, "
-       "CAST(floor((CAST(s AS DOUBLE) / (100.0 * n) "
-       "- CAST(tts AS DOUBLE) / (100.0 * tn)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS dev_micro "
-       "FROM b JOIN t2 USING (event_type)"),
-    DQ("dq217_dedup_savings", C.dq217_dedup_savings,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "dup AS (SELECT d2, min(d1) AS dup_of FROM p GROUP BY d2), "
-       "fl AS (SELECT d.doc_id, d.source, "
-       "len(string_split(d.text, ' ')) AS n_tok, "
-       "dup.dup_of IS NOT NULL AS is_dup "
-       "FROM documents d LEFT JOIN dup ON d.doc_id = dup.d2) "
-       "SELECT source, count(*) AS n_docs, "
-       "CAST(SUM(CAST(is_dup AS BIGINT)) AS BIGINT) AS n_dropped, "
-       "CAST(SUM(n_tok) AS BIGINT) AS tokens_total, "
-       "CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT) "
-       "AS tokens_dropped, "
-       "CAST(floor((CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
-       "/ SUM(n_tok)) * 1000000.0 + 0.5) AS BIGINT) AS savings_micro FROM fl GROUP BY source"),
-    DQ("dq218_phrase_search", RT.dq218_phrase_search,
-       # 1-based generate_subscripts vs Spark's 0-based posexplode: the
-       # oracle subtracts 1 from its positions
-       "WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
-       "generate_subscripts(string_split(text, ' '), 1) AS idx "
-       "FROM documents), "
-       "bgc AS (SELECT a.tok || ' ' || b.tok AS bg, count(*) AS c "
-       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1 "
-       "GROUP BY bg), "
-       "top AS (SELECT bg AS phrase, "
-       "string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 "
-       "FROM bgc ORDER BY c DESC, bg LIMIT 1), "
-       "hits AS (SELECT a.doc_id, top.phrase, a.idx - 1 AS pos "
-       "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1 "
-       "CROSS JOIN top WHERE a.tok = top.w1 AND b.tok = top.w2) "
-       "SELECT doc_id, phrase, count(*) AS n_occ, "
-       "CAST(min(pos) AS INT) AS first_pos FROM hits "
-       "GROUP BY doc_id, phrase"),
-    DQ("dq219_order_audit", TS.dq219_order_audit,
-       "WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us "
-       "FROM events), "
-       "st AS (SELECT user_id, CASE WHEN us < MAX(us) OVER "
-       "(PARTITION BY user_id ORDER BY event_id "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-       "THEN 1 ELSE 0 END AS late FROM ev) "
-       "SELECT user_id, count(*) AS n, "
-       "CAST(SUM(late) AS BIGINT) AS n_late, "
-       "CAST(floor((CAST(SUM(late) AS DOUBLE) / count(*)) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS late_frac_micro "
-       "FROM st GROUP BY user_id"),
-    DQ("dq220_ari", N.dq220_ari,
-       "WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings "
-       "WHERE vec_id < 8), "
-       "scored AS (SELECT e.vec_id, e.label, c.cid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.cv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS cs FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, label, cid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, cid) AS rn FROM scored) r WHERE rn = 1), "
-       "ct AS (SELECT cid, label, count(*) AS nij FROM assigned "
-       "GROUP BY cid, label), "
-       # pair counts via integer `//` (exact bigints, matching the
-       # engine's >>1); cross-terms in HUGEINT ≡ the engine's DECIMAL(38,0)
-       "p AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) "
-       "AS BIGINT) AS pidx, CAST(SUM(nij) AS BIGINT) AS n FROM ct), "
-       "pa AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) "
-       "AS BIGINT) AS a FROM (SELECT cid, SUM(nij) AS ai FROM ct "
-       "GROUP BY cid) r), "
-       "pb AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) "
-       "AS BIGINT) AS b FROM (SELECT label, SUM(nij) AS bj FROM ct "
-       "GROUP BY label) c) "
-       "SELECT n, pidx, a, b, "
-       "CAST(floor((2.0 * CAST(CAST(pidx AS HUGEINT) * ((n * (n - 1)) // 2) "
-       "- CAST(a AS HUGEINT) * b AS DOUBLE) "
-       "/ CAST(CAST((n * (n - 1)) // 2 AS HUGEINT) * (a + b) "
-       "- 2 * CAST(a AS HUGEINT) * b AS DOUBLE)) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS ari_micro FROM p CROSS JOIN pa CROSS JOIN pb"),
-    DQ("dq221_langid_confusion", T.dq221_langid_confusion,
-       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "hits AS (SELECT doc_id, lang, count(*) AS n_hits FROM toks "
-       "JOIN " + T.stopwords_values_sql() + " ON tok = w "
-       "GROUP BY doc_id, lang), "
-       "best AS (SELECT doc_id, lang AS pred, row_number() OVER "
-       "(PARTITION BY doc_id ORDER BY n_hits DESC, lang) AS rn FROM hits), "
-       "pred AS (SELECT d.doc_id, coalesce(b.pred, 'unknown') AS pred "
-       "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
-       "ON d.doc_id = b.doc_id), "
-       "cells AS (SELECT d.lang, p.pred, count(*) AS n "
-       "FROM documents d JOIN pred p ON d.doc_id = p.doc_id "
-       "GROUP BY d.lang, p.pred) "
-       "SELECT lang, pred, n, "
-       "CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang, "
-       "CAST(floor((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang)) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "AS frac_micro FROM cells"),
-    DQ("dq222_lsh_pr_curve", T.dq222_lsh_pr_curve,
-       # _SHC_CTE already carries sh; append the sig legs without
-       # re-declaring it
-       "WITH " + _SHC_CTE + ", "
-       "seeds AS (SELECT CAST(range AS INT) AS seed FROM range(0, 8)), "
-       "sig AS (SELECT doc_id, seed, "
-       "min(substr(sha256(shingle), seed * 8 + 1, 8)) AS mh "
-       "FROM sh CROSS JOIN seeds GROUP BY doc_id, seed), "
-       "sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), "
-       "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i "
-       "FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
-       "GROUP BY d1, d2), "
-       "exact AS (SELECT d1, d2, "
-       "CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) "
-       "* 1000000.0 + 0.5) AS BIGINT) AS j "
-       "FROM inter JOIN sizes sa ON sa.doc_id = d1 "
-       "JOIN sizes sb ON sb.doc_id = d2), "
-       "lsh AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
-       "CAST(floor((count(*) / 8.0) * 1000000.0 + 0.5) AS BIGINT) AS est_j "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2 HAVING count(*) >= 2), "
-       "u AS (SELECT COALESCE(e.j, 0) AS j, "
-       "COALESCE(l.est_j, -1) AS est_j FROM exact e "
-       "FULL OUTER JOIN lsh l ON e.d1 = l.d1 AND e.d2 = l.d2), "
-       "g AS (SELECT j, est_j, "
-       "unnest([200000, 300000, 400000, 500000]) AS tau FROM u), "
-       "agg AS (SELECT tau, "
-       "CAST(SUM(CASE WHEN j >= tau AND est_j >= tau THEN 1 ELSE 0 END) "
-       "AS BIGINT) AS tp, "
-       "CAST(SUM(CASE WHEN est_j >= tau THEN 1 ELSE 0 END) AS BIGINT) "
-       "AS pp, "
-       "CAST(SUM(CASE WHEN j >= tau THEN 1 ELSE 0 END) AS BIGINT) AS ap "
-       "FROM g GROUP BY tau) "
-       "SELECT CAST(tau / 10000 AS BIGINT) AS tau_e2, tp, pp, ap, "
-       "CASE WHEN pp > 0 THEN CAST(floor((CAST(tp AS DOUBLE) / pp) "
-       "* 1000000.0 + 0.5) AS BIGINT) END "
-       "AS precision_micro, "
-       "CASE WHEN ap > 0 THEN CAST(floor((CAST(tp AS DOUBLE) / ap) "
-       "* 1000000.0 + 0.5) AS BIGINT) END "
-       "AS recall_micro FROM agg"),
-    DQ("dq223_nearest_event_join", TS.dq223_nearest_event_join,
-       "WITH ev AS (SELECT user_id, event_id, event_type, "
-       "epoch_us(ts) AS us, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k FROM events), "
-       "st AS (SELECT user_id, event_id, event_type, us, "
-       "last_value(CASE WHEN event_type = 'purchase' THEN us END "
-       "IGNORE NULLS) OVER wa AS ppus, "
-       "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
-       "IGNORE NULLS) OVER wa AS ppid, "
-       "last_value(CASE WHEN event_type = 'purchase' THEN us END "
-       "IGNORE NULLS) OVER wd AS npus, "
-       "last_value(CASE WHEN event_type = 'purchase' THEN event_id END "
-       "IGNORE NULLS) OVER wd AS npid "
-       "FROM ev WINDOW wa AS (PARTITION BY user_id ORDER BY k "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
-       "wd AS (PARTITION BY user_id ORDER BY k DESC "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
-       "SELECT user_id, event_id, "
-       "CASE WHEN ppus IS NULL AND npus IS NULL THEN NULL "
-       "WHEN npus IS NULL OR (ppus IS NOT NULL "
-       "AND (us - ppus) <= (npus - us)) THEN ppid ELSE npid END "
-       "AS purchase_id, "
-       "CASE WHEN ppus IS NULL AND npus IS NULL THEN NULL "
-       "WHEN npus IS NULL OR (ppus IS NOT NULL "
-       "AND (us - ppus) <= (npus - us)) THEN us - ppus "
-       "ELSE npus - us END AS delta_us "
-       "FROM st WHERE event_type = 'view'"),
-    DQ("dq224_weighted_reservoir", C.dq224_weighted_reservoir,
-       "WITH hx AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w, "
-       "sha256('ares:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), "
-       "d AS (SELECT doc_id, w, CAST((" + _HEXFOLD + ") AS BIGINT) AS hi "
-       "FROM hx) "
-       "SELECT doc_id, w, "
-       "CAST(floor((ln((hi + 1) / 4294967296.0) / w) * 1000000000000.0 + 0.5) AS BIGINT) AS skey_pico "
-       "FROM d ORDER BY skey_pico DESC, doc_id LIMIT 100"),
-    DQ("dq225_mad_outliers", R.dq225_mad_outliers,
-       "WITH li AS (SELECT l_returnflag, "
-       "CAST(round(l_extendedprice * 100) AS BIGINT) AS x "
-       "FROM lineitem), "
-       "r1 AS (SELECT l_returnflag, x, "
-       "row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn, "
-       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM li), "
-       "med AS (SELECT l_returnflag, max(x) AS med FROM r1 "
-       "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) "
-       "GROUP BY l_returnflag), "
-       "dev AS (SELECT li.l_returnflag, li.x, med.med, "
-       "abs(li.x - med.med) AS d FROM li JOIN med USING (l_returnflag)), "
-       "r2 AS (SELECT l_returnflag, d, "
-       "row_number() OVER (PARTITION BY l_returnflag ORDER BY d) AS rn, "
-       "count(*) OVER (PARTITION BY l_returnflag) AS n FROM dev), "
-       "mad AS (SELECT l_returnflag, max(d) AS mad FROM r2 "
-       "WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT) "
-       "GROUP BY l_returnflag) "
-       "SELECT dev.l_returnflag, count(*) AS n, "
-       "CAST(max(dev.med) AS BIGINT) AS med_cents, "
-       "CAST(max(mad.mad) AS BIGINT) AS mad_cents, "
-       "CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) "
-       "AS BIGINT) AS n_outliers "
-       "FROM dev JOIN mad USING (l_returnflag) GROUP BY dev.l_returnflag"),
-    DQ("dq226_time_weighted_avg", TS.dq226_time_weighted_avg,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k, CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "seg AS (SELECT user_id, us, cents, k, "
-       "lead(us) OVER (PARTITION BY user_id ORDER BY k) AS nxt_us FROM ev), "
-       "agg AS (SELECT user_id, count(*) AS n, min(us) AS t0, "
-       "max(us) AS t1, "
-       "CAST(SUM(cents * (nxt_us - us)) AS BIGINT) AS integral, "
-       "arg_min(cents, k) AS first_cents FROM seg GROUP BY user_id) "
-       "SELECT user_id, n, CASE WHEN t1 - t0 > 0 THEN "
-       "CAST(floor((CAST(integral AS DOUBLE) / (t1 - t0) / 100.0) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "ELSE CAST(first_cents * 10000 AS BIGINT) END AS twa_micro FROM agg"),
-    DQ("dq227_vocab_coverage_curve", T.dq227_vocab_coverage_curve,
-       "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok "
-       "FROM documents), "
-       "vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok), "
-       "ranked AS (SELECT tok, c, "
-       "row_number() OVER (ORDER BY c DESC, tok) AS r, "
-       "SUM(c) OVER (ORDER BY c DESC, tok "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
-       "FROM vocab), "
-       "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total, "
-       "count(*) AS vocab_size FROM vocab) "
-       "SELECT r AS k, CAST(cum AS BIGINT) AS covered, n_total, "
-       "vocab_size, CAST(floor((CAST(cum AS DOUBLE) / n_total) * 1000000.0 + 0.5) AS BIGINT) AS coverage_micro "
-       "FROM ranked CROSS JOIN tot WHERE r IN (2, 5, 10, 20, 30)"),
-    DQ("dq228_ivfpq_search", N.dq228_ivfpq_search,
-       # dq47's coarse assignment + dq114's PQ codes + the ADC table
-       "WITH cents AS (SELECT vec_id AS ccid, embedding AS ccv "
-       "FROM embeddings WHERE vec_id < 8), "
-       "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.ccv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS cs "
-       "FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, ccid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, ccid) AS rn FROM cscore) r WHERE rn = 1), "
-       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, ccid AS qcid "
-       "FROM assigned WHERE vec_id = 0), "
-       "cell AS (SELECT a.vec_id FROM assigned a JOIN q ON a.ccid = q.qcid), "
-       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-       "FROM embeddings), "
-       "subs AS (SELECT vec_id, i AS sub, v[i * 16 + 1:i * 16 + 16] AS sv "
-       "FROM e, range(4) r(i)), "
-       "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
-       "WHERE vec_id < 8), "
-       "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS d "
-       "FROM subs s JOIN cb ON s.sub = cb.sub), "
-       "codes AS (SELECT vec_id, sub, code FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
-       "ORDER BY d, code) AS rn FROM d) a WHERE rn = 1), "
-       "qsubs AS (SELECT i AS sub, qv[i * 16 + 1:i * 16 + 16] AS qsv "
-       "FROM q, range(4) r(i)), "
-       "dtab AS (SELECT qs.sub, cb.code, "
-       "CAST(floor(list_distance(qs.qsv, cb.cw) * 1000000.0 + 0.5) "
-       "AS BIGINT) "
-       "AS dd FROM qsubs qs JOIN cb ON qs.sub = cb.sub), "
-       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS BIGINT) AS adc "
-       "FROM codes c JOIN cell ON c.vec_id = cell.vec_id "
-       "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
-       "GROUP BY c.vec_id) "
-       "SELECT vec_id, adc AS adc_micro FROM scored "
-       "ORDER BY adc, vec_id LIMIT 10"),
-    DQ("dq229_ivfpq_recall", N.dq229_ivfpq_recall,
-       # exact L2 arm (ADC's metric, not dq29's cosine — see impl
-       # docstring) joined against dq228's full composition; floor-grid
-       # ranking key — engine-identical IEEE ops, see impl comment
-       "WITH qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
-       "exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq "
-       "ORDER BY CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(qq.qv AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) ASC, "
-       "vec_id LIMIT 10), "
-       "cents AS (SELECT vec_id AS ccid, embedding AS ccv "
-       "FROM embeddings WHERE vec_id < 8), "
-       "cscore AS (SELECT e.vec_id, e.embedding, c.ccid, "
-       "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-       "CAST(c.ccv AS DOUBLE[])) * 1000000.0 + 0.5) AS BIGINT) AS cs "
-       "FROM embeddings e CROSS JOIN cents c), "
-       "assigned AS (SELECT vec_id, embedding, ccid FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id "
-       "ORDER BY cs DESC, ccid) AS rn FROM cscore) r WHERE rn = 1), "
-       "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, ccid AS qcid "
-       "FROM assigned WHERE vec_id = 0), "
-       "cell AS (SELECT a.vec_id FROM assigned a JOIN q ON a.ccid = q.qcid), "
-       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-       "FROM embeddings), "
-       "subs AS (SELECT vec_id, i AS sub, v[i * 16 + 1:i * 16 + 16] AS sv "
-       "FROM e, range(4) r(i)), "
-       "cb AS (SELECT sub, vec_id AS code, sv AS cw FROM subs "
-       "WHERE vec_id < 8), "
-       "d AS (SELECT s.vec_id, s.sub, cb.code, "
-       "CAST(floor(list_distance(s.sv, cb.cw) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS d "
-       "FROM subs s JOIN cb ON s.sub = cb.sub), "
-       "codes AS (SELECT vec_id, sub, code FROM "
-       "(SELECT *, row_number() OVER (PARTITION BY vec_id, sub "
-       "ORDER BY d, code) AS rn FROM d) a WHERE rn = 1), "
-       "qsubs AS (SELECT i AS sub, qv[i * 16 + 1:i * 16 + 16] AS qsv "
-       "FROM q, range(4) r(i)), "
-       "dtab AS (SELECT qs.sub, cb.code, "
-       "CAST(floor(list_distance(qs.qsv, cb.cw) * 1000000.0 + 0.5) "
-       "AS BIGINT) "
-       "AS dd FROM qsubs qs JOIN cb ON qs.sub = cb.sub), "
-       "scored AS (SELECT c.vec_id, CAST(SUM(dt.dd) AS BIGINT) AS adc "
-       "FROM codes c JOIN cell ON c.vec_id = cell.vec_id "
-       "JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code "
-       "GROUP BY c.vec_id), "
-       "approx AS (SELECT vec_id FROM scored ORDER BY adc, vec_id "
-       "LIMIT 10) "
-       "SELECT CAST(count(*) AS INT) AS n_overlap, "
-       "CAST(floor((count(*) / 10.0) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS recall_micro "
-       "FROM exact JOIN approx USING (vec_id)"),
-    DQ("dq230_template_mining", T.dq230_template_mining,
-       "WITH d AS (SELECT doc_id, "
-       "array_to_string(string_split(text, ' ')[1:2], ' ') AS tpl "
-       "FROM documents), "
-       "g AS (SELECT tpl, count(*) AS n_docs, min(doc_id) AS first_doc "
-       "FROM d GROUP BY tpl), "
-       "tot AS (SELECT count(*) AS n_total FROM d) "
-       "SELECT tpl, n_docs, first_doc, "
-       "CAST(floor((CAST(n_docs AS DOUBLE) / n_total) * 1000000.0 + 0.5) AS BIGINT) AS coverage_micro "
-       "FROM g CROSS JOIN tot WHERE n_docs >= 3"),
-    DQ("dq231_autocorr", TS.dq231_autocorr,
-       "WITH ev AS (SELECT user_id, "
-       "CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hb, "
-       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "hourly AS (SELECT user_id, hb, SUM(cents) AS x FROM ev "
-       "GROUP BY user_id, hb), "
-       "pairs AS (SELECT user_id, x, "
-       "lead(x) OVER (PARTITION BY user_id ORDER BY hb) AS y FROM hourly), "
-       "a AS (SELECT user_id, count(*) AS n, "
-       "SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, "
-       "SUM(y * y) AS syy, SUM(x * y) AS sxy "
-       "FROM pairs WHERE y IS NOT NULL GROUP BY user_id) "
-       "SELECT user_id, n, "
-       "CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE) "
-       "/ sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
-       "* CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS r1_micro "
-       "FROM a WHERE n >= 10 AND n * sxx - sx * sx > 0 "
-       "AND n * syy - sy * sy > 0"),
-    DQ("dq232_period_over_period", TS.dq232_period_over_period,
-       "WITH ev AS (SELECT event_type, "
-       "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk, "
-       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "weekly AS (SELECT event_type, wk, count(*) AS n, SUM(cents) AS c "
-       "FROM ev GROUP BY event_type, wk), "
-       "st AS (SELECT event_type, wk, n, c, "
-       "lag(c) OVER (PARTITION BY event_type ORDER BY wk) AS prev_c "
-       "FROM weekly) "
-       "SELECT event_type, wk, n, CAST(c AS BIGINT) AS total_cents, "
-       "CAST(c - prev_c AS BIGINT) AS delta_cents, "
-       "CASE WHEN prev_c > 0 THEN "
-       "CAST(floor((CAST(c - prev_c AS DOUBLE) / prev_c) "
-       "* 1000000.0 + 0.5) AS BIGINT) END AS rel_change_micro "
-       "FROM st"),
-    DQ("dq233_benford_audit", R.dq233_benford_audit,
-       "WITH o AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) "
-       "AS VARCHAR), 1, 1) AS digit FROM orders), "
-       "f AS (SELECT digit FROM o WHERE digit BETWEEN '1' AND '9'), "
-       "counts AS (SELECT digit, count(*) AS n_obs FROM f GROUP BY digit), "
-       "tot AS (SELECT SUM(n_obs) AS n_total FROM counts), "
-       "st AS (SELECT digit, n_obs, "
-       "CAST(n_obs AS DOUBLE) / n_total AS p_obs, "
-       "log10(1.0 + 1.0 / CAST(CAST(digit AS INT) AS DOUBLE)) AS p_exp "
-       "FROM counts CROSS JOIN tot), "
-       "st2 AS (SELECT *, CAST(floor(((p_obs - p_exp) * (p_obs - p_exp) "
-       "/ p_exp) * 1000000000000.0 + 0.5) AS BIGINT) AS chi FROM st) "
-       "SELECT digit, n_obs, CAST(floor((p_obs) * 1000000.0 + 0.5) AS BIGINT) AS p_obs_micro, "
-       "CAST(floor((p_exp) * 1000000.0 + 0.5) AS BIGINT) AS p_exp_micro, "
-       "CAST(SUM(chi) OVER () AS BIGINT) AS chi_sq_pico FROM st2"),
-    DQ("dq234_equiheight_histogram", R.dq234_equiheight_histogram,
-       "WITH li AS (SELECT l_returnflag, "
-       "CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem), "
-       "per_v AS (SELECT l_returnflag, x, count(*) AS c FROM li "
-       "GROUP BY l_returnflag, x), "
-       "cum AS (SELECT l_returnflag, x, c, "
-       "COALESCE(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY x "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl, "
-       "SUM(c) OVER (PARTITION BY l_returnflag) AS n_tot FROM per_v) "
-       "SELECT l_returnflag, "
-       "CAST(floor(cum_excl * 8 / n_tot) AS INT) AS b, "
-       "CAST(SUM(c) AS BIGINT) AS n_rows, "
-       "min(x) AS lo_cents, max(x) AS hi_cents "
-       "FROM cum GROUP BY l_returnflag, b"),
-    DQ("dq235_markov_nll", TS.dq235_markov_nll,
-       "WITH ev AS (SELECT user_id, event_type, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k FROM events), "
-       "tr AS (SELECT user_id, event_type AS a, "
-       "lead(event_type) OVER (PARTITION BY user_id ORDER BY k) AS b "
-       "FROM ev), "
-       "trans AS (SELECT user_id, a, b FROM tr WHERE b IS NOT NULL), "
-       "cab AS (SELECT a, b, count(*) AS c_ab FROM trans GROUP BY a, b), "
-       "ca AS (SELECT a, SUM(c_ab) AS c_a FROM cab GROUP BY a), "
-       "ns AS (SELECT count(DISTINCT event_type) AS n_states FROM ev) "
-       "SELECT user_id, count(*) AS n_transitions, "
-       "CAST(floor(-SUM(CAST(floor(ln((c_ab + 0.5) "
-       "/ (c_a + 0.5 * n_states)) * 1000000.0 + 0.5) AS BIGINT)) "
-       "/ count(*) + 0.5) AS BIGINT) AS mean_nll_micro "
-       "FROM trans JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN ns "
-       "GROUP BY user_id"),
-    DQ("dq236_gini", R.dq236_gini,
-       "WITH spend AS (SELECT user_id, "
-       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x "
-       "FROM events GROUP BY user_id), "
-       "per_v AS (SELECT x, count(*) AS c FROM spend GROUP BY x), "
-       "cum AS (SELECT x, c, COALESCE(SUM(c) OVER (ORDER BY x "
-       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl "
-       "FROM per_v), "
-       "agg AS (SELECT "
-       "CAST(SUM(x * (c * cum_excl + (c * (c + 1)) // 2)) AS BIGINT) "
-       "AS srx, CAST(SUM(x * c) AS BIGINT) AS sx, "
-       "CAST(SUM(c) AS BIGINT) AS n FROM cum) "
-       "SELECT n, CAST(floor((2.0 * srx / (n * sx) "
-       "- CAST(n + 1 AS DOUBLE) / n) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS gini_micro FROM agg"),
-    DQ("dq237_assortativity", G.dq237_assortativity,
-       "WITH " + _EDGES_CTE + ", "
-       "adj AS (SELECT src, dst FROM edges "
-       "UNION ALL SELECT dst AS src, src AS dst FROM edges), "
-       "deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src), "
-       "p AS (SELECT da.deg AS dx, db.deg AS dy FROM adj a "
-       "JOIN deg da ON da.src = a.src JOIN deg db ON db.src = a.dst), "
-       "s AS (SELECT count(*) AS m, CAST(SUM(dx) AS BIGINT) AS sx, "
-       "CAST(SUM(dy) AS BIGINT) AS sy, "
-       "CAST(SUM(dx * dx) AS BIGINT) AS sxx, "
-       "CAST(SUM(dy * dy) AS BIGINT) AS syy, "
-       "CAST(SUM(dx * dy) AS BIGINT) AS sxy FROM p) "
-       "SELECT m, CAST(floor((CAST(m * sxy - sx * sy AS DOUBLE) "
-       "/ sqrt(CAST(m * sxx - sx * sx AS DOUBLE) "
-       "* CAST(m * syy - sy * sy AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS assortativity_micro "
-       "FROM s WHERE m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0"),
-    DQ("dq238_rfm_segments", TS.dq238_rfm_segments,
-       "WITH ev AS (SELECT user_id, epoch_us(ts) AS us, "
-       "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-       "u AS (SELECT user_id, max(us) AS last_us, count(*) AS freq, "
-       "CAST(SUM(cents) AS BIGINT) AS monetary_c FROM ev "
-       "GROUP BY user_id) "
-       "SELECT user_id, freq, CAST(monetary_c AS BIGINT) "
-       "AS monetary_cents, "
-       "CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS INT) "
-       "AS r_score, "
-       "CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INT) "
-       "AS f_score, "
-       "CAST(ntile(5) OVER (ORDER BY monetary_c DESC, user_id) AS INT) "
-       "AS m_score FROM u"),
-    DQ("dq239_quantile_normalize", C.dq239_quantile_normalize,
-       "WITH d AS (SELECT doc_id, source, n_chars AS x FROM documents), "
-       "per_v AS (SELECT source, x, count(*) AS c FROM d "
-       "GROUP BY source, x), "
-       "lut AS (SELECT source, x, "
-       "CAST(floor((CAST(SUM(c) OVER (PARTITION BY source ORDER BY x) AS DOUBLE) "
-       "/ SUM(c) OVER (PARTITION BY source)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS qnorm_micro FROM per_v) "
-       "SELECT d.doc_id, d.source, lut.qnorm_micro "
-       "FROM d JOIN lut ON d.source = lut.source AND d.x = lut.x"),
-    DQ("dq240_burstiness", TS.dq240_burstiness,
-       "WITH ev AS (SELECT user_id, "
-       "CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS us, "
-       "printf('%020d%020d', epoch_us(ts) + 4611686018427387904, event_id) "
-       "AS k FROM events), "
-       "g AS (SELECT user_id, us - lag(us) OVER "
-       "(PARTITION BY user_id ORDER BY k) AS g FROM ev), "
-       "a AS (SELECT user_id, count(*) AS n, "
-       "CAST(SUM(g) AS BIGINT) AS sg, "
-       "CAST(SUM(g * g) AS BIGINT) AS sgg "
-       "FROM g WHERE g IS NOT NULL GROUP BY user_id) "
-       "SELECT user_id, n, "
-       "CAST(floor(((sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) - sg) "
-       "/ (sqrt(CAST(n * sgg - sg * sg AS DOUBLE)) + sg)) "
-       "* 1000000.0 + 0.5) AS BIGINT) "
-       "AS burstiness_micro FROM a WHERE n >= 10 AND sg > 0"),
-    DQ("dq241_effective_sources", C.dq241_effective_sources,
-       "WITH docs AS (SELECT source, len(string_split(text, ' ')) AS n_tok "
-       "FROM documents), "
-       "per_src AS (SELECT source, count(*) AS nd, "
-       "CAST(SUM(n_tok) AS BIGINT) AS nt FROM docs GROUP BY source), "
-       "agg AS (SELECT count(*) AS n_sources, "
-       "CAST(SUM(nd) AS BIGINT) AS d_tot, "
-       "CAST(SUM(nd * nd) AS BIGINT) AS d_sq, "
-       "CAST(SUM(nt) AS BIGINT) AS t_tot, "
-       "CAST(SUM(nt * nt) AS BIGINT) AS t_sq FROM per_src) "
-       "SELECT n_sources, d_tot, t_tot, "
-       "CAST(floor((CAST(d_tot * d_tot AS DOUBLE) / d_sq) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS eff_sources_docs_micro, "
-       "CAST(floor((CAST(t_tot * t_tot AS DOUBLE) / t_sq) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS eff_sources_tokens_micro FROM agg"),
-    DQ("dq242_split_uniformity", C.dq242_split_uniformity,
-       "WITH hx AS (SELECT sha256(CAST(doc_id AS VARCHAR)) AS h "
-       "FROM documents), "
-       "bk AS (SELECT CAST((" + _HEXFOLD + ") AS BIGINT) % 100 AS bucket "
-       "FROM hx), "
-       "counts AS (SELECT bucket, count(*) AS n_obs FROM bk "
-       "GROUP BY bucket), "
-       "tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts), "
-       "st AS (SELECT n_obs, n_total, "
-       "CAST(floor(((n_obs - CAST(n_total AS DOUBLE) / 100) "
-       "* (n_obs - CAST(n_total AS DOUBLE) / 100) "
-       "/ (CAST(n_total AS DOUBLE) / 100)) * 1000000000000.0 + 0.5) "
-       "AS BIGINT) AS chi "
-       "FROM counts CROSS JOIN tot) "
-       "SELECT count(*) AS n_buckets_hit, max(n_total) AS n_total, "
-       "max(n_obs) AS max_bucket, min(n_obs) AS min_bucket, "
-       "CAST(SUM(chi) AS BIGINT) AS chi_sq_pico FROM st"),
-    DQ("dq243_lorenz_deciles", TS.dq243_lorenz_deciles,
-       "WITH spend AS (SELECT user_id, "
-       "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c "
-       "FROM events GROUP BY user_id), "
-       "tiled AS (SELECT c, ntile(10) OVER (ORDER BY c, user_id) "
-       "AS decile FROM spend), "
-       "per_d AS (SELECT decile, count(*) AS n_users, "
-       "CAST(SUM(c) AS BIGINT) AS dc FROM tiled GROUP BY decile), "
-       "tot AS (SELECT CAST(SUM(dc) AS BIGINT) AS tc FROM per_d), "
-       "st AS (SELECT decile, n_users, dc, tc, "
-       "SUM(dc) OVER (ORDER BY decile) AS cum_dc "
-       "FROM per_d CROSS JOIN tot) "
-       "SELECT CAST(decile AS INT) AS decile, n_users, "
-       "CAST(floor((CAST(dc AS DOUBLE) / tc) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS share_micro, "
-       "CAST(floor((CAST(cum_dc AS DOUBLE) / tc) * 1000000.0 + 0.5) "
-       "AS BIGINT) AS cum_share_micro FROM st"),
-    DQ("dq244_growth_accounting", TS.dq244_growth_accounting,
-       "WITH ev AS (SELECT DISTINCT user_id, "
-       "CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk "
-       "FROM events), "
-       "first AS (SELECT user_id, min(wk) AS wk0 FROM ev "
-       "GROUP BY user_id) "
-       "SELECT ev.wk, count(*) AS active, "
-       "CAST(SUM(CASE WHEN ev.wk = f.wk0 THEN 1 ELSE 0 END) AS BIGINT) "
-       "AS new_users, "
-       "CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) AS BIGINT) "
-       "AS returning, "
-       "CAST(floor((CAST(SUM(CASE WHEN ev.wk > f.wk0 THEN 1 ELSE 0 END) "
-       "AS DOUBLE) / count(*)) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS returning_share_micro "
-       "FROM ev JOIN first f ON ev.user_id = f.user_id GROUP BY ev.wk"),
-    DQ("dq245_lsh_pairs_strict", T.dq245_lsh_pairs_strict,
-       "WITH " + _SIG_CTE + ", "
-       "p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS matches "
-       "FROM sig a JOIN sig b ON a.seed = b.seed AND a.mh = b.mh "
-       "AND a.doc_id < b.doc_id GROUP BY d1, d2) "
-       "SELECT d1, d2, matches, "
-       "CAST(floor((matches / 8.0) * 1000000.0 + 0.5) AS BIGINT) "
-       "AS est_j_micro FROM p WHERE matches >= 3"),
-    DQ("dq246_span_dedup", C.dq246_span_dedup,
-       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
-       "FROM documents), "
-       "sp AS (SELECT doc_id, CAST(j AS INT) AS si, "
-       "array_to_string(ws[CAST(j*3+1 AS BIGINT):CAST(j*3+3 AS BIGINT)], "
-       "' ') AS span "
-       "FROM w, unnest(range(CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(j)), "
-       "hot AS (SELECT span FROM sp GROUP BY span "
-       "HAVING count(DISTINCT doc_id) > 2), "
-       "kept AS (SELECT sp.* FROM sp ANTI JOIN hot USING (span)), "
-       "agg AS (SELECT doc_id, count(*) AS n_kept, "
-       "string_agg(span, ' ' ORDER BY si) AS clean_text "
-       "FROM kept GROUP BY doc_id), "
-       "tot AS (SELECT doc_id, count(*) AS n_spans FROM sp "
-       "GROUP BY doc_id) "
-       "SELECT tot.doc_id, tot.n_spans, "
-       "COALESCE(agg.n_kept, 0) AS n_kept, "
-       "COALESCE(agg.clean_text, '') AS clean_text "
-       "FROM tot LEFT JOIN agg USING (doc_id)"),
-]
 
 
 # Queries with a green (or by-design rows-only) driver CORRECTNESS row from a
