@@ -766,8 +766,15 @@ class IngestPipeline:
         least one parquet file to the corpus and edges directories, so a
         long-running ingest accumulates thousands of tiny files — the classic small-files problem: scan
         parallelism degenerates to one task per tiny file and the
-        NameNode/listing cost grows linearly per query. Run this on an
-        ops cadence (e.g. nightly). Per directory: read, coalesce to
+        NameNode/listing cost grows linearly per query. Recommended
+        cadence (measured, scripts/probe_stream_soak.py + BASELINE.md
+        r10): compact when the per-store subdirectory count reaches the
+        low hundreds — ~every 50-100 micro-batches, or sooner if
+        per-batch wall trends up. At 200 batches the never-compact arm's
+        per-batch time grew +37% (each batch's dedup anti-join re-lists
+        the whole store) while a 50-batch cadence held it flat for
+        ~1 s per compact at that state size. Per directory: read,
+        coalesce to
         ceil(rows / target_rows_per_file) files, write beside, swap
         atomically-enough for a single-writer pipeline (rename old →
         .old, new → live, delete .old). Returns {dir_name: n_files}.
