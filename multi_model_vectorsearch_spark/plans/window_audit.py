@@ -160,12 +160,10 @@ def serving_plan_suite(pipe, query_text: str) -> dict[str, "DataFrame"]:
     bounded counts the builders themselves run)."""
     corpus = pipe.corpus()
     fresh = corpus.limit(3)
-    saved = pipe.max_collect
-    try:
-        pipe.max_collect = 1  # force the fat-batch chunking route
-        fat = pipe.knn_against_corpus(fresh, n_queries=3)
-    finally:
-        pipe.max_collect = saved
+    # force the fat-batch chunking route via the per-call override — no
+    # shared-state mutation (r9 advisor nit: a concurrent pipeline user
+    # must never observe a transiently-shrunk max_collect)
+    fat = pipe.knn_against_corpus(fresh, n_queries=3, max_collect=1)
     return {
         "search.exact": pipe.search(query_text, k=4),
         "search_ivf.probed": pipe.search_ivf(query_text, k=4),

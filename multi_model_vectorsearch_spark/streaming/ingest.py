@@ -1434,7 +1434,8 @@ class IngestPipeline:
         return corpus.join(F.broadcast(members), "doc_id", "left_semi")
 
     def knn_against_corpus(self, fresh: DataFrame,
-                           n_queries: int | None = None) -> DataFrame:
+                           n_queries: int | None = None,
+                           max_collect: int | None = None) -> DataFrame:
         """Modality-balanced top-k corpus neighbors per fresh doc.
 
         Mirrors the reference's submit-path KNN (main.py:206-253 search_knn):
@@ -1498,12 +1499,14 @@ class IngestPipeline:
             return self._balanced_select(
                 self._knn_kernel(corpus, chunk, pool_k), k, pool_k)
 
-        if n_queries <= self.max_collect:
+        # per-call override (plan audits force the chunked route without
+        # mutating shared pipeline state); None = the configured guard
+        mc = max_collect if max_collect is not None else self.max_collect
+        if n_queries <= mc:
             return one_chunk(fresh)
         # Fat batch: deterministic query chunks via a global row_number —
         # a single-task sort, but over the MICRO-BATCH (trigger-sized),
         # never the corpus, so it is bounded by ingest configuration.
-        mc = self.max_collect
         frc = self._chunk_ranked(fresh)
         parts = [
             one_chunk(
