@@ -529,6 +529,13 @@ def dq148_semdedup(t: Tables, n_centroids: int = 8,
                              for k, v in out.items()})
 
     out_schema = "vec_id bigint, cid bigint, kept_by bigint, s_micro long"
+    # cheap skew gate: when the WHOLE corpus fits under the cap no cluster
+    # can exceed it — keep the original single-path plan (a parquet-footer
+    # count, not an assignment pass; the per-cluster sizes aggregation +
+    # isEmpty probe measured +0.35 s on the anchor at sf0.1)
+    if t["embeddings"].count() <= cluster_rows_cap:
+        return assigned.groupBy("cid").applyInPandas(drops,
+                                                     schema=out_schema)
     sizes = assigned.groupBy("cid").agg(F.count("*").alias("cn"))
     sized = assigned.join(F.broadcast(sizes), "cid")
     small = sized.filter(F.col("cn") <= cluster_rows_cap).drop("cn")

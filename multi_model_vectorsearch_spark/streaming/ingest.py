@@ -326,7 +326,7 @@ class IngestPipeline:
                                            or idx.isEmpty()):
             raise ValueError(f"method={method!r} requires a live IVF index")
         if method == "cells":
-            return self._within_cell_neighbors(corpus)
+            return self._within_cell_neighbors(corpus, n_total=n)
         if method == "exact" or cents.isEmpty() or idx.isEmpty():
             return self.knn_against_corpus(corpus, n_queries=n)
         cand = self._knn_join_ivf(
@@ -334,7 +334,8 @@ class IngestPipeline:
             broadcast_queries=False, include_fresh_assignment=False)
         return self._balanced_select(cand, self.k, self.k * OVERFETCH)
 
-    def _within_cell_neighbors(self, corpus: DataFrame) -> DataFrame:
+    def _within_cell_neighbors(self, corpus: DataFrame,
+                               n_total: int | None = None) -> DataFrame:
         """Within-cell candidate pool — ``build_graph(method="cells")``.
 
         The 10⁹⁺-doc bulk-build design the other two scorers can't reach:
@@ -380,10 +381,14 @@ class IngestPipeline:
         members = self.ivf_index().select("doc_id", "cid").join(
             corpus.select("doc_id", "modality", "embedding"), "doc_id")
         cap = self.cell_rows_cap
-        counts = members.groupBy("cid").agg(F.count("*").alias("m"))
-        sized = members.join(F.broadcast(counts), "cid")
-        big = sized.filter(F.col("m") > cap)
-        members = sized.filter(F.col("m") <= cap).drop("m")
+        big = None
+        if n_total is None or n_total > cap:
+            # skew gate engaged only when a cell COULD exceed the cap
+            # (n_total ≤ cap proves none can — skip the sizes pass)
+            counts = members.groupBy("cid").agg(F.count("*").alias("m"))
+            sized = members.join(F.broadcast(counts), "cid")
+            big = sized.filter(F.col("m") > cap)
+            members = sized.filter(F.col("m") <= cap).drop("m")
 
         def score_cell(pdf):
             pdf = pdf.sort_values("doc_id", kind="stable")
@@ -435,7 +440,7 @@ class IngestPipeline:
             score_cell,
             "qid bigint, qm string, doc_id bigint, modality string, "
             "s double")
-        if not big.isEmpty():
+        if big is not None and not big.isEmpty():
             cand = cand.unionByName(self._block_pair_neighbors(big, pool_k))
         return self._balanced_select(cand, self.k, pool_k)
 
