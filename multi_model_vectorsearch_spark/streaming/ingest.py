@@ -1338,6 +1338,11 @@ class IngestPipeline:
                 sizes["index_rows"] = ni
                 self._warm["centroids"] = cents
                 self._warm["index"] = idx
+                # driver-side centroid rows (bounded: 65536-cell cap,
+                # ~8 MB at 5M docs) — lets warm probed queries pick
+                # their cells with a numpy argsort instead of a Spark
+                # job (see _probed_corpus)
+                self._warm["cent_rows"] = cents.collect()
             else:  # half-built external dir: degrade to full-scan serving
                 idx.unpersist()
         return sizes
@@ -1345,20 +1350,27 @@ class IngestPipeline:
     def unwarm(self) -> None:
         """Release the warm-serving caches (no-op when cold)."""
         for df in self._warm.values():
-            df.unpersist()
+            if isinstance(df, DataFrame):
+                df.unpersist()
         self._warm = {}
 
-    def _query_literal(self, text: str, modality: str):
-        """Embed ONE query on the driver and splice it in as an array
-        literal — value-identical to the UDF path (same kernel,
-        ``route_embedding_local``), minus a whole Spark job + Arrow
-        round-trip per query. Returns NULL-vector semantics (None) for
-        unknown modalities, as the reference rejects those submits."""
+    def _query_vec(self, text: str, modality: str) -> list | None:
+        """Embed ONE query on the driver — the raw vector the serving
+        paths both splice into plans (as a literal) and use for
+        driver-side probe selection against warm centroid rows. Same
+        kernel the UDFs map (``route_embedding_local``), so the value is
+        identical to the distributed path's; None for unknown modalities,
+        as the reference rejects those submits."""
         from multi_model_vectorsearch_spark.functions.embedding import (
             route_embedding_local,
         )
 
-        qv = route_embedding_local(text, modality)
+        return route_embedding_local(text, modality)
+
+    def _query_literal(self, text: str, modality: str):
+        """``_query_vec`` as an array literal Column (None stays None) —
+        a one-row query needs no embed job, no broadcast, no cross join."""
+        qv = self._query_vec(text, modality)
         return None if qv is None else F.lit(qv)
 
     def search_ivf(self, text: str, k: int | None = None,
@@ -1377,10 +1389,11 @@ class IngestPipeline:
         hold recall at scale (probe-table evidence in BASELINE.md r9)."""
         k = k or self.k
         out_schema = "doc_id bigint, modality string, s double"
-        qv = self._query_literal(text, modality)
-        if qv is None:
+        vec = self._query_vec(text, modality)
+        if vec is None:
             return self.spark.createDataFrame([], out_schema)
-        corpus = self._probed_corpus(qv, probes)
+        qv = F.lit(vec)
+        corpus = self._probed_corpus(qv, probes, qv_raw=vec)
         return (
             corpus.select(
                 "doc_id", "modality",
@@ -1392,7 +1405,8 @@ class IngestPipeline:
         )
 
     def _probed_corpus(self, qv, probes: int | None = None,
-                       require: bool = False) -> DataFrame:
+                       require: bool = False,
+                       qv_raw: list | None = None) -> DataFrame:
         """The corpus restricted to the query's probed IVF cells — the one
         probing plan ``search_ivf`` and ``search(route="ivf")`` share.
         Falls back to the full corpus while the index hasn't bootstrapped
@@ -1426,17 +1440,47 @@ class IngestPipeline:
                     "use route='auto' for silent fallback, or enable "
                     "maintain_ivf / call bulk_load first")
             return corpus
+        crows = self._warm.get("cent_rows") if self._warm else None
         if probes is None:
-            probes = self._auto_probes(cents.count())
-        probe_cids = (
-            cents.select("cid", cosine_similarity(
-                F.col("cvec"), qv).alias("cs"))
-            .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
-            .select("cid")
-        )
-        members = idx.join(
-            F.broadcast(probe_cids), "cid").select("doc_id")
+            probes = self._auto_probes(
+                len(crows) if crows else cents.count())
+        if crows and qv_raw is not None:
+            # warm serving: the centroid set already lives on the driver
+            # (bounded by the 65536-cell cap, same bound as _assign's
+            # collect), so probe selection is a numpy argsort instead of
+            # a whole Spark job per query — one job per probed query, not
+            # two. Tie-break matches the plan below ((cs desc, cid asc));
+            # dot/norm summation-order ulps can reorder near-equal
+            # centroids, the same documented contract as _assign's kernel
+            # (probe choice is an index routing decision; pinned
+            # row-identical on fixtures by test).
+            pc = self._probe_cids_local(crows, qv_raw, probes)
+            members = idx.filter(F.col("cid").isin(pc)).select("doc_id")
+        else:
+            probe_cids = (
+                cents.select("cid", cosine_similarity(
+                    F.col("cvec"), qv).alias("cs"))
+                .orderBy(F.desc("cs"), F.asc("cid")).limit(probes)
+                .select("cid")
+            )
+            members = idx.join(
+                F.broadcast(probe_cids), "cid").select("doc_id")
         return corpus.join(F.broadcast(members), "doc_id", "left_semi")
+
+    @staticmethod
+    def _probe_cids_local(crows: list, vec: list, probes: int) -> list[int]:
+        """Top-``probes`` centroid ids by (cosine desc, cid asc) — the
+        driver-side twin of the probe-selection plan in
+        ``_probed_corpus``."""
+        import numpy as np
+
+        c = np.array([r.cvec for r in crows], dtype=np.float64)
+        cid = np.array([r.cid for r in crows], dtype=np.int64)
+        q = np.asarray(vec, dtype=np.float64)
+        cs = (c @ q) / np.maximum(
+            np.linalg.norm(c, axis=1) * np.linalg.norm(q), 1e-12)
+        order = np.lexsort((cid, -cs))
+        return [int(x) for x in cid[order[:probes]]]
 
     def knn_against_corpus(self, fresh: DataFrame,
                            n_queries: int | None = None,
@@ -1935,12 +1979,14 @@ class IngestPipeline:
         )
 
         k = k or self.k
-        qv = self._query_literal(text, modality)
+        vec = self._query_vec(text, modality)
+        qv = None if vec is None else F.lit(vec)
         if route == "exact" or qv is None:
             corpus = self._warm["corpus"] if self._warm else self.corpus()
         else:
             corpus = self._probed_corpus(qv, probes,
-                                         require=(route == "ivf"))
+                                         require=(route == "ivf"),
+                                         qv_raw=vec)
         edges = self._warm["edges"] if self._warm else self.edges()
         if qv is None:
             cand = self.spark.createDataFrame(

@@ -248,7 +248,13 @@ def mode_qps(spark, args) -> None:
         qtexts = [r.text for r in
                   docs.orderBy("doc_id").limit(64).collect()]
 
-        def run_level(n_clients: int, endpoint: str) -> dict:
+        def run_level(n_clients: int, endpoint: str,
+                      timed: bool = True) -> dict:
+            """One concurrency level. Each timed level is preceded by an
+            untimed burst at the same concurrency (run_level(timed=False))
+            — the first concurrent burst on a session pays one-off plan
+            analysis/JIT/thread-pool growth that measured 2-3x on p95 and
+            is not steady-state serving."""
             lat: list[float] = []
             lock = threading.Lock()
             start = threading.Event()
@@ -294,6 +300,7 @@ def mode_qps(spark, args) -> None:
         pipe.search(qtexts[0], k=10, route="ivf").collect()
         for endpoint in ("search_ivf", "search_routed"):
             for n_clients in (int(x) for x in args.clients.split(",")):
+                run_level(n_clients, endpoint, timed=False)  # warm burst
                 row = run_level(n_clients, endpoint)
                 out["levels"].append(row)
                 print(f"## {json.dumps(row)}", flush=True)

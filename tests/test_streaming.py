@@ -1532,6 +1532,33 @@ def test_search_route_ivf_lossless_at_full_probing(spark, tables, tmp_path):
         pipe.search(q, route="bogus")
 
 
+def test_warm_probe_selection_matches_cold(spark, tables, tmp_path):
+    """Warm serving picks probe cells with a driver-side numpy argsort
+    over the collected centroid rows (one Spark job per query instead of
+    two); cold serving picks them with the JVM plan. Same (cos desc,
+    cid asc) rule — pinned row-identical at DEFAULT probes on the
+    fixture corpus (full probing would mask a selection difference).
+    FIXTURE DEPENDENCY: dot-product summation-order ulps could reorder
+    near-equal centroids off this fixture (the documented _assign-class
+    contract)."""
+    docs = _moddocs(tables, 200)
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.bulk_load(docs)
+    queries = [r.text for r in docs.orderBy("doc_id").limit(6).collect()]
+    cold = [sorted(map(tuple, pipe.search_ivf(q, k=6).collect()))
+            for q in queries]
+    pipe.warm()
+    try:
+        assert "cent_rows" in pipe._warm
+        warm = [sorted(map(tuple, pipe.search_ivf(q, k=6).collect()))
+                for q in queries]
+    finally:
+        pipe.unwarm()
+    assert warm == cold
+
+
 def test_search_route_ivf_media_queries(spark, tables, tmp_path):
     """r9 verdict item 7 (serving-route matrix closed): the `/search`
     media path — the reference's temp-write → embed → search file flow
