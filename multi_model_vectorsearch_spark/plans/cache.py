@@ -15,7 +15,6 @@ minus a TTL/invalidations layer (drop the cache dir on source refresh).
 from __future__ import annotations
 
 import hashlib
-import os
 
 from pyspark.sql import DataFrame
 
@@ -30,12 +29,19 @@ def cached_result(df: DataFrame, cache_dir: str) -> tuple[DataFrame, bool]:
     """Return (result_df, was_hit); materializes on miss.
 
     The success marker (parquet's _SUCCESS) gates reads so a crashed write
-    never serves a partial result.
+    never serves a partial result. The cache dir goes through the same
+    StateFS adapter as the ingest state, so an ``hdfs://``/``s3a://``
+    cache root works with whatever credentials the Spark conf carries
+    (the marker-gated overwrite needs no atomic rename — parquet's own
+    job commit is the write barrier).
     """
-    key = plan_fingerprint(df)
-    path = os.path.join(cache_dir, key)
+    from multi_model_vectorsearch_spark.streaming.statefs import statefs_for
+
     spark = df.sparkSession
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    fs = statefs_for(spark, cache_dir)
+    key = plan_fingerprint(df)
+    path = fs.join(cache_dir, key)
+    if fs.isfile(fs.join(path, "_SUCCESS")):
         return spark.read.parquet(path), True
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path), False

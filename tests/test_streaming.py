@@ -94,22 +94,26 @@ def test_dedup_within_watermark(spark, replay):
     assert got.select("event_id").distinct().count() == total
 
 
-@pytest.fixture(params=["posix", "hadoop", "pointer"])
+@pytest.fixture(params=["posix", "hadoop", "pointer", "hadoop-pointer"])
 def state_backend(request, spark):
     """Constructor kwargs that re-run a state-machine test on each commit
     backend: the direct POSIX adapter (the default), the Hadoop
     FileSystem adapter resolved over local disk (the API a cluster's
-    hdfs:// state dir goes through), and the generation-pointer commit
-    protocol (what an object store with no atomic rename gets). The
-    reference pipelines inside each test stay on the default backend, so
-    the final snapshot equality IS the zero-output-diff proof across
-    backends."""
-    if request.param == "hadoop":
+    hdfs:// state dir goes through), the generation-pointer commit
+    protocol (what an object store with no atomic rename gets), and the
+    two combined — the actual s3a:// deployment shape (Hadoop API +
+    pointer commit). The reference pipelines inside each test stay on
+    the default backend, so the final snapshot equality IS the
+    zero-output-diff proof across backends."""
+    if request.param.startswith("hadoop"):
         from multi_model_vectorsearch_spark.streaming.statefs import (
             HadoopStateFS,
         )
 
-        return {"fs": HadoopStateFS(spark, "file:///tmp")}
+        kw = {"fs": HadoopStateFS(spark, "file:///tmp")}
+        if request.param == "hadoop-pointer":
+            kw["commit_mode"] = "pointer"
+        return kw
     if request.param == "pointer":
         return {"commit_mode": "pointer"}
     return {}
