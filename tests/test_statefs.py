@@ -222,3 +222,96 @@ def test_pointer_retrain_seam_rolls_forward(spark, tables, tmp_path):
     sample = docs.orderBy("doc_id").first()
     rows = pipe2.search_ivf(sample.text, k=6, probes=c1).collect()
     assert rows[0].s == 1.0
+
+
+class _CrashError(RuntimeError):
+    pass
+
+
+class _CrashFS(LocalStateFS):
+    """LocalStateFS that raises on the k-th MUTATING adapter op (rename /
+    rmtree / write_text) — every such op is a potential crash seam in the
+    commit protocol, and the sweep below exercises all of them."""
+
+    def __init__(self, crash_at: int):
+        self.crash_at = crash_at
+        self.n = 0
+
+    def _tick(self):
+        self.n += 1
+        if self.n == self.crash_at:
+            raise _CrashError(f"injected crash at mutation {self.n}")
+
+    def rename(self, src, dst):
+        self._tick()
+        super().rename(src, dst)
+
+    def rmtree(self, path):
+        self._tick()
+        super().rmtree(path)
+
+    def write_text(self, path, content):
+        self._tick()
+        super().write_text(path, content)
+
+
+@pytest.mark.parametrize("commit_mode", ["rename", "pointer"])
+def test_exhaustive_crash_sweep_over_retrain_batch(spark, tables, tmp_path,
+                                                   commit_mode):
+    """Exhaustive crash-point sweep of the exactly-once machine: a
+    re-train micro-batch performs every class of state-FS mutation the
+    protocol has (staging cleanup, the two swaps, post-flip sweeps), and
+    the stream contract says an uncommitted batch replays. For EVERY
+    mutating-op index k, crash there, then recover the real way — a
+    fresh pipeline replays the batch — and require the final LOGICAL
+    state (corpus, edges, index, centroids) to equal the uninterrupted
+    run's, in both commit modes. This is the property all the individual
+    seam tests (torn batch, swap seam, roll-forward) are instances of."""
+    import shutil
+
+    docs = _moddocs(tables, 360)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20)
+
+    def mk(state, fs=None):
+        return IngestPipeline(spark, state, k=6, maintain_ivf=True,
+                              n_centroids=None, ivf_bootstrap=16,
+                              fs=fs, commit_mode=commit_mode)
+
+    def snap(pipe):
+        return (sorted(map(tuple, pipe.corpus().collect())),
+                sorted(map(tuple, pipe.edges().collect())),
+                sorted(map(tuple, pipe.ivf_index().collect())),
+                sorted((r.cid, tuple(r.cvec))
+                       for r in pipe.centroids().collect()))
+
+    base = str(tmp_path / "base")
+    mk(base).process_batch(b0, 0)
+
+    ref_state = str(tmp_path / "ref")
+    shutil.copytree(base, ref_state)
+    ref = mk(ref_state)
+    ref.process_batch(b1, 1)
+    want = snap(ref)
+    assert want[3], "fixture must have re-trained centroids"
+
+    k = 0
+    while True:
+        k += 1
+        state = str(tmp_path / f"crash{k}")
+        shutil.copytree(base, state)
+        crashfs = _CrashFS(k)
+        try:
+            mk(state, fs=crashfs).process_batch(b1, 1)
+        except _CrashError:
+            pass
+        else:
+            # k exceeded the batch's mutation count: no crash fired —
+            # the sweep has covered every seam
+            assert snap(mk(state)) == want
+            break
+        recovered = mk(state)  # the restarted process
+        recovered.process_batch(b1, 1)  # at-least-once replay
+        assert snap(recovered) == want, f"divergence at crash point {k}"
+    assert k >= (8 if commit_mode == "pointer" else 10), \
+        "sweep must have exercised the full mutation sequence"
