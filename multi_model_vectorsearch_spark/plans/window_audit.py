@@ -181,4 +181,10 @@ def serving_plan_suite(pipe, query_text: str) -> dict[str, "DataFrame"]:
         # per-query pool; the only windows are _balanced_select's
         # qid-partitioned ones — expected ZERO partitionless
         "build_graph.cells": pipe._within_cell_neighbors(corpus),
+        # the r10 block-pair skew route (cap=1 forces every cell through
+        # the r² decomposition): still only _balanced_select's windows —
+        # the block reduce is argpartition-in-kernel + the same
+        # qid-partitioned selection, expected ZERO partitionless
+        "build_graph.cells_blocked": pipe._within_cell_neighbors(
+            corpus, cap=1),
     }

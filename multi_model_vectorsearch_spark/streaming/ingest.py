@@ -335,7 +335,8 @@ class IngestPipeline:
         return self._balanced_select(cand, self.k, self.k * OVERFETCH)
 
     def _within_cell_neighbors(self, corpus: DataFrame,
-                               n_total: int | None = None) -> DataFrame:
+                               n_total: int | None = None,
+                               cap: int | None = None) -> DataFrame:
         """Within-cell candidate pool — ``build_graph(method="cells")``.
 
         The 10⁹⁺-doc bulk-build design the other two scorers can't reach:
@@ -380,7 +381,8 @@ class IngestPipeline:
         pool_k = self.k * OVERFETCH
         members = self.ivf_index().select("doc_id", "cid").join(
             corpus.select("doc_id", "modality", "embedding"), "doc_id")
-        cap = self.cell_rows_cap
+        if cap is None:  # per-call override (plan audits), else configured
+            cap = self.cell_rows_cap
         big = None
         if n_total is None or n_total > cap:
             # skew gate engaged only when a cell COULD exceed the cap
@@ -441,7 +443,8 @@ class IngestPipeline:
             "qid bigint, qm string, doc_id bigint, modality string, "
             "s double")
         if big is not None and not big.isEmpty():
-            cand = cand.unionByName(self._block_pair_neighbors(big, pool_k))
+            cand = cand.unionByName(
+                self._block_pair_neighbors(big, pool_k, cap))
         return self._balanced_select(cand, self.k, pool_k)
 
     # ~rows per side of a within-cell scoring task. Balanced √n cells sit
@@ -450,8 +453,8 @@ class IngestPipeline:
     # the block path on small fixtures.
     cell_rows_cap = 200_000
 
-    def _block_pair_neighbors(self, big: DataFrame,
-                              pool_k: int) -> DataFrame:
+    def _block_pair_neighbors(self, big: DataFrame, pool_k: int,
+                              cap: int | None = None) -> DataFrame:
         """Block-pair decomposition of oversized IVF cells.
 
         Each row of a cell with m > ``cell_rows_cap`` is hashed into one
@@ -469,8 +472,10 @@ class IngestPipeline:
         import numpy as np
         import pandas as pd
 
+        if cap is None:
+            cap = self.cell_rows_cap
         big = big.withColumn(
-            "r", F.ceil(F.col("m") / F.lit(self.cell_rows_cap)).cast("int")
+            "r", F.ceil(F.col("m") / F.lit(cap)).cast("int")
         ).withColumn(
             "blk", F.pmod(F.xxhash64("doc_id"), F.col("r")).cast("int"))
         blocks = F.sequence(F.lit(0), F.col("r") - 1)
