@@ -56,14 +56,19 @@ def get_spark(app_name: str = "multi_model_vectorsearch_spark",
 
     ``fair_scheduler=True`` sets ``spark.scheduler.mode=FAIR`` — required
     for a concurrent-serving deployment (N client threads sharing one
-    session): under the default FIFO scheduler a long scan parks every
-    other client's one-stage query behind it, while FAIR round-robins
-    task slots so warm probed queries keep their sequential latency
-    under concurrency (measured in BASELINE.md's r10 QPS table). Client
-    threads should be ``pyspark.InheritableThread`` and may isolate
-    further with ``sc.setLocalProperty("spark.scheduler.pool", ...)``.
-    Scheduler mode is fixed at context build, so this only applies when
-    this call CREATES the session.
+    session). FAIR alone is NOT sufficient: with no allocation file every
+    job lands in the default pool, and jobs WITHIN one pool are still
+    scheduled FIFO — cross-client fairness only materializes when each
+    client thread also sets a distinct pool via
+    ``sc.setLocalProperty("spark.scheduler.pool", <client-id>)`` (pools
+    are created on demand with FAIR-vs-each-other semantics). That
+    combination is what keeps a long scan from parking every other
+    client's one-stage query behind it, and is exactly what
+    ``scripts/probe_serving_scale.py`` does (measured in BASELINE.md's
+    r10 QPS table: +65% QPS, 3× lower p95 vs FIFO at 8 clients). Client
+    threads should be ``pyspark.InheritableThread``. Scheduler mode is
+    fixed at context build, so this only applies when this call CREATES
+    the session.
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -81,7 +81,8 @@ class IngestPipeline:
                  max_collect: int = 4096, n_centroids: int | None = 8,
                  ivf_bootstrap: int = 64, maintain_ivf: bool = False,
                  maintain_neardup: bool = False, ivf_probes: int = 2,
-                 fs=None, commit_mode: str = "auto"):
+                 fs=None, commit_mode: str = "auto",
+                 cell_rows_cap: int = 200_000):
         self.spark = spark
         # every state-FS operation routes through ONE adapter (statefs.py)
         # so the commit protocol runs unchanged on local disk, HDFS, or an
@@ -145,6 +146,14 @@ class IngestPipeline:
         # (tests shrink it to exercise the multi-partition kernel path on
         # small corpora)
         self.rows_per_partition = 100_000
+        # ~rows per side of a within-cell scoring task (build_graph's
+        # block-pair skew split). Balanced √n cells sit far below the
+        # default (a 5M-doc corpus has ~2.2k-row cells), so the split only
+        # engages on pathological skew; tests shrink it per-INSTANCE to
+        # exercise the block path on small fixtures (an instance attribute
+        # by r10-verdict request — a class-level override would leak to
+        # every pipeline in the process).
+        self.cell_rows_cap = cell_rows_cap
         # warm-serving state (warm()): cached corpus/edges/centroids/index
         self._warm: dict[str, DataFrame] = {}
 
@@ -446,12 +455,6 @@ class IngestPipeline:
             cand = cand.unionByName(
                 self._block_pair_neighbors(big, pool_k, cap))
         return self._balanced_select(cand, self.k, pool_k)
-
-    # ~rows per side of a within-cell scoring task. Balanced √n cells sit
-    # far below this (a 5M-doc corpus has ~2.2k-row cells), so the block
-    # split only engages on pathological skew; tests shrink it to exercise
-    # the block path on small fixtures.
-    cell_rows_cap = 200_000
 
     def _block_pair_neighbors(self, big: DataFrame, pool_k: int,
                               cap: int | None = None) -> DataFrame:

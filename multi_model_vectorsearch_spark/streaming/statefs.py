@@ -134,12 +134,17 @@ class HadoopStateFS:
 
     def __init__(self, spark, root: str):
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
         self._Path = self._jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(root).getFileSystem(self._conf)
         self.scheme = self._fs.getScheme()
         self.atomic_rename = (
             self.scheme not in _NON_ATOMIC_RENAME_SCHEMES)
+        # FileContext handle for single-step overwrite renames (see
+        # write_text); resolved lazily — not every scheme registers an
+        # AbstractFileSystem, and those that don't fall back.
+        self._fc = None
 
     def _p(self, path: str):
         return self._Path(path)
@@ -182,13 +187,23 @@ class HadoopStateFS:
     def has_parquet(self, path: str) -> bool:
         if not self.isdir(path):
             return False
-        # recursive leaf listing, pruning hidden components the way a
-        # Spark read would (listFiles itself does NOT filter hidden)
+        # Recursive leaf listing, pruning hidden components the way a
+        # Spark read would (listFiles itself does NOT filter hidden).
+        # Relativize via the scheme-less URI path on BOTH sides: listFiles
+        # returns fully-qualified paths (scheme://authority/...) even for
+        # a bare-path base, so a plain string-prefix slice misaligns and
+        # would run the hidden check over the ROOT's own components — a
+        # state root under a '_'/'.'-prefixed parent (e.g. /data/_state)
+        # would read as permanently empty.
         it = self._fs.listFiles(self._p(path), True)
-        base = path.rstrip("/")
+        base = self._fs.makeQualified(self._p(path)).toUri().getPath()
+        base = base.rstrip("/")
         while it.hasNext():
-            leaf = it.next().getPath().toString()
-            rel = leaf[len(base):].lstrip("/") if base in leaf else leaf
+            leaf = it.next().getPath().toUri().getPath()
+            if leaf.startswith(base + "/"):
+                rel = leaf[len(base) + 1:]
+            else:  # symlink/mount alias — fall back to the leaf name only
+                rel = leaf.rsplit("/", 1)[-1]
             parts = rel.split("/")
             if any(_hidden(c) for c in parts[:-1]):
                 continue
@@ -214,11 +229,30 @@ class HadoopStateFS:
         finally:
             ins.close()
 
+    def _overwrite_rename(self, src: str, dst: str) -> None:
+        """Single-step overwrite rename via the FileContext API —
+        ``FileSystem.rename`` refuses an existing destination on HDFS, but
+        ``FileContext.rename(…, Options.Rename.OVERWRITE)`` replaces it in
+        ONE atomic step, so neither a crash nor a concurrent reader can
+        ever observe the destination missing (the r10 delete-then-rename
+        dance had exactly that window: a reader between the delete and the
+        rename saw no ``_CURRENT`` and resolved state to the swept root)."""
+        if self._fc is None:
+            jvm = self._jvm
+            self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(dst).toUri(), self._conf)
+            rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+            self._fc_overwrite = self._gateway.new_array(rename_opt, 1)
+            self._fc_overwrite[0] = rename_opt.OVERWRITE
+        self._fc.rename(self._p(src), self._p(dst), self._fc_overwrite)
+
     def write_text(self, path: str, content: str) -> None:
-        """Single-file commit. Where renames are atomic, temp+rename (same
-        guarantee as POSIX). On object stores a single-object overwrite
-        PUT is itself atomic (readers see old or new bytes, never torn),
-        and a copy-based rename would be strictly weaker — write direct."""
+        """Single-file commit. Where renames are atomic, temp + one-step
+        overwrite rename (FileContext) — readers see the old content or
+        the new, never a torn write AND never a missing file. On object
+        stores a single-object overwrite PUT is itself atomic (readers see
+        old or new bytes, never torn), and a copy-based rename would be
+        strictly weaker — write direct."""
         if not self.atomic_rename:
             out = self._fs.create(self._p(path), True)
             try:
@@ -232,8 +266,16 @@ class HadoopStateFS:
             out.write(bytearray(content, "utf8"))
         finally:
             out.close()
-        self._fs.delete(self._p(path), False)
-        self.rename(tmp, path)
+        try:
+            self._overwrite_rename(tmp, path)
+        except Exception:
+            # Scheme without an AbstractFileSystem binding (FileContext
+            # unavailable): fall back to delete + rename. The missing-file
+            # window returns, but only on such schemes — callers that need
+            # concurrent readers run HDFS/file, where FileContext exists.
+            self._fc = None
+            self._fs.delete(self._p(path), False)
+            self.rename(tmp, path)
 
 
 def statefs_for(spark, state_dir: str):

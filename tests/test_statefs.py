@@ -224,6 +224,86 @@ def test_pointer_retrain_seam_rolls_forward(spark, tables, tmp_path):
     assert rows[0].s == 1.0
 
 
+def test_has_parquet_under_hidden_prefixed_root(spark, tmp_path):
+    """r10-advisor pin: listFiles returns scheme-qualified URIs even for a
+    bare-path base, so a string-prefix slice misaligns and runs the hidden
+    check over the ROOT's own components — a state root under a '_'- or
+    '.'-prefixed parent (a perfectly legal deploy path) then reads as
+    permanently empty. Both backends must see state under such a root."""
+    root = str(tmp_path / "_state" / ".area" / "corpus")
+    spark.range(3).write.parquet(LocalStateFS.join(root, "b0"))
+    lfs = LocalStateFS()
+    hfs = HadoopStateFS(spark, root)
+    for fs in (lfs, hfs):
+        assert fs.has_parquet(root), type(fs).__name__
+        assert fs.has_parquet(fs.join(root, "b0")), type(fs).__name__
+    # hidden pruning still works for children below the root
+    spark.range(2).write.parquet(LocalStateFS.join(root, "b0", ".staged"))
+    import shutil
+
+    shutil.rmtree(LocalStateFS.join(root, "b0"))
+    spark.range(2).write.parquet(LocalStateFS.join(root, "b0", ".staged"))
+    for fs in (lfs, hfs):
+        assert not fs.has_parquet(fs.join(root, "b0")), type(fs).__name__
+
+
+def test_write_text_pointer_never_missing(spark, tmp_path, monkeypatch):
+    """r10 verdict item 3: the pointer commit on rename-capable stores must
+    be ONE atomic step — the old delete-then-rename dance had a window
+    where a concurrent reader (or a crash) observed no ``_CURRENT`` at all
+    and resolved state to the swept root. Interleave a reader at every
+    seam of the overwrite and require the pointer to always resolve."""
+    root = str(tmp_path)
+    hfs = HadoopStateFS(spark, root)
+    ptr = hfs.join(root, "_CURRENT")
+    hfs.write_text(ptr, ".gen-1")
+
+    seen: list[tuple[str, str | None]] = []
+    orig_ow = HadoopStateFS._overwrite_rename
+    orig_rename = HadoopStateFS.rename
+
+    def spying_ow(self, src, dst):
+        seen.append(("pre-commit", LocalStateFS.read_text(ptr)))
+        orig_ow(self, src, dst)
+        seen.append(("post-commit", LocalStateFS.read_text(ptr)))
+
+    def spying_rename(self, src, dst):
+        # the delete+rename fallback would route through here
+        seen.append(("fallback-rename", LocalStateFS.read_text(ptr)))
+        orig_rename(self, src, dst)
+
+    monkeypatch.setattr(HadoopStateFS, "_overwrite_rename", spying_ow)
+    monkeypatch.setattr(HadoopStateFS, "rename", spying_rename)
+    hfs.write_text(ptr, ".gen-2")
+
+    assert ("pre-commit", ".gen-1") in seen
+    assert ("post-commit", ".gen-2") in seen
+    assert not any(e[0] == "fallback-rename" for e in seen), \
+        "one-step overwrite must not fall back on file://"
+    assert all(v is not None for _, v in seen), \
+        "a reader must NEVER observe the pointer missing"
+    assert LocalStateFS.read_text(ptr) == ".gen-2"
+
+
+def test_write_text_fallback_when_filecontext_unavailable(
+        spark, tmp_path, monkeypatch):
+    """Schemes without an AbstractFileSystem binding can't build a
+    FileContext; write_text must degrade to delete+rename and still land
+    the new content."""
+    root = str(tmp_path)
+    hfs = HadoopStateFS(spark, root)
+    ptr = hfs.join(root, "_CURRENT")
+    hfs.write_text(ptr, ".gen-1")
+
+    def broken_ow(self, src, dst):
+        raise RuntimeError("no AbstractFileSystem for scheme")
+
+    monkeypatch.setattr(HadoopStateFS, "_overwrite_rename", broken_ow)
+    hfs.write_text(ptr, ".gen-2")
+    assert hfs.read_text(ptr) == ".gen-2"
+    assert not hfs.isfile(ptr + ".tmp")
+
+
 class _CrashError(RuntimeError):
     pass
 

@@ -1720,11 +1720,12 @@ def test_build_graph_cells_blocked_matches_single_task(
     docs = _mk_docs(tables, 0, 120)
 
     def edges_of(tag, n_centroids, cap):
+        # cell_rows_cap is a constructor parameter (r10 verdict item 7):
+        # an instance-scoped override that can't leak across pipelines
+        kw = {} if cap is None else {"cell_rows_cap": cap}
         pipe = IngestPipeline(spark, str(tmp_path / tag), k=4,
                               maintain_ivf=True, n_centroids=n_centroids,
-                              ivf_bootstrap=16)
-        if cap is not None:
-            pipe.cell_rows_cap = cap
+                              ivf_bootstrap=16, **kw)
         pipe.bulk_load(docs)
         pipe.build_graph(method="cells")
         return {(r.src, r.dst): r.score for r in pipe.edges().collect()}
