@@ -75,6 +75,31 @@ class IngestPipeline:
     run the same kernel over ``max_collect``-sized query chunks (union of
     independent per-query selections ≡ one pass), so a fat micro-batch
     cannot OOM the driver at ingest scale and stays exact.
+
+    **Reader/writer contract** (the reference serves ``/search`` while
+    ``/submit`` ingests; Redis serializes every op — here the state store
+    itself provides the isolation): with ONE writer (the streaming
+    foreachBatch, a facade submit loop, compact(), or a re-train) and any
+    number of concurrent readers — other threads or other SparkSessions
+    in other processes over the same state root — serving reads
+    (``search``, ``search_ivf``, ``graph_data``, ``warm``) are
+    linearizable at batch granularity: every response equals the result
+    over some committed-batch prefix of the writer's sequence. Three
+    mechanisms compose into that guarantee: (1) per-store ``_SUCCESS``
+    gating — a batch subdirectory becomes readable only at job commit, so
+    mid-write data is invisible; (2) one torn-set per query — a batch
+    missing ANY store's marker is excluded from EVERY store's view, so a
+    query never mixes a batch's committed corpus rows with its
+    not-yet-committed edges; (3) under ``commit_mode="pointer"``,
+    epoch-stable plans plus generation retention — compact/re-train
+    publish by pointer flip, readers pin one epoch's physical paths, and
+    the superseded generation stays on disk for ``retain_generations``
+    more flips so in-flight scans complete. ``commit_mode="rename"``
+    moves live directories during compact/re-train and is therefore
+    single-actor: quiesce readers around those two maintenance ops (plain
+    batch appends are safe in both modes). Warm readers call
+    ``maybe_rewarm()`` on their own cadence to pick up the writer's
+    progress.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
@@ -82,7 +107,8 @@ class IngestPipeline:
                  ivf_bootstrap: int = 64, maintain_ivf: bool = False,
                  maintain_neardup: bool = False, ivf_probes: int = 2,
                  fs=None, commit_mode: str = "auto",
-                 cell_rows_cap: int = 200_000):
+                 cell_rows_cap: int = 200_000,
+                 retain_generations: int = 1):
         self.spark = spark
         # every state-FS operation routes through ONE adapter (statefs.py)
         # so the commit protocol runs unchanged on local disk, HDFS, or an
@@ -154,8 +180,18 @@ class IngestPipeline:
         # by r10-verdict request — a class-level override would leak to
         # every pipeline in the process).
         self.cell_rows_cap = cell_rows_cap
+        # Pointer-commit generation retention: how many SUPERSEDED
+        # generations a flip keeps on disk (swept at a later flip).
+        # The default of 1 is what makes CONCURRENT readers safe: a query
+        # planned against the just-superseded generation finishes its scan
+        # on files that still exist, instead of dying mid-scan on a
+        # deleted directory. 0 restores the immediate sweep (single-actor
+        # deployments that want the disk back right away).
+        self.retain_generations = retain_generations
         # warm-serving state (warm()): cached corpus/edges/centroids/index
         self._warm: dict[str, DataFrame] = {}
+        # state fingerprint captured by warm() — maybe_rewarm() compares
+        self._warm_token = None
 
     def _has_parquet(self, path: str) -> bool:
         return self.fs.has_parquet(path)
@@ -186,6 +222,74 @@ class IngestPipeline:
                     f"corrupt _CURRENT pointer in {root}: {cur!r}")
             return int(m.group(1))
         return 0
+
+    def _state_epoch(self) -> tuple[int, int, int, int]:
+        """Generation numbers of the four swap-published roots — the
+        fingerprint a consistent reader checks around its plan: equal
+        before and after means no compact/re-train flip landed in
+        between, so every path the plan captured belongs to one epoch."""
+        return (self._gen_num(self.corpus_dir),
+                self._gen_num(self.edges_dir),
+                self._gen_num(self.centroids_dir),
+                self._gen_num(self.index_dir))
+
+    def state_token(self):
+        """Change-detection token over the serving state: the commit
+        fingerprint (swap epoch + every store's committed-unit set).
+        ``maybe_rewarm`` re-warms when this moves; a multi-driver reader
+        polls it between queries."""
+        return self._commit_fingerprint()
+
+    def _commit_fingerprint(self):
+        """Every store's committed-unit set, in one value.
+
+        A consistent reader brackets its plan construction with this: the
+        torn-set and the per-store file listings are separate metadata
+        reads, so a batch whose stores commit one after another (corpus,
+        then edges seconds later, then the index assignment) can
+        otherwise slip INTO the views listed late while staying OUT of
+        the views listed early — a cross-store hybrid no sequential
+        execution produces (e.g. an expansion edge pointing at a doc the
+        corpus view doesn't hold). Equal fingerprints before and after
+        plan construction prove no commit landed in between, so every
+        listing saw the same committed prefix. Commit-status (not just
+        directory names) is part of the value — the hazardous transition
+        is a ``_SUCCESS`` landing in an already-listed directory."""
+        stores = [self.corpus_dir, self.edges_dir, self.index_dir,
+                  self.centroids_dir]
+        if self.maintain_neardup:
+            stores += [self.sig_dir, self.flags_dir]
+        fp: list = [self._state_epoch()]
+        for root in stores:
+            phys = self._phys(root)
+            entries = []
+            for e in self.fs.listdir(phys):
+                if e.startswith((".", "_")):
+                    continue
+                p = self.fs.join(phys, e)
+                if self.fs.isdir(p):
+                    entries.append((e, self.fs.isfile(
+                        self.fs.join(p, "_SUCCESS"))))
+                else:
+                    entries.append((e, True))
+            fp.append(tuple(entries))
+        return tuple(fp)
+
+    def maybe_rewarm(self) -> bool:
+        """Refresh the ``warm()`` snapshot iff the underlying state moved
+        since it was taken (a concurrent — possibly other-process — writer
+        committed a batch, re-trained, or compacted). Returns True when a
+        re-warm happened. The check is a handful of metadata calls, cheap
+        enough to run between serving queries; the pointer-commit
+        retention contract guarantees the PREVIOUS snapshot's files
+        survive until the flip after next, so queries in flight during
+        the writer's flip still complete against the old epoch."""
+        if not self._warm:
+            return False
+        if self.state_token() == self._warm_token:
+            return False
+        self.warm()
+        return True
 
     def _bdir(self, root: str, key: str) -> str:
         """Deterministic per-batch subdirectory — the exactly-once unit."""
@@ -558,12 +662,11 @@ class IngestPipeline:
     def _read_state(self, path: str, schema: str) -> DataFrame:
         """Read a parquet state dir (flat compacted files and/or per-batch
         subdirectories), or an empty frame before its first write — the one
-        definition of 'state exists'."""
-        phys = self._phys(path)
-        if self.fs.isdir(phys) and self._has_parquet(phys):
-            return (self.spark.read.schema(schema)
-                    .option("recursiveFileLookup", "true").parquet(phys))
-        return self.spark.createDataFrame([], schema)
+        definition of 'state exists'. Per-batch subdirectories are gated
+        on their own ``_SUCCESS`` (see ``_read_state_excluding_keys``), so
+        a batch a concurrent writer is mid-way through writing — or crash
+        residue that never job-committed — is never read as state."""
+        return self._read_state_excluding_keys(path, schema, set())
 
     def _read_state_excluding(self, path: str, schema: str,
                               key: str) -> DataFrame:
@@ -574,22 +677,57 @@ class IngestPipeline:
         deterministic across attempts."""
         return self._read_state_excluding_keys(path, schema, {key})
 
-    def _read_state_excluding_keys(self, path: str, schema: str,
-                                   skip: set[str]) -> DataFrame:
+    def _committed_parts(self, path: str, skip: set[str]) -> list[str]:
+        """The read units of a state dir: flat root parquet files plus
+        per-batch subdirectories, COMMIT-GATED — a subdirectory without
+        its own job-commit marker is either mid-write (a concurrent
+        single writer) or crash residue that never committed, and its
+        part-files are not state. Spark moves task files in BEFORE
+        writing ``_SUCCESS``, so marker-present implies the directory's
+        content is complete; a reader that lists here sees each batch
+        atomically. Metadata-only (no Spark job)."""
         parts: list[str] = []
         phys = self._phys(path)
         for entry in self.fs.listdir(phys):
             if entry in skip or entry.startswith((".", "_")):
                 continue
             p = self.fs.join(phys, entry)
-            if self.fs.isdir(p) and self._has_parquet(p):
-                parts.append(p)
+            if self.fs.isdir(p):
+                if (self.fs.isfile(self.fs.join(p, "_SUCCESS"))
+                        and self._has_parquet(p)):
+                    parts.append(p)
             elif entry.endswith(".parquet"):
                 parts.append(p)
+        return parts
+
+    def _read_parts(self, parts: list[str], schema: str) -> DataFrame:
         if not parts:
             return self.spark.createDataFrame([], schema)
         return (self.spark.read.schema(schema)
                 .option("recursiveFileLookup", "true").parquet(*parts))
+
+    def _read_state_excluding_keys(self, path: str, schema: str,
+                                   skip: set[str]) -> DataFrame:
+        return self._read_parts(self._committed_parts(path, skip), schema)
+
+    def _stable_read(self, build):
+        """Run ``build(torn) -> value`` between two EQUAL commit
+        fingerprints — the consistency bracket of the reader/writer
+        contract. ``build`` must be metadata-only (listings, no Spark
+        jobs): a job inside the bracket takes seconds under load and
+        widens the very race the bracket exists to close. Commits/flips
+        are seconds apart on the writer while an attempt costs
+        milliseconds of stat calls, so exhaustion means something is
+        rewriting state pathologically — raise rather than serve a view
+        that may mix committed prefixes."""
+        for _ in range(8):
+            fp0 = self._commit_fingerprint()
+            out = build(self._torn_batch_keys())
+            if self._commit_fingerprint() == fp0:
+                return out
+        raise RuntimeError(
+            "state commits kept landing across 8 consistent-read "
+            "attempts; retry when the writer settles")
 
     def corpus(self) -> DataFrame:
         return self._read_state(self.corpus_dir, CORPUS_SCHEMA)
@@ -724,6 +862,8 @@ class IngestPipeline:
         keys: dict[str, list[int]] = {}
         corpus_phys = self._phys(self.corpus_dir)
         for entry in self.fs.listdir(corpus_phys):
+            if entry.startswith((".", "_")):
+                continue  # hidden: staged generations are not batch keys
             m = re.fullmatch(r"(.*?)(\d+)", entry)
             if m and self.fs.isdir(self.fs.join(corpus_phys, entry)):
                 keys.setdefault(m.group(1), []).append(int(m.group(2)))
@@ -756,7 +896,8 @@ class IngestPipeline:
                        for bid in bids}
         edges_phys = self._phys(self.edges_dir)
         for entry in self.fs.listdir(edges_phys):
-            if (re.fullmatch(r"(.*?)(\d+)", entry)
+            if (not entry.startswith((".", "_"))
+                    and re.fullmatch(r"(.*?)(\d+)", entry)
                     and entry not in corpus_keys
                     and self.fs.isdir(self.fs.join(edges_phys, entry))
                     and not self._write_committed(
@@ -810,6 +951,14 @@ class IngestPipeline:
         Invalidates any ``warm()`` snapshot first: the swap deletes the
         parquet directories the cached DataFrames' lineage points at, so
         a stale cache would FileNotFound on eviction or executor loss.
+
+        Consistency requirement: writer-side maintenance (this method and
+        the re-train) folds whatever the store LISTS, so the state store
+        must provide list-after-write consistency — true of POSIX, HDFS,
+        and today's object stores (S3 since 2020, GCS, ABFS). A stale
+        listing on a *reader* merely degrades that query to an earlier
+        committed prefix (tested); a stale listing under a *writer's*
+        fold could drop a committed batch from the new generation.
         """
         self.unwarm()
         self._finish_pending_retrain()
@@ -1181,15 +1330,27 @@ class IngestPipeline:
             self._assign(fresh, cents).write.mode("overwrite").parquet(
                 self._bdir(self.index_dir, key))
         else:
-            # per-batch subdirectory, not append: a replayed batch must
-            # rewrite its own assignment rows, not double-append them
-            self._assign(fresh, cents).write.mode("overwrite").parquet(
-                self._bdir(self.index_dir, key))
             if self.n_centroids is None:
                 n_corpus = self.corpus().count()  # parquet-footer count
                 n_cents = cents.count()
                 if self._target_centroids(n_corpus) >= 2 * n_cents:
+                    # Re-train INSTEAD of writing this batch's assignment
+                    # into the outgoing generation: the staged generation
+                    # already carries it (_retrain writes fresh under
+                    # <key> there), so the batch's index visibility
+                    # commits atomically WITH the new centroids at the
+                    # flip. Writing it here first would open a window
+                    # where a concurrent reader sees the batch's data
+                    # under the OLD centroid set — a routing state no
+                    # sequential batch boundary ever exposes (the batch
+                    # stays torn to readers until the flip; a crash
+                    # anywhere re-runs this branch deterministically).
                     self._retrain(fresh, key)
+                    return
+            # per-batch subdirectory, not append: a replayed batch must
+            # rewrite its own assignment rows, not double-append them
+            self._assign(fresh, cents).write.mode("overwrite").parquet(
+                self._bdir(self.index_dir, key))
 
     # --- IVF re-train (round-9) ---------------------------------------------
 
@@ -1259,22 +1420,38 @@ class IngestPipeline:
         pointer mode (object stores): the commit point is one atomic
         small-object write of ``_CURRENT`` naming the staged generation —
         no directory ever moves, so the protocol never leans on the
-        store's non-atomic O(data) rename. The superseded generation
-        (or, on the first flip, the root-level gen-0 files) is deleted
-        after the flip; a crash mid-cleanup leaves unreferenced litter
-        that the next swap's sweep removes, never readable state."""
+        store's non-atomic O(data) rename. Superseded generations are
+        swept after the flip, RETAINING the newest ``retain_generations``
+        of them (default 1): an in-flight reader planned against the
+        just-superseded generation finishes its scan on files that still
+        exist, and the retained generation is removed at a LATER flip.
+        A crash mid-cleanup leaves unreferenced litter that the next
+        swap's sweep removes, never readable state."""
         if self.commit_mode == "pointer":
-            old_phys = self._phys(live)
+            old_gen = self._gen_num(live)
             gen = nxt.rstrip("/").rsplit("/", 1)[-1]
+            m = re.fullmatch(r"\.gen-(\d+)", gen)
+            if m and old_gen >= int(m.group(1)):
+                # already published (e.g. another process's
+                # _finish_pending_retrain rolled this flip forward first):
+                # re-flipping is content-neutral, but re-SWEEPING from the
+                # advanced generation would delete the retained previous
+                # generation early, under any in-flight reader
+                return
             self.fs.write_text(self.fs.join(live, "_CURRENT"), gen)
+            # generations >= keep_floor survive this sweep (the root-level
+            # pre-pointer state counts as generation 0)
+            keep_floor = max(0, old_gen - self.retain_generations + 1)
             for entry in self.fs.listdir(live):
                 p = self.fs.join(live, entry)
                 if entry in (gen, "_CURRENT", "_CURRENT.tmp"):
                     continue
-                if old_phys == live and not entry.startswith((".", "_")):
-                    # first flip: gen-0 state lived at root level
-                    self.fs.rmtree(p)
-                elif re.fullmatch(r"\.gen-\d+", entry):
+                m = re.fullmatch(r"\.gen-(\d+)", entry)
+                if m:
+                    if int(m.group(1)) < keep_floor:
+                        self.fs.rmtree(p)
+                elif not entry.startswith((".", "_")) and keep_floor > 0:
+                    # root-level gen-0 state, past its retention window
                     self.fs.rmtree(p)
             return
         old = live + ".old"
@@ -1330,15 +1507,30 @@ class IngestPipeline:
         """
         self.unwarm()
         self._finish_pending_retrain()
-        corpus = self.corpus().cache()
+        # Consistent snapshot against a concurrent writer: one stable
+        # metadata bracket captures every view (torn-excluded, one
+        # committed prefix); the cache materialization happens OUTSIDE
+        # the bracket — the captured paths are immutable and generation
+        # retention keeps them alive across the writer's next flip.
+        token = [None]
+
+        def build(torn):
+            token[0] = self._commit_fingerprint()
+            corpus, cents, idx = self._probed_views(torn)
+            edges = self._read_state_excluding_keys(
+                self.edges_dir, EDGE_SCHEMA, torn)
+            return corpus, cents, idx, edges
+
+        corpus, cents, idx, edges = self._stable_read(build)
+        corpus = corpus.cache()
         n = corpus.count()
-        edges = self.edges().cache()
+        edges = edges.cache()
         ne = edges.count()
         self._warm = {"corpus": corpus, "edges": edges}
+        self._warm_token = token[0]
         sizes = {"corpus_rows": n, "edge_rows": ne}
-        cents = self.centroids()
-        if not cents.isEmpty():
-            idx = self.ivf_index().cache()
+        if cents is not None:
+            idx = idx.cache()
             ni = idx.count()
             if ni > 0:
                 cents = cents.cache()
@@ -1361,6 +1553,7 @@ class IngestPipeline:
             if isinstance(df, DataFrame):
                 df.unpersist()
         self._warm = {}
+        self._warm_token = None
 
     def _query_vec(self, text: str, modality: str) -> list | None:
         """Embed ONE query on the driver — the raw vector the serving
@@ -1414,7 +1607,9 @@ class IngestPipeline:
 
     def _probed_corpus(self, qv, probes: int | None = None,
                        require: bool = False,
-                       qv_raw: list | None = None) -> DataFrame:
+                       qv_raw: list | None = None,
+                       torn: set[str] | None = None,
+                       views: tuple | None = None) -> DataFrame:
         """The corpus restricted to the query's probed IVF cells — the one
         probing plan ``search_ivf`` and ``search(route="ivf")`` share.
         Falls back to the full corpus while the index hasn't bootstrapped
@@ -1422,25 +1617,38 @@ class IngestPipeline:
         ``require`` (a caller who EXPLICITLY asked for the probed route,
         e.g. ``search(route="ivf")``), where degrading to the full scan
         would silently pay exactly the latency the route exists to avoid:
-        raise instead, matching ``build_graph(method="ivf")``'s contract."""
+        raise instead, matching ``build_graph(method="ivf")``'s contract.
+
+        Cold reads are CONSISTENT against a concurrent writer (see the
+        class docstring's reader/writer contract): batches whose write
+        sequence hasn't fully committed are excluded (``torn``), and the
+        view listings run inside a ``_stable_read`` bracket — equal
+        commit fingerprints before and after prove no store commit,
+        pointer flip, or re-train landed while the views were being
+        listed, so they all belong to one committed prefix. A caller
+        that runs the bracket itself passes the ``views`` it captured
+        (``search``); plan ASSEMBLY (probe counts, joins) happens
+        outside the bracket — the captured physical paths are immutable
+        and generation retention keeps them alive across the next
+        flip."""
         if self._warm:
             corpus = self._warm["corpus"]
             cents = self._warm.get("centroids")
             idx = self._warm.get("index")
         else:
-            corpus = self.corpus()
-            cents = self.centroids()
-            if cents.isEmpty():
-                cents = idx = None
+            if views is not None:
+                corpus, cents, idx = views
+            elif torn is not None:
+                corpus, cents, idx = self._probed_views(torn)
             else:
-                idx = self.ivf_index()
-                # probe only when BOTH halves of the index exist —
-                # _update_index orders its writes so centroids imply
-                # members, but a reader of a half-built external directory
-                # still degrades to the full scan rather than semi-joining
-                # everything to an empty member set
-                if idx.isEmpty():
-                    cents = idx = None
+                corpus, cents, idx = self._stable_read(self._probed_views)
+            # emptiness degrade OUTSIDE the bracket (it runs a job; the
+            # pinned parts are immutable so the answer is stable): a
+            # committed-but-0-row index — e.g. a bootstrap whose only
+            # data batch is torn — must fall back to the full scan, not
+            # semi-join every query to an empty member set
+            if idx is not None and idx.isEmpty():
+                cents = idx = None
         if idx is None:
             if require:
                 raise ValueError(
@@ -1474,6 +1682,41 @@ class IngestPipeline:
             members = idx.join(
                 F.broadcast(probe_cids), "cid").select("doc_id")
         return corpus.join(F.broadcast(members), "doc_id", "left_semi")
+
+    def _probed_views(self, torn: set[str]):
+        """The (corpus, centroids, index) views one probed query reads,
+        all excluding the same uncommitted-batch set. METADATA-ONLY —
+        presence is decided from commit markers and listings, never an
+        ``isEmpty()`` job, so the whole call fits inside a
+        ``_stable_read`` bracket in milliseconds. Probing requires BOTH
+        halves of the index: ``_update_index`` orders its writes so
+        centroids imply members, but a reader of a half-built external
+        directory still degrades to the full scan rather than
+        semi-joining everything to an empty member set. The centroid
+        view is the one PAIRED with the live index generation: a
+        re-train publishes with two flips (index first, then centroids),
+        so a reader landing between them takes the staged NEW centroids
+        — the same non-mutating forward read ``_finish_pending_retrain``
+        would commit — instead of pairing OLD centroids with NEW cell
+        ids (cid meanings differ across generations)."""
+        corpus = self._read_state_excluding_keys(
+            self.corpus_dir, CORPUS_SCHEMA, torn)
+        cnext = self._staged_pending(self.centroids_dir)
+        if (cnext and not self._staged_pending(self.index_dir)
+                and self._write_committed_root(cnext)
+                and self._has_parquet(cnext)):
+            cents = (self.spark.read.schema(CENTROID_SCHEMA)
+                     .option("recursiveFileLookup", "true").parquet(cnext))
+        else:
+            cphys = self._phys(self.centroids_dir)
+            if not (self._write_committed_root(cphys)
+                    and self._has_parquet(cphys)):
+                return corpus, None, None
+            cents = self.centroids()
+        iparts = self._committed_parts(self.index_dir, torn)
+        if not iparts:
+            return corpus, None, None
+        return corpus, cents, self._read_parts(iparts, INDEX_SCHEMA)
 
     @staticmethod
     def _probe_cids_local(crows: list, vec: list, probes: int) -> list[int]:
@@ -1989,13 +2232,40 @@ class IngestPipeline:
         k = k or self.k
         vec = self._query_vec(text, modality)
         qv = None if vec is None else F.lit(vec)
-        if route == "exact" or qv is None:
-            corpus = self._warm["corpus"] if self._warm else self.corpus()
+        # One torn set for EVERY state read in this query, validated by a
+        # stable commit fingerprint around the whole plan construction:
+        # the corpus, index, and edge views must come from the SAME
+        # committed-batch prefix — a writer commits a batch's stores one
+        # after another (corpus, then edges seconds later, then the index
+        # assignment), and views listed at different instants could
+        # otherwise mix prefixes (e.g. an expansion edge surfacing a doc
+        # the corpus view doesn't hold — a state no sequential execution
+        # ever produces).
+        if self._warm:
+            if route == "exact" or qv is None:
+                corpus = self._warm["corpus"]
+            else:
+                corpus = self._probed_corpus(qv, probes,
+                                             require=(route == "ivf"),
+                                             qv_raw=vec)
+            edges = self._warm["edges"]
         else:
-            corpus = self._probed_corpus(qv, probes,
-                                         require=(route == "ivf"),
-                                         qv_raw=vec)
-        edges = self._warm["edges"] if self._warm else self.edges()
+            exact = route == "exact" or qv is None
+
+            def build(torn):
+                return (
+                    self._read_state_excluding_keys(
+                        self.corpus_dir, CORPUS_SCHEMA, torn)
+                    if exact else self._probed_views(torn),
+                    self._read_state_excluding_keys(
+                        self.edges_dir, EDGE_SCHEMA, torn),
+                )
+
+            captured, edges = self._stable_read(build)
+            corpus = (captured if exact else
+                      self._probed_corpus(qv, probes,
+                                          require=(route == "ivf"),
+                                          qv_raw=vec, views=captured))
         if qv is None:
             cand = self.spark.createDataFrame(
                 [], "qid bigint, qm string, doc_id bigint, modality string, "
@@ -2052,9 +2322,15 @@ def _facade_submit(self, text: str, modality: str = "text",
 
 def _facade_graph_data(self):
     """`/graph-data` analog (main.py:170-204): hydrated nodes + edges whose
-    endpoints both survive hydration against the corpus."""
-    edges = self.edges()
-    corpus = self.corpus().select("doc_id", "modality")
+    endpoints both survive hydration against the corpus. Both reads share
+    one committed-batch prefix (same ``torn`` set), so a render racing a
+    concurrent ingest never sees a batch's edges without its nodes."""
+    edges, corpus = self._stable_read(lambda torn: (
+        self._read_state_excluding_keys(self.edges_dir, EDGE_SCHEMA, torn),
+        self._read_state_excluding_keys(
+            self.corpus_dir, CORPUS_SCHEMA, torn).select(
+            "doc_id", "modality"),
+    ))
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst")))

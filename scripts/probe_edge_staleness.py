@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Bulk-edge staleness probe (r10 verdict item 5).
+
+The append-only edge-freshness contract is pinned by test: incremental
+(``process_batch``) edges are exact for each ingested doc, while
+bulk-built (``build_graph``) edges are NOT recomputed as later ingests
+land — an old doc's best-k neighborhood can drift as new docs displace
+its bulk-era neighbors, and only the new docs' own submit-path edges
+connect the eras. This probe puts a NUMBER on that drift, and on what a
+refresh buys back:
+
+  - build a base corpus with ``bulk_load`` + ``build_graph`` (the 100 TB
+    bootstrap path), then ingest +10% / +25% / +50% new docs through the
+    full submit path (edges built per batch);
+  - at each checkpoint, measure expansion recall@k of full ``search``
+    responses over the AGED graph vs a FRESH ``build_graph`` rebuild on
+    an identical corpus copy (candidates are identical by construction —
+    same corpus — so the delta isolates the edge store);
+  - then run the refresh (``build_graph`` again on the aged store — it
+    appends a new g<n> pass) and measure recall again + its cost.
+
+Usage:
+    python3 scripts/probe_edge_staleness.py --factor 10
+    python3 scripts/probe_edge_staleness.py --factor 10 --fracs 0.1,0.5
+
+Emits one JSON document with a row per checkpoint; exit 0 always (this
+is a measurement, not a gate) unless the run itself fails.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from multi_model_vectorsearch_spark import get_spark, load_tables  # noqa: E402
+from multi_model_vectorsearch_spark.streaming.ingest import (  # noqa: E402
+    IngestPipeline,
+)
+
+
+def docs_frame(spark, sf_dir: str):
+    return load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text",
+        F.element_at(F.array(F.lit("text"), F.lit("image"), F.lit("audio")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+    )
+
+
+def expansion_ids(pipe: IngestPipeline, queries: list[str], k: int):
+    return {q: [r.id for r in pipe.search(q, k=k).collect()]
+            for q in queries}
+
+
+def recall(aged: dict, fresh: dict, k: int) -> float:
+    hits = total = 0
+    for q, ids in fresh.items():
+        hits += len(set(ids) & set(aged[q]))
+        total += len(ids)
+    return round(hits / max(total, 1), 4)
+
+
+def fresh_rebuild(spark, src_state: str, method: str) -> IngestPipeline:
+    """Identical corpus, edges rebuilt from scratch — the comparison arm.
+    Copies the state tree, wipes the edge store, re-runs build_graph."""
+    dst = tempfile.mkdtemp(prefix="stale_fresh_")
+    os.rmdir(dst)
+    shutil.copytree(src_state, dst)
+    pipe = IngestPipeline(spark, dst, k=10, maintain_ivf=True,
+                          n_centroids=None, max_collect=16384)
+    pipe.fs.rmtree(pipe.edges_dir)
+    pipe.build_graph(method=method)
+    return pipe
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--fracs", default="0.1,0.25,0.5")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--queries", type=int, default=24)
+    ap.add_argument("--method", default="cells",
+                    help="build_graph scorer for bulk + rebuild arms")
+    ap.add_argument("--batch-rows", type=int, default=250)
+    args = ap.parse_args()
+
+    spark = get_spark("probe-edge-staleness")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.factor == 1:
+        data_dir = args.sf_dir
+    else:
+        from scale_probe import synthesize
+
+        data_dir = f"/tmp/stale_f{args.factor}"
+        if not os.path.isdir(data_dir):
+            synthesize(spark, args.sf_dir, data_dir, args.factor,
+                       pair_density="constant")
+    docs = docs_frame(spark, data_dir)
+    n_all = docs.count()
+    n_base = int(n_all / 1.5)  # leaves +50% headroom for the ingests
+    base = docs.filter(F.col("doc_id") % 3_000_000_007 % n_all < n_base)
+    # deterministic but interleaved split: new docs are spread across the
+    # id (and thus embedding) space, not one contiguous tail cluster
+    newdocs = docs.subtract(base)
+
+    work = tempfile.mkdtemp(prefix="stale_state_")
+    state = os.path.join(work, "state")
+    pipe = IngestPipeline(spark, state, k=10, maintain_ivf=True,
+                          n_centroids=None, max_collect=16384)
+    t0 = time.perf_counter()
+    pipe.bulk_load(base)
+    gkey = pipe.build_graph(method=args.method)
+    bulk_sec = round(time.perf_counter() - t0, 1)
+    n0 = pipe.corpus().count()
+
+    # probe queries: half old-era docs, half new-era texts (new docs'
+    # neighborhoods exist only via their own submit edges)
+    oldq = [r.text for r in base.orderBy("doc_id")
+            .limit(args.queries // 2).collect()]
+    newq = [r.text for r in newdocs.orderBy("doc_id")
+            .limit(args.queries - len(oldq)).collect()]
+
+    new_rows = newdocs.orderBy("doc_id").collect()
+    fracs = [float(x) for x in args.fracs.split(",")]
+    rows, ingested = [], 0
+    bi = 0
+    for frac in fracs:
+        target = int(n0 * frac)
+        while ingested < target and ingested < len(new_rows):
+            chunk = new_rows[ingested:ingested + args.batch_rows]
+            b = spark.createDataFrame(
+                [(r.doc_id, r.text, r.modality) for r in chunk],
+                "doc_id bigint, text string, modality string")
+            pipe.process_batch(b, bi, key=f"n{bi}")
+            bi += 1
+            ingested += len(chunk)
+        queries = oldq + newq[: max(1, int(len(newq)
+                                          * ingested / int(n0 * 0.5)))]
+        aged = expansion_ids(pipe, queries, args.k)
+        fresh = fresh_rebuild(spark, state, args.method)
+        fref = expansion_ids(fresh, queries, args.k)
+        r_all = recall(aged, fref, args.k)
+        r_old = recall({q: aged[q] for q in oldq},
+                       {q: fref[q] for q in oldq}, args.k)
+        # refresh: append a new build_graph pass over the aged store
+        t0 = time.perf_counter()
+        rkey = pipe.build_graph(method=args.method)
+        refresh_sec = round(time.perf_counter() - t0, 1)
+        refreshed = expansion_ids(pipe, queries, args.k)
+        r_refreshed = recall(refreshed, fref, args.k)
+        rows.append({
+            "frac_ingested": round(ingested / n0, 3),
+            "n_docs": int(pipe.corpus().count()),
+            "edge_rows": int(pipe.edges().count()),
+            "recall_aged_all": r_all, "recall_aged_oldq": r_old,
+            "recall_after_refresh": r_refreshed,
+            "refresh_sec": refresh_sec, "refresh_key": rkey,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+        shutil.rmtree(fresh.corpus_dir.rsplit("/", 1)[0],
+                      ignore_errors=True)
+
+    out = {"metric": "edge_staleness", "factor": args.factor,
+           "n_base": n0, "bulk_sec": bulk_sec, "bulk_key": gkey,
+           "k": args.k, "method": args.method, "rows": rows}
+    print(json.dumps(out), flush=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -97,8 +97,9 @@ def test_statefs_routing_and_commit_mode(spark, tmp_path):
 def test_pointer_compact_matches_rename_compact(spark, tables, tmp_path):
     """The generation-pointer compact publishes byte-identical state to
     the rename compact, flips atomically (a _CURRENT file names the live
-    generation), sweeps the superseded generation, and keeps advancing
-    across repeated compactions."""
+    generation), and sweeps superseded generations on the RETENTION
+    schedule: the just-superseded generation survives one more flip (so
+    in-flight concurrent readers finish their scans), older ones go."""
     docs = _moddocs(tables, 40)
     b0 = docs.filter(F.col("doc_id") < 20)
     b1 = docs.filter(F.col("doc_id") >= 20)
@@ -118,18 +119,37 @@ def test_pointer_compact_matches_rename_compact(spark, tables, tmp_path):
     assert snap(ptr) == snap(ref)
     cur = ptr.fs.read_text(ptr.fs.join(ptr.corpus_dir, "_CURRENT"))
     assert cur == ".gen-1"
-    # gen-0 root-level state was swept: only the pointer + live gen remain
+    # retention (default 1): the superseded root-level gen-0 state is
+    # KEPT through this flip — an in-flight reader may still be scanning
+    # it — and logical reads resolve through the pointer regardless
     visible = [e for e in ptr.fs.listdir(ptr.corpus_dir)
                if not e.startswith(("_", "."))]
-    assert visible == []
-    # a second compact advances the generation and removes the old one
+    assert visible != [], "gen-0 retained for in-flight readers"
+    assert ptr.corpus().count() == 40  # reads resolve to .gen-1 only
+    # a second compact advances the generation; gen-0 (two flips old) is
+    # now swept, .gen-1 enters its retention window
     ptr.process_batch(b0.limit(5).withColumn(
         "text", F.concat(F.col("text"), F.lit(" v2"))), 2)
     ptr.compact()
     assert ptr.fs.read_text(
         ptr.fs.join(ptr.corpus_dir, "_CURRENT")) == ".gen-2"
-    assert not ptr.fs.isdir(ptr.fs.join(ptr.corpus_dir, ".gen-1"))
+    assert ptr.fs.isdir(ptr.fs.join(ptr.corpus_dir, ".gen-1"))
+    visible = [e for e in ptr.fs.listdir(ptr.corpus_dir)
+               if not e.startswith(("_", "."))]
+    assert visible == [], "gen-0 root-level state swept at the 2nd flip"
     assert ptr.corpus().count() == 45
+
+    # retain_generations=0 restores the immediate sweep (single-actor)
+    imm = IngestPipeline(spark, str(tmp_path / "imm"), k=5,
+                         commit_mode="pointer", retain_generations=0)
+    imm.process_batch(b0, 0)
+    imm.compact()
+    assert [e for e in imm.fs.listdir(imm.corpus_dir)
+            if not e.startswith(("_", "."))] == []
+    imm.process_batch(b1, 1)
+    imm.compact()
+    assert not imm.fs.isdir(imm.fs.join(imm.corpus_dir, ".gen-1"))
+    assert imm.corpus().count() == 40
 
 
 def test_pointer_torn_batch_survives_compact_and_replays(
@@ -393,5 +413,204 @@ def test_exhaustive_crash_sweep_over_retrain_batch(spark, tables, tmp_path,
         recovered = mk(state)  # the restarted process
         recovered.process_batch(b1, 1)  # at-least-once replay
         assert snap(recovered) == want, f"divergence at crash point {k}"
-    assert k >= (8 if commit_mode == "pointer" else 10), \
+    # pointer mode now mutates only 4 times per re-train batch (staging
+    # cleanup + two pointer writes + the retention-scheduled sweep keeps
+    # gen-0 in place on a first flip — fewer deletes than the r10 count
+    # of 8); rename mode still walks the full rename/delete dance
+    assert k >= (4 if commit_mode == "pointer" else 10), \
         "sweep must have exercised the full mutation sequence"
+
+
+class _FlakyObjectFS(LocalStateFS):
+    """Object-store semantics emulated over a local tree (r10 verdict
+    item 4 — real S3/HDFS is unavailable offline, so fault injection at
+    the adapter seam is the testable proxy):
+
+    - ``atomic_rename = False`` → ``commit_mode="auto"`` resolves to the
+      generation-pointer protocol, exactly as for ``s3a://`` roots;
+    - ``write_text`` is a direct single-object overwrite PUT (the same
+      branch HadoopStateFS takes on those schemes) — no rename involved;
+    - ``rename`` is the store's true shape — a non-atomic copy-then-
+      delete — and can be forced to fail outright or die midway, leaving
+      a partial destination and an intact source;
+    - ``listdir`` can serve one stale (pre-recorded) snapshot per path,
+      modelling an eventually-consistent listing on a read path.
+    """
+
+    atomic_rename = False
+
+    def __init__(self, rename_mode: str = "ok"):
+        self.rename_mode = rename_mode
+        self.renames = 0
+        self.stale: dict[str, list[str]] = {}
+
+    def rename(self, src, dst):
+        import shutil
+
+        self.renames += 1
+        if self.rename_mode == "fail":
+            raise OSError("injected: object-store rename unavailable")
+        if self.rename_mode == "partial":
+            # copy-and-delete that dies midway: dst holds a partial copy,
+            # src survives (nothing was deleted yet)
+            files = []
+            for root, _dirs, fs in os.walk(src):
+                files += [os.path.join(root, f) for f in sorted(fs)]
+            for f in files[: max(len(files) // 2, 1)]:
+                rel = os.path.relpath(f, src)
+                tgt = os.path.join(dst, rel)
+                os.makedirs(os.path.dirname(tgt), exist_ok=True)
+                shutil.copy2(f, tgt)
+            raise OSError("injected: copy-rename died midway")
+        super().rename(src, dst)
+
+    def listdir(self, path):
+        if path in self.stale:
+            return self.stale.pop(path)
+        return super().listdir(path)
+
+    @staticmethod
+    def write_text(path, content):
+        # single-object overwrite PUT: atomic per object, no rename
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w", encoding="utf8") as f:
+            f.write(content)
+
+
+def test_pointer_protocol_never_trusts_rename(spark, tables, tmp_path):
+    """The full writer lifecycle — bootstrap ingest, IVF re-train,
+    compact, probed serving — must succeed on a store whose rename
+    ALWAYS fails: the pointer protocol's only commit primitive is the
+    atomic small-object PUT of ``_CURRENT``. (Renames appear in the
+    pointer path solely as compact's torn-directory carry, exercised in
+    the partial-rename test below.)"""
+    docs = _moddocs(tables, 360)
+    fs = _FlakyObjectFS(rename_mode="fail")
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16, fs=fs)
+    assert pipe.commit_mode == "pointer"
+    pipe.process_batch(docs.filter(F.col("doc_id") < 20), 0)
+    pipe.process_batch(docs.filter(F.col("doc_id") >= 20), 1)  # re-trains
+    assert pipe._gen_num(pipe.index_dir) >= 1, "re-train flipped by PUT"
+    pipe.compact()
+    assert pipe._gen_num(pipe.corpus_dir) >= 1
+    n = pipe.corpus().count()
+    assert n == 360
+    sample = docs.orderBy("doc_id").first()
+    rows = pipe.search_ivf(sample.text, k=6).collect()
+    assert rows[0].s == 1.0
+    assert fs.renames == 0, "no state op may even ATTEMPT a rename"
+
+
+def test_rename_mode_fails_loudly_on_object_store(spark, tables, tmp_path):
+    """Forcing commit_mode='rename' onto a copy-based store must surface
+    the store's failure as an exception at the swap — never a silently
+    half-applied commit (the staged build stays, the live dir is never
+    a partial mixture)."""
+    docs = _moddocs(tables, 40)
+    fs = _FlakyObjectFS(rename_mode="partial")
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5, fs=fs,
+                          commit_mode="rename")
+    pipe.process_batch(docs, 0)
+    before = sorted(map(tuple, pipe.corpus().collect()))
+    with pytest.raises(OSError, match="injected"):
+        pipe.compact()
+    # loud, and the live state is still the pre-compact content
+    assert sorted(map(tuple, pipe.corpus().collect())) == before
+
+
+def test_pointer_compact_partial_carry_recovers(spark, tables, tmp_path):
+    """compact()'s one rename in pointer mode — carrying a torn batch's
+    subdirectory into the staged generation — dying midway on a
+    copy-based store: the pointer never flipped, so live state is
+    untouched; the batch replays against the CURRENT generation and the
+    next compact re-stages from scratch (its rmtree clears the partial
+    litter), converging to the uninterrupted run's state without ever
+    needing a working rename again."""
+    docs = _moddocs(tables, 40)
+    b0 = docs.filter(F.col("doc_id") < 20)
+    b1 = docs.filter(F.col("doc_id") >= 20)
+
+    ref = IngestPipeline(spark, str(tmp_path / "ref"), k=5)
+    ref.process_batch(b0, 0)
+    ref.process_batch(b1, 1)
+    ref.compact()
+
+    fs = _FlakyObjectFS(rename_mode="partial")
+    pipe = IngestPipeline(spark, str(tmp_path / "obj"), k=5, fs=fs)
+    assert pipe.commit_mode == "pointer"
+    pipe.process_batch(b0, 0)
+    orig = pipe.knn_against_corpus
+
+    def dying(*a, **kw):
+        raise RuntimeError("injected crash after corpus write")
+
+    pipe.knn_against_corpus = dying
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.process_batch(b1, 1)
+    pipe.knn_against_corpus = orig
+    assert pipe._torn_batch_keys() == {"b1"}
+
+    with pytest.raises(OSError, match="midway"):
+        pipe.compact()  # the torn-dir carry rename dies
+    # pointer never flipped; live state intact and b1 still replayable
+    # (the raw corpus accessor shows b1's committed corpus store — 40
+    # rows — while the consistent serving view still excludes the torn
+    # batch entirely)
+    assert pipe._gen_num(pipe.corpus_dir) == 0
+    assert pipe.corpus().count() == 40
+    q0 = b0.orderBy("doc_id").first()
+    served = {r.id for r in pipe.search(q0.text, k=5).collect()}
+    assert served and all(v < 20 for v in served), \
+        "serving must exclude the torn batch's docs"
+    pipe.process_batch(b1, 1)  # the checkpoint replay
+    assert pipe._torn_batch_keys() == set()
+    pipe.compact()  # no torn dirs left -> no carry -> no rename needed
+
+    def snap(p):
+        return (sorted(map(tuple, p.corpus().collect())),
+                sorted(map(tuple, p.edges().collect())))
+
+    assert snap(pipe) == snap(ref)
+    assert pipe._gen_num(pipe.corpus_dir) == 1
+
+
+def test_stale_listing_on_reader_degrades_to_prefix(spark, tables,
+                                                    tmp_path):
+    """A stale (eventually-consistent) LISTING on a serving read may hide
+    the newest committed batch — the response must then equal the
+    previous committed prefix, never an error or a mixture. (Writer-side
+    ops require list-after-write consistency — true of today's S3, GCS,
+    and ABFS — documented on compact().)"""
+    docs = _moddocs(tables, 60)
+    b0 = docs.filter(F.col("doc_id") < 30)
+    b1 = docs.filter(F.col("doc_id") >= 30)
+    fs = _FlakyObjectFS()
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=6, fs=fs)
+    pipe.process_batch(b0, 0)
+    q = docs.orderBy("doc_id").first().text
+    resp_prefix = [tuple(r) for r in pipe.search(q, k=6).collect()]
+    pipe.process_batch(b1, 1)
+    resp_full = [tuple(r) for r in pipe.search(q, k=6).collect()]
+
+    # arm a one-shot stale listing for every consistent-read listdir of
+    # the corpus and edge stores: the reader sees the pre-b1 snapshot
+    stale_corpus = [e for e in fs.listdir(pipe.corpus_dir) if e != "b1"]
+    stale_edges = [e for e in fs.listdir(pipe.edges_dir) if e != "b1"]
+    # serve stale consistently across the fingerprint brackets + reads
+    real_listdir = fs.listdir
+    hidden = {pipe.corpus_dir: stale_corpus, pipe.edges_dir: stale_edges}
+
+    def stale_listdir(path):
+        if path in hidden:
+            return list(hidden[path])
+        return real_listdir(path)
+
+    fs.listdir = stale_listdir
+    try:
+        resp_stale = [tuple(r) for r in pipe.search(q, k=6).collect()]
+    finally:
+        fs.listdir = real_listdir
+    assert resp_stale == resp_prefix
+    assert [tuple(r) for r in pipe.search(q, k=6).collect()] == resp_full

@@ -1739,3 +1739,83 @@ def test_build_graph_cells_blocked_matches_single_task(
     auto_whole = edges_of("aw", None, None)
     auto_blocked = edges_of("ab", None, 12)
     assert auto_blocked == auto_whole and len(auto_whole) > 0
+
+
+def test_serve_during_mutate_linearizable(spark, tables, tmp_path):
+    """r10 verdict item 1 (serve-during-mutate): continuous ``search_ivf``
+    clients run WHILE a writer ingests batches (one of which forces an
+    IVF re-train) and finally compacts — the reference interleaves
+    /search and /submit freely, so the engine must too. Contract: zero
+    failed queries, and every response equals the exact response over
+    SOME committed-batch prefix of the writer's sequence (linearizable
+    at batch granularity). The valid-response set comes from a
+    sequential twin run over the same batches — process_batch is
+    deterministic, so the twin's per-prefix responses are byte-identical
+    to what the live state serves at each boundary."""
+    import threading
+    import time
+
+    from pyspark import InheritableThread
+
+    batches = [_mk_docs(tables, 0, 48),     # b0: bootstraps the IVF index
+               _mk_docs(tables, 48, 68),
+               _mk_docs(tables, 68, 88),
+               _mk_docs(tables, 88, 240)]   # b3: crosses the 2x re-train
+
+    def mk(d):
+        return IngestPipeline(spark, str(d), k=6, maintain_ivf=True,
+                              n_centroids=None, ivf_bootstrap=16,
+                              commit_mode="pointer")
+
+    query = _mk_docs(tables, 0, 1).first().text
+
+    def resp(pipe):
+        return tuple((r.doc_id, r.s)
+                     for r in pipe.search_ivf(query, k=6).collect())
+
+    # sequential twin: the set of valid (prefix-state) responses
+    twin = mk(tmp_path / "twin")
+    valid = set()
+    for i, b in enumerate(batches):
+        twin.process_batch(b, i)
+        valid.add(resp(twin))
+    twin.compact()
+    valid.add(resp(twin))  # content-neutral; pins the post-compact read
+    c_twin = twin.centroids().count()
+    assert c_twin >= 2 * twin._target_centroids(48) - 2, \
+        "fixture must actually have re-trained"
+
+    # live run: writer mutates while two reader pipelines serve
+    writer = mk(tmp_path / "live")
+    writer.process_batch(batches[0], 0)
+
+    stop = threading.Event()
+    results: list[tuple] = []
+    errors: list[Exception] = []
+
+    def serve():
+        reader = mk(tmp_path / "live")  # own pipeline object, cold reads
+        while not stop.is_set():
+            try:
+                results.append(resp(reader))
+            except Exception as e:  # noqa: BLE001 - collecting for assert
+                errors.append(e)
+                return
+
+    threads = [InheritableThread(target=serve) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for i, b in enumerate(batches[1:], start=1):
+        writer.process_batch(b, i)
+    writer.compact()
+    time.sleep(2.0)  # a few post-mutation queries
+    stop.set()
+    for t in threads:
+        t.join(timeout=120)
+
+    assert not errors, f"queries failed during mutation: {errors[:3]}"
+    assert len(results) >= 4, "readers must have actually served"
+    invalid = [r for r in set(results) if r not in valid]
+    assert not invalid, (
+        f"{len(invalid)} response(s) match no committed-batch prefix: "
+        f"{invalid[:2]} — valid prefixes: {sorted(valid)[:2]}...")
