@@ -344,6 +344,7 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--cpus", type=int, default=12)
     ap.add_argument("--worker-cpus", type=int, default=12)
+    ap.add_argument("--worker-mem", default="6g")
     ap.add_argument("--queries-file")
     ap.add_argument("--fresh-text-file")
     ap.add_argument("--rewarm", action="store_true")
@@ -355,6 +356,15 @@ def main() -> int:
                     action="store_false")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
+    if args.role in ("server", "writer"):
+        # worker JVMs pin the warm corpus in storage memory (~200 MB per
+        # 50k docs at dim 512); the 1g local-mode default thrashes the
+        # cache and serves every query off disk. Must be set via
+        # PYSPARK_SUBMIT_ARGS — local-mode driver memory is fixed at JVM
+        # launch, programmatic SparkConf is too late.
+        os.environ.setdefault(
+            "PYSPARK_SUBMIT_ARGS",
+            f"--driver-memory {args.worker_mem} pyspark-shell")
     if args.role == "server":
         return role_server(args)
     if args.role == "writer":
