@@ -33,6 +33,39 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+def ship_package(spark: SparkSession) -> str:
+    """Make the engine importable on executor-side Python workers.
+
+    ``local[n]`` runs every Python UDF in the driver process, where this
+    package is already on sys.path — which silently masks the real
+    deployment requirement: on any MULTI-JVM master (local-cluster,
+    standalone, YARN, k8s) executors spawn their own Python workers, and
+    a pandas UDF whose closure references the package by module (e.g.
+    the embedding surface) fails at cloudpickle load with
+    ModuleNotFoundError. This is the standard ``--py-files`` ship, done
+    programmatically: zip the package's .py tree and ``addPyFile`` it,
+    so every executor worker can import it. Idempotent per session
+    (addPyFile de-dups by filename); call after session creation on any
+    non-local master — ``get_spark`` does it automatically. Returns the
+    zip path."""
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(),
+                       "multi_model_vectorsearch_spark_pkg.zip")
+    with zipfile.ZipFile(out, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    p = os.path.join(dirpath, f)
+                    arc = os.path.join("multi_model_vectorsearch_spark",
+                                       os.path.relpath(p, pkg_root))
+                    z.write(p, arc)
+    spark.sparkContext.addPyFile(out)
+    return out
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (idempotent)."""
     for key, value in RUNTIME_CONFS.items():
@@ -88,4 +121,9 @@ def get_spark(app_name: str = "multi_model_vectorsearch_spark",
         builder = builder.config("spark.scheduler.mode", "FAIR")
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
-    return configure(builder.getOrCreate())
+    spark = configure(builder.getOrCreate())
+    if not master.startswith("local["):
+        # multi-JVM master: executor Python workers must be able to
+        # import this package at UDF deserialization (see ship_package)
+        ship_package(spark)
+    return spark

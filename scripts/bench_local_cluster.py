@@ -39,6 +39,12 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--entries", type=int, default=30)
     ap.add_argument("--master", default="local-cluster[2,8,4096]")
+    ap.add_argument("--extra", default=(
+        "dq29_knn_topk,dq30_l2_normalize,dq31_knn_join,"
+        "dq32_modality_balanced_topk,dq33_build_edges,dq34_expand,"
+        "dq48_embed_stub,dq52_centroid_applyinpandas,"
+        "dq40_minhash_signatures,dq41_minhash_lsh_pairs,"
+        "dq47_ivf_knn,dq63_bm25_topk,dq64_hybrid_rrf"))
     args = ap.parse_args()
 
     spark = (
@@ -53,11 +59,24 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     from multi_model_vectorsearch_spark import dq, load_tables
+    from multi_model_vectorsearch_spark.session import ship_package
+
+    # executor Python workers must import the package at UDF
+    # deserialization on a multi-JVM master — the probe that caught the
+    # gap: dq48's pandas-UDF closure references the package by module
+    ship_package(spark)
 
     tables = load_tables(spark, args.sf_dir)
     # the driver's oracle gate checks the first 50 registry entries (the
-    # pinned gate order); this subset is its first --entries of them
-    sample = dq.registry()[: args.entries]
+    # pinned gate order); this subset is its first --entries of them,
+    # plus --extra names — by default the Arrow-kernel entries (pandas
+    # UDF embed, applyInPandas centroids/KNN, graph expansion), which are
+    # exactly the plans that cross executor-JVM serialization boundaries
+    registry = dq.registry()
+    sample = registry[: args.entries]
+    have = {e.name for e in sample}
+    extra = [x for x in args.extra.split(",") if x and x not in have]
+    sample += [e for e in registry if e.name in extra]
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}

@@ -68,15 +68,17 @@ def recall(aged: dict, fresh: dict, k: int) -> float:
     return round(hits / max(total, 1), 4)
 
 
-def fresh_rebuild(spark, src_state: str, method: str) -> IngestPipeline:
-    """Identical corpus, edges rebuilt from scratch — the comparison arm.
-    Copies the state tree, wipes the edge store, re-runs build_graph."""
+def fresh_rebuild(spark, docs_df, method: str) -> IngestPipeline:
+    """Identical corpus CONTENT, state built from scratch (bulk_load of
+    the same docs — embeddings are deterministic — then one build_graph
+    pass): the all-current-docs reference edge store. Wiping just the
+    edge store of a copied state would instead mark every batch torn
+    (per-key edge markers gone) and serve nothing."""
     dst = tempfile.mkdtemp(prefix="stale_fresh_")
-    os.rmdir(dst)
-    shutil.copytree(src_state, dst)
-    pipe = IngestPipeline(spark, dst, k=10, maintain_ivf=True,
-                          n_centroids=None, max_collect=16384)
-    pipe.fs.rmtree(pipe.edges_dir)
+    pipe = IngestPipeline(spark, os.path.join(dst, "state"), k=10,
+                          maintain_ivf=True, n_centroids=None,
+                          max_collect=16384)
+    pipe.bulk_load(docs_df)
     pipe.build_graph(method=method)
     return pipe
 
@@ -147,7 +149,11 @@ def main() -> int:
         queries = oldq + newq[: max(1, int(len(newq)
                                           * ingested / int(n0 * 0.5)))]
         aged = expansion_ids(pipe, queries, args.k)
-        fresh = fresh_rebuild(spark, state, args.method)
+        cur_rows = new_rows[:ingested]
+        cur_docs = base.unionByName(spark.createDataFrame(
+            [(r.doc_id, r.text, r.modality) for r in cur_rows],
+            "doc_id bigint, text string, modality string"))
+        fresh = fresh_rebuild(spark, cur_docs, args.method)
         fref = expansion_ids(fresh, queries, args.k)
         r_all = recall(aged, fref, args.k)
         r_old = recall({q: aged[q] for q in oldq},
@@ -167,7 +173,7 @@ def main() -> int:
             "refresh_sec": refresh_sec, "refresh_key": rkey,
         })
         print(json.dumps(rows[-1]), flush=True)
-        shutil.rmtree(fresh.corpus_dir.rsplit("/", 1)[0],
+        shutil.rmtree(fresh.corpus_dir.rsplit("/", 2)[0],
                       ignore_errors=True)
 
     out = {"metric": "edge_staleness", "factor": args.factor,
