@@ -1819,3 +1819,63 @@ def test_serve_during_mutate_linearizable(spark, tables, tmp_path):
     assert not invalid, (
         f"{len(invalid)} response(s) match no committed-batch prefix: "
         f"{invalid[:2]} — valid prefixes: {sorted(valid)[:2]}...")
+
+
+def test_warm_reader_rewarm_across_writer_flips(spark, tables, tmp_path):
+    """A WARM serving reader polling ``maybe_rewarm()`` while a separate
+    writer pipeline (same process here; the cross-process twin is
+    scripts/probe_multi_driver.py) lands batches, a re-train, and a
+    compact over the same state root: every response must be a committed
+    prefix's response, the reader must converge to the final state, and
+    the retention contract must keep the reader's cached lineage alive
+    across the writer's flips."""
+    batches = [_mk_docs(tables, 0, 48),
+               _mk_docs(tables, 48, 88),
+               _mk_docs(tables, 88, 240)]  # crosses the 2x re-train
+
+    def mk(d):
+        return IngestPipeline(spark, str(d), k=6, maintain_ivf=True,
+                              n_centroids=None, ivf_bootstrap=16,
+                              commit_mode="pointer")
+
+    query = _mk_docs(tables, 0, 1).first().text
+
+    def resp(pipe):
+        return tuple((r.doc_id, r.s)
+                     for r in pipe.search_ivf(query, k=6).collect())
+
+    twin = mk(tmp_path / "twin")
+    valid = set()
+    for i, b in enumerate(batches):
+        twin.process_batch(b, i)
+        valid.add(resp(twin))
+    twin.compact()
+    valid.add(resp(twin))
+    assert twin._gen_num(twin.index_dir) >= 1, "fixture must re-train"
+
+    writer = mk(tmp_path / "live")
+    writer.process_batch(batches[0], 0)
+    reader = mk(tmp_path / "live")
+    reader.warm()
+    rewarms = 0
+    seen = [resp(reader)]
+    for i, b in enumerate(batches[1:], start=1):
+        writer.process_batch(b, i)
+        # stale warm read BEFORE the poll: must still be a valid prefix
+        # (the writer's flips must not kill the cached lineage)
+        seen.append(resp(reader))
+        if reader.maybe_rewarm():
+            rewarms += 1
+        seen.append(resp(reader))
+    writer.compact()
+    if reader.maybe_rewarm():
+        rewarms += 1
+    final = resp(reader)
+    seen.append(final)
+
+    assert rewarms >= 2, "the poll must have observed the writer's commits"
+    bad = [r for r in seen if r not in valid]
+    assert not bad, f"{len(bad)} warm response(s) match no prefix: {bad[:1]}"
+    assert final == resp(twin), "converges to the writer's final state"
+    # a second poll with no writer activity is a no-op
+    assert reader.maybe_rewarm() is False
