@@ -1879,3 +1879,45 @@ def test_warm_reader_rewarm_across_writer_flips(spark, tables, tmp_path):
     assert final == resp(twin), "converges to the writer's final state"
     # a second poll with no writer activity is a no-op
     assert reader.maybe_rewarm() is False
+
+
+def test_stable_read_raises_on_flapping_state(spark, tables, tmp_path):
+    """``_stable_read`` must fail LOUDLY (not serve a possibly-mixed
+    view) if the commit fingerprint changes on every one of its
+    attempts — the pathological-churn backstop of the reader/writer
+    contract."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer")
+    pipe.process_batch(_mk_docs(tables, 0, 10), 0)
+    tick = [0]
+    orig = pipe._commit_fingerprint
+
+    def flapping():
+        tick[0] += 1
+        return (tick[0],) + tuple(orig())
+
+    pipe._commit_fingerprint = flapping
+    with pytest.raises(RuntimeError, match="consistent-read"):
+        pipe.search("anything", k=5)
+
+
+def test_commit_fingerprint_sees_success_transition(spark, tables,
+                                                    tmp_path):
+    """The fingerprint must move when a batch's ``_SUCCESS`` lands in an
+    ALREADY-LISTED directory — the hazardous transition a name-only
+    listing token misses (files appear at task commit, the marker at
+    job commit)."""
+    import os
+
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer")
+    pipe.process_batch(_mk_docs(tables, 0, 10), 0)
+    fp0 = pipe._commit_fingerprint()
+    marker = pipe.fs.join(pipe._bdir(pipe.corpus_dir, "b0"), "_SUCCESS")
+    os.rename(marker, marker + ".hide")
+    try:
+        assert pipe._commit_fingerprint() != fp0, \
+            "same names, different commit status -> must differ"
+    finally:
+        os.rename(marker + ".hide", marker)
+    assert pipe._commit_fingerprint() == fp0
