@@ -61,11 +61,23 @@ def prepare_split_fixture(spark, sf_dir: str, n_files: int) -> str:
 def bench_e2e_ingest(spark, tables, n_batches: int = 4) -> float:
     """Sec/micro-batch for the `/submit`-analog pipeline (BASELINE.md e2e row).
 
-    Replays `documents` as n_batches micro-batches through IngestPipeline
+    Replays `documents` as micro-batches through IngestPipeline
     (embed-stub -> sha256 dedup -> corpus append -> KNN -> edge append)
-    against fresh parquet state; reports mean wall sec per batch.
+    against fresh parquet state.
+
+    ISOLATED-WARM methodology (r11 verdict item 4): this row measures
+    embed-UDF + KNN-kernel memory bandwidth, which diverges from the
+    scan-bound suite median that host calibration is computed on — a
+    whole-run mean had the row crying wolf for three consecutive rounds
+    of host-class forensics (anchor 1.667 vs 2-6.5 s raw readings, each
+    A/B-exonerated). Now: one untimed warmup batch compiles the plans,
+    the FIRST stateful batch is timed but DISCARDED (cold state: empty
+    corpus, first parquet listing), and the reported value is the MEDIAN
+    of the remaining per-batch walls — a steady-state number a quiet and
+    a loaded host agree on far better than the mean of a cold sequence.
     """
     import shutil
+    import statistics
     import tempfile
 
     from pyspark.sql import functions as F
@@ -90,19 +102,51 @@ def bench_e2e_ingest(spark, tables, n_batches: int = 4) -> float:
         # measure steady-state ingest, consistent with the suite warmup
         IngestPipeline(spark, warm_dir).process_batch(docs.limit(64), 0)
         pipe = IngestPipeline(spark, state_dir)
-        t0 = time.perf_counter()
+        walls = []
         for b in range(n_batches):
             batch = docs.filter(F.col("doc_id") % n_batches == b)
+            t0 = time.perf_counter()
             pipe.process_batch(batch, b)
-        return round((time.perf_counter() - t0) / n_batches, 3)
+            walls.append(time.perf_counter() - t0)
+        # batch 0 is the cold-state outlier; the median of the warm
+        # batches is the steady-state per-batch cost
+        return round(statistics.median(walls[1:]), 3)
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
         shutil.rmtree(state_dir, ignore_errors=True)
 
 
+def wait_for_quiet_host(threshold: float | None = None,
+                        max_wait: float | None = None) -> float:
+    """Gate the timed suite on host load (r11 verdict item 5): the
+    per-round driver bench has repeatedly been taken while the test
+    suite drained (load avg ~7 → a uniform 1.1-1.4x inflation across
+    unrelated entries), making the round artifact diverge from the
+    committed quiet-host evidence. Poll the 1-min load average until it
+    drops below the gate or the wait budget runs out — then measure.
+    Returns the load at the moment measurement starts. Knobs:
+    SPARK_GRAFT_LOAD_GATE (default 4.0; 0 disables) and
+    SPARK_GRAFT_LOAD_WAIT (default 900 s)."""
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+    if max_wait is None:
+        max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
+    if threshold <= 0:
+        return os.getloadavg()[0]
+    deadline = time.monotonic() + max_wait
+    load = os.getloadavg()[0]
+    while load > threshold and time.monotonic() < deadline:
+        print(f"[bench] host load {load:.1f} > gate {threshold:.1f}; "
+              "waiting for quiet host", file=sys.stderr)
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_at_start = wait_for_quiet_host()
     spark = get_spark("bench")
     n_split = int(os.environ.get("SPARK_GRAFT_SPLIT_FILES", "32"))
     if n_split > 1:
@@ -245,6 +289,10 @@ def main() -> None:
         "cache_builders": sorted({n.split("_", 1)[0]
                                   for n in cache_builders}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host 1-min load when the timed suite started (after the quiet-
+        # host gate) — lets a reader weigh the artifact against the
+        # committed quiet-host evidence without forensics
+        "load": round(load_at_start, 2),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
         # cache_builders: entries whose timing absorbed the FIRST build of a

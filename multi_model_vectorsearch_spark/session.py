@@ -33,6 +33,12 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# applicationId -> shipped zip path: the per-context idempotence guard
+# for ship_package (re-adding a same-named file with different bytes
+# raises inside Spark, and rebuilding the zip every call is waste)
+_SHIPPED: dict[str, str] = {}
+
+
 def ship_package(spark: SparkSession) -> str:
     """Make the engine importable on executor-side Python workers.
 
@@ -44,15 +50,25 @@ def ship_package(spark: SparkSession) -> str:
     the embedding surface) fails at cloudpickle load with
     ModuleNotFoundError. This is the standard ``--py-files`` ship, done
     programmatically: zip the package's .py tree and ``addPyFile`` it,
-    so every executor worker can import it. Idempotent per session
-    (addPyFile de-dups by filename); call after session creation on any
-    non-local master — ``get_spark`` does it automatically. Returns the
-    zip path."""
+    so every executor worker can import it. Call after session creation
+    on any non-local master — ``get_spark`` does it automatically.
+    Returns the zip path.
+
+    The zip lands in a FRESH private temp directory (``mkdtemp``,
+    0700), never a fixed world-shared /tmp name: a predictable shared
+    path lets two drivers on one host race (one truncating the zip
+    while the other's executors fetch it — a corrupt module shipped),
+    collides across OS users on permissions, and is symlink-plantable.
+    Idempotent per SparkContext via an applicationId guard, not via
+    addPyFile's name de-dup."""
     import tempfile
     import zipfile
 
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return _SHIPPED[app]
     pkg_root = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(),
+    out = os.path.join(tempfile.mkdtemp(prefix="mmvs-pyfiles-"),
                        "multi_model_vectorsearch_spark_pkg.zip")
     with zipfile.ZipFile(out, "w") as z:
         for dirpath, _dirs, files in os.walk(pkg_root):
@@ -63,6 +79,7 @@ def ship_package(spark: SparkSession) -> str:
                                        os.path.relpath(p, pkg_root))
                     z.write(p, arc)
     spark.sparkContext.addPyFile(out)
+    _SHIPPED[app] = out
     return out
 
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -64,6 +65,25 @@ FLAG_SCHEMA = "doc_id bigint, is_dup boolean, dup_of bigint"
 
 
 OVERFETCH = 6  # reference main.py:209: KNN pool is k*6 before the modality split
+
+
+class StateCommitStormError(RuntimeError):
+    """A consistent-read bracket could not close: state commits kept
+    landing across every backoff-retried attempt (~3 s of exponential
+    backoff). A writer flipping state faster than a metadata round trip
+    is pathological — serving callers that prefer availability pass
+    ``fallback=True`` to ``_stable_read`` (the ``search``/``search_ivf``/
+    ``graph_data`` default, matching the reference's always-answers
+    endpoints) and receive the last torn-excluded view instead."""
+
+
+class WriterFencedError(RuntimeError):
+    """This pipeline's writer lease was usurped by a newer writer: a
+    second writer process acquired the lease (higher epoch) on the same
+    state root, and this writer must stop mutating — continuing would
+    interleave batch keys and double-flip generation pointers. Fencing,
+    not locking: acquisition always succeeds by bumping the epoch; the
+    SUPERSEDED writer fails loudly on its next mutation."""
 
 
 class IngestPipeline:
@@ -99,7 +119,27 @@ class IngestPipeline:
     single-actor: quiesce readers around those two maintenance ops (plain
     batch appends are safe in both modes). Warm readers call
     ``maybe_rewarm()`` on their own cadence to pick up the writer's
-    progress.
+    progress — a strictly read-only poll.
+
+    The ONE-writer half of the contract is ENFORCEABLE, not just
+    documented: ``acquire_writer()`` takes an epoch-numbered fencing
+    lease on the state root, and every mutating entry point plus every
+    generation flip re-validates it — a second writer process acquiring
+    the lease fences the first, whose next mutation raises
+    :class:`WriterFencedError` instead of silently interleaving batch
+    keys (see the writer-fencing section below).
+
+    Retention SLA for readers: under pointer commit a cold query plans
+    against one epoch's physical paths and must finish its SCAN within
+    ``retain_generations`` subsequent writer flips (default 1) — a scan
+    outliving that window reads swept files and fails. Size
+    ``retain_generations`` to ceil(max scan seconds / min seconds
+    between flips); re-train flips are O(log n) over a corpus's life and
+    compact runs on the ~50-batch ops cadence, so the default covers
+    scans up to one maintenance interval. ``serve_search``/
+    ``serve_search_ivf`` additionally re-plan and retry a query whose
+    scan lost that race, so the serving facade stays always-answering
+    even past the SLA.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
@@ -119,6 +159,7 @@ class IngestPipeline:
         )
 
         self.fs = fs if fs is not None else statefs_for(spark, state_dir)
+        self.state_dir = state_dir
         # swap strategy for compaction / IVF re-train: "rename" builds the
         # commit point on an atomic directory rename (POSIX, HDFS);
         # "pointer" publishes a new generation directory by atomically
@@ -188,10 +229,19 @@ class IngestPipeline:
         # deleted directory. 0 restores the immediate sweep (single-actor
         # deployments that want the disk back right away).
         self.retain_generations = retain_generations
-        # warm-serving state (warm()): cached corpus/edges/centroids/index
+        # warm-serving state (warm()): cached corpus/edges/centroids/index.
+        # Published ATOMICALLY (one dict assignment) so a serving thread
+        # that captures the reference once per query never sees a
+        # half-built snapshot — see warm().
         self._warm: dict[str, DataFrame] = {}
         # state fingerprint captured by warm() — maybe_rewarm() compares
         self._warm_token = None
+        # per-bracket store-scan memo (see _store_scan / _stable_read):
+        # non-None only while a consistent-read bracket is active
+        self._scan_cache: dict[str, tuple] | None = None
+        # writer fencing (acquire_writer): the lease epoch this pipeline
+        # holds, or None = unfenced legacy mode (no enforcement)
+        self._writer_epoch: int | None = None
 
     def _has_parquet(self, path: str) -> bool:
         return self.fs.has_parquet(path)
@@ -240,6 +290,50 @@ class IngestPipeline:
         polls it between queries."""
         return self._commit_fingerprint()
 
+    def _store_scan(self, root: str) -> tuple:
+        """One recursive listing of a store's live physical directory,
+        parsed into the facts every metadata consumer needs:
+        ``(phys, entries, root_success)`` where ``entries`` maps each
+        NON-HIDDEN top-level name to ``(is_dir, committed, has_parquet)``
+        (a file entry is committed by definition; a dir entry is
+        committed iff its own ``_SUCCESS`` landed, and has_parquet iff a
+        parquet leaf with no hidden path component exists under it) and
+        ``root_success`` is the store's own flat-write marker. Cost is
+        ONE recursive-list round trip (``StateFS.scan_tree``) instead of
+        a stat per subdirectory — the difference between O(stores) and
+        O(batch directories) serialized metadata RPCs per consistent
+        read on an object store (round-11 advice). Memoized in
+        ``self._scan_cache`` while a ``_stable_read`` bracket is active,
+        so the fingerprint, the torn set, and every view the bracket
+        validates all derive from the SAME listing."""
+        if self._scan_cache is not None and root in self._scan_cache:
+            return self._scan_cache[root]
+        phys = self._phys(root)
+        entries: dict[str, list] = {}
+        root_success = False
+        for rel in self.fs.scan_tree(phys):
+            head, sep, rest = rel.partition("/")
+            if not sep:
+                if head == "_SUCCESS":
+                    root_success = True
+                if head.startswith((".", "_")):
+                    continue
+                entries[head] = [False, True, head.endswith(".parquet")]
+                continue
+            if head.startswith((".", "_")):
+                continue  # hidden: staged generations are not batch keys
+            e = entries.setdefault(head, [True, False, False])
+            if rest == "_SUCCESS":
+                e[1] = True
+            elif rest.rsplit("/", 1)[-1].endswith(".parquet"):
+                comps = rest.split("/")
+                if not any(c.startswith((".", "_")) for c in comps):
+                    e[2] = True
+        scan = (phys, entries, root_success)
+        if self._scan_cache is not None:
+            self._scan_cache[root] = scan
+        return scan
+
     def _commit_fingerprint(self):
         """Every store's committed-unit set, in one value.
 
@@ -254,42 +348,83 @@ class IngestPipeline:
         plan construction prove no commit landed in between, so every
         listing saw the same committed prefix. Commit-status (not just
         directory names) is part of the value — the hazardous transition
-        is a ``_SUCCESS`` landing in an already-listed directory."""
+        is a ``_SUCCESS`` landing in an already-listed directory. One
+        bulk scan per store (``_store_scan``), not a stat per
+        subdirectory."""
         stores = [self.corpus_dir, self.edges_dir, self.index_dir,
                   self.centroids_dir]
         if self.maintain_neardup:
             stores += [self.sig_dir, self.flags_dir]
         fp: list = [self._state_epoch()]
         for root in stores:
-            phys = self._phys(root)
-            entries = []
-            for e in self.fs.listdir(phys):
-                if e.startswith((".", "_")):
-                    continue
-                p = self.fs.join(phys, e)
-                if self.fs.isdir(p):
-                    entries.append((e, self.fs.isfile(
-                        self.fs.join(p, "_SUCCESS"))))
-                else:
-                    entries.append((e, True))
-            fp.append(tuple(entries))
+            _phys, entries, root_success = self._store_scan(root)
+            fp.append((root_success, tuple(
+                (name, e[1] if e[0] else True)
+                for name, e in sorted(entries.items()))))
         return tuple(fp)
 
     def maybe_rewarm(self) -> bool:
         """Refresh the ``warm()`` snapshot iff the underlying state moved
         since it was taken (a concurrent — possibly other-process — writer
         committed a batch, re-trained, or compacted). Returns True when a
-        re-warm happened. The check is a handful of metadata calls, cheap
+        re-warm happened. The check is one bulk scan per store, cheap
         enough to run between serving queries; the pointer-commit
         retention contract guarantees the PREVIOUS snapshot's files
         survive until the flip after next, so queries in flight during
-        the writer's flip still complete against the old epoch."""
+        the writer's flip still complete against the old epoch.
+
+        STRICTLY READ-ONLY (round-11 advice): no maintenance write ever
+        runs on this path, so a polling reader needs only read permission
+        on the state root and can never race the writer's swap — a
+        crashed writer's half-published re-train is handled by the
+        staged-centroids forward READ in ``_probed_views``, and the flip
+        itself stays the writer's job. Rename-mode caveat unchanged:
+        ``commit_mode="rename"`` moves live directories during
+        compact/re-train, so rename-mode deployments must quiesce
+        readers (including this poll) around those two maintenance ops —
+        plain batch appends are safe in both modes."""
         if not self._warm:
             return False
         if self.state_token() == self._warm_token:
             return False
         self.warm()
         return True
+
+    def freshness(self) -> dict:
+        """Staleness gauge for a warm reader (multi-driver deployments
+        alert on this): how far the CURRENT committed state has moved
+        past the snapshot this pipeline is serving from. Returns
+        ``{"warm": bool, "fresh": bool, "behind_units": int,
+        "behind_flips": int}`` — ``behind_units`` counts committed units
+        (batch directories / flat files / commit markers) present now
+        but absent from the snapshot fingerprint, ``behind_flips`` the
+        generation-epoch distance. A cold pipeline reports
+        ``warm=False`` (every query plans against live state, staleness
+        zero by construction)."""
+        if not self._warm:
+            return {"warm": False, "fresh": True,
+                    "behind_units": 0, "behind_flips": 0}
+        now = self._commit_fingerprint()
+        then = self._warm_token
+        if now == then:
+            return {"warm": True, "fresh": True,
+                    "behind_units": 0, "behind_flips": 0}
+
+        def units(fp):
+            out = set()
+            for i, store in enumerate(fp[1:]):
+                root_success, entries = store
+                if root_success:
+                    out.add((i, "_SUCCESS"))
+                out.update((i, name, committed)
+                           for name, committed in entries)
+            return out
+
+        behind = len(units(now) - units(then)) if then else 0
+        flips = (sum(abs(a - b) for a, b in zip(now[0], then[0]))
+                 if then else 0)
+        return {"warm": True, "fresh": False,
+                "behind_units": behind, "behind_flips": flips}
 
     def _bdir(self, root: str, key: str) -> str:
         """Deterministic per-batch subdirectory — the exactly-once unit."""
@@ -326,6 +461,72 @@ class IngestPipeline:
 
     def _next_submit_key(self) -> str:
         return self._next_key("s")
+
+    # --- writer fencing (round-12) -------------------------------------------
+    # The reader/writer contract requires ONE writer per state root, and
+    # the multi-driver deployment (several processes over one root) makes
+    # running a second writer an easy operational mistake — which would
+    # silently interleave batch keys, double-flip _CURRENT pointers, and
+    # corrupt the generation sweep. The lease turns that into a loud
+    # failure: an epoch-numbered ``_WRITER`` file at the state root,
+    # re-validated before every mutation. FENCING, not locking —
+    # acquisition always succeeds by bumping the epoch (no blocking, no
+    # expiry clock, works on object stores whose only primitive is an
+    # atomic small-object PUT); the SUPERSEDED writer's next fence check
+    # sees foreign lease content and raises WriterFencedError. In the
+    # two-simultaneous-acquires race both write the same epoch but the
+    # file holds exactly one (owner-tagged) content, so exactly one
+    # acquirer's read-back validates — at most one writer ever proceeds.
+
+    @property
+    def _lease_path(self) -> str:
+        return self.fs.join(self.state_dir, "_WRITER")
+
+    def acquire_writer(self, owner: str | None = None) -> int:
+        """Become THE writer for this state root: bump the lease epoch
+        and fence every previously-acquired writer. Optional — a
+        pipeline that never calls this runs unfenced (the documented
+        single-writer contract is then the operator's responsibility,
+        unchanged from earlier rounds). Returns the acquired epoch.
+        Raises :class:`WriterFencedError` if a concurrent acquirer won
+        the same-epoch race."""
+        if owner is None:
+            import socket
+
+            owner = f"{socket.gethostname()}:{os.getpid()}:{id(self):x}"
+        cur = self.fs.read_text(self._lease_path)
+        epoch = (int(cur.split()[0]) + 1) if cur else 1
+        content = f"{epoch} {owner}"
+        self.fs.write_text(self._lease_path, content)
+        if (self.fs.read_text(self._lease_path) or "").strip() != content:
+            raise WriterFencedError(
+                "lost the writer-lease acquisition race for "
+                f"{self.state_dir}; another writer holds the lease")
+        self._writer_epoch = epoch
+        self._writer_lease = content
+        return epoch
+
+    def release_writer(self) -> None:
+        """Drop THIS pipeline's claim (the lease file stays — epochs only
+        grow). A clean writer shutdown calls this so a later accidental
+        mutation from the same object fails fast instead of writing."""
+        self._writer_epoch = None
+
+    def check_writer_fence(self) -> None:
+        """Raise :class:`WriterFencedError` iff this pipeline acquired
+        the writer lease and has since been usurped. Called before every
+        mutating entry point and before every generation flip; a
+        never-fenced pipeline (legacy single-writer deployments) passes
+        through for free."""
+        if self._writer_epoch is None:
+            return
+        cur = (self.fs.read_text(self._lease_path) or "").strip()
+        if cur != self._writer_lease:
+            raise WriterFencedError(
+                f"writer lease for {self.state_dir} was usurped "
+                f"(held {self._writer_lease!r}, found {cur!r}); this "
+                "writer must stop mutating — its state writes are no "
+                "longer safe to commit")
 
     def bulk_load(self, docs: DataFrame, key: str | None = None) -> str:
         """Backfill ingest: embed → dedup → corpus append (+ IVF / near-dup
@@ -417,6 +618,7 @@ class IngestPipeline:
         """
         if method not in ("auto", "exact", "ivf", "cells"):
             raise ValueError(f"unknown method {method!r}")
+        self.check_writer_fence()
         key = key or self._next_key("g", root=self.edges_dir)
         neighbors = self._build_graph_neighbors(probes, method=method)
         self.unwarm()  # the edge append invalidates any warm snapshot
@@ -685,19 +887,18 @@ class IngestPipeline:
         part-files are not state. Spark moves task files in BEFORE
         writing ``_SUCCESS``, so marker-present implies the directory's
         content is complete; a reader that lists here sees each batch
-        atomically. Metadata-only (no Spark job)."""
+        atomically. Metadata-only (no Spark job): one bulk scan of the
+        store (``_store_scan``), shared with the bracket fingerprint."""
         parts: list[str] = []
-        phys = self._phys(path)
-        for entry in self.fs.listdir(phys):
-            if entry in skip or entry.startswith((".", "_")):
+        phys, entries, _root_success = self._store_scan(path)
+        for entry, (is_dir, committed, has_pq) in sorted(entries.items()):
+            if entry in skip:
                 continue
-            p = self.fs.join(phys, entry)
-            if self.fs.isdir(p):
-                if (self.fs.isfile(self.fs.join(p, "_SUCCESS"))
-                        and self._has_parquet(p)):
-                    parts.append(p)
+            if is_dir:
+                if committed and has_pq:
+                    parts.append(self.fs.join(phys, entry))
             elif entry.endswith(".parquet"):
-                parts.append(p)
+                parts.append(self.fs.join(phys, entry))
         return parts
 
     def _read_parts(self, parts: list[str], schema: str) -> DataFrame:
@@ -710,24 +911,47 @@ class IngestPipeline:
                                    skip: set[str]) -> DataFrame:
         return self._read_parts(self._committed_parts(path, skip), schema)
 
-    def _stable_read(self, build):
+    def _stable_read(self, build, fallback: bool = False):
         """Run ``build(torn) -> value`` between two EQUAL commit
         fingerprints — the consistency bracket of the reader/writer
         contract. ``build`` must be metadata-only (listings, no Spark
         jobs): a job inside the bracket takes seconds under load and
-        widens the very race the bracket exists to close. Commits/flips
-        are seconds apart on the writer while an attempt costs
-        milliseconds of stat calls, so exhaustion means something is
-        rewriting state pathologically — raise rather than serve a view
-        that may mix committed prefixes."""
-        for _ in range(8):
-            fp0 = self._commit_fingerprint()
-            out = build(self._torn_batch_keys())
+        widens the very race the bracket exists to close. Within one
+        attempt every consumer (fingerprint, torn set, view listings)
+        shares ONE bulk scan per store via ``_scan_cache``, so an
+        attempt costs O(stores) metadata round trips, and the opening
+        fingerprint describes exactly the listings the views were built
+        from; the closing fingerprint is a fresh scan.
+
+        Attempts back off exponentially (~3 s total): commits/flips are
+        seconds apart on a healthy writer, so a bracket that cannot
+        close after eight spaced attempts means something is rewriting
+        state pathologically. Then: with ``fallback=True`` (the serving
+        default — the reference's ``/search`` always answers) return the
+        LAST attempt's view — still torn-excluded and derived from one
+        internally-consistent scan per store, but the cross-store
+        bracket is unproven, so a batch mid-commit may appear in a
+        late-listed store only; with ``fallback=False`` raise
+        :class:`StateCommitStormError` rather than serve a view that
+        may mix committed prefixes (``warm()``, whose snapshot would
+        serve MANY queries)."""
+        out = None
+        for attempt in range(8):
+            if attempt:
+                time.sleep(min(0.02 * (2 ** attempt), 0.8))
+            self._scan_cache = {}
+            try:
+                fp0 = self._commit_fingerprint()
+                out = build(self._torn_batch_keys())
+            finally:
+                self._scan_cache = None
             if self._commit_fingerprint() == fp0:
                 return out
-        raise RuntimeError(
-            "state commits kept landing across 8 consistent-read "
-            "attempts; retry when the writer settles")
+        if fallback:
+            return out
+        raise StateCommitStormError(
+            "state commits kept landing across 8 backoff-spaced "
+            "consistent-read attempts; retry when the writer settles")
 
     def corpus(self) -> DataFrame:
         return self._read_state(self.corpus_dir, CORPUS_SCHEMA)
@@ -765,6 +989,7 @@ class IngestPipeline:
         ``_SUCCESS`` still lands last-but-for-index.
         """
         key = key if key is not None else self._batch_key(batch_id)
+        self.check_writer_fence()
         self.unwarm()  # ingest invalidates any warm serving snapshot
         batch = batch.dropDuplicates(["doc_id"])
         if self.maintain_neardup:
@@ -859,32 +1084,38 @@ class IngestPipeline:
         held torn so a replay can finish the bootstrap. Run compact()
         with the same maintain_* configuration as the ingest it compacts.
         """
+        def committed(scan: tuple, key: str) -> bool:
+            e = scan[1].get(key)
+            return bool(e and e[0] and e[1])
+
+        corpus_scan = self._store_scan(self.corpus_dir)
+        edges_scan = self._store_scan(self.edges_dir)
+        index_scan = self._store_scan(self.index_dir)
         keys: dict[str, list[int]] = {}
-        corpus_phys = self._phys(self.corpus_dir)
-        for entry in self.fs.listdir(corpus_phys):
-            if entry.startswith((".", "_")):
-                continue  # hidden: staged generations are not batch keys
+        for entry, (is_dir, _c, _p) in corpus_scan[1].items():
             m = re.fullmatch(r"(.*?)(\d+)", entry)
-            if m and self.fs.isdir(self.fs.join(corpus_phys, entry)):
+            if m and is_dir:
                 keys.setdefault(m.group(1), []).append(int(m.group(2)))
-        cents_ok = self._write_committed_root(
-            self._phys(self.centroids_dir))
+        cents_ok = self._store_scan(self.centroids_dir)[2]
         bootstrap_in_flight = (
             self.maintain_ivf and not cents_ok
-            and self._has_parquet(self._phys(self.index_dir))
+            and any(e[2] for e in index_scan[1].values())
         )
+        if self.maintain_neardup:
+            flags_scan = self._store_scan(self.flags_dir)
+            sig_scan = self._store_scan(self.sig_dir)
         torn: set[str] = set()
         for ns, bids in keys.items():
             trail = max(bids)
             for bid in bids:
                 key = f"{ns}{bid}"
-                ok = (self._write_committed(self.corpus_dir, key)
-                      and self._write_committed(self.edges_dir, key))
+                ok = (committed(corpus_scan, key)
+                      and committed(edges_scan, key))
                 if ok and self.maintain_neardup:
-                    ok = (self._write_committed(self.flags_dir, key)
-                          and self._write_committed(self.sig_dir, key))
+                    ok = (committed(flags_scan, key)
+                          and committed(sig_scan, key))
                 if ok and self.maintain_ivf and cents_ok and bid == trail:
-                    ok = self._write_committed(self.index_dir, key)
+                    ok = committed(index_scan, key)
                 if ok and bootstrap_in_flight and bid == trail:
                     ok = False
                 if not ok:
@@ -894,14 +1125,10 @@ class IngestPipeline:
         # edge write, detected by its own missing _SUCCESS
         corpus_keys = {f"{ns}{bid}" for ns, bids in keys.items()
                        for bid in bids}
-        edges_phys = self._phys(self.edges_dir)
-        for entry in self.fs.listdir(edges_phys):
-            if (not entry.startswith((".", "_"))
-                    and re.fullmatch(r"(.*?)(\d+)", entry)
+        for entry, (is_dir, is_committed, _p) in edges_scan[1].items():
+            if (is_dir and re.fullmatch(r"(.*?)(\d+)", entry)
                     and entry not in corpus_keys
-                    and self.fs.isdir(self.fs.join(edges_phys, entry))
-                    and not self._write_committed(
-                        self.edges_dir, entry)):
+                    and not is_committed):
                 torn.add(entry)
         return torn
 
@@ -960,6 +1187,7 @@ class IngestPipeline:
         committed prefix (tested); a stale listing under a *writer's*
         fold could drop a committed batch from the new generation.
         """
+        self.check_writer_fence()
         self.unwarm()
         self._finish_pending_retrain()
         torn = self._torn_batch_keys()
@@ -1426,7 +1654,11 @@ class IngestPipeline:
         just-superseded generation finishes its scan on files that still
         exist, and the retained generation is removed at a LATER flip.
         A crash mid-cleanup leaves unreferenced litter that the next
-        swap's sweep removes, never readable state."""
+        swap's sweep removes, never readable state.
+
+        Fence-checked immediately before the commit point: a usurped
+        writer's staged build must never flip live."""
+        self.check_writer_fence()
         if self.commit_mode == "pointer":
             old_gen = self._gen_num(live)
             gen = nxt.rstrip("/").rsplit("/", 1)[-1]
@@ -1470,8 +1702,14 @@ class IngestPipeline:
         ``centroids.next`` exists committed WITHOUT ``ivf.next``, the
         index swap completed but the centroid swap did not (the crash
         landed between the two renames): finish it, restoring a matched
-        centroid/assignment pair. Called from every writer entry point
-        (``_update_index``, ``compact``) and from ``warm()``.
+        centroid/assignment pair. Called from WRITER entry points only
+        (``_update_index``, ``compact``) — reader paths (``warm``,
+        ``maybe_rewarm``, cold queries) take the equivalent staged-
+        centroids forward READ in ``_probed_views`` instead, so readers
+        never mutate state and never race the writer's own swap
+        (round-11 advice: a rename-mode reader's roll-forward racing the
+        writer's in-flight second swap could consume ``centroids.next``
+        under the writer and strand the live store in ``.old``).
 
         The same machine holds under pointer commit with 'staged build
         exists' in place of '``.next`` exists' (``_staged_pending``): a
@@ -1504,9 +1742,24 @@ class IngestPipeline:
         call ``warm()`` again after an ingest burst. At cluster scale the
         same call pins the corpus across executors — the cache is
         partition-local, nothing collects to the driver.
+
+        READ-ONLY, and safe to call from a serving thread while other
+        threads query the SAME pipeline object: the new snapshot is
+        built completely, published with one atomic dict assignment,
+        and only then is the old snapshot released — a query that
+        captured the old dict keeps serving from it (its files survive
+        one more flip under pointer-commit retention). No maintenance
+        write happens here (round-11 advice): a reader landing between
+        a crashed writer's two re-train flips takes the staged-centroids
+        forward READ in ``_probed_views`` instead of committing the flip
+        itself, so warm readers need no write permission on the state
+        root and never race the writer's own swap. When the state hasn't
+        moved since the current snapshot, the call is a no-op returning
+        the cached sizes (the caches stay warm — re-pinning identical
+        plans and unpersisting the old would silently evict them).
         """
-        self.unwarm()
-        self._finish_pending_retrain()
+        if self._warm and self.state_token() == self._warm_token:
+            return dict(self._warm["sizes"])
         # Consistent snapshot against a concurrent writer: one stable
         # metadata bracket captures every view (torn-excluded, one
         # committed prefix); the cache materialization happens OUTSIDE
@@ -1526,8 +1779,7 @@ class IngestPipeline:
         n = corpus.count()
         edges = edges.cache()
         ne = edges.count()
-        self._warm = {"corpus": corpus, "edges": edges}
-        self._warm_token = token[0]
+        nw: dict = {"corpus": corpus, "edges": edges}
         sizes = {"corpus_rows": n, "edge_rows": ne}
         if cents is not None:
             idx = idx.cache()
@@ -1536,24 +1788,54 @@ class IngestPipeline:
                 cents = cents.cache()
                 sizes["centroid_rows"] = cents.count()
                 sizes["index_rows"] = ni
-                self._warm["centroids"] = cents
-                self._warm["index"] = idx
+                nw["centroids"] = cents
+                nw["index"] = idx
                 # driver-side centroid rows (bounded: 65536-cell cap,
                 # ~8 MB at 5M docs) — lets warm probed queries pick
                 # their cells with a numpy argsort instead of a Spark
                 # job (see _probed_corpus)
-                self._warm["cent_rows"] = cents.collect()
+                nw["cent_rows"] = cents.collect()
             else:  # half-built external dir: degrade to full-scan serving
                 idx.unpersist()
-        return sizes
+        nw["sizes"] = sizes
+        old = self._warm
+        self._warm = nw  # atomic publish: one dict assignment
+        self._warm_token = token[0]
+        self._release_snapshot(old, keep=nw)
+        return dict(sizes)
+
+    @staticmethod
+    def _plans_equal(a: DataFrame, b: DataFrame) -> bool:
+        """True iff two DataFrames resolve to the same analyzed plan —
+        Spark's CacheManager dedups cached data by exactly this, so an
+        old snapshot entry whose plan survives into the new snapshot
+        shares ONE cache entry with it and must not be unpersisted."""
+        try:
+            return bool(a._jdf.queryExecution().analyzed().sameResult(
+                b._jdf.queryExecution().analyzed()))
+        except Exception:
+            return False
+
+    def _release_snapshot(self, snap: dict, keep: dict | None = None) -> None:
+        """Unpersist a superseded warm snapshot's caches, skipping any
+        entry whose plan also backs the CURRENT snapshot (a store that
+        did not change between warms shares its cache entry — evicting
+        it would silently un-warm the live snapshot)."""
+        kept = ([v for v in keep.values() if isinstance(v, DataFrame)]
+                if keep else [])
+        for df in snap.values():
+            if isinstance(df, DataFrame) and not any(
+                    self._plans_equal(df, k) for k in kept):
+                df.unpersist()
 
     def unwarm(self) -> None:
-        """Release the warm-serving caches (no-op when cold)."""
-        for df in self._warm.values():
-            if isinstance(df, DataFrame):
-                df.unpersist()
+        """Release the warm-serving caches (no-op when cold). In-flight
+        queries that already captured the snapshot dict keep their
+        reference; new queries go cold."""
+        old = self._warm
         self._warm = {}
         self._warm_token = None
+        self._release_snapshot(old)
 
     def _query_vec(self, text: str, modality: str) -> list | None:
         """Embed ONE query on the driver — the raw vector the serving
@@ -1594,7 +1876,8 @@ class IngestPipeline:
         if vec is None:
             return self.spark.createDataFrame([], out_schema)
         qv = F.lit(vec)
-        corpus = self._probed_corpus(qv, probes, qv_raw=vec)
+        corpus = self._probed_corpus(qv, probes, qv_raw=vec,
+                                     warm=self._warm, fallback=True)
         return (
             corpus.select(
                 "doc_id", "modality",
@@ -1605,11 +1888,81 @@ class IngestPipeline:
             .limit(k)
         )
 
+    @staticmethod
+    def _is_stale_scan_error(exc: Exception) -> bool:
+        """True iff ``exc`` looks like a scan that outlived its epoch's
+        retention window: the files a pinned plan captured were swept by
+        a later writer flip (Spark surfaces this as a
+        FileNotFoundException, usually with a REFRESH TABLE hint). Such
+        a failure is RETRIABLE by re-planning against the current
+        epoch; anything else propagates."""
+        msg = str(exc)
+        return ("FileNotFoundException" in msg
+                or "FILE_NOT_FOUND" in msg
+                or "does not exist" in msg)
+
+    def _serve(self, build_rows, retries: int = 4):
+        """Run ``build_rows() -> list[Row]`` with bounded re-plan-and-
+        retry — the always-answers serving wrapper (the reference's
+        ``/search`` never surfaces an internal race to the caller).
+        Retries exactly two failure classes, both caused by a concurrent
+        writer and both cured by re-planning: (1) a consistent-read
+        bracket that could not close (StateCommitStormError — already
+        backoff-retried once inside ``_stable_read``); (2) a scan that
+        outlived the retention SLA and read swept files
+        (``_is_stale_scan_error``). Each retry first lets a warm
+        snapshot roll forward (``maybe_rewarm`` — the stale plan is the
+        snapshot itself), then rebuilds the plan from current state.
+        Exhaustion re-raises the LAST error — typed, documented, and
+        only reachable under a writer flipping faster than every
+        backoff window."""
+        last: Exception | None = None
+        for attempt in range(retries):
+            if attempt:
+                time.sleep(0.1 * (2 ** (attempt - 1)))
+                try:
+                    self.maybe_rewarm()
+                except Exception:
+                    self.unwarm()  # serve cold rather than not at all
+            try:
+                return build_rows()
+            except StateCommitStormError as exc:
+                last = exc
+            except Exception as exc:
+                if not self._is_stale_scan_error(exc):
+                    raise
+                last = exc
+        raise last
+
+    def serve_search(self, text: str, k: int | None = None,
+                     modality: str = "text", route: str = "exact",
+                     probes: int | None = None,
+                     retries: int = 4) -> list:
+        """``search()`` collected eagerly with the always-answers retry
+        wrapper (``_serve``): a query whose scan raced a writer flip
+        past the retention SLA re-plans and retries instead of
+        surfacing FileNotFound to the caller. Returns rows."""
+        return self._serve(
+            lambda: self.search(text, k, modality=modality, route=route,
+                                probes=probes).collect(), retries)
+
+    def serve_search_ivf(self, text: str, k: int | None = None,
+                         modality: str = "text",
+                         probes: int | None = None,
+                         retries: int = 4) -> list:
+        """``search_ivf()`` collected eagerly with the always-answers
+        retry wrapper (``_serve``). Returns rows."""
+        return self._serve(
+            lambda: self.search_ivf(text, k, modality=modality,
+                                    probes=probes).collect(), retries)
+
     def _probed_corpus(self, qv, probes: int | None = None,
                        require: bool = False,
                        qv_raw: list | None = None,
                        torn: set[str] | None = None,
-                       views: tuple | None = None) -> DataFrame:
+                       views: tuple | None = None,
+                       warm: dict | None = None,
+                       fallback: bool = False) -> DataFrame:
         """The corpus restricted to the query's probed IVF cells — the one
         probing plan ``search_ivf`` and ``search(route="ivf")`` share.
         Falls back to the full corpus while the index hasn't bootstrapped
@@ -1630,18 +1983,23 @@ class IngestPipeline:
         (``search``); plan ASSEMBLY (probe counts, joins) happens
         outside the bracket — the captured physical paths are immutable
         and generation retention keeps them alive across the next
-        flip."""
-        if self._warm:
-            corpus = self._warm["corpus"]
-            cents = self._warm.get("centroids")
-            idx = self._warm.get("index")
+        flip. The warm snapshot is captured ONCE (``warm`` argument, or
+        one read of ``self._warm`` here) so a concurrent re-warm/unwarm
+        publishing a new dict mid-query can't mix snapshots or KeyError
+        this query."""
+        w = warm if warm is not None else self._warm
+        if w:
+            corpus = w["corpus"]
+            cents = w.get("centroids")
+            idx = w.get("index")
         else:
             if views is not None:
                 corpus, cents, idx = views
             elif torn is not None:
                 corpus, cents, idx = self._probed_views(torn)
             else:
-                corpus, cents, idx = self._stable_read(self._probed_views)
+                corpus, cents, idx = self._stable_read(
+                    self._probed_views, fallback=fallback)
             # emptiness degrade OUTSIDE the bracket (it runs a job; the
             # pinned parts are immutable so the answer is stable): a
             # committed-but-0-row index — e.g. a bootstrap whose only
@@ -1656,7 +2014,7 @@ class IngestPipeline:
                     "use route='auto' for silent fallback, or enable "
                     "maintain_ivf / call bulk_load first")
             return corpus
-        crows = self._warm.get("cent_rows") if self._warm else None
+        crows = w.get("cent_rows") if w else None
         if probes is None:
             probes = self._auto_probes(
                 len(crows) if crows else cents.count())
@@ -1708,9 +2066,8 @@ class IngestPipeline:
             cents = (self.spark.read.schema(CENTROID_SCHEMA)
                      .option("recursiveFileLookup", "true").parquet(cnext))
         else:
-            cphys = self._phys(self.centroids_dir)
-            if not (self._write_committed_root(cphys)
-                    and self._has_parquet(cphys)):
+            cscan = self._store_scan(self.centroids_dir)
+            if not (cscan[2] and any(e[2] for e in cscan[1].values())):
                 return corpus, None, None
             cents = self.centroids()
         iparts = self._committed_parts(self.index_dir, torn)
@@ -2241,14 +2598,18 @@ class IngestPipeline:
         # otherwise mix prefixes (e.g. an expansion edge surfacing a doc
         # the corpus view doesn't hold — a state no sequential execution
         # ever produces).
-        if self._warm:
+        # capture the warm snapshot ONCE: a concurrent maybe_rewarm()
+        # publishing a new dict mid-query must not mix snapshots or
+        # KeyError this query (round-11 advice)
+        w = self._warm
+        if w:
             if route == "exact" or qv is None:
-                corpus = self._warm["corpus"]
+                corpus = w["corpus"]
             else:
                 corpus = self._probed_corpus(qv, probes,
                                              require=(route == "ivf"),
-                                             qv_raw=vec)
-            edges = self._warm["edges"]
+                                             qv_raw=vec, warm=w)
+            edges = w["edges"]
         else:
             exact = route == "exact" or qv is None
 
@@ -2261,7 +2622,7 @@ class IngestPipeline:
                         self.edges_dir, EDGE_SCHEMA, torn),
                 )
 
-            captured, edges = self._stable_read(build)
+            captured, edges = self._stable_read(build, fallback=True)
             corpus = (captured if exact else
                       self._probed_corpus(qv, probes,
                                           require=(route == "ivf"),
@@ -2330,7 +2691,7 @@ def _facade_graph_data(self):
         self._read_state_excluding_keys(
             self.corpus_dir, CORPUS_SCHEMA, torn).select(
             "doc_id", "modality"),
-    ))
+    ), fallback=True)
     nodes = (
         edges.select(F.col("src").alias("doc_id"))
         .union(edges.select(F.col("dst")))

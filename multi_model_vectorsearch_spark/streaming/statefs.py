@@ -100,6 +100,26 @@ class LocalStateFS:
         return False
 
     @staticmethod
+    def scan_tree(path: str) -> list[str]:
+        """Every FILE under ``path``, recursively, as sorted
+        ``/``-separated paths relative to ``path`` — hidden entries
+        included (the caller decides; ``_SUCCESS`` markers and staged
+        subtrees are both facts a state scan needs). [] if the directory
+        doesn't exist. This is the bulk-metadata primitive: ONE call
+        replaces a stat per subdirectory, which is the difference between
+        O(stores) and O(batch directories) round trips per consistent
+        read on a remote store."""
+        if not os.path.isdir(path):
+            return []
+        out: list[str] = []
+        base = os.path.abspath(path)
+        for root, _dirs, files in os.walk(base):
+            rel = os.path.relpath(root, base)
+            prefix = "" if rel == "." else rel.replace(os.sep, "/") + "/"
+            out.extend(prefix + f for f in files)
+        return sorted(out)
+
+    @staticmethod
     def read_text(path: str) -> str | None:
         """Small-file read; None if missing."""
         try:
@@ -142,9 +162,15 @@ class HadoopStateFS:
         self.atomic_rename = (
             self.scheme not in _NON_ATOMIC_RENAME_SCHEMES)
         # FileContext handle for single-step overwrite renames (see
-        # write_text); resolved lazily — not every scheme registers an
-        # AbstractFileSystem, and those that don't fall back.
+        # write_text); probed lazily and ONCE — not every scheme registers
+        # an AbstractFileSystem. The tri-state cache (None = unprobed,
+        # True/False = probe verdict) is what keeps the fallback honest:
+        # only a scheme that genuinely lacks FileContext degrades to
+        # delete+rename, while a TRANSIENT failure on a scheme that has
+        # it propagates instead of silently reopening the missing-file
+        # window exactly when the filesystem is flaky.
         self._fc = None
+        self._fc_available: bool | None = None
 
     def _p(self, path: str):
         return self._Path(path)
@@ -229,6 +255,46 @@ class HadoopStateFS:
         finally:
             ins.close()
 
+    @staticmethod
+    def _is_unsupported_fs(exc: Exception) -> bool:
+        """True iff ``exc`` wraps Hadoop's UnsupportedFileSystemException
+        (the scheme registers no AbstractFileSystem, so FileContext can
+        never work there) — the ONLY condition that may demote write_text
+        to the delete+rename fallback."""
+        je = getattr(exc, "java_exception", None)
+        while je is not None:
+            try:
+                if ("UnsupportedFileSystemException"
+                        in je.getClass().getName()):
+                    return True
+                je = je.getCause()
+            except Exception:
+                break
+        return "UnsupportedFileSystemException" in str(exc)
+
+    def _file_context(self, path: str):
+        """The FileContext handle for single-step overwrite renames, or
+        None when the scheme registers no AbstractFileSystem. Probed once
+        and cached: after a successful probe, a FAILING FileContext call
+        propagates to the caller rather than downgrading the commit
+        protocol — a transient error on a capable scheme must not
+        silently reintroduce the delete+rename missing-file window."""
+        if self._fc_available is None:
+            try:
+                jvm = self._jvm
+                self._fc = (jvm.org.apache.hadoop.fs.FileContext
+                            .getFileContext(self._p(path).toUri(),
+                                            self._conf))
+                rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+                self._fc_overwrite = self._gateway.new_array(rename_opt, 1)
+                self._fc_overwrite[0] = rename_opt.OVERWRITE
+                self._fc_available = True
+            except Exception as exc:
+                if not self._is_unsupported_fs(exc):
+                    raise
+                self._fc_available = False
+        return self._fc if self._fc_available else None
+
     def _overwrite_rename(self, src: str, dst: str) -> None:
         """Single-step overwrite rename via the FileContext API —
         ``FileSystem.rename`` refuses an existing destination on HDFS, but
@@ -236,15 +302,11 @@ class HadoopStateFS:
         ONE atomic step, so neither a crash nor a concurrent reader can
         ever observe the destination missing (the r10 delete-then-rename
         dance had exactly that window: a reader between the delete and the
-        rename saw no ``_CURRENT`` and resolved state to the swept root)."""
-        if self._fc is None:
-            jvm = self._jvm
-            self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-                self._p(dst).toUri(), self._conf)
-            rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
-            self._fc_overwrite = self._gateway.new_array(rename_opt, 1)
-            self._fc_overwrite[0] = rename_opt.OVERWRITE
-        self._fc.rename(self._p(src), self._p(dst), self._fc_overwrite)
+        rename saw no ``_CURRENT`` and resolved state to the swept root).
+        Errors propagate: the caller already verified FileContext exists
+        for this scheme."""
+        self._file_context(dst).rename(
+            self._p(src), self._p(dst), self._fc_overwrite)
 
     def write_text(self, path: str, content: str) -> None:
         """Single-file commit. Where renames are atomic, temp + one-step
@@ -252,7 +314,10 @@ class HadoopStateFS:
         the new, never a torn write AND never a missing file. On object
         stores a single-object overwrite PUT is itself atomic (readers see
         old or new bytes, never torn), and a copy-based rename would be
-        strictly weaker — write direct."""
+        strictly weaker — write direct. Only a scheme that registers NO
+        AbstractFileSystem (probed once, cached) degrades to
+        delete+rename — its missing-file window is confined to such
+        schemes; any other FileContext failure propagates."""
         if not self.atomic_rename:
             out = self._fs.create(self._p(path), True)
             try:
@@ -266,16 +331,36 @@ class HadoopStateFS:
             out.write(bytearray(content, "utf8"))
         finally:
             out.close()
-        try:
+        if self._file_context(path) is not None:
             self._overwrite_rename(tmp, path)
-        except Exception:
+        else:
             # Scheme without an AbstractFileSystem binding (FileContext
-            # unavailable): fall back to delete + rename. The missing-file
-            # window returns, but only on such schemes — callers that need
-            # concurrent readers run HDFS/file, where FileContext exists.
-            self._fc = None
+            # unavailable): delete + rename. The missing-file window
+            # exists only here — callers that need concurrent readers
+            # run HDFS/file, where FileContext exists.
             self._fs.delete(self._p(path), False)
             self.rename(tmp, path)
+
+    def scan_tree(self, path: str) -> list[str]:
+        """Every file under ``path`` as sorted ``/``-relative paths —
+        the bulk-metadata primitive (see LocalStateFS.scan_tree). ONE
+        ``listFiles(recursive=True)`` round-trip stream instead of a
+        stat per subdirectory. Relativization mirrors ``has_parquet``:
+        qualified-URI paths on both sides, with a name-only fallback for
+        symlink/mount aliases."""
+        if not self.isdir(path):
+            return []
+        it = self._fs.listFiles(self._p(path), True)
+        base = self._fs.makeQualified(self._p(path)).toUri().getPath()
+        base = base.rstrip("/")
+        out: list[str] = []
+        while it.hasNext():
+            leaf = it.next().getPath().toUri().getPath()
+            if leaf.startswith(base + "/"):
+                out.append(leaf[len(base) + 1:])
+            else:  # symlink/mount alias — fall back to the leaf name only
+                out.append(leaf.rsplit("/", 1)[-1])
+        return sorted(out)
 
 
 def statefs_for(spark, state_dir: str):

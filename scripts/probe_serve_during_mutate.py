@@ -101,6 +101,24 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=3)
     ap.add_argument("--queries", type=int, default=3,
                     help="distinct query texts each client round-robins")
+    # --- r12: the 100x / retention-SLA configuration -----------------
+    ap.add_argument("--mode", choices=["submit", "bulk"], default="submit",
+                    help="bulk = bulk_load batches (no per-doc edge "
+                         "build), the affordable shape at 100x docs; "
+                         "twin and live use identical keys")
+    ap.add_argument("--flip-spam", type=int, default=0,
+                    help="extra back-to-back compact() flips after every "
+                         "writer batch — forces a cold reader's "
+                         "seconds-long scan to span multiple generation "
+                         "flips (the retention-SLA race)")
+    ap.add_argument("--retain", type=int, default=1,
+                    help="retain_generations for every pipeline")
+    ap.add_argument("--facade", action="store_true",
+                    help="readers use serve_search/serve_search_ivf "
+                         "(re-plan + retry past swept scans) instead of "
+                         "raw search — with it, failures are contract "
+                         "violations; without it, failures at "
+                         "retain < flips-per-scan DOCUMENT the SLA")
     args = ap.parse_args()
 
     spark = get_spark("probe-serve-during-mutate")
@@ -116,7 +134,18 @@ def main() -> int:
     def mk(tag):
         return IngestPipeline(spark, os.path.join(work, tag), k=10,
                               maintain_ivf=True, n_centroids=None,
-                              ivf_bootstrap=64, commit_mode="pointer")
+                              ivf_bootstrap=64, commit_mode="pointer",
+                              retain_generations=args.retain)
+
+    def ingest(pipe, b, i):
+        if args.mode == "bulk":
+            pipe.bulk_load(b, key=f"l{i}")  # same key twin & live
+        else:
+            pipe.process_batch(b, i)
+
+    def flips(pipe):
+        for _ in range(args.flip_spam):
+            pipe.compact()
 
     def resp(pipe, q):
         # search_ivf = the probed serving route; search(route="auto") =
@@ -125,10 +154,14 @@ def main() -> int:
         # per-QUERY linearizability, so each endpoint's response is
         # validated independently (a batch may legitimately commit
         # between the two calls)
-        ivf = tuple((r.doc_id, r.s)
-                    for r in pipe.search_ivf(q, k=10).collect())
-        full = tuple(sorted(map(tuple, pipe.search(
-            q, k=10, route="auto").collect())))
+        if args.facade:
+            ivf_rows = pipe.serve_search_ivf(q, k=10)
+            full_rows = pipe.serve_search(q, k=10, route="auto")
+        else:
+            ivf_rows = pipe.search_ivf(q, k=10).collect()
+            full_rows = pipe.search(q, k=10, route="auto").collect()
+        ivf = tuple((r.doc_id, r.s) for r in ivf_rows)
+        full = tuple(sorted(map(tuple, full_rows)))
         return ivf, full
 
     # ---- sequential twin: the valid-response set per prefix ----
@@ -138,7 +171,8 @@ def main() -> int:
     valid: dict[str, set] = {q: set() for q in qtexts}
     t0 = time.perf_counter()
     for i, b in enumerate(batches):
-        twin.process_batch(b, i)
+        ingest(twin, b, i)
+        flips(twin)
         for q in qtexts:
             valid[q].add(resp(twin, q))
     # a re-train flips the index generation; check BEFORE compact (which
@@ -154,7 +188,8 @@ def main() -> int:
 
     # ---- live run: clients serve while the writer mutates ----
     writer = mk("live")
-    writer.process_batch(batches[0], 0)
+    ingest(writer, batches[0], 0)
+    flips(writer)
 
     stop = threading.Event()
     lock = threading.Lock()
@@ -178,6 +213,7 @@ def main() -> int:
         sc.setLocalProperty("spark.scheduler.pool", f"serve-{cid}")
         reader = mk("live")  # own pipeline object over the same root
         j = cid
+        failures = 0
         while not stop.is_set():
             q = qtexts[j % len(qtexts)]
             j += 1
@@ -187,8 +223,11 @@ def main() -> int:
                 r = resp(reader, q)
             except Exception as e:  # noqa: BLE001 - the probe's subject
                 with lock:
-                    errors.append(f"{type(e).__name__}: {e}")
-                return
+                    errors.append(f"{type(e).__name__}: {str(e)[:300]}")
+                failures += 1
+                if failures >= 50:  # runaway guard; keep serving otherwise
+                    return
+                continue
             d1 = diag(reader)
             with lock:
                 results.append((q, r, time.perf_counter() - t, d0, d1))
@@ -199,9 +238,11 @@ def main() -> int:
     for t in threads:
         t.start()
     for i, b in enumerate(batches[1:], start=1):
-        writer.process_batch(b, i)
+        ingest(writer, b, i)
+        flips(writer)
         print(f"  writer: batch {i} committed "
-              f"({len(results)} responses so far)", flush=True)
+              f"(+{args.flip_spam} flips, {len(results)} responses so far)",
+              flush=True)
     writer.compact()
     print(f"  writer: compacted ({len(results)} responses)", flush=True)
     time.sleep(3.0)
@@ -234,6 +275,8 @@ def main() -> int:
     out = {
         "metric": "serve_during_mutate",
         "docs": args.docs, "batches": len(bounds),
+        "mode": args.mode, "flip_spam": args.flip_spam,
+        "retain": args.retain, "facade": bool(args.facade),
         "clients": args.clients, "retrained": bool(retrained),
         "responses": len(results), "distinct_responses": distinct,
         "failed_queries": len(errors),
@@ -247,8 +290,12 @@ def main() -> int:
     }
     print(json.dumps(out), flush=True)
     shutil.rmtree(work, ignore_errors=True)
-    ok = (not errors and not invalid and retrained
-          and len(results) >= args.clients * 2)
+    # raw mode at retain < flips-per-scan is EXPECTED to fail queries —
+    # that is the SLA demonstration; the facade (and correctness) must
+    # never fail, and no response may be non-linearizable in any mode
+    ok = (not invalid and retrained
+          and len(results) >= args.clients * 2
+          and (not errors if args.facade else True))
     return 0 if ok else 1
 
 

@@ -77,6 +77,40 @@ def test_backend_op_parity(spark, tmp_path):
     assert lfs.read_text(lfs.join(root, "ptr")) is None
 
 
+def test_scan_tree_parity_and_contract(spark, tmp_path):
+    """scan_tree — the bulk-metadata primitive consistent reads are built
+    on — returns every file (hidden included) as sorted relative paths,
+    identically on both backends, and [] for a missing directory."""
+    root = str(tmp_path / "tree")
+    lfs = LocalStateFS()
+    hfs = HadoopStateFS(spark, root)
+
+    spark.range(3).coalesce(1).write.parquet(lfs.join(root, "b0"))
+    spark.range(2).coalesce(1).write.parquet(
+        lfs.join(root, "b1", ".staged"))
+    lfs.write_text(lfs.join(root, "_CURRENT"), ".gen-1")
+    os.makedirs(lfs.join(root, "empty"))
+
+    local = lfs.scan_tree(root)
+    hadoop = hfs.scan_tree(root)
+    # Hadoop's create() writes CRC sidecars on file:// that os-level
+    # writes don't — compare on the non-CRC view, which is all the
+    # protocol reads
+    assert [p for p in hadoop if ".crc" not in p] \
+        == [p for p in local if ".crc" not in p]
+    assert local == sorted(local)
+    assert "_CURRENT" in local
+    assert any(p.startswith("b0/") and p.endswith(".parquet")
+               for p in local)
+    assert "b0/_SUCCESS" in local
+    assert any(p.startswith("b1/.staged/") for p in local), \
+        "hidden subtrees are scanned (the caller filters)"
+    assert not any(p.startswith("empty") for p in local), \
+        "empty dirs hold no files, so they don't appear"
+    for fs in (lfs, hfs):
+        assert fs.scan_tree(fs.join(root, "nope")) == []
+
+
 def test_statefs_routing_and_commit_mode(spark, tmp_path):
     """Bare paths get the POSIX backend; URI schemes go through Hadoop.
     commit_mode='auto' resolves from the backend's rename guarantee."""
@@ -308,20 +342,68 @@ def test_write_text_pointer_never_missing(spark, tmp_path, monkeypatch):
 def test_write_text_fallback_when_filecontext_unavailable(
         spark, tmp_path, monkeypatch):
     """Schemes without an AbstractFileSystem binding can't build a
-    FileContext; write_text must degrade to delete+rename and still land
-    the new content."""
+    FileContext (the probe caches False); write_text must degrade to
+    delete+rename there and still land the new content."""
     root = str(tmp_path)
     hfs = HadoopStateFS(spark, root)
     ptr = hfs.join(root, "_CURRENT")
     hfs.write_text(ptr, ".gen-1")
 
-    def broken_ow(self, src, dst):
-        raise RuntimeError("no AbstractFileSystem for scheme")
+    def no_fc(self, path):
+        self._fc_available = False
+        return None
 
-    monkeypatch.setattr(HadoopStateFS, "_overwrite_rename", broken_ow)
+    monkeypatch.setattr(HadoopStateFS, "_file_context", no_fc)
     hfs.write_text(ptr, ".gen-2")
     assert hfs.read_text(ptr) == ".gen-2"
     assert not hfs.isfile(ptr + ".tmp")
+
+
+def test_write_text_transient_failure_propagates(
+        spark, tmp_path, monkeypatch):
+    """On a scheme WHERE FileContext exists, a transient failure of the
+    one-step overwrite must PROPAGATE — the old bare-except fallback
+    silently downgraded the commit protocol to delete+rename exactly when
+    the filesystem was flaky, reopening the missing-_CURRENT window (and
+    after its delete, a second failure would lose the destination)."""
+    root = str(tmp_path)
+    hfs = HadoopStateFS(spark, root)
+    ptr = hfs.join(root, "_CURRENT")
+    hfs.write_text(ptr, ".gen-1")
+
+    def flaky_ow(self, src, dst):
+        raise RuntimeError("transient store hiccup")
+
+    monkeypatch.setattr(HadoopStateFS, "_overwrite_rename", flaky_ow)
+    with pytest.raises(RuntimeError, match="transient store hiccup"):
+        hfs.write_text(ptr, ".gen-2")
+    # the destination was never deleted: readers still resolve the OLD
+    # pointer, which is the whole point of refusing the downgrade
+    assert hfs.read_text(ptr) == ".gen-1"
+
+
+def test_filecontext_probe_classifier_and_stickiness(spark, tmp_path):
+    """Only UnsupportedFileSystemException may demote the probe to the
+    fallback; the verdict is cached so the probe runs once."""
+    root = str(tmp_path)
+    hfs = HadoopStateFS(spark, root)
+
+    class _FakeUnsupported(Exception):
+        def __str__(self):
+            return ("org.apache.hadoop.fs.UnsupportedFileSystemException: "
+                    "No AbstractFileSystem for scheme: fake")
+
+    assert hfs._is_unsupported_fs(_FakeUnsupported())
+    assert not hfs._is_unsupported_fs(RuntimeError("transient hiccup"))
+
+    # a cached False verdict keeps write_text on the fallback without
+    # ever re-probing (the probe is the only place that sets the flag)
+    hfs._fc_available = False
+    ptr = hfs.join(root, "_CURRENT")
+    hfs.write_text(ptr, ".gen-1")
+    hfs.write_text(ptr, ".gen-2")
+    assert hfs.read_text(ptr) == ".gen-2"
+    assert hfs._fc_available is False
 
 
 class _CrashError(RuntimeError):
@@ -594,23 +676,24 @@ def test_stale_listing_on_reader_degrades_to_prefix(spark, tables,
     pipe.process_batch(b1, 1)
     resp_full = [tuple(r) for r in pipe.search(q, k=6).collect()]
 
-    # arm a one-shot stale listing for every consistent-read listdir of
-    # the corpus and edge stores: the reader sees the pre-b1 snapshot
-    stale_corpus = [e for e in fs.listdir(pipe.corpus_dir) if e != "b1"]
-    stale_edges = [e for e in fs.listdir(pipe.edges_dir) if e != "b1"]
-    # serve stale consistently across the fingerprint brackets + reads
-    real_listdir = fs.listdir
-    hidden = {pipe.corpus_dir: stale_corpus, pipe.edges_dir: stale_edges}
+    # arm a stale bulk listing for every consistent-read scan of the
+    # corpus and edge stores: the reader sees the pre-b1 snapshot
+    # (consistent-read metadata now flows through scan_tree, the bulk
+    # primitive, so the staleness is modelled there)
+    real_scan = fs.scan_tree
+    hidden = {pipe.corpus_dir, pipe.edges_dir}
 
-    def stale_listdir(path):
+    def stale_scan(path):
+        out = real_scan(path)
         if path in hidden:
-            return list(hidden[path])
-        return real_listdir(path)
+            return [r for r in out
+                    if r != "b1" and not r.startswith("b1/")]
+        return out
 
-    fs.listdir = stale_listdir
+    fs.scan_tree = stale_scan
     try:
         resp_stale = [tuple(r) for r in pipe.search(q, k=6).collect()]
     finally:
-        fs.listdir = real_listdir
+        del fs.scan_tree
     assert resp_stale == resp_prefix
     assert [tuple(r) for r in pipe.search(q, k=6).collect()] == resp_full

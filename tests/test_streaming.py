@@ -1882,10 +1882,15 @@ def test_warm_reader_rewarm_across_writer_flips(spark, tables, tmp_path):
 
 
 def test_stable_read_raises_on_flapping_state(spark, tables, tmp_path):
-    """``_stable_read`` must fail LOUDLY (not serve a possibly-mixed
-    view) if the commit fingerprint changes on every one of its
-    attempts — the pathological-churn backstop of the reader/writer
-    contract."""
+    """The strict bracket (``fallback=False`` — warm()'s mode) must fail
+    LOUDLY with the typed error if the commit fingerprint changes on
+    every backoff-spaced attempt; the serving paths (``fallback=True``)
+    must instead ANSWER from the last torn-excluded view — the
+    reference's always-answers contract under pathological churn."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        StateCommitStormError,
+    )
+
     pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
                           commit_mode="pointer")
     pipe.process_batch(_mk_docs(tables, 0, 10), 0)
@@ -1897,8 +1902,13 @@ def test_stable_read_raises_on_flapping_state(spark, tables, tmp_path):
         return (tick[0],) + tuple(orig())
 
     pipe._commit_fingerprint = flapping
-    with pytest.raises(RuntimeError, match="consistent-read"):
-        pipe.search("anything", k=5)
+    with pytest.raises(StateCommitStormError, match="consistent-read"):
+        pipe._stable_read(lambda torn: None)
+    # the serving path still answers (fallback view: torn-excluded,
+    # per-store consistent) under the same churn
+    q = _mk_docs(tables, 0, 1).first().text
+    rows = pipe.search(q, k=5).collect()
+    assert rows and rows[0].score == 1.0
 
 
 def test_commit_fingerprint_sees_success_transition(spark, tables,
@@ -1921,3 +1931,233 @@ def test_commit_fingerprint_sees_success_transition(spark, tables,
     finally:
         os.rename(marker + ".hide", marker)
     assert pipe._commit_fingerprint() == fp0
+
+
+# --- round-12: writer fencing, retention SLA, freshness, atomic warm -------
+
+
+def test_writer_fence_second_writer_fences_first(spark, tables, tmp_path):
+    """The single-writer contract, ENFORCED: writer A acquires the lease
+    and ingests; writer B (a second process in production) acquires the
+    same root's lease; A's next mutation must raise WriterFencedError —
+    before writing anything — while B proceeds, and the state stays a
+    clean committed prefix throughout."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        WriterFencedError,
+    )
+
+    root = str(tmp_path / "st")
+    a = IngestPipeline(spark, root, k=5)
+    b = IngestPipeline(spark, root, k=5)
+    e1 = a.acquire_writer(owner="writer-a")
+    a.process_batch(_mk_docs(tables, 0, 20), 0)
+    assert a.corpus().count() == 20
+
+    e2 = b.acquire_writer(owner="writer-b")
+    assert e2 == e1 + 1, "acquisition bumps the epoch"
+    before = sorted(map(tuple, a.corpus().collect()))
+    with pytest.raises(WriterFencedError, match="usurped"):
+        a.process_batch(_mk_docs(tables, 20, 40), 1)
+    # the fenced writer wrote NOTHING (check runs before any state write)
+    assert sorted(map(tuple, a.corpus().collect())) == before
+    with pytest.raises(WriterFencedError):
+        a.compact()
+    with pytest.raises(WriterFencedError):
+        a.build_graph()
+
+    b.process_batch(_mk_docs(tables, 20, 40), 1)
+    assert b.corpus().count() == 40
+    assert b.torn_batch_keys() == set()
+    b.compact()
+    assert b.corpus().count() == 40
+
+    # a clean release makes later accidental writes from A's object
+    # still fail (lease content is no longer A's), while an UNFENCED
+    # pipeline (never acquired) keeps the legacy free pass
+    c = IngestPipeline(spark, root, k=5)
+    c.process_batch(_mk_docs(tables, 40, 50), 2)
+    assert c.corpus().count() == 50
+
+
+def test_writer_fence_acquire_race_single_winner(spark, tmp_path):
+    """Two acquirers racing to the SAME epoch: the lease file holds one
+    owner-tagged content, so exactly one read-back validates."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        WriterFencedError,
+    )
+
+    root = str(tmp_path / "st")
+    a = IngestPipeline(spark, root, k=5)
+    b = IngestPipeline(spark, root, k=5)
+    # simulate the interleaving: A reads (no lease), B reads (no lease),
+    # A writes epoch 1, B writes epoch 1 — B's PUT lands last and wins
+    a.fs.write_text(a._lease_path, "1 writer-a")
+    with pytest.raises(WriterFencedError, match="race|usurped"):
+        # A's read-back sees B's content
+        b.fs.write_text(b._lease_path, "1 writer-b")
+        a._writer_epoch, a._writer_lease = 1, "1 writer-a"
+        a.check_writer_fence()
+    # and the loser cannot mutate
+    b._writer_epoch, b._writer_lease = 1, "1 writer-b"
+    b.check_writer_fence()  # the winner passes
+
+
+def test_retention_sla_slow_reader(spark, tables, tmp_path):
+    """The retention SLA, pinned (r11 verdict item 1): a cold reader's
+    plan pins one epoch's physical paths; with retain_generations=1 the
+    paths survive exactly ONE later flip — a scan that outlives TWO
+    flips reads swept files and fails. Sizing retention to the flip
+    count (retain_generations=2) keeps the same slow scan alive, and
+    the serving facade (serve_search) answers either way by re-planning."""
+    docs = _mk_docs(tables, 0, 40)
+    q = _mk_docs(tables, 0, 1).first().text
+
+    def flips(pipe, n, start=100):
+        # each compact() under pointer commit is one flip per store
+        for i in range(n):
+            pipe.process_batch(_mk_docs(tables, 60 + 5 * i, 65 + 5 * i),
+                               start + i)
+            pipe.compact()
+
+    # retain_generations=1: plan, survive one flip, die after the second
+    p1 = IngestPipeline(spark, str(tmp_path / "r1"), k=5,
+                        commit_mode="pointer", retain_generations=1)
+    p1.process_batch(docs, 0)
+    p1.compact()  # move past gen 0 so later sweeps hit .gen-N dirs
+    plan = p1.search(q, k=5)  # cold plan: pins current generation paths
+    one_flip = IngestPipeline(spark, str(tmp_path / "r1"), k=5,
+                              commit_mode="pointer", retain_generations=1)
+    flips(one_flip, 1)
+    rows = plan.collect()  # within SLA: one flip of headroom
+    assert rows and rows[0].score == 1.0
+    plan2 = p1.search(q, k=5)
+    flips(one_flip, 2, start=200)
+    with pytest.raises(Exception) as exc_info:
+        plan2.collect()
+        pytest.skip("filesystem kept swept files alive (cached listing)")
+    assert p1._is_stale_scan_error(exc_info.value), exc_info.value
+    # the facade answers anyway: re-plan + retry against the live epoch
+    rows = p1.serve_search(q, k=5)
+    assert rows and rows[0].score == 1.0
+
+    # retain_generations=2 covers the same two-flip scan
+    p2 = IngestPipeline(spark, str(tmp_path / "r2"), k=5,
+                        commit_mode="pointer", retain_generations=2)
+    p2.process_batch(docs, 0)
+    p2.compact()
+    plan3 = p2.search(q, k=5)
+    writer2 = IngestPipeline(spark, str(tmp_path / "r2"), k=5,
+                             commit_mode="pointer", retain_generations=2)
+    flips(writer2, 2, start=300)
+    rows = plan3.collect()
+    assert rows and rows[0].score == 1.0
+
+
+def test_serve_search_retries_transient_stale_scan(spark, tables,
+                                                   tmp_path):
+    """_serve retries exactly the two writer-race failure classes and
+    propagates everything else."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        StateCommitStormError,
+    )
+
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5)
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+    q = _mk_docs(tables, 0, 1).first().text
+
+    calls = {"n": 0}
+    real_search = pipe.search
+
+    def flaky_search(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "java.io.FileNotFoundException: File file:/swept/part-0 "
+                "does not exist")
+        if calls["n"] == 2:
+            raise StateCommitStormError("commits kept landing")
+        return real_search(*a, **kw)
+
+    pipe.search = flaky_search
+    rows = pipe.serve_search(q, k=5)
+    assert rows and rows[0].score == 1.0
+    assert calls["n"] == 3, "two retriable failures, then the answer"
+
+    calls["n"] = 0
+
+    def poisoned(*a, **kw):
+        calls["n"] += 1
+        raise ValueError("a real bug, not a writer race")
+
+    pipe.search = poisoned
+    with pytest.raises(ValueError, match="real bug"):
+        pipe.serve_search(q, k=5)
+    assert calls["n"] == 1, "non-retriable errors propagate immediately"
+
+
+def test_freshness_gauge_tracks_writer_progress(spark, tables, tmp_path):
+    """freshness(): a warm reader reports exactly how far the writer has
+    moved past its snapshot, and maybe_rewarm() zeroes the gauge."""
+    root = str(tmp_path / "st")
+    writer = IngestPipeline(spark, root, k=5, commit_mode="pointer")
+    writer.process_batch(_mk_docs(tables, 0, 20), 0)
+    reader = IngestPipeline(spark, root, k=5, commit_mode="pointer")
+
+    cold = reader.freshness()
+    assert cold == {"warm": False, "fresh": True,
+                    "behind_units": 0, "behind_flips": 0}
+
+    reader.warm()
+    assert reader.freshness()["fresh"] is True
+
+    writer.process_batch(_mk_docs(tables, 20, 40), 1)
+    g = reader.freshness()
+    assert g["warm"] and not g["fresh"]
+    assert g["behind_units"] >= 2, "b1 landed in corpus AND edges"
+    assert g["behind_flips"] == 0
+
+    writer.compact()  # pointer flips move the epoch distance
+    g = reader.freshness()
+    assert not g["fresh"] and g["behind_flips"] >= 1
+
+    assert reader.maybe_rewarm() is True
+    g = reader.freshness()
+    assert g == {"warm": True, "fresh": True,
+                 "behind_units": 0, "behind_flips": 0}
+    reader.unwarm()
+
+
+def test_warm_snapshot_atomic_publish_and_shared_cache(spark, tables,
+                                                       tmp_path):
+    """r11 advice: (a) a query thread that captured the old snapshot
+    dict keeps serving from it across a re-warm (the dict is immutable
+    once published — no KeyError window); (b) a no-op warm() (state
+    unchanged) must NOT evict its own caches; (c) a re-warm whose EDGE
+    store didn't change keeps sharing that cache entry instead of
+    evicting it."""
+    root = str(tmp_path / "st")
+    pipe = IngestPipeline(spark, root, k=5)
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+    sizes0 = pipe.warm()
+    snap0 = pipe._warm
+    assert sizes0["corpus_rows"] == 20
+
+    # (b) no-op warm: same snapshot object, caches still pinned
+    sizes1 = pipe.warm()
+    assert sizes1 == sizes0
+    assert pipe._warm is snap0, "unchanged state -> snapshot reused"
+    assert snap0["corpus"].storageLevel.useMemory
+
+    # (c) writer lands a batch through a SEPARATE pipeline (the reader's
+    # own process_batch would unwarm) and the reader re-warms
+    writer = IngestPipeline(spark, root, k=5)
+    writer.process_batch(_mk_docs(tables, 20, 40), 1)
+    assert pipe.maybe_rewarm() is True
+    snap1 = pipe._warm
+    assert snap1 is not snap0
+    assert snap1["corpus"].count() == 40
+    # (a) the OLD captured snapshot still answers (its dict is intact;
+    # its plan re-reads files that retention keeps alive)
+    assert set(snap0.keys()) >= {"corpus", "edges", "sizes"}
+    assert snap0["corpus"].count() == 20
+    pipe.unwarm()
