@@ -148,7 +148,8 @@ class IngestPipeline:
                  maintain_neardup: bool = False, ivf_probes: int = 2,
                  fs=None, commit_mode: str = "auto",
                  cell_rows_cap: int = 200_000,
-                 retain_generations: int = 1):
+                 retain_generations: int = 1,
+                 refresh_edges_on_retrain: bool = False):
         self.spark = spark
         # every state-FS operation routes through ONE adapter (statefs.py)
         # so the commit protocol runs unchanged on local disk, HDFS, or an
@@ -229,6 +230,13 @@ class IngestPipeline:
         # deleted directory. 0 restores the immediate sweep (single-actor
         # deployments that want the disk back right away).
         self.retain_generations = retain_generations
+        # opt-in: run refresh_edges() at the tail of every IVF re-train —
+        # the graph-serving deployment's staleness bound (edges re-scored
+        # for exactly the cells the re-train regrouped + the cells new
+        # docs changed since the last build). At-least-once on a batch
+        # replay: the refresh re-derives the same changed set and its
+        # supersede-publish converges to the same logical edge store.
+        self.refresh_edges_on_retrain = refresh_edges_on_retrain
         # warm-serving state (warm()): cached corpus/edges/centroids/index.
         # Published ATOMICALLY (one dict assignment) so a serving thread
         # that captures the reference once per query never sees a
@@ -624,7 +632,149 @@ class IngestPipeline:
         self.unwarm()  # the edge append invalidates any warm snapshot
         self.build_edges(neighbors).write.mode("overwrite").parquet(
             self._bdir(self.edges_dir, key))
+        if not self.ivf_index().isEmpty():
+            # record the cell-membership states as of this build (every
+            # doc's neighborhood was just scored, whatever the method),
+            # so a later refresh_edges() diffs and re-scores only cells
+            # that move AFTER this point
+            self._write_edge_manifest()
         return key
+
+    # --- incremental edge refresh (round-12) ---------------------------------
+    # The edge store is append-only and bulk edges are never rescored
+    # (the documented freshness contract) — measured drift: recall@10
+    # 0.84-0.90 at +15-50% post-bulk ingest, dominated by SURPLUS
+    # bulk-era edges that an append-another-pass refresh cannot remove
+    # (BASELINE.md r11). refresh_edges() closes that for ~the cost of
+    # the CHANGED cells: re-score only cells whose membership moved
+    # since the last build/refresh, and SUPERSEDE — drop every old edge
+    # incident to a re-scored doc, union the fresh within-cell edges,
+    # and publish the result as a new edge-store generation (the same
+    # torn-carrying swap compact uses). Membership is fingerprinted per
+    # cell as a hash of its sorted member ids, compared as a SET across
+    # index generations — so a re-train that re-derives mostly-identical
+    # clusters (the common case) only re-scores the cells that actually
+    # regrouped, not every renumbered cid.
+
+    @property
+    def _edge_manifest_path(self) -> str:
+        return self.fs.join(self.state_dir, "_EDGE_CELLS")
+
+    def _cell_membership(self, idx: DataFrame | None = None) -> list:
+        """(cid, membership-hash) per live cell — the hash is over the
+        cell's sorted member doc_ids, so it identifies a member SET
+        independent of cid numbering (stable across re-trains). Computed
+        over the COMMITTED (torn-excluded) index view so the manifest
+        only ever claims cells whose members were actually scorable —
+        a torn batch's members hash in once its replay commits, which
+        marks their cells changed. One small aggregation job, √n output
+        rows."""
+        if idx is None:
+            idx = self._read_state_excluding_keys(
+                self.index_dir, INDEX_SCHEMA, self._torn_batch_keys())
+        return (idx.groupBy("cid")
+                .agg(F.xxhash64(F.concat_ws(",", F.sort_array(
+                    F.collect_list("doc_id")))).alias("mh"))
+                .collect())
+
+    def _write_edge_manifest(self, rows: list | None = None) -> None:
+        rows = rows if rows is not None else self._cell_membership()
+        self.fs.write_text(
+            self._edge_manifest_path,
+            "\n".join(str(r.mh) for r in
+                      sorted(rows, key=lambda r: r.cid)))
+
+    def refresh_edges(self, force_all: bool = False,
+                      target_rows_per_file: int = 1_000_000) -> dict:
+        """Bounded-cost edge refresh on the re-train/ops cadence
+        (r11 verdict item 3).
+
+        Re-scores ONLY the cells whose membership changed since the
+        last ``build_graph``/``refresh_edges`` (new docs assigned in,
+        or a re-train regrouping members), using the same within-cell
+        kernel as ``build_graph(method="cells")`` restricted to those
+        cells — cost ≈ Σ m² over changed cells vs the full rebuild's
+        Σ m² over all cells. Publishing SUPERSEDES: every old edge
+        incident to a re-scored doc is dropped and the fresh
+        within-cell edges take its place, so the surplus bulk-era
+        edges that capped an append-only refresh's recall are removed,
+        and the resulting store equals the from-scratch
+        ``build_graph(method="cells")`` graph on every changed cell
+        (unchanged cells keep their identical edges by construction —
+        same members, same kernel, same scores).
+
+        Semantics note: like the cells build itself, the refreshed
+        neighborhoods are within-cell; dropped cross-era edges whose
+        endpoint landed in a changed cell are exactly the edges a
+        fresh cells rebuild would not contain. Writer-side maintenance
+        (fence-checked); crash-safe the same way compact() is — the
+        fold stages beside the live store and commits by one swap, and
+        a crash before the swap leaves the old store intact (the
+        manifest is written only AFTER the swap, so a crashed refresh
+        re-scores the same cells on retry).
+
+        Returns ``{"changed_cells", "total_cells", "refreshed_docs",
+        "edge_rows"}``; a no-change call is a metadata-only no-op.
+        """
+        self.check_writer_fence()
+        torn = self._torn_batch_keys()
+        idx = self._read_state_excluding_keys(
+            self.index_dir, INDEX_SCHEMA, torn)
+        if idx.isEmpty():
+            raise ValueError(
+                "refresh_edges requires a live IVF index (its unit of "
+                "incremental work is the cell); run bulk_load/"
+                "process_batch with maintain_ivf first")
+        rows = self._cell_membership(idx)
+        manifest = self.fs.read_text(self._edge_manifest_path)
+        known = (set(manifest.split("\n")) if manifest else set())
+        changed = [r.cid for r in rows
+                   if force_all or manifest is None
+                   or str(r.mh) not in known]
+        if not changed:
+            return {"changed_cells": 0, "total_cells": len(rows),
+                    "refreshed_docs": 0,
+                    "edge_rows": int(self.edges().count())}
+        self.unwarm()
+        corpus = self._read_state_excluding_keys(
+            self.corpus_dir, CORPUS_SCHEMA, torn).transform(pin_lazy)
+        cset = self.spark.createDataFrame(
+            [(int(c),) for c in changed], "cid int")
+        cdocs = idx.join(F.broadcast(cset), "cid") \
+            .select("doc_id").transform(pin)
+        n_docs = cdocs.count()
+        sub = corpus.join(cdocs, "doc_id", "left_semi")
+        # the within-cell kernel joins the index itself, so restricting
+        # the corpus argument restricts the scored cells; n_total=None
+        # keeps the skew (block-pair) gate engaged
+        neighbors = self._within_cell_neighbors(sub)
+        new_edges = self.build_edges(neighbors)
+        old_edges = self._read_state_excluding_keys(
+            self.edges_dir, EDGE_SCHEMA, torn)
+        kept = (
+            old_edges
+            .join(cdocs.withColumnRenamed("doc_id", "src"),
+                  "src", "left_anti")
+            .join(cdocs.withColumnRenamed("doc_id", "dst"),
+                  "dst", "left_anti")
+        )
+        final = kept.select("src", "dst", "score").unionByName(new_edges)
+        final = final.transform(pin)
+        n = final.count()
+        files = max(1, -(-n // target_rows_per_file))
+        # single-store fold: preserve every committed corpus key's edge
+        # commit record as a marker dir, or torn detection would misread
+        # the whole committed history as torn (see _publish_folded_store)
+        markers = {
+            name for name, (is_dir, _c, _p)
+            in self._store_scan(self.corpus_dir)[1].items()
+            if is_dir and re.fullmatch(r"(.*?)(\d+)", name)
+            and name not in torn}
+        self._publish_folded_store(self.edges_dir, final, torn, files,
+                                   markers=markers)
+        self._write_edge_manifest(rows)
+        return {"changed_cells": len(changed), "total_cells": len(rows),
+                "refreshed_docs": int(n_docs), "edge_rows": int(n)}
 
     def _build_graph_neighbors(self, probes: int | None = None,
                                method: str = "auto") -> DataFrame:
@@ -1206,38 +1356,66 @@ class IngestPipeline:
                 # only torn-batch subdirectories here — nothing to fold
                 continue
             files = max(1, -(-n // target_rows_per_file))
-            if self.commit_mode == "pointer":
-                # stage the fold as the next generation, carry the torn
-                # subdirectories in BEFORE the pointer flip (after the
-                # flip, a replay resolves _bdir to the NEW generation —
-                # its torn directory must already be there; a crash
-                # before the flip leaves _CURRENT on the old generation,
-                # where the replay rewrites its subdirectory from
-                # scratch, so the moved copies are just re-staged litter
-                # the rerun's overwrite clears)
-                tmp = self._stage_dir(path)
-                self.fs.rmtree(tmp)
-                df.coalesce(files).write.mode("overwrite").parquet(tmp)
-                for key in torn:
-                    src = self.fs.join(phys, key)
-                    if self.fs.isdir(src):
-                        self.fs.rename(src, self.fs.join(tmp, key))
-                self._swap_dir(path, tmp)
-            else:
-                tmp = path + ".compact"
-                old = path + ".old"
-                df.coalesce(files).write.mode("overwrite").parquet(tmp)
-                self.fs.rename(path, old)
-                self.fs.rename(tmp, path)
-                for key in torn:
-                    src = self.fs.join(old, key)
-                    if self.fs.isdir(src):
-                        self.fs.rename(src, self.fs.join(path, key))
-                self.fs.rmtree(old)
+            self._publish_folded_store(path, df, torn, files)
             done[path.rstrip("/").rsplit("/", 1)[-1]] = files
         if self.maintain_ivf:
             done.update(self._heal_index_holes(torn))
         return done
+
+    def _publish_folded_store(self, path: str, df: DataFrame,
+                              torn: set[str], files: int,
+                              markers: set[str] = frozenset()) -> None:
+        """Replace a store's committed content with ``df`` (coalesced to
+        ``files``), carrying torn-batch subdirectories over verbatim —
+        the one swap primitive ``compact()`` and ``refresh_edges()``
+        share. Pointer mode: stage the fold as the next generation,
+        carry the torn subdirectories in BEFORE the pointer flip (after
+        the flip, a replay resolves ``_bdir`` to the NEW generation —
+        its torn directory must already be there; a crash before the
+        flip leaves ``_CURRENT`` on the old generation, where the
+        replay rewrites its subdirectory from scratch, so the moved
+        copies are just re-staged litter the rerun's overwrite clears).
+        Rename mode: the classic write-beside + rename dance.
+
+        ``markers``: batch keys whose COMMIT RECORD must survive the
+        fold as empty ``_SUCCESS``-only subdirectories. ``compact()``
+        folds every store together, so batch keys vanish from all of
+        them at once and the cross-store commit check stays consistent
+        with no markers; a SINGLE-store fold (``refresh_edges`` folds
+        only edges) would otherwise erase the folded store's per-key
+        commit evidence while the corpus still lists the keys — and
+        ``_torn_batch_keys`` would misread every committed batch as
+        torn. A marker directory is commit evidence without data:
+        torn detection sees it committed, readers skip it (no
+        parquet), and the next full compact folds it away."""
+        staged_markers = [k for k in markers if k not in torn]
+        phys = self._phys(path)
+        if self.commit_mode == "pointer":
+            tmp = self._stage_dir(path)
+            self.fs.rmtree(tmp)
+            df.coalesce(files).write.mode("overwrite").parquet(tmp)
+            for key in torn:
+                src = self.fs.join(phys, key)
+                if self.fs.isdir(src):
+                    self.fs.rename(src, self.fs.join(tmp, key))
+            for key in staged_markers:
+                self.fs.write_text(
+                    self.fs.join(tmp, key, "_SUCCESS"), "")
+            self._swap_dir(path, tmp)
+        else:
+            tmp = path + ".compact"
+            old = path + ".old"
+            df.coalesce(files).write.mode("overwrite").parquet(tmp)
+            for key in staged_markers:
+                self.fs.write_text(
+                    self.fs.join(tmp, key, "_SUCCESS"), "")
+            self.fs.rename(path, old)
+            self.fs.rename(tmp, path)
+            for key in torn:
+                src = self.fs.join(old, key)
+                if self.fs.isdir(src):
+                    self.fs.rename(src, self.fs.join(path, key))
+            self.fs.rmtree(old)
 
     def _heal_index_holes(self, torn: set[str]) -> dict[str, int]:
         """Assign committed-but-unindexed corpus rows (left-anti of corpus
@@ -1615,6 +1793,12 @@ class IngestPipeline:
         cents.write.mode("overwrite").parquet(cnext)
         self._swap_dir(self.index_dir, inext)
         self._swap_dir(self.centroids_dir, cnext)
+        if self.refresh_edges_on_retrain:
+            # the re-train just regrouped cells; re-score exactly the
+            # moved membership (plus any cells new docs changed since
+            # the last build) so graph serving doesn't age past the
+            # re-train cadence
+            self.refresh_edges()
 
     def _stage_dir(self, root: str) -> str:
         """Where a rebuilt store is staged before its swap: a ``.next``

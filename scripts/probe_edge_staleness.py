@@ -79,7 +79,9 @@ def fresh_rebuild(spark, docs_df, method: str) -> IngestPipeline:
                           maintain_ivf=True, n_centroids=None,
                           max_collect=16384)
     pipe.bulk_load(docs_df)
+    t0 = time.perf_counter()
     pipe.build_graph(method=method)
+    pipe.rebuild_sec = round(time.perf_counter() - t0, 1)
     return pipe
 
 
@@ -94,6 +96,10 @@ def main() -> int:
     ap.add_argument("--method", default="cells",
                     help="build_graph scorer for bulk + rebuild arms")
     ap.add_argument("--batch-rows", type=int, default=250)
+    ap.add_argument("--trickle", type=int, default=10,
+                    help="final skewed-arrival arm: this many docs, then "
+                         "a diff refresh vs a force_all refresh — the "
+                         "changed-fraction cost case (0 disables)")
     args = ap.parse_args()
 
     spark = get_spark("probe-edge-staleness")
@@ -158,27 +164,92 @@ def main() -> int:
         r_all = recall(aged, fref, args.k)
         r_old = recall({q: aged[q] for q in oldq},
                        {q: fref[q] for q in oldq}, args.k)
-        # refresh: append a new build_graph pass over the aged store
+        # FIXED-INDEX reference (r12): the from-scratch twin above
+        # bootstraps its OWN centroids, so its graph differs from the
+        # aged pipeline's by cell-PARTITION divergence as well as by
+        # staleness — recall against it is capped by partition mismatch
+        # no edge refresh can (or should) close. The honest staleness
+        # reference holds corpus AND index fixed: a copy of the aged
+        # state, all cells re-scored + superseded (refresh_edges
+        # force_all) — the best graph THIS index can serve.
+        import shutil as _sh
+
+        ref_root = tempfile.mkdtemp(prefix="stale_ref_")
+        _sh.copytree(state, os.path.join(ref_root, "state"))
+        ref = IngestPipeline(spark, os.path.join(ref_root, "state"), k=10,
+                             maintain_ivf=True, n_centroids=None,
+                             max_collect=16384)
         t0 = time.perf_counter()
-        rkey = pipe.build_graph(method=args.method)
+        ref.refresh_edges(force_all=True)
+        force_sec = round(time.perf_counter() - t0, 1)
+        rfix = expansion_ids(ref, queries, args.k)
+        r_aged_fixed = recall(aged, rfix, args.k)
+        # refresh: the r12 incremental supersede — re-score only cells
+        # whose membership moved since the last build/refresh, drop the
+        # displaced (surplus) edges, publish as a new store generation
+        t0 = time.perf_counter()
+        rstats = pipe.refresh_edges()
         refresh_sec = round(time.perf_counter() - t0, 1)
         refreshed = expansion_ids(pipe, queries, args.k)
         r_refreshed = recall(refreshed, fref, args.k)
+        r_refreshed_fixed = recall(refreshed, rfix, args.k)
         rows.append({
             "frac_ingested": round(ingested / n0, 3),
             "n_docs": int(pipe.corpus().count()),
             "edge_rows": int(pipe.edges().count()),
-            "recall_aged_all": r_all, "recall_aged_oldq": r_old,
-            "recall_after_refresh": r_refreshed,
-            "refresh_sec": refresh_sec, "refresh_key": rkey,
+            "recall_aged_vs_scratch": r_all,
+            "recall_aged_oldq_vs_scratch": r_old,
+            "recall_aged_vs_fixedindex": r_aged_fixed,
+            "recall_refreshed_vs_scratch": r_refreshed,
+            "recall_refreshed_vs_fixedindex": r_refreshed_fixed,
+            "refresh_sec": refresh_sec,
+            "force_all_sec": force_sec,
+            "scratch_rebuild_sec": fresh.rebuild_sec,
+            "refresh_stats": rstats,
         })
+        _sh.rmtree(ref_root, ignore_errors=True)
         print(json.dumps(rows[-1]), flush=True)
         shutil.rmtree(fresh.corpus_dir.rsplit("/", 2)[0],
                       ignore_errors=True)
 
+    # trickle arm: a SMALL arrival (new texts, deterministic embeddings
+    # scatter into a handful of cells) — the diff refresh's cost case:
+    # changed cells are a small fraction of the store, so the re-score
+    # touches a fraction of the corpus where force_all touches all of it
+    trickle_row = None
+    if args.trickle > 0:
+        tr = (base.orderBy("doc_id").limit(args.trickle).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trick")).alias("text"),
+            "modality"))
+        pipe.process_batch(tr, 0, key="ntr0")
+        t0 = time.perf_counter()
+        tstats = pipe.refresh_edges()
+        diff_sec = round(time.perf_counter() - t0, 1)
+        ref_root = tempfile.mkdtemp(prefix="stale_trickle_ref_")
+        shutil.copytree(state, os.path.join(ref_root, "state"))
+        ref = IngestPipeline(spark, os.path.join(ref_root, "state"), k=10,
+                             maintain_ivf=True, n_centroids=None,
+                             max_collect=16384)
+        t0 = time.perf_counter()
+        ref.refresh_edges(force_all=True)
+        force_sec = round(time.perf_counter() - t0, 1)
+        shutil.rmtree(ref_root, ignore_errors=True)
+        trickle_row = {
+            "trickle_docs": args.trickle,
+            "changed_cells": tstats["changed_cells"],
+            "total_cells": tstats["total_cells"],
+            "refreshed_docs": tstats["refreshed_docs"],
+            "n_docs": int(pipe.corpus().count()),
+            "diff_sec": diff_sec, "force_all_sec": force_sec,
+            "diff_vs_force": round(diff_sec / max(force_sec, 1e-9), 2),
+        }
+        print(json.dumps(trickle_row), flush=True)
+
     out = {"metric": "edge_staleness", "factor": args.factor,
            "n_base": n0, "bulk_sec": bulk_sec, "bulk_key": gkey,
-           "k": args.k, "method": args.method, "rows": rows}
+           "k": args.k, "method": args.method, "rows": rows,
+           "trickle": trickle_row}
     print(json.dumps(out), flush=True)
     shutil.rmtree(work, ignore_errors=True)
     return 0

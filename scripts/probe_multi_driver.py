@@ -107,13 +107,30 @@ def role_server(args) -> int:
             with lock:
                 lats.append(time.perf_counter() - t0)
 
+    max_behind = [0, 0]  # (units, flips) peak staleness the gauge saw
+
     def rewarmer():
         # the freshness poll a long-lived serving driver runs on its own
-        # cadence; cheap metadata check, full re-warm only on change
+        # cadence; cheap metadata check, full re-warm only on change.
+        # The freshness() gauge (r11 verdict item 8) is what a deployment
+        # alerts on — record its peak and assert it ZEROES after a
+        # successful re-warm.
         while not stop.is_set():
             try:
+                g = pipe.freshness()
+                max_behind[0] = max(max_behind[0], g["behind_units"])
+                max_behind[1] = max(max_behind[1], g["behind_flips"])
                 if pipe.maybe_rewarm():
                     rewarms[0] += 1
+                    g2 = pipe.freshness()
+                    if not g2["fresh"] and g2 == pipe.freshness():
+                        # stable non-fresh right after a re-warm = the
+                        # gauge and the snapshot disagree — a contract
+                        # violation (a racing writer commit is fine, but
+                        # then the second reading differs)
+                        with lock:
+                            errors.append(
+                                f"freshness stuck non-fresh: {g2}")
             except Exception as e:  # noqa: BLE001
                 with lock:
                     errors.append(f"rewarm {type(e).__name__}: {e}")
@@ -158,6 +175,8 @@ def role_server(args) -> int:
         "p50": round(lats[len(lats) // 2], 3) if lats else None,
         "p95": round(lats[int(len(lats) * 0.95)], 3) if lats else None,
         "warm_sec": round(warm_sec, 2), "rewarms": rewarms[0],
+        "max_behind_units": max_behind[0],
+        "max_behind_flips": max_behind[1],
         "fresh_hit": fresh_hit, "errors": errors[:3],
     }
     print("RESULT " + json.dumps(out), flush=True)

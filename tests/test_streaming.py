@@ -2161,3 +2161,131 @@ def test_warm_snapshot_atomic_publish_and_shared_cache(spark, tables,
     assert set(snap0.keys()) >= {"corpus", "edges", "sizes"}
     assert snap0["corpus"].count() == 20
     pipe.unwarm()
+
+
+# --- round-12: incremental edge refresh ------------------------------------
+
+
+@pytest.mark.parametrize("commit_mode", ["rename", "pointer"])
+def test_refresh_edges_diff_equals_full_supersede(spark, tables, tmp_path,
+                                                  commit_mode):
+    """refresh_edges() re-scores ONLY changed cells, but its published
+    store must equal refresh_edges(force_all=True) — the full supersede
+    rebuild over the same index — row for row: unchanged cells keep
+    byte-identical edges (same members, same kernel), so diffing loses
+    nothing. Both publish paths (rename swap, pointer flip) covered."""
+    import shutil
+
+    def mk(d):
+        return IngestPipeline(spark, str(d), k=4, maintain_ivf=True,
+                              n_centroids=None, ivf_bootstrap=16,
+                              commit_mode=commit_mode)
+
+    a_dir = tmp_path / "aged"
+    aged = mk(a_dir)
+    aged.bulk_load(_mk_docs(tables, 0, 120))
+    aged.build_graph(method="cells")
+    n_edges_built = aged.edges().count()
+    assert n_edges_built > 0
+    # +5 docs via bulk_load: assigned to a FEW cells, no edges of their own
+    aged.bulk_load(_mk_docs(tables, 120, 125))
+    assert aged.corpus().count() == 125
+
+    b_dir = tmp_path / "full"
+    shutil.copytree(str(a_dir), str(b_dir))
+    full = mk(b_dir)
+
+    stats = aged.refresh_edges()
+    assert 0 < stats["changed_cells"] < stats["total_cells"], \
+        "a 5-doc trickle must not dirty every cell"
+    fstats = full.refresh_edges(force_all=True)
+    assert fstats["changed_cells"] == fstats["total_cells"]
+
+    a_rows = sorted(map(tuple, aged.edges().collect()))
+    b_rows = sorted(map(tuple, full.edges().collect()))
+    assert a_rows == b_rows, (
+        f"diff refresh ({stats}) diverged from full supersede ({fstats})")
+
+    # the previously-unlinked docs now have incident edges
+    from pyspark.sql import functions as SF
+    new_ids = list(range(120, 125))
+    incident = aged.edges().filter(
+        SF.col("src").isin(new_ids) | SF.col("dst").isin(new_ids)).count()
+    assert incident > 0
+
+    # idempotent: nothing moved since, so a second refresh is a no-op
+    again = aged.refresh_edges()
+    assert again["changed_cells"] == 0
+    assert sorted(map(tuple, aged.edges().collect())) == a_rows
+
+    # serving still healthy over the refreshed store
+    q = _mk_docs(tables, 120, 121).first().text
+    rows = aged.search(q, k=4).collect()
+    assert rows and rows[0].score == 1.0
+
+
+def test_refresh_edges_supersedes_surplus_after_retrain(spark, tables,
+                                                        tmp_path):
+    """The probe-measured staleness shape: bulk build, then enough
+    ingest to cross the re-train threshold. refresh_edges (diff mode)
+    must equal the full supersede rebuild even across the re-train's
+    cid renumbering — membership hashes identify cells by member SET,
+    so clusters the re-train re-derives unchanged are skipped, and
+    surplus bulk-era edges of regrouped docs are REMOVED (an
+    append-another-pass refresh could not do that)."""
+    import shutil
+
+    def mk(d):
+        return IngestPipeline(spark, str(d), k=4, maintain_ivf=True,
+                              n_centroids=None, ivf_bootstrap=16,
+                              commit_mode="pointer")
+
+    a_dir = tmp_path / "aged"
+    aged = mk(a_dir)
+    aged.bulk_load(_mk_docs(tables, 0, 80))
+    aged.build_graph(method="cells")
+    edges_before = sorted(map(tuple, aged.edges().collect()))
+    gen0 = aged._gen_num(aged.index_dir)
+    # +400% through bulk_load: sqrt-sizing ideal (sqrt(400)=20) crosses
+    # 2x the bootstrap-active count (sqrt(80)~9), forcing the re-train
+    aged.bulk_load(_mk_docs(tables, 80, 400))
+    assert aged._gen_num(aged.index_dir) > gen0, "fixture must re-train"
+
+    b_dir = tmp_path / "full"
+    shutil.copytree(str(a_dir), str(b_dir))
+    full = mk(b_dir)
+
+    stats = aged.refresh_edges()
+    assert stats["changed_cells"] > 0
+    fstats = full.refresh_edges(force_all=True)
+    a_rows = sorted(map(tuple, aged.edges().collect()))
+    b_rows = sorted(map(tuple, full.edges().collect()))
+    assert a_rows == b_rows, (
+        f"diff refresh ({stats}) diverged from full supersede ({fstats})")
+    # supersede really removed something: the aged store is not simply a
+    # superset of the bulk-era edges
+    assert not set(edges_before) <= set(a_rows), \
+        "refresh must remove displaced bulk-era edges, not only append"
+
+
+def test_refresh_edges_on_retrain_hook(spark, tables, tmp_path):
+    """refresh_edges_on_retrain=True: the re-train tail re-scores moved
+    cells automatically, so bulk-loaded docs get graph edges on the
+    re-train cadence without an explicit operator call."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4,
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16, commit_mode="pointer",
+                          refresh_edges_on_retrain=True)
+    pipe.bulk_load(_mk_docs(tables, 0, 80))
+    pipe.build_graph(method="cells")
+    gen0 = pipe._gen_num(pipe.index_dir)
+    pipe.bulk_load(_mk_docs(tables, 80, 400))  # crosses the 2x threshold
+    assert pipe._gen_num(pipe.index_dir) > gen0
+    # the hook ran: every committed doc has within-cell edges now
+    from pyspark.sql import functions as SF
+    linked = (pipe.edges().select(SF.col("src").alias("doc_id"))
+              .union(pipe.edges().select(SF.col("dst")))
+              .distinct().count())
+    # == 400 minus any singleton cell (a lone doc has no within-cell
+    # neighbor to link to, same as a fresh cells build)
+    assert linked >= 380, "post-retrain refresh must link the bulk docs"
