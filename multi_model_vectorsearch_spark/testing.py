@@ -197,10 +197,17 @@ def duckdb_connect(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # a Spark-written table is a DIRECTORY of part files (the
+            # synthesized sf1 gate data) — read_parquet needs the glob;
+            # driver testdata tables are single files and take the
+            # literal path
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 
