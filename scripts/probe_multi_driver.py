@@ -113,8 +113,10 @@ def role_server(args) -> int:
         # the freshness poll a long-lived serving driver runs on its own
         # cadence; cheap metadata check, full re-warm only on change.
         # The freshness() gauge (r11 verdict item 8) is what a deployment
-        # alerts on — record its peak and assert it ZEROES after a
-        # successful re-warm.
+        # alerts on — record its peak here; whether a re-warm ZEROES it
+        # is asserted at QUIESCENCE after the writer finishes (a gauge
+        # that reads behind right after a re-warm under an actively
+        # committing writer is correct, not stuck).
         while not stop.is_set():
             try:
                 g = pipe.freshness()
@@ -122,15 +124,6 @@ def role_server(args) -> int:
                 max_behind[1] = max(max_behind[1], g["behind_flips"])
                 if pipe.maybe_rewarm():
                     rewarms[0] += 1
-                    g2 = pipe.freshness()
-                    if not g2["fresh"] and g2 == pipe.freshness():
-                        # stable non-fresh right after a re-warm = the
-                        # gauge and the snapshot disagree — a contract
-                        # violation (a racing writer commit is fine, but
-                        # then the second reading differs)
-                        with lock:
-                            errors.append(
-                                f"freshness stuck non-fresh: {g2}")
             except Exception as e:  # noqa: BLE001
                 with lock:
                     errors.append(f"rewarm {type(e).__name__}: {e}")
@@ -157,12 +150,20 @@ def role_server(args) -> int:
     wall = time.perf_counter() - t0
 
     fresh_hit = None
+    final_gauge = None
     if args.fresh_text_file and os.path.exists(args.fresh_text_file):
         spec = json.loads(open(args.fresh_text_file).read())
         try:
             pipe.maybe_rewarm()
             rows = pipe.search_ivf(spec["text"], k=10).collect()
             fresh_hit = any(r.doc_id == spec["doc_id"] for r in rows)
+            # quiescence assertion (r11 item 8): the writer is done, a
+            # re-warm just ran — the gauge must read fresh/zero now, or
+            # the gauge and the snapshot disagree
+            final_gauge = pipe.freshness()
+            if not final_gauge["fresh"]:
+                errors.append(f"gauge non-fresh at quiescence: "
+                              f"{final_gauge}")
         except Exception as e:  # noqa: BLE001
             errors.append(f"fresh {type(e).__name__}: {e}")
             fresh_hit = False
@@ -177,6 +178,7 @@ def role_server(args) -> int:
         "warm_sec": round(warm_sec, 2), "rewarms": rewarms[0],
         "max_behind_units": max_behind[0],
         "max_behind_flips": max_behind[1],
+        "final_gauge": final_gauge,
         "fresh_hit": fresh_hit, "errors": errors[:3],
     }
     print("RESULT " + json.dumps(out), flush=True)
