@@ -2140,6 +2140,18 @@ class IngestPipeline:
             lambda: self.search_ivf(text, k, modality=modality,
                                     probes=probes).collect(), retries)
 
+    def serve_graph_data(self, retries: int = 4) -> tuple:
+        """``graph_data()`` collected eagerly with the always-answers
+        retry wrapper (``_serve``) — both views (nodes, kept edges)
+        collect inside ONE attempt, so a retry re-plans the pair
+        together and never mixes epochs across the two lists. Returns
+        (node_rows, edge_rows)."""
+        def build():
+            nodes, kept = self.graph_data()
+            return (nodes.collect(), kept.collect())
+
+        return self._serve(build, retries)
+
     def _probed_corpus(self, qv, probes: int | None = None,
                        require: bool = False,
                        qv_raw: list | None = None,

@@ -2289,3 +2289,28 @@ def test_refresh_edges_on_retrain_hook(spark, tables, tmp_path):
     # == 400 minus any singleton cell (a lone doc has no within-cell
     # neighbor to link to, same as a fresh cells build)
     assert linked >= 380, "post-retrain refresh must link the bulk docs"
+
+
+def test_serve_graph_data_retries_and_answers(spark, tables, tmp_path):
+    """serve_graph_data: the /graph-data endpoint's always-answers twin —
+    a swept-scan failure re-plans BOTH views together."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=4)
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+
+    calls = {"n": 0}
+    real = pipe.graph_data
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "java.io.FileNotFoundException: swept file does not exist")
+        return real()
+
+    pipe.graph_data = flaky
+    nodes, kept = pipe.serve_graph_data()
+    assert calls["n"] == 2
+    assert nodes and kept
+    node_ids = {r.doc_id for r in nodes}
+    assert all(r.src in node_ids and r.dst in node_ids for r in kept), \
+        "every kept edge's endpoints hydrate (same committed prefix)"
