@@ -278,12 +278,20 @@ def main() -> None:
     except Exception:
         anchor_e2e = None
     if anchor_e2e and timings["e2e_submit_microbatch"] > 2.0 * anchor_e2e:
+        # Symmetric reporting (r12 advice): keep the RETRY reading, not
+        # the min — min-of-two systematically selects the fastest
+        # observation for upward outliers while slow-biased anchors are
+        # never retried downward. Both readings plus a stalled flag go
+        # to the artifact; only when the retry ALSO breaches the anchor
+        # bound (both runs stalled) does the min stand in, flagged.
+        first = timings["e2e_submit_microbatch"]
         retry = bench_e2e_ingest(spark, tables)
+        both_stalled = retry > 2.0 * anchor_e2e
         retries["e2e_submit_microbatch"] = {
-            "first": timings["e2e_submit_microbatch"], "retry": retry,
-            "trigger": "anchor"}
-        timings["e2e_submit_microbatch"] = min(
-            timings["e2e_submit_microbatch"], retry)
+            "first": first, "retry": retry, "trigger": "anchor",
+            "stalled": True, "both_stalled": both_stalled}
+        timings["e2e_submit_microbatch"] = (
+            min(first, retry) if both_stalled else retry)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the last 2000 chars of stdout (BENCH_r02.json:

@@ -2136,7 +2136,9 @@ def test_warm_snapshot_atomic_publish_and_shared_cache(spark, tables,
     store didn't change keeps sharing that cache entry instead of
     evicting it."""
     root = str(tmp_path / "st")
-    pipe = IngestPipeline(spark, root, k=5)
+    # rename-mode poll, single-actor: opt in (the loud-guard default
+    # would raise — pinned by test_rename_mode_poll_guard)
+    pipe = IngestPipeline(spark, root, k=5, allow_rename_mode_poll=True)
     pipe.process_batch(_mk_docs(tables, 0, 20), 0)
     sizes0 = pipe.warm()
     snap0 = pipe._warm
@@ -2314,3 +2316,214 @@ def test_serve_graph_data_retries_and_answers(spark, tables, tmp_path):
     node_ids = {r.doc_id for r in nodes}
     assert all(r.src in node_ids and r.dst in node_ids for r in kept), \
         "every kept edge's endpoints hydrate (same committed prefix)"
+
+
+# --- round-13: fence re-check, poll guard, governor, observability --------
+
+
+def test_writer_fence_rechecked_before_each_commit_write(spark, tables,
+                                                         tmp_path):
+    """Round-12 advice: the fence is re-validated immediately before
+    every commit-producing write, not just at mutation entry. A writer
+    usurped MID-batch (here: during the KNN stage, after its corpus
+    subdirectory landed) raises before its edge write — the exposure is
+    the one write already in flight, the batch reads as torn, and the
+    usurper heals it by replaying the same key."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        WriterFencedError,
+    )
+
+    root = str(tmp_path / "st")
+    a = IngestPipeline(spark, root, k=5)
+    b = IngestPipeline(spark, root, k=5)
+    a.acquire_writer(owner="writer-a")
+    a.process_batch(_mk_docs(tables, 0, 20), 0)
+
+    real_knn = a.knn_against_corpus
+
+    def usurp_then_knn(*args, **kw):
+        b.acquire_writer(owner="writer-b")  # lands mid-mutation
+        return real_knn(*args, **kw)
+
+    a.knn_against_corpus = usurp_then_knn
+    with pytest.raises(WriterFencedError, match="usurped"):
+        a.process_batch(_mk_docs(tables, 20, 40), 1)
+    # the corpus write (already in flight when B acquired) committed;
+    # the edge write did not — exactly the documented one-write window,
+    # and the torn-batch machinery reports it for the usurper to heal
+    assert a.torn_batch_keys() == {"b1"}
+    b.process_batch(_mk_docs(tables, 20, 40), 1)
+    assert b.torn_batch_keys() == set()
+    assert b.corpus().count() == 40
+
+
+def test_rename_mode_poll_guard(spark, tables, tmp_path):
+    """Round-12 verdict item 5: maybe_rewarm() under commit_mode="rename"
+    raises a typed error unless the deployment opts in — the race it
+    documents (a reader polling through another process's compact/
+    re-train swap) becomes a config decision, not a docstring caveat."""
+    from multi_model_vectorsearch_spark.streaming.ingest import (
+        RenameModePollError,
+    )
+
+    root = str(tmp_path / "st")
+    pipe = IngestPipeline(spark, root, k=5)  # auto -> rename on POSIX
+    assert pipe.commit_mode == "rename"
+    pipe.process_batch(_mk_docs(tables, 0, 10), 0)
+    pipe.warm()
+    with pytest.raises(RenameModePollError, match="pointer"):
+        pipe.maybe_rewarm()
+    pipe.unwarm()
+
+    # single-actor deployments opt in explicitly and keep the behavior
+    opt = IngestPipeline(spark, root, k=5, allow_rename_mode_poll=True)
+    opt.warm()
+    assert opt.maybe_rewarm() is False, "state unchanged -> no rewarm"
+    opt.unwarm()
+
+    # pointer mode is unaffected (the safe multi-process default)
+    p = IngestPipeline(spark, str(tmp_path / "pt"), k=5,
+                       commit_mode="pointer")
+    p.process_batch(_mk_docs(tables, 0, 10), 0)
+    p.warm()
+    assert p.maybe_rewarm() is False
+    p.unwarm()
+
+
+def test_flip_rate_governor_spaces_flip_groups(spark, tables, tmp_path):
+    """Round-12 verdict item 3: min_flip_interval_s bounds the writer's
+    flip rate a priori — back-to-back maintenance flips (the
+    compact()+re-train burst --flip-spam simulates) are spaced by at
+    least the interval, so retain_generations=1 readers get a
+    guaranteed scan window; flips WITHIN one group (a re-train's paired
+    index+centroid swaps) are never split."""
+    import time as _t
+
+    root = str(tmp_path / "st")
+    pipe = IngestPipeline(spark, root, k=5, commit_mode="pointer",
+                          min_flip_interval_s=1.5)
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+    t0 = _t.monotonic()
+    pipe.compact()  # first flip group: ungated (no prior flip)
+    first = _t.monotonic() - t0
+    assert first < 60, "sanity"
+    t1 = _t.monotonic()
+    pipe.compact()  # second group must wait out the interval
+    assert _t.monotonic() - t1 >= 1.2, \
+        "second flip group ran without waiting out min_flip_interval_s"
+
+    # governor off by default: two compacts back-to-back do not sleep
+    free = IngestPipeline(spark, str(tmp_path / "free"), k=5,
+                          commit_mode="pointer")
+    free.process_batch(_mk_docs(tables, 0, 10), 0)
+    free.compact()
+    assert free.min_flip_interval_s == 0.0
+
+
+def test_serve_counters_and_last_serve_info(spark, tables, tmp_path):
+    """Round-12 verdict item 4: the serve_* facade publishes per-query
+    retry count + freshness-at-answer and cumulative counters, so an
+    operator can tell 'healthy' from 'answering but retrying
+    constantly' without log forensics."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer")
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+    q = _mk_docs(tables, 0, 1).first().text
+
+    rows = pipe.serve_search(q, k=5)
+    assert rows and rows[0].score == 1.0
+    assert pipe.serve_counters == {"queries": 1, "retries": 0,
+                                   "exhausted": 0}
+    assert pipe.last_serve_info["retries"] == 0
+    assert pipe.last_serve_info["freshness"]["fresh"] is True
+
+    calls = {"n": 0}
+    real = pipe.search
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("java.io.FileNotFoundException: swept")
+        return real(*a, **kw)
+
+    pipe.search = flaky
+    rows = pipe.serve_search(q, k=5)
+    assert rows
+    assert pipe.serve_counters["queries"] == 2
+    assert pipe.serve_counters["retries"] == 2
+    assert pipe.last_serve_info["retries"] == 2
+
+    def dead(*a, **kw):
+        raise RuntimeError("[FILE_NOT_FOUND] gone forever")
+
+    pipe.search = dead
+    with pytest.raises(RuntimeError, match="FILE_NOT_FOUND"):
+        pipe.serve_search(q, k=5, retries=2)
+    assert pipe.serve_counters["exhausted"] == 1
+    assert pipe.serve_counters["queries"] == 2, \
+        "an exhausted query is not counted as answered"
+
+
+def test_stale_scan_classifier_is_narrow(spark, tmp_path):
+    """Round-12 advice: only the swept-file spellings are retriable —
+    permanent 'does not exist' failures (missing roots, unknown tables)
+    must propagate immediately instead of burning four retry rounds."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5)
+    is_stale = pipe._is_stale_scan_error
+    assert is_stale(RuntimeError(
+        "java.io.FileNotFoundException: File file:/x/part-0 does not "
+        "exist"))
+    assert is_stale(RuntimeError("[FILE_NOT_FOUND] file gone"))
+    assert is_stale(RuntimeError(
+        "It is possible the underlying files have been updated. You can "
+        "explicitly invalidate the cache by running 'REFRESH TABLE "
+        "tableName'"))
+    assert not is_stale(RuntimeError(
+        "[TABLE_OR_VIEW_NOT_FOUND] The table or view `docs` cannot be "
+        "found; it does not exist"))
+    assert not is_stale(RuntimeError(
+        "AnalysisException: Path does not exist: "
+        "file:/misconfigured/state/root"))
+    assert not is_stale(ValueError("a real bug"))
+
+
+def test_bracket_scan_memo_is_thread_local(spark, tables, tmp_path):
+    """Round-12 advice (medium): two concurrent consistent-read brackets
+    on the same pipeline object must not share the scan memo — a
+    bracket's closing fingerprint satisfied from ANOTHER thread's
+    earlier scan would falsely validate a commit landing mid-bracket."""
+    import threading as _th
+
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5)
+    pipe.process_batch(_mk_docs(tables, 0, 10), 0)
+
+    seen = {}
+    a_opened = _th.Event()
+    b_done = _th.Event()
+
+    def bracket_a():
+        pipe._scan_cache = {}  # open a bracket on thread A
+        pipe._store_scan(pipe.corpus_dir)
+        seen["a_memo_len"] = len(pipe._scan_cache)
+        a_opened.set()
+        b_done.wait(10)
+        # thread B's bracket open/close must not have reset A's memo
+        seen["a_memo_after_b"] = pipe._scan_cache
+        pipe._scan_cache = None
+
+    def bracket_b():
+        a_opened.wait(10)
+        seen["b_memo_initial"] = pipe._scan_cache  # no bracket here yet
+        pipe._scan_cache = {}   # B opens its own bracket...
+        pipe._scan_cache = None  # ...and closes it
+        b_done.set()
+
+    ta = _th.Thread(target=bracket_a)
+    tb = _th.Thread(target=bracket_b)
+    ta.start(); tb.start()
+    ta.join(20); tb.join(20)
+    assert seen["b_memo_initial"] is None, \
+        "thread B saw thread A's bracket memo"
+    assert seen["a_memo_after_b"] is not None and \
+        len(seen["a_memo_after_b"]) == seen["a_memo_len"], \
+        "thread B's bracket close reset thread A's memo"
