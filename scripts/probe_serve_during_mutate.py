@@ -119,6 +119,13 @@ def main() -> int:
                          "raw search — with it, failures are contract "
                          "violations; without it, failures at "
                          "retain < flips-per-scan DOCUMENT the SLA")
+    ap.add_argument("--min-flip-interval", type=float, default=0.0,
+                    help="writer-side flip-rate governor (r12 verdict "
+                         "item 3): the LIVE writer spaces its flip "
+                         "groups by at least this many seconds, so raw "
+                         "readers at retain_generations=1 get a "
+                         "guaranteed scan window — the a-priori remedy "
+                         "for the --flip-spam SLA breach")
     args = ap.parse_args()
 
     spark = get_spark("probe-serve-during-mutate")
@@ -131,11 +138,16 @@ def main() -> int:
     qtexts = [r.text for r in
               mod_docs(tables, 0, args.queries).orderBy("doc_id").collect()]
 
-    def mk(tag):
+    def mk(tag, governed: bool = False):
+        # only the LIVE writer is governed: readers never flip, and
+        # gating the sequential twin would just slow the valid-set build
         return IngestPipeline(spark, os.path.join(work, tag), k=10,
                               maintain_ivf=True, n_centroids=None,
                               ivf_bootstrap=64, commit_mode="pointer",
-                              retain_generations=args.retain)
+                              retain_generations=args.retain,
+                              min_flip_interval_s=(
+                                  args.min_flip_interval if governed
+                                  else 0.0))
 
     def ingest(pipe, b, i):
         if args.mode == "bulk":
@@ -187,7 +199,7 @@ def main() -> int:
           f"retrained={retrained}", flush=True)
 
     # ---- live run: clients serve while the writer mutates ----
-    writer = mk("live")
+    writer = mk("live", governed=True)
     ingest(writer, batches[0], 0)
     flips(writer)
 
@@ -195,6 +207,8 @@ def main() -> int:
     lock = threading.Lock()
     results: list[tuple[str, tuple, float]] = []
     errors: list[str] = []
+    retry_samples: list[int] = []   # facade retries per answered resp()
+    stale_answers = [0]             # answers served from a behind snapshot
 
     def diag(reader):
         """Forensic state snapshot bracketing a query (probe-only)."""
@@ -219,6 +233,7 @@ def main() -> int:
             j += 1
             t = time.perf_counter()
             d0 = diag(reader)
+            r0 = reader.serve_counters["retries"]
             try:
                 r = resp(reader, q)
             except Exception as e:  # noqa: BLE001 - the probe's subject
@@ -229,8 +244,16 @@ def main() -> int:
                     return
                 continue
             d1 = diag(reader)
+            info = reader.last_serve_info
             with lock:
                 results.append((q, r, time.perf_counter() - t, d0, d1))
+                if args.facade:
+                    # per-reader pipeline object -> counters race-free;
+                    # delta covers both serve calls inside resp()
+                    retry_samples.append(
+                        reader.serve_counters["retries"] - r0)
+                    if info and not info["freshness"]["fresh"]:
+                        stale_answers[0] += 1
 
     threads = [InheritableThread(target=serve, args=(c,))
                for c in range(args.clients)]
@@ -285,6 +308,14 @@ def main() -> int:
         "p95_latency_sec": round(
             lats[int(len(lats) * 0.95)], 3) if lats else None,
         "twin_sec": round(twin_sec, 1), "live_sec": round(live_sec, 1),
+        "min_flip_interval": args.min_flip_interval,
+        # facade observability (r12 verdict item 4): retries per
+        # answered query (each sample spans resp()'s two serve calls)
+        "retries_total": sum(retry_samples) if args.facade else None,
+        "retries_p99": (sorted(retry_samples)[
+            int((len(retry_samples) - 1) * 0.99)]
+            if retry_samples else None),
+        "stale_answers": stale_answers[0] if args.facade else None,
         "errors": errors[:5],
         "invalid_sample": [str(x)[:1600] for x in invalid[:3]],
     }
@@ -295,7 +326,10 @@ def main() -> int:
     # never fail, and no response may be non-linearizable in any mode
     ok = (not invalid and retrained
           and len(results) >= args.clients * 2
-          and (not errors if args.facade else True))
+          and (not errors if args.facade else True)
+          # healthy serving, not merely always-answering: at most one
+          # retry at the 99th percentile across the facade's responses
+          and ((out["retries_p99"] or 0) <= 1 if args.facade else True))
     return 0 if ok else 1
 
 
