@@ -1912,6 +1912,62 @@ class IngestPipeline:
             # re-train cadence
             self.refresh_edges()
 
+    def retrain(self) -> dict:
+        """Operator-invoked full IVF re-train on the CURRENT committed
+        corpus — the ops-cadence twin of the automatic 2×-growth
+        re-train inside ``_update_index``. Re-sizes to
+        ``_target_centroids`` (√n under auto sizing), re-seeds and
+        Lloyd-refines deterministically (hash-ordered seeds — the same
+        inputs produce the same centroids the bootstrap would), assigns
+        the whole committed corpus, and publishes with ``_retrain``'s
+        exact two-flip sequence (stage index → stage centroids → flip
+        index → flip centroids) so ``_finish_pending_retrain`` rolls a
+        crash between the flips forward unchanged.
+
+        The staged index carries an empty ``_SUCCESS``-marker
+        subdirectory per committed batch key (the ``markers`` pattern
+        ``refresh_edges`` uses): torn detection requires the TRAILING
+        key per namespace to hold a committed index write, and a full
+        fold into the root would otherwise misread every trailing batch
+        as torn. Torn batches are excluded from the fold and get no
+        marker — their stream replay rewrites its own assignment into
+        the new generation against the NEW centroids.
+
+        ``refresh_edges_on_retrain=True`` chains the edge refresh here
+        too, completing the maintenance loop (ingest → re-train →
+        refresh) whose recall convergence probe_edge_staleness's
+        ``--retrain-arm`` measures. Returns ``{"n_centroids",
+        "assigned"}``."""
+        if not self.maintain_ivf:
+            raise ValueError("retrain() requires maintain_ivf=True")
+        self.check_writer_fence()
+        self.unwarm()
+        self._finish_pending_retrain()
+        self._flip_gate()
+        torn = self._torn_batch_keys()
+        corpus = self._read_state_excluding_keys(
+            self.corpus_dir, CORPUS_SCHEMA, torn)
+        n = corpus.count()
+        if n == 0:
+            raise ValueError("retrain() on an empty committed corpus")
+        cents = self._lloyd_refine(
+            corpus, self._seed_centroids(corpus, self._target_centroids(n)))
+        inext = self._stage_dir(self.index_dir)
+        cnext = self._stage_dir(self.centroids_dir)
+        self.fs.rmtree(inext)
+        self._assign(corpus, cents).write.mode("overwrite").parquet(inext)
+        for entry, (is_dir, committed, _p) in sorted(
+                self._store_scan(self.corpus_dir)[1].items()):
+            if is_dir and committed and entry not in torn:
+                self.fs.write_text(
+                    self.fs.join(inext, entry, "_SUCCESS"), "")
+        cents.write.mode("overwrite").parquet(cnext)
+        self._swap_dir(self.index_dir, inext)
+        self._swap_dir(self.centroids_dir, cnext)
+        if self.refresh_edges_on_retrain:
+            self.refresh_edges()
+        return {"n_centroids": int(cents.count()), "assigned": int(n)}
+
     def _stage_dir(self, root: str) -> str:
         """Where a rebuilt store is staged before its swap: a ``.next``
         sibling under rename commit, the next (hidden) generation

@@ -28,13 +28,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# the flagship subset: vector/graph chain, streaming-window batch twins,
-# dedup/curation chains, TPC-H Q1/Q3/Q5
+# the flagship subset (r11) + the top-heaviest registry entries by
+# sf0.1 cost (r12 verdict item 2: decimal headroom and tie density
+# change with scale — the r5 round()-class bugs only surfaced on a
+# bigger fixture, so the heavy compositions get the same 100x check)
 FLAGSHIP_FILTERS = [
     "dq29_", "dq31_", "dq33_", "dq34_",          # KNN / edges / expansion
     "dq36_", "dq37_", "dq38_",                   # tumbling/sliding/session
     "dq61_", "dq135_", "dq148_", "dq183_",       # LSH-CC / funnel / SemDeDup / PPJoin
     "dq77_", "dq78_", "dq79_",                   # TPC-H Q1 / Q3 / Q5
+    # r13 additions — heaviest sf0.1 rows + the verdict-named chains
+    "dq225_", "dq178_", "dq42_", "dq174_",       # MAD / interpolate / n-gram Jaccard / Q9
+    "dq168_", "dq190_", "dq227_", "dq238_",      # dup spans / k-core / vocab curve / RFM
+    "dq243_", "dq246_", "dq64_", "dq46_",        # Lorenz / span dedup / RRF / cosine near-dup
+    "dq62_", "dq122_", "dq160_", "dq72_",        # winnowing / Lloyd / Q21 / pagerank
 ]
 
 # fact-table key columns shifted by rep * (max+1) per replica; dimension

@@ -100,6 +100,17 @@ def main() -> int:
                     help="final skewed-arrival arm: this many docs, then "
                          "a diff refresh vs a force_all refresh — the "
                          "changed-fraction cost case (0 disables)")
+    ap.add_argument("--retrain-arm", action="store_true", default=True,
+                    help="after the last checkpoint, run the full "
+                         "maintenance loop (operator retrain() + "
+                         "refresh_edges) and measure recall vs the "
+                         "from-scratch twin — r12 verdict item 7: the "
+                         "loop must converge (>=0.95) because retrain "
+                         "re-derives the twin's own deterministic "
+                         "centroids, retiring the partition-divergence "
+                         "ambiguity in the aged-vs-scratch rows")
+    ap.add_argument("--no-retrain-arm", dest="retrain_arm",
+                    action="store_false")
     args = ap.parse_args()
 
     spark = get_spark("probe-edge-staleness")
@@ -212,6 +223,39 @@ def main() -> int:
         shutil.rmtree(fresh.corpus_dir.rsplit("/", 2)[0],
                       ignore_errors=True)
 
+    # maintenance-loop arm (r12 verdict item 7): ingest -> operator
+    # retrain() -> refresh_edges(), measured against the SAME
+    # from-scratch twin as the aged rows. retrain() re-derives the
+    # twin's own deterministic centroids from the full corpus (same
+    # content, hash-ordered seeds), so the cell partitions align and
+    # the refresh's supersede converges the edge store to the twin's —
+    # recall >= 0.95 here retires the partition-divergence explanation
+    # for the aged rows' 0.84-0.97 spread for good.
+    retrain_row = None
+    if args.retrain_arm and rows:
+        t0 = time.perf_counter()
+        rt = pipe.retrain()
+        retrain_sec = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        rstats = pipe.refresh_edges()
+        refresh_sec = round(time.perf_counter() - t0, 1)
+        queries = oldq + newq
+        loop_ids = expansion_ids(pipe, queries, args.k)
+        # fref covers the last checkpoint's query set (== oldq + the
+        # full newq slice at 50% ingest); recompute nothing — the twin
+        # was measured at identical corpus content
+        common = [q for q in queries if q in fref]
+        r_loop = recall({q: loop_ids[q] for q in common},
+                        {q: fref[q] for q in common}, args.k)
+        retrain_row = {
+            "n_docs": int(pipe.corpus().count()),
+            "retrain": rt, "retrain_sec": retrain_sec,
+            "refresh_stats": rstats, "refresh_sec": refresh_sec,
+            "recall_loop_vs_scratch": r_loop,
+            "queries": len(common),
+        }
+        print(json.dumps(retrain_row), flush=True)
+
     # trickle arm: a SMALL arrival (new texts, deterministic embeddings
     # scatter into a handful of cells) — the diff refresh's cost case:
     # changed cells are a small fraction of the store, so the re-score
@@ -249,7 +293,7 @@ def main() -> int:
     out = {"metric": "edge_staleness", "factor": args.factor,
            "n_base": n0, "bulk_sec": bulk_sec, "bulk_key": gkey,
            "k": args.k, "method": args.method, "rows": rows,
-           "trickle": trickle_row}
+           "retrain_arm": retrain_row, "trickle": trickle_row}
     print(json.dumps(out), flush=True)
     shutil.rmtree(work, ignore_errors=True)
     return 0

