@@ -32,6 +32,25 @@ _SIMHASH_CTE = (
 )
 
 
+# 48-bit SimHash signatures (dq247's scale-width LSH; 12 hex chars of
+# sha256 parse exactly into signed 64-bit on both engines, and every
+# bit weight pow(2, 47-p) is an exact double)
+_SIMHASH48_CTE = (
+    "toks AS (SELECT DISTINCT doc_id, tok FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
+    "hv AS (SELECT doc_id, "
+    "CAST(('0x' || substr(sha256(tok), 1, 12)) AS BIGINT) AS thv FROM toks), "
+    "bits AS (SELECT doc_id, p, "
+    "CAST(CAST(floor(thv / pow(2, 47 - p)) AS BIGINT) % 2 AS INT) AS bit "
+    "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 48)) pos), "
+    "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
+    "GROUP BY doc_id, p), "
+    "sig48 AS (SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN "
+    "CAST(pow(2, 47 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash "
+    "FROM votes GROUP BY doc_id)"
+)
+
+
 _SEEDS_CTE = (
     "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "seeds AS (SELECT e.vec_id, CAST(floor(("

@@ -9,6 +9,7 @@ from multi_model_vectorsearch_spark.operators.registrations.fragments import (
     _SHC_CTE,
     _SH_CTE,
     _SIG_CTE,
+    _SIMHASH48_CTE,
     _SIMHASH_CTE,
 )
 
@@ -146,6 +147,20 @@ DQS: list[DQ] = [
        "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
        "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
        "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"),
+    DQ("dq247_simhash48_band_pairs", T.dq247_simhash48_band_pairs,
+       "WITH " + _SIMHASH48_CTE + ", "
+       "bands AS (SELECT doc_id, simhash, i AS b, "
+       "CAST(CAST(floor(simhash / pow(4096, i)) AS BIGINT) % 4096 AS BIGINT) "
+       "AS bv FROM sig48 CROSS JOIN range(4) r(i)), "
+       "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+       "a.simhash AS s1, b.simhash AS s2 FROM bands a JOIN bands b "
+       "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+       "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
+       "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2",
+       note="scale-width SimHash LSH: the sf1 gate showed dq128's "
+            "16-bit banding saturating (64 fixed buckets); 48-bit/"
+            "12-bit-band keeps buckets selective through millions of "
+            "docs"),
     DQ("dq130_repeated_ngrams", T.dq130_repeated_ngrams,
        "WITH g AS (SELECT doc_id, unnest(list_transform("
        "range(1, len(toks) - 6), i -> toks[i] || ' ' || toks[i+1] || ' ' || "

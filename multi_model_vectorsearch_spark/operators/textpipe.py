@@ -950,6 +950,109 @@ def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
     return cross.unionByName(same)
 
 
+#: 48-bit signatures for dq247's LSH (separate from dq43's 16-bit cache)
+_SIMHASH48_CACHE: dict = {}
+
+
+def _simhash_wide(t: Tables, bits: int = 48) -> DataFrame:
+    """``_simhash`` generalized to ``bits`` (multiple of 4, <= 60 so
+    every bit weight and the hex prefix stay exact in signed 64-bit on
+    BOTH engines): token hash = first bits/4 hex chars of sha2, one
+    shuffle of distinct (doc, token) rows, ``bits`` parallel vote lanes."""
+    d = t["documents"]
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn(
+            "thv",
+            F.conv(F.substring(F.sha2("tok", 256), 1, bits // 4), 16, 10)
+            .cast("bigint"),
+        )
+    )
+
+    def bit(p: int) -> F.Column:
+        return (F.floor(F.col("thv") / F.lit(2 ** (bits - 1 - p)))
+                .cast("bigint") % 2).cast("int")
+
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(bit(p) * 2 - 1).alias(f"v{p}") for p in range(bits)]
+    )
+    return votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"v{p}") >= 0, F.lit(2 ** (bits - 1 - p)))
+             .otherwise(F.lit(0)).cast("bigint") for p in range(bits)],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+
+
+def dq247_simhash48_band_pairs(t: Tables, max_hd: int = 3,
+                               bits: int = 48,
+                               bands: int = 4) -> DataFrame:
+    """SimHash LSH at the width scale actually needs — the fix for the
+    cliff the sf1 gate caught in ``dq128``.
+
+    dq128's 16-bit signatures band into 4 nibbles: 4 bands x 16 values
+    = a FIXED 64 buckets, so once the corpus outgrows the signature
+    space (the sf1 fixture's 50k docs >> 2^16/16) every bucket holds
+    ~1/16 of all distinct signatures and the "subquadratic" candidate
+    join degrades to ~sigs^2/16 — measured as the one wave-2 sf1 gate
+    entry that ground for 25+ minutes on both engines. Width is the
+    scale knob: ``bits=48`` (first 12 hex chars of sha2, exact in both
+    engines' 64-bit integers) banded into 4 x 12-bit bands gives 4,096
+    bucket values per band — selective through millions of docs; a
+    100 TB corpus sizes up again (64-bit signatures, 16-bit bands) with
+    the same pigeonhole contract: any pair within Hamming distance
+    ``max_hd`` <= bands-1 agrees on at least one band, so banding finds
+    every such pair while joining only within buckets.
+
+    Same shuffle discipline as dq128: pair generation on SIGNATURE
+    CLASSES (distinct signatures), one exchange on (band, value),
+    verification a map-side bit_count, doc pairs emitted by expanding
+    surviving class pairs — nothing larger than the answer shuffles."""
+    width = bits // bands
+    sig = _session_cached(_SIMHASH48_CACHE, t,
+                          lambda tt: _simhash_wide(tt, bits),
+                          extra=(bits,))
+    usig = sig.select("simhash").distinct()
+    bdf = usig.select(
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b"),
+    ).select(
+        "simhash", "b",
+        (F.floor(F.col("simhash") / F.pow(F.lit(float(2 ** width)),
+                                          F.col("b")))
+         .cast("bigint") % (2 ** width)).alias("bv"),
+    )
+    hd = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("int")
+    sig_pairs = (
+        bdf.select(F.col("simhash").alias("s1"), "b", "bv")
+        .join(bdf.select(F.col("simhash").alias("s2"), "b", "bv"),
+              ["b", "bv"])
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2", hd.alias("hd"))
+        .filter(F.col("hd") <= max_hd)
+        .distinct()
+    )
+    cross = (
+        sig_pairs
+        .join(sig.select(F.col("doc_id").alias("da"),
+                         F.col("simhash").alias("s1")), "s1")
+        .join(sig.select(F.col("doc_id").alias("db"),
+                         F.col("simhash").alias("s2")), "s2")
+        .select(F.least("da", "db").alias("d1"),
+                F.greatest("da", "db").alias("d2"), "hd")
+    )
+    same = (
+        sig.select(F.col("doc_id").alias("d1"), "simhash")
+        .join(sig.select(F.col("doc_id").alias("d2"), "simhash"), "simhash")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(0).alias("hd"))
+    )
+    return cross.unionByName(same)
+
+
 def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
                           k: int = 40) -> DataFrame:
     """Cross-document repeated-span detection: word 8-grams occurring

@@ -69,3 +69,36 @@ def test_hll_rollup_bound(tables):
     assert r.n_days >= 1
     assert r.sum_daily_distinct >= r.exact_distinct
     assert r.est_ok == 1, r
+
+
+def test_dq247_simhash48_banding_complete_vs_bruteforce(spark, tables):
+    """dq247's pigeonhole contract, proven against brute force: banding
+    4 x 12-bit bands must find EVERY doc pair within Hamming distance 3
+    (any 3 flipped bits spoil at most 3 of 4 bands) and nothing beyond.
+    The oracle SQL shares the banding construction, so only an
+    all-pairs reference can catch a banding blind spot."""
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        _simhash_wide,
+        dq247_simhash48_band_pairs,
+    )
+
+    t = {"documents": tables["documents"].limit(300)}
+    got = {(r.d1, r.d2, r.hd)
+           for r in dq247_simhash48_band_pairs(t).collect()}
+
+    sig = _simhash_wide(t)
+    a = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    brute = {
+        (r.d1, r.d2, r.hd)
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2",
+                F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+                .cast("int").alias("hd"))
+        .filter(F.col("hd") <= 3).collect()
+    }
+    assert got == brute, (
+        f"banding missed {len(brute - got)} true pairs / "
+        f"invented {len(got - brute)}")
