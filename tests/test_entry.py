@@ -106,8 +106,14 @@ def test_gate_artifact_is_fresh():
 
     from multi_model_vectorsearch_spark import dq
 
+    import re
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    gates = sorted(glob.glob(os.path.join(root, "GATE_r*.json")))
+    # numeric round order: a lexical sort ranks GATE_r9 after GATE_r13
+    # and silently freshness-checks a stale artifact
+    gates = sorted(
+        glob.glob(os.path.join(root, "GATE_r*.json")),
+        key=lambda p: int(re.search(r"GATE_r(\d+)", p).group(1)))
     assert gates, "no GATE_r*.json committed"
     with open(gates[-1]) as fh:
         gate = json.load(fh)
