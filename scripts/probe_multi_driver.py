@@ -99,7 +99,13 @@ def role_server(args) -> int:
             j += 1
             t0 = time.perf_counter()
             try:
-                pipe.search_ivf(q, k=10).collect()
+                if args.facade:
+                    # the always-answers wrapper; cumulative retry/
+                    # exhausted counters surface in the RESULT line
+                    # (r12 verdict item 4 observability)
+                    pipe.serve_search_ivf(q, k=10)
+                else:
+                    pipe.search_ivf(q, k=10).collect()
             except Exception as e:  # noqa: BLE001 - the probe's subject
                 with lock:
                     errors.append(f"{type(e).__name__}: {e}")
@@ -180,6 +186,12 @@ def role_server(args) -> int:
         "max_behind_flips": max_behind[1],
         "final_gauge": final_gauge,
         "fresh_hit": fresh_hit, "errors": errors[:3],
+        # facade observability (shared pipeline object, so these are
+        # the race-free cumulative counters, not per-call samples)
+        "serve_counters": dict(pipe.serve_counters),
+        "retries_per_query": round(
+            pipe.serve_counters["retries"]
+            / max(pipe.serve_counters["queries"], 1), 4),
     }
     print("RESULT " + json.dumps(out), flush=True)
     spark.stop()
@@ -321,7 +333,8 @@ def role_orchestrate(args) -> int:
     # phase B: reader across a concurrent writer's batches + re-train +
     # compact, in separate processes
     server = _spawn("server", state, common + [
-        "--rewarm", "--wait-writer", "--fresh-text-file", ffile,
+        "--rewarm", "--wait-writer", "--facade",
+        "--fresh-text-file", ffile,
         "--seconds", "1800"])  # sentinel-bounded; the cap is a backstop
     time.sleep(5)  # let the server warm before the writer starts flipping
     writer_extra = [
@@ -337,7 +350,11 @@ def role_orchestrate(args) -> int:
 
     ok = bool(sres and wres and sres["failures"] == 0
               and sres["rewarms"] >= 1 and sres["fresh_hit"]
-              and sres["n_queries"] > 0)
+              and sres["n_queries"] > 0
+              # healthy facade serving across the writer's flips, not
+              # merely always-answering (r12 verdict item 4)
+              and sres.get("serve_counters", {}).get("exhausted", 0) == 0
+              and sres.get("retries_per_query", 0) <= 1.0)
     out = {
         "metric": "multi_driver",
         "factor": args.factor, "n_docs": n, "bulk_sec": bulk_sec,
@@ -369,6 +386,11 @@ def main() -> int:
     ap.add_argument("--queries-file")
     ap.add_argument("--fresh-text-file")
     ap.add_argument("--rewarm", action="store_true")
+    ap.add_argument("--facade", action="store_true",
+                    help="server clients use serve_search_ivf (always-"
+                         "answers retry wrapper); RESULT carries the "
+                         "cumulative retry/exhausted counters and the "
+                         "orchestrator gates on them")
     ap.add_argument("--wait-writer", action="store_true")
     ap.add_argument("--writer-batches", type=int, default=3)
     ap.add_argument("--writer-batch-rows", type=int, default=400)
