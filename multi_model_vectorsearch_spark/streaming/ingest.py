@@ -1438,8 +1438,14 @@ class IngestPipeline:
         """
         self.check_writer_fence()
         self.unwarm()
-        self._flip_gate()  # rate-govern the flip group (one per store)
+        # round-13 advice: finish a pending re-train BEFORE taking the
+        # flip gate, matching retrain()'s ordering — otherwise a crash
+        # roll-forward flip plus compact's own per-store flips land in
+        # ONE gated group and a reader sized by the retention triangle
+        # (max scan <= retain_generations x min_flip_interval_s) can
+        # observe more flips per interval than the governor promises.
         self._finish_pending_retrain()
+        self._flip_gate()  # rate-govern the flip group (one per store)
         torn = self._torn_batch_keys()
         done: dict[str, int] = {}
         for path, schema in ((self.corpus_dir, CORPUS_SCHEMA),
@@ -1937,7 +1943,17 @@ class IngestPipeline:
         too, completing the maintenance loop (ingest → re-train →
         refresh) whose recall convergence probe_edge_staleness's
         ``--retrain-arm`` measures. Returns ``{"n_centroids",
-        "assigned"}``."""
+        "assigned"}``.
+
+        Cost note (round-13 verdict): unlike ``refresh_edges()`` this
+        is NOT diff-bounded — it re-reads, re-clusters, and re-assigns
+        the ENTIRE committed corpus every call (O(n·d·centroids·iters)
+        plus a full index rewrite). Call it on an ops cadence (after
+        bulk loads, before compaction windows); for steady-state growth
+        the automatic 2× trigger inside ``_update_index``
+        (``_maybe_retrain``) already re-trains when the ideal centroid
+        count doubles, and calling ``retrain()`` more often than that
+        buys no recall the maintenance-loop probe can measure."""
         if not self.maintain_ivf:
             raise ValueError("retrain() requires maintain_ivf=True")
         self.check_writer_fence()
@@ -2258,8 +2274,7 @@ class IngestPipeline:
             .limit(k)
         )
 
-    @staticmethod
-    def _is_stale_scan_error(exc: Exception) -> bool:
+    def _is_stale_scan_error(self, exc: Exception) -> bool:
         """True iff ``exc`` looks like a scan that outlived its epoch's
         retention window: the files a pinned plan captured were swept by
         a later writer flip (Spark surfaces this as a
@@ -2270,14 +2285,28 @@ class IngestPipeline:
         permanent failures — a missing state root, AnalysisException
         "Table or view does not exist", a misconfigured path — and burn
         four backoff rounds plus rewarm side effects on an error no
-        retry can cure. Matched instead: the two spellings Spark uses
-        for a file swept mid-scan, plus its REFRESH TABLE hint (the
-        message Spark attaches exactly when cached listings outlive the
-        files)."""
+        retry can cure. Matched: the two spellings Spark uses for a
+        file swept mid-scan, its REFRESH TABLE hint, and — round-13
+        advice — the PLAN-TIME spelling ``[PATH_NOT_FOUND] Path does
+        not exist`` raised when a retained generation/batch directory
+        is swept between a bracket's listing and the DataFrame load,
+        but ONLY when the missing path lies under THIS pipeline's
+        state root or names a hidden ``.gen-`` generation component; a
+        misconfigured root outside the state tree or
+        TABLE_OR_VIEW_NOT_FOUND stays fatal."""
         msg = str(exc)
-        return ("FileNotFoundException" in msg
+        if ("FileNotFoundException" in msg
                 or "FILE_NOT_FOUND" in msg
-                or "REFRESH TABLE" in msg)
+                or "REFRESH TABLE" in msg):
+            return True
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            # scheme-insensitive containment: the exception spells the
+            # path as file:/..., the root may carry file:// or nothing
+            root = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/",
+                          self.state_dir).rstrip("/")
+            root = "/" + root.lstrip("/")
+            return (root in msg) or (".gen-" in msg)
+        return False
 
     def _serve(self, build_rows, retries: int = 4):
         """Run ``build_rows() -> list[Row]`` with bounded re-plan-and-
@@ -2301,7 +2330,16 @@ class IngestPipeline:
         "freshness": gauge-at-answer}`` — the signal that separates
         "healthy" from "answering but retrying constantly" without log
         forensics. ``freshness`` is free on a cold pipeline and one
-        metadata scan per store on a warm one."""
+        metadata scan per store on a warm one; if that gauge itself
+        races a sweep (round-13 advice: HadoopStateFS can raise between
+        ``isdir`` and ``listFiles`` AFTER the query already answered)
+        it degrades to ``None`` — observability never fails an answered
+        query."""
+        # round-13 advice: retries<=0 would skip the loop, add a
+        # NEGATIVE delta to the cumulative retry counter the probes
+        # gate on, then ``raise None`` (TypeError) — reject it loudly.
+        if retries <= 0:
+            raise ValueError(f"retries must be >= 1, got {retries}")
         last: Exception | None = None
         for attempt in range(retries):
             if attempt:
@@ -2320,7 +2358,11 @@ class IngestPipeline:
                     raise
                 last = exc
                 continue
-            info = {"retries": attempt, "freshness": self.freshness()}
+            try:
+                fresh = self.freshness()
+            except Exception:
+                fresh = None  # gauge raced a sweep; the answer stands
+            info = {"retries": attempt, "freshness": fresh}
             with self._serve_lock:
                 self.serve_counters["queries"] += 1
                 self.serve_counters["retries"] += attempt

@@ -2485,6 +2485,74 @@ def test_stale_scan_classifier_is_narrow(spark, tmp_path):
         "AnalysisException: Path does not exist: "
         "file:/misconfigured/state/root"))
     assert not is_stale(ValueError("a real bug"))
+    # round-13 advice: the PLAN-TIME spelling — [PATH_NOT_FOUND] raised
+    # when a retained generation/batch dir is swept between a bracket's
+    # listing and the DataFrame load — is retriable iff the path is
+    # under THIS pipeline's state root (or names a .gen- component)
+    root = str(tmp_path / "st")
+    assert is_stale(RuntimeError(
+        f"[PATH_NOT_FOUND] Path does not exist: file:{root}/corpus/b3"))
+    assert is_stale(RuntimeError(
+        "[PATH_NOT_FOUND] Path does not exist: "
+        "file:/elsewhere/corpus/.gen-7/b3"))
+    assert not is_stale(RuntimeError(
+        "[PATH_NOT_FOUND] Path does not exist: file:/not/our/root")), \
+        "a misconfigured root outside the state tree stays fatal"
+
+
+def test_serve_guards_observability_and_bad_retries(spark, tables,
+                                                    tmp_path):
+    """Round-13 advice (two low items): (1) a freshness() gauge that
+    raises AFTER the query answered must not fail the answer — it
+    degrades to freshness=None; (2) retries<=0 must raise ValueError
+    up front instead of corrupting serve_counters['retries'] with a
+    negative delta and then raising None (TypeError)."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer")
+    pipe.process_batch(_mk_docs(tables, 0, 20), 0)
+    q = _mk_docs(tables, 0, 1).first().text
+
+    def exploding_freshness():
+        raise OSError("store swept between isdir() and listFiles()")
+
+    pipe.freshness = exploding_freshness
+    rows = pipe.serve_search(q, k=5)
+    assert rows and rows[0].score == 1.0, \
+        "an answered query survives a failing gauge"
+    assert pipe.last_serve_info == {"retries": 0, "freshness": None}
+    assert pipe.serve_counters["queries"] == 1
+
+    before = dict(pipe.serve_counters)
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="retries"):
+            pipe.serve_search(q, k=5, retries=bad)
+    assert pipe.serve_counters == before, \
+        "a rejected call must not move any counter"
+
+
+def test_compact_finishes_pending_retrain_before_flip_gate(
+        spark, tables, tmp_path, monkeypatch):
+    """Round-13 advice: compact() must roll a pending re-train forward
+    BEFORE taking the flip gate (retrain()'s ordering) so a crash
+    roll-forward flip and compact's own flip group never land inside
+    one gated interval — the retention triangle (max scan <=
+    retain_generations x min_flip_interval_s) sizes readers on flips
+    PER gated group."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer")
+    pipe.process_batch(_mk_docs(tables, 0, 10), 0)
+
+    order = []
+    real_finish = pipe._finish_pending_retrain
+    real_gate = pipe._flip_gate
+    monkeypatch.setattr(
+        pipe, "_finish_pending_retrain",
+        lambda: (order.append("finish"), real_finish())[1])
+    monkeypatch.setattr(
+        pipe, "_flip_gate",
+        lambda: (order.append("gate"), real_gate())[1])
+    pipe.compact()
+    assert order[:2] == ["finish", "gate"], order
 
 
 def test_bracket_scan_memo_is_thread_local(spark, tables, tmp_path):
