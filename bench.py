@@ -125,10 +125,21 @@ def wait_for_quiet_host(threshold: float | None = None,
     committed quiet-host evidence. Poll the 1-min load average until it
     drops below the gate or the wait budget runs out — then measure.
     Returns the load at the moment measurement starts. Knobs:
-    SPARK_GRAFT_LOAD_GATE (default 4.0; 0 disables) and
-    SPARK_GRAFT_LOAD_WAIT (default 900 s)."""
+    SPARK_GRAFT_LOAD_GATE (default 1.5; 0 disables) and
+    SPARK_GRAFT_LOAD_WAIT (default 900 s).
+
+    The default gate is 1.5 (r13 verdict item 4): the r13 driver
+    artifact was taken at load 2.93 — UNDER the old 4.0 gate — and
+    tripped 18 entries of the repo's own bench_compare while the
+    committed quiet-host reading (load 0.71) passed 238/238. Loads
+    above ~1.5 on this 32-core host have empirically meant a roaming
+    hypervisor stall window, not legitimate concurrency, so the gate
+    now refuses them for the full wait budget; if the budget runs out
+    the suite still runs (the driver must get SOME artifact) but the
+    emitted line self-labels via ``stalled_host`` + ``calibration`` so
+    no reader mistakes it for the committed evidence."""
     if threshold is None:
-        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "4.0"))
+        threshold = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
     if max_wait is None:
         max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
     if threshold <= 0:
@@ -143,10 +154,51 @@ def wait_for_quiet_host(threshold: float | None = None,
     return load
 
 
+def stall_labels(total: float, timings: dict, cache_builders,
+                 anchor: dict | None, load_at_start: float,
+                 gate: float) -> dict:
+    """Self-labelling fields for the bench artifact (r13 verdict item
+    4): a run the quiet-host gate could not protect (load still above
+    the gate when the wait budget ran out) must be readable AS stalled
+    without forensics. Emits:
+
+    - ``stalled_host``: True iff the timed suite started above the gate
+      (the r13 tell was ``load: 2.93`` needing manual adjudication).
+    - ``calibration``: the suite-median current/anchor ratio over
+      comparable (non-cache-builder) entries — the same statistic
+      scripts/bench_compare.py normalizes by, so artifact and bound
+      agree by construction.
+    - ``calibrated_total_sec``: total / calibration — the number a
+      quiet host would have measured, directly comparable round over
+      round even when the raw total is stall-inflated.
+
+    Returns {} fields it cannot compute (no anchor, no overlap) rather
+    than guessing."""
+    out: dict = {"load": round(load_at_start, 2),
+                 "stalled_host": bool(gate > 0 and load_at_start > gate)}
+    if not anchor:
+        return out
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_compare import compare
+
+        report = compare(anchor, {
+            "queries": timings, "cache_builders": sorted(cache_builders)})
+        cal = report["calibration_median_ratio"]
+        out["calibration"] = cal
+        if cal > 0:
+            out["calibrated_total_sec"] = round(total / cal, 3)
+    except Exception:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    load_at_start = wait_for_quiet_host()
+    load_gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.5"))
+    load_at_start = wait_for_quiet_host(threshold=load_gate)
     spark = get_spark("bench")
     n_split = int(os.environ.get("SPARK_GRAFT_SPLIT_FILES", "32"))
     if n_split > 1:
@@ -334,18 +386,25 @@ def main() -> None:
         "cache_builders": sorted({n.split("_", 1)[0]
                                   for n in cache_builders}),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # host 1-min load when the timed suite started (after the quiet-
-        # host gate) — lets a reader weigh the artifact against the
-        # committed quiet-host evidence without forensics
-        "load": round(load_at_start, 2),
     }
+    # stall self-labelling (r13 verdict item 4): load at suite start,
+    # stalled_host flag, and the anchor-calibrated total so a stalled
+    # artifact reads as stalled without cross-run forensics
+    try:
+        with open(anchor_path) as fh:
+            anchor_for_labels = json.load(fh)
+    except Exception:
+        anchor_for_labels = None
+    labels = stall_labels(total, timings, cache_builders,
+                          anchor_for_labels, load_at_start, load_gate)
+    line.update(labels)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as fh:
         # cache_builders: entries whose timing absorbed the FIRST build of a
         # shared session cache (retry-ineligible by design) — their rows
         # include one-off cost that repeat runs don't pay
         json.dump({"total_sec": total, "queries": timings,
                    "retries": retries,
-                   "cache_builders": sorted(cache_builders)}, fh,
+                   "cache_builders": sorted(cache_builders), **labels}, fh,
                   indent=1, sort_keys=True)
     print(json.dumps(line, separators=(",", ":")))
 

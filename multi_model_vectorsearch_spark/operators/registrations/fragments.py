@@ -51,6 +51,31 @@ _SIMHASH48_CTE = (
 )
 
 
+# 64-bit SimHash signatures as TWO 32-bit lanes (dq248's 100 TB width
+# step): 8 hex chars per lane parse exactly into BIGINT, every bit
+# weight pow(2, 31-p) is exact, and both lanes stay non-negative —
+# bit-exact past DuckDB's 60-bit single-hex-parse bound
+_SIMHASH64_CTE = (
+    "toks AS (SELECT DISTINCT doc_id, tok FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) u), "
+    "hv AS (SELECT doc_id, "
+    "CAST(('0x' || substr(sha256(tok), 1, 8)) AS BIGINT) AS hi, "
+    "CAST(('0x' || substr(sha256(tok), 9, 8)) AS BIGINT) AS lo FROM toks), "
+    "bits AS (SELECT doc_id, p, "
+    "CAST(CAST(floor(CASE WHEN p < 32 THEN hi / pow(2, 31 - p) "
+    "ELSE lo / pow(2, 63 - p) END) AS BIGINT) % 2 AS INT) AS bit "
+    "FROM hv CROSS JOIN (SELECT CAST(range AS INT) AS p FROM range(0, 64)) pos), "
+    "votes AS (SELECT doc_id, p, sum(bit * 2 - 1) AS v FROM bits "
+    "GROUP BY doc_id, p), "
+    "sig64 AS (SELECT doc_id, "
+    "CAST(sum(CASE WHEN p < 32 AND v >= 0 THEN "
+    "CAST(pow(2, 31 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_hi, "
+    "CAST(sum(CASE WHEN p >= 32 AND v >= 0 THEN "
+    "CAST(pow(2, 63 - p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig_lo "
+    "FROM votes GROUP BY doc_id)"
+)
+
+
 _SEEDS_CTE = (
     "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
     "seeds AS (SELECT e.vec_id, CAST(floor(("

@@ -10,6 +10,7 @@ from multi_model_vectorsearch_spark.operators.registrations.fragments import (
     _SH_CTE,
     _SIG_CTE,
     _SIMHASH48_CTE,
+    _SIMHASH64_CTE,
     _SIMHASH_CTE,
 )
 
@@ -161,6 +162,26 @@ DQS: list[DQ] = [
             "16-bit banding saturating (64 fixed buckets); 48-bit/"
             "12-bit-band keeps buckets selective through millions of "
             "docs"),
+    DQ("dq248_simhash64_band_pairs", T.dq248_simhash64_band_pairs,
+       "WITH " + _SIMHASH64_CTE + ", "
+       "bands AS (SELECT doc_id, sig_hi, sig_lo, i AS b, "
+       "CASE WHEN i = 0 THEN CAST(floor(sig_hi / 65536) AS BIGINT) "
+       "WHEN i = 1 THEN sig_hi % 65536 "
+       "WHEN i = 2 THEN CAST(floor(sig_lo / 65536) AS BIGINT) "
+       "ELSE sig_lo % 65536 END AS bv "
+       "FROM sig64 CROSS JOIN range(4) r(i)), "
+       "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, "
+       "a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb "
+       "FROM bands a JOIN bands b "
+       "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+       "SELECT d1, d2, CAST(bit_count(xor(ha, hb)) + "
+       "bit_count(xor(la, lb)) AS INT) AS hd FROM cand "
+       "WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3 "
+       "ORDER BY d1, d2",
+       note="the 100 TB SimHash width step dq247 names: 64-bit "
+            "signatures (two exact 32-bit lanes) in 4 x 16-bit bands "
+            "— 65,536 buckets/band, selective through billions of "
+            "docs; oracle exact past DuckDB's 60-bit hex-parse bound"),
     DQ("dq130_repeated_ngrams", T.dq130_repeated_ngrams,
        "WITH g AS (SELECT doc_id, unnest(list_transform("
        "range(1, len(toks) - 6), i -> toks[i] || ' ' || toks[i+1] || ' ' || "

@@ -1053,6 +1053,135 @@ def dq247_simhash48_band_pairs(t: Tables, max_hd: int = 3,
     return cross.unionByName(same)
 
 
+_SIMHASH64_CACHE: dict = {}
+
+
+def _simhash64_lanes(t: Tables) -> DataFrame:
+    """64-bit SimHash carried as TWO 32-bit lanes — the representation
+    that stays EXACT in both engines' signed 64-bit integers past the
+    60-bit bound where a single hex-parse stops being safe (DuckDB
+    parses ``'0x' || 15-hex-chars`` into BIGINT; 16 chars overflow, and
+    a combined 64-bit signature would need sign-wrap semantics both
+    engines would have to agree on). Token hash = sha2 hex chars 1-8
+    (``hi`` lane, signature bits 63..32) and 9-16 (``lo`` lane, bits
+    31..0); each lane is a value in [0, 2^32) so every bit weight,
+    division, and XOR below is exact non-negative BIGINT arithmetic.
+    One shuffle of distinct (doc, token) rows, 64 parallel vote lanes
+    in a single groupBy."""
+    d = t["documents"]
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .withColumn("h", F.sha2("tok", 256))
+        .withColumn("hi",
+                    F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))
+        .withColumn("lo",
+                    F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint"))
+    )
+
+    def bit(lane: str, p: int) -> F.Column:
+        # p = 0..31, MSB first within the lane; lane < 2^32 so the
+        # double division is exact (53-bit mantissa)
+        return (F.floor(F.col(lane) / F.lit(float(2 ** (31 - p))))
+                .cast("bigint") % 2).cast("int")
+
+    votes = toks.groupBy("doc_id").agg(
+        *[F.sum(bit("hi", p) * 2 - 1).alias(f"h{p}") for p in range(32)],
+        *[F.sum(bit("lo", p) * 2 - 1).alias(f"l{p}") for p in range(32)],
+    )
+
+    def lane(prefix: str) -> F.Column:
+        return sum(
+            [F.when(F.col(f"{prefix}{p}") >= 0, F.lit(2 ** (31 - p)))
+             .otherwise(F.lit(0)).cast("bigint") for p in range(32)],
+            F.lit(0).cast("bigint"),
+        )
+
+    return votes.select("doc_id", lane("h").alias("sig_hi"),
+                        lane("l").alias("sig_lo"))
+
+
+def dq248_simhash64_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
+    """The 100 TB turn of the SimHash width knob dq247's docstring
+    names: 64-bit signatures in 4 x 16-bit bands — 65,536 bucket
+    values per band, selective through billions of documents.
+
+    Width selection (bands fixed at 4 for the hd<=3 pigeonhole; pick
+    the width whose per-band bucket count keeps expected bucket
+    occupancy ~O(1) at your distinct-signature count):
+
+    ======================  ======  ==============================
+    corpus (distinct sigs)  bits    buckets/band (2^(bits/4))
+    ======================  ======  ==============================
+    < ~10^3                 16      64        (dq128 — pinned small)
+    10^3 .. ~10^7           48      4,096     (dq247)
+    10^7 .. ~10^11 (100 TB) 64      65,536    (this operator)
+    ======================  ======  ==============================
+
+    Same pigeonhole contract as dq128/dq247, pinned by the same
+    brute-force test: the 4 bands tile all 64 bits, so any pair within
+    Hamming distance ``max_hd`` <= 3 agrees on at least one band and
+    banding finds EVERY such pair while joining only within buckets.
+    Same shuffle discipline too: pair generation on DISTINCT signature
+    classes, one exchange on (band, value), verification a map-side
+    two-lane bit_count, doc pairs emitted by expanding surviving class
+    pairs — nothing larger than the answer shuffles.
+
+    The signature itself is two 32-bit lanes (``_simhash64_lanes``):
+    hi = bits 63..32, lo = 31..0. Bands 0/1 split hi, 2/3 split lo;
+    Hamming distance = bit_count(hi XOR hi') + bit_count(lo XOR lo') —
+    every step exact non-negative 64-bit arithmetic in BOTH engines,
+    which is what lets the oracle stay bit-exact past DuckDB's 60-bit
+    hex-parse bound."""
+    sig = _session_cached(_SIMHASH64_CACHE, t, _simhash64_lanes)
+    usig = sig.select("sig_hi", "sig_lo").distinct()
+    bdf = usig.select(
+        "sig_hi", "sig_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).select(
+        "sig_hi", "sig_lo", "b",
+        F.when(F.col("b") == 0, F.floor(F.col("sig_hi") / 65536))
+        .when(F.col("b") == 1, F.col("sig_hi") % 65536)
+        .when(F.col("b") == 2, F.floor(F.col("sig_lo") / 65536))
+        .otherwise(F.col("sig_lo") % 65536)
+        .cast("bigint").alias("bv"),
+    )
+    hd = (F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+          + F.bit_count(F.col("l1").bitwiseXOR(F.col("l2")))).cast("int")
+    sig_pairs = (
+        bdf.select(F.col("sig_hi").alias("h1"),
+                   F.col("sig_lo").alias("l1"), "b", "bv")
+        .join(bdf.select(F.col("sig_hi").alias("h2"),
+                         F.col("sig_lo").alias("l2"), "b", "bv"),
+              ["b", "bv"])
+        .filter((F.col("h1") < F.col("h2"))
+                | ((F.col("h1") == F.col("h2"))
+                   & (F.col("l1") < F.col("l2"))))
+        .select("h1", "l1", "h2", "l2", hd.alias("hd"))
+        .filter(F.col("hd") <= max_hd)
+        .distinct()
+    )
+    cross = (
+        sig_pairs
+        .join(sig.select(F.col("doc_id").alias("da"),
+                         F.col("sig_hi").alias("h1"),
+                         F.col("sig_lo").alias("l1")), ["h1", "l1"])
+        .join(sig.select(F.col("doc_id").alias("db"),
+                         F.col("sig_hi").alias("h2"),
+                         F.col("sig_lo").alias("l2")), ["h2", "l2"])
+        .select(F.least("da", "db").alias("d1"),
+                F.greatest("da", "db").alias("d2"), "hd")
+    )
+    same = (
+        sig.select(F.col("doc_id").alias("d1"), "sig_hi", "sig_lo")
+        .join(sig.select(F.col("doc_id").alias("d2"), "sig_hi", "sig_lo"),
+              ["sig_hi", "sig_lo"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(0).cast("int").alias("hd"))
+    )
+    return cross.unionByName(same)
+
+
 def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
                           k: int = 40) -> DataFrame:
     """Cross-document repeated-span detection: word 8-grams occurring

@@ -102,3 +102,45 @@ def test_dq247_simhash48_banding_complete_vs_bruteforce(spark, tables):
     assert got == brute, (
         f"banding missed {len(brute - got)} true pairs / "
         f"invented {len(got - brute)}")
+
+
+def test_dq248_simhash64_banding_complete_vs_bruteforce(spark, tables):
+    """dq248's pigeonhole contract at the 100 TB width, proven against
+    brute force: the 4 x 16-bit bands tile all 64 signature bits, so
+    banding must find EVERY doc pair within two-lane Hamming distance
+    3 and nothing beyond. The oracle SQL shares the banding
+    construction, so only an all-pairs reference can catch a banding
+    blind spot (a band boundary that skips or double-counts a bit)."""
+    from pyspark.sql import functions as F
+
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        _simhash64_lanes,
+        dq248_simhash64_band_pairs,
+    )
+
+    t = {"documents": tables["documents"].limit(300)}
+    got = {(r.d1, r.d2, r.hd)
+           for r in dq248_simhash64_band_pairs(t).collect()}
+
+    sig = _simhash64_lanes(t)
+    a = sig.select(F.col("doc_id").alias("d1"),
+                   F.col("sig_hi").alias("ha"), F.col("sig_lo").alias("la"))
+    b = sig.select(F.col("doc_id").alias("d2"),
+                   F.col("sig_hi").alias("hb"), F.col("sig_lo").alias("lb"))
+    hd = (F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+          + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))).cast("int")
+    brute = {
+        (r.d1, r.d2, r.hd)
+        for r in a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", hd.alias("hd"))
+        .filter(F.col("hd") <= 3).collect()
+    }
+    assert got == brute, (
+        f"banding missed {len(brute - got)} true pairs / "
+        f"invented {len(got - brute)}")
+    # the lanes really are 32-bit: a value escaping [0, 2^32) would
+    # break both the band math and the exact-arithmetic oracle claim
+    bad = sig.filter(
+        (F.col("sig_hi") < 0) | (F.col("sig_hi") >= 2 ** 32)
+        | (F.col("sig_lo") < 0) | (F.col("sig_lo") >= 2 ** 32)).count()
+    assert bad == 0
