@@ -20,3 +20,10 @@ class DQ:
     builder: Callable[[dict], DataFrame]
     oracle: str | None  # None -> non-SQL-expressible; driver does rows-only check
     note: str = ""
+    # Non-empty = this entry's DECLARED CONTRACT is scale-bounded: it is
+    # deliberately excluded from the sf1 hash gate, and the string says
+    # why and names the scale path that supersedes it (r13 verdict item
+    # 2: an explicit per-entry declaration instead of a silent skip).
+    # tests/test_entry.py binds the union of GATE_sf1*.json to exactly
+    # the declared sf1 set, so a cap can never hide an unverified entry.
+    scale_cap: str = ""

@@ -147,7 +147,14 @@ DQS: list[DQ] = [
        "a.simhash AS s1, b.simhash AS s2 FROM bands a JOIN bands b "
        "ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id) "
        "SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hd "
-       "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2"),
+       "FROM cand WHERE bit_count(xor(s1, s2)) <= 3 ORDER BY d1, d2",
+       scale_cap="16-bit signature space is the DEFINITION of this "
+                 "entry (4 nibble bands, 64 fixed buckets): past "
+                 "~2^16/16 distinct signatures every bucket saturates "
+                 "and candidates grow ~sigs^2/16 on BOTH engines (the "
+                 "r13 sf1-gate find) — kept as the pinned small-scale "
+                 "contract; the scale paths are dq247 (48-bit) and "
+                 "dq248 (64-bit)"),
     DQ("dq247_simhash48_band_pairs", T.dq247_simhash48_band_pairs,
        "WITH " + _SIMHASH48_CTE + ", "
        "bands AS (SELECT doc_id, simhash, i AS b, "

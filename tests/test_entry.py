@@ -125,3 +125,41 @@ def test_gate_artifact_is_fresh():
     red = [n for n, r in gate.items()
            if not (r.get("hash_match") or r.get("err") == "no_oracle")]
     assert not red, f"non-green gate rows: {red[:5]}"
+
+
+def test_sf1_gate_union_matches_declared_set():
+    """r13 verdict item 2 (and What's-wrong nit 3): the sf1-scale hash
+    gate is split across GATE_sf1*.json wave files — bind their UNION
+    to the committed declared set (sf1_set.json) so a future round
+    cannot silently drop a wave from the sweep, require every row
+    green, and require scale-capped entries to be declared in the
+    registry (DQ.scale_cap) rather than silently skipped."""
+    import glob
+    import json
+    import os
+
+    from multi_model_vectorsearch_spark import dq
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    declared = set(json.load(open(os.path.join(root, "sf1_set.json"))))
+    union: dict = {}
+    for p in sorted(glob.glob(os.path.join(root, "GATE_sf1*.json"))):
+        wave = json.load(open(p))
+        dup = set(wave) & set(union)
+        assert not dup, f"entry gated twice across waves: {sorted(dup)[:3]}"
+        union.update(wave)
+    assert set(union) == declared, (
+        f"declared-but-ungated: {sorted(declared - set(union))[:5]} "
+        f"gated-but-undeclared: {sorted(set(union) - declared)[:5]}")
+    red = [n for n, r in union.items()
+           if not (r.get("hash_match") or r.get("err") == "no_oracle")]
+    assert not red, f"non-green sf1 rows: {red[:5]}"
+
+    registry = {e.name: e for e in dq.registry()}
+    assert declared <= set(registry)
+    capped = {n for n, e in registry.items() if e.scale_cap}
+    assert "dq128_simhash_band_pairs" in capped, \
+        "the r13 scale finding must stay declared on the entry"
+    overlap = capped & declared
+    assert not overlap, (
+        f"scale-capped entries cannot be in the sf1 set: {sorted(overlap)}")
