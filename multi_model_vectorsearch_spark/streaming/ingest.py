@@ -287,6 +287,7 @@ class IngestPipeline:
         # that captures the reference once per query never sees a
         # half-built snapshot — see warm().
         self._warm: dict[str, DataFrame] = {}
+        self._warm_policy: str | None = None  # sticky across maybe_rewarm
         # state fingerprint captured by warm() — maybe_rewarm() compares
         self._warm_token = None
         # per-bracket store-scan memo (see _store_scan / _stable_read):
@@ -2115,7 +2116,7 @@ class IngestPipeline:
 
     # --- warm serving (round-8) ---------------------------------------------
 
-    def warm(self) -> dict[str, int]:
+    def warm(self, policy: str | None = None) -> dict[str, int]:
         """Pin the serving state in executor memory so `/search` stops
         paying parquet listing + scan + query-embed job setup per call.
 
@@ -2128,6 +2129,31 @@ class IngestPipeline:
         call ``warm()`` again after an ingest burst. At cluster scale the
         same call pins the corpus across executors — the cache is
         partition-local, nothing collects to the driver.
+
+        ``policy`` (r13 verdict item 8 — the memory-bound knob; sticky
+        across ``maybe_rewarm`` until changed):
+
+        - ``"full"`` (default): pin everything, including the corpus.
+          Right while the corpus fits aggregate executor storage memory;
+          the corpus cache is ~rows x (8·dim + text) bytes and DOMINATES
+          the snapshot (measured: >97% of pinned bytes at 60k docs —
+          BASELINE.md r14 table), so this is the policy that stops
+          scaling first.
+        - ``"index"``: pin only the NAVIGATIONAL state — centroids
+          (√n rows), the IVF assignment (n tiny rows), the edge store
+          (k·n tiny rows), plus the driver-side centroid block — and
+          leave the corpus as the bracket-captured UNCACHED plan: every
+          query still routes cells with zero Spark jobs and joins the
+          broadcast member set against a STREAMED parquet scan of the
+          corpus. Per-query latency pays one corpus scan (bounded by
+          probed-cell selectivity after the semi-join) in exchange for
+          O(navigational) instead of O(corpus) executor memory — the
+          only shape that pins at 100 TB, where the corpus cannot.
+
+        Pinned bytes per store are reported in ``sizes`` as
+        ``pinned_bytes_<store>`` (Spark RDD storage info, measured after
+        materialization) so an operator can read the pinned fraction
+        directly instead of estimating it.
 
         READ-ONLY, and safe to call from a serving thread while other
         threads query the SAME pipeline object: the new snapshot is
@@ -2144,7 +2170,12 @@ class IngestPipeline:
         the cached sizes (the caches stay warm — re-pinning identical
         plans and unpersisting the old would silently evict them).
         """
-        if self._warm and self.state_token() == self._warm_token:
+        if policy is None:
+            policy = self._warm_policy or "full"
+        if policy not in ("full", "index"):
+            raise ValueError(f"unknown warm policy {policy!r}")
+        if (self._warm and self.state_token() == self._warm_token
+                and self._warm.get("policy") == policy):
             return dict(self._warm["sizes"])
         # Consistent snapshot against a concurrent writer: one stable
         # metadata bracket captures every view (torn-excluded, one
@@ -2161,18 +2192,42 @@ class IngestPipeline:
             return corpus, cents, idx, edges
 
         corpus, cents, idx, edges = self._stable_read(build)
-        corpus = corpus.cache()
-        n = corpus.count()
-        edges = edges.cache()
-        ne = edges.count()
-        nw: dict = {"corpus": corpus, "edges": edges}
-        sizes = {"corpus_rows": n, "edge_rows": ne}
+
+        def cached_mem() -> int:
+            try:
+                return sum(i.memSize() for i in self.spark.sparkContext
+                           ._jsc.sc().getRDDStorageInfo())
+            except Exception:  # pragma: no cover - py4j surface drift
+                return 0
+
+        sizes: dict = {"policy": policy}
+
+        def pin_store(df: DataFrame, key: str) -> tuple[DataFrame, int]:
+            """cache + materialize, attributing the executor-memory
+            DELTA to this store — the operator-facing quantification of
+            what each warm policy costs (``pinned_bytes_<store>``; a
+            reader computes the pinned fraction directly from these)."""
+            before = cached_mem()
+            df = df.cache()
+            rows = df.count()
+            sizes[f"pinned_bytes_{key}"] = max(0, cached_mem() - before)
+            return df, rows
+
+        if policy == "full":
+            corpus, n = pin_store(corpus, "corpus")
+        else:
+            # "index" policy: the corpus stays the bracket-captured
+            # UNCACHED plan — streamed from parquet per query, bounded
+            # by the probed-cell semi-join; only navigation pins
+            n = corpus.count()
+        edges, ne = pin_store(edges, "edges")
+        nw: dict = {"corpus": corpus, "edges": edges, "policy": policy}
+        sizes.update({"corpus_rows": n, "edge_rows": ne})
         if cents is not None:
-            idx = idx.cache()
-            ni = idx.count()
+            idx, ni = pin_store(idx, "index")
             if ni > 0:
-                cents = cents.cache()
-                sizes["centroid_rows"] = cents.count()
+                cents, nc = pin_store(cents, "centroids")
+                sizes["centroid_rows"] = nc
                 sizes["index_rows"] = ni
                 nw["centroids"] = cents
                 nw["index"] = idx
@@ -2183,10 +2238,12 @@ class IngestPipeline:
                 nw["cent_rows"] = cents.collect()
             else:  # half-built external dir: degrade to full-scan serving
                 idx.unpersist()
+                sizes.pop("pinned_bytes_index", None)
         nw["sizes"] = sizes
         old = self._warm
         self._warm = nw  # atomic publish: one dict assignment
         self._warm_token = token[0]
+        self._warm_policy = policy
         self._release_snapshot(old, keep=nw)
         return dict(sizes)
 
