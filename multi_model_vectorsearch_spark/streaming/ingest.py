@@ -601,6 +601,10 @@ class IngestPipeline:
                 f"{self.state_dir}; another writer holds the lease")
         self._writer_epoch = epoch
         self._writer_lease = content
+        # takeover heal (r14): a predecessor SIGKILLed mid-rename-dance
+        # leaves a store with no live directory; the new lease holder
+        # rolls the crashed publish forward before any read or write
+        self._recover_rename_crash()
         return epoch
 
     def release_writer(self) -> None:
@@ -1235,6 +1239,7 @@ class IngestPipeline:
         """
         key = key if key is not None else self._batch_key(batch_id)
         self.check_writer_fence()
+        self._recover_rename_crash()  # heal a predecessor's torn dance
         self.unwarm()  # ingest invalidates any warm serving snapshot
         batch = batch.dropDuplicates(["doc_id"])
         if self.maintain_neardup:
@@ -1439,6 +1444,7 @@ class IngestPipeline:
         """
         self.check_writer_fence()
         self.unwarm()
+        self._recover_rename_crash()  # heal a predecessor's torn dance
         # round-13 advice: finish a pending re-train BEFORE taking the
         # flip gate, matching retrain()'s ordering — otherwise a crash
         # roll-forward flip plus compact's own per-store flips land in
@@ -1517,6 +1523,7 @@ class IngestPipeline:
         else:
             tmp = path + ".compact"
             old = path + ".old"
+            self.fs.rmtree(old)  # stale litter would fail rename(path, old)
             df.coalesce(files).write.mode("overwrite").parquet(tmp)
             for key in staged_markers:
                 self.fs.write_text(
@@ -1959,6 +1966,7 @@ class IngestPipeline:
             raise ValueError("retrain() requires maintain_ivf=True")
         self.check_writer_fence()
         self.unwarm()
+        self._recover_rename_crash()  # heal a predecessor's torn dance
         self._finish_pending_retrain()
         self._flip_gate()
         torn = self._torn_batch_keys()
@@ -1984,6 +1992,100 @@ class IngestPipeline:
         if self.refresh_edges_on_retrain:
             self.refresh_edges()
         return {"n_centroids": int(cents.count()), "assigned": int(n)}
+
+    def _recover_rename_crash(self) -> dict[str, str]:
+        """Roll a rename-mode publish crash forward (r14, found by the
+        cross-process takeover drill's ``rename:2`` kill point): a
+        writer SIGKILLed between ``rename(live, .old)`` and
+        ``rename(staged, live)`` leaves a store with NO live directory
+        — its committed content sits in ``.old`` and the fully-staged
+        replacement in ``.compact``/``.next``. A successor that reads
+        the root sees an EMPTY store (silent data loss for every query
+        until heal) and its own compact dies on the stale ``.old``
+        (``os.rename`` onto a non-empty directory). Invariants this
+        leans on, both by construction: the staged sibling is COMPLETE
+        before the first rename ever runs (staging writes finish before
+        ``_swap_dir``/``_publish_folded_store`` start the dance), and a
+        missing live directory can only mean the crash landed between
+        the two renames.
+
+        Per store with live missing, the action matches what the
+        protocol's own recovery would produce (pinned by the exhaustive
+        crash sweep's exact-equality bar, which rejected a blanket
+        roll-forward):
+
+        - ``.compact`` staged (a compact fold — compaction is NOT
+          replayed, so rolling back would lose the fold): finish the
+          publish (``rename(.compact, live)``) and drop ``.old``.
+        - ``ivf.next`` staged mid-FIRST-dance (``.old`` present): roll
+          BACK — restore ``.old`` as live and leave ``.next`` staged.
+          ``_finish_pending_retrain``'s contract is that a crash before
+          the first swap completes is recovered by the stream replay
+          RE-STAGING ``.next`` over the intact live pair; completing
+          the crashed swap here would publish a pre-replay index the
+          replay then double-writes its batch into (the sweep's
+          divergence at crash point 4).
+        - ``centroids.next`` staged with live missing: roll FORWARD —
+          the centroid dance only ever starts after the index swap
+          committed, so finishing it restores the matched pair (the
+          same completion ``_finish_pending_retrain`` performs).
+
+        Purely defensive last resort: live and staged both missing with
+        ``.old`` present (a state the protocol never produces) restores
+        ``.old`` rather than serving empty.
+
+        A cleared ``.old`` is dropped WITHOUT carrying its per-batch
+        subdirectories — deliberately, pinned by the sweep: the staged
+        fold markers don't cover every committed key (the auto
+        re-train markers only the trailing key per namespace), so a
+        membership-based carry re-introduces superseded assignment
+        rows (double-indexed docs — the sweep's crash-point-5
+        divergence). What the crashed publish would have carried are
+        its TORN keys, and losing those is the crash semantics the
+        replay machine already handles: a torn stream batch rewrites
+        its own directories from scratch on replay, and a torn facade
+        submit was never acknowledged.
+
+        Called from every WRITER entry point under rename commit
+        (``acquire_writer``, ``process_batch``/``bulk_load``,
+        ``compact``, ``retrain``) — six ``isdir`` probes when clean, a
+        no-op under pointer commit (generation flips never move the
+        live directory). Readers stay read-only: a cold reader inside
+        the crash window is the documented rename-mode hazard
+        (``RenameModePollError``); the takeover WRITER heals it.
+        Returns ``{store: action}`` for observability."""
+        if self.commit_mode != "rename":
+            return {}
+        actions: dict[str, str] = {}
+        for path in (self.corpus_dir, self.edges_dir, self.centroids_dir,
+                     self.index_dir, self.sig_dir, self.flags_dir):
+            name = path.rstrip("/").rsplit("/", 1)[-1]
+            old = path + ".old"
+            live = self.fs.isdir(path)
+            if not live and self.fs.isdir(path + ".compact"):
+                self.fs.rename(path + ".compact", path)
+                actions[name] = "rolled_forward_compact"
+                live = True
+            elif not live and self.fs.isdir(path + ".next"):
+                if path == self.index_dir and self.fs.isdir(old):
+                    # first dance of the re-train pair: restore the
+                    # intact pre-dance pair; the replay re-stages .next
+                    self.fs.rename(old, path)
+                    actions[name] = "rolled_back_next"
+                    live = True
+                else:
+                    self.fs.rename(path + ".next", path)
+                    actions[name] = "rolled_forward_next"
+                    live = True
+            if not live:
+                if self.fs.isdir(old):
+                    self.fs.rename(old, path)
+                    actions[name] = "restored_old"
+                continue
+            if self.fs.isdir(old):
+                self.fs.rmtree(old)
+                actions.setdefault(name, "cleared_old")
+        return actions
 
     def _stage_dir(self, root: str) -> str:
         """Where a rebuilt store is staged before its swap: a ``.next``
@@ -3158,6 +3260,130 @@ class IngestPipeline:
         balanced = self._balanced_select(pool, k, pool_k)
         seeds = balanced.select(F.col("doc_id").alias("vec_id"), "s")
         return expand_one_hop(seeds, edges, k=k, decay=DECAY)
+
+    def search_many(self, texts: list, k: int | None = None,
+                    modality: str = "text", route: str = "auto",
+                    probes: int | None = None) -> DataFrame:
+        """M ``/search`` queries in ONE Spark job — the path past the
+        ~9 QPS/driver plateau (r13 verdict item 7: the plateau is
+        job-LAUNCH overhead, measured r10, not plan cost; amortizing M
+        queries over one launch is the lever).
+
+        Per query the answer rows are value-identical to ``search()``
+        (same scoring, same modality-balanced selection — which was
+        already qid-keyed for the submit path — same 1-hop expansion
+        via the qid-keyed :func:`expand_one_hop_many`; pinned by test).
+        Returns ``(qid, id, score)`` where ``qid`` is the index into
+        ``texts``.
+
+        Scale shape: all M queries share ONE corpus scan. The scored
+        candidates are projected to small ``(qid, doc_id, s)`` rows
+        BEFORE the per-qid selection exchange — embeddings never enter
+        the shuffle, so the exchange is M·n tiny rows on the exact
+        route and Σ probed-cell members (~M·n^¾ under √n sizing) on
+        the ivf route, where a per-query loop would pay M full job
+        launches AND M separate scans."""
+        if route not in ("exact", "ivf", "auto"):
+            raise ValueError(f"unknown route {route!r}")
+        from multi_model_vectorsearch_spark.operators.graph import (
+            DECAY,
+            expand_one_hop_many,
+        )
+
+        k = k or self.k
+        vecs = [(i, self._query_vec(t, modality))
+                for i, t in enumerate(texts)]
+        vecs = [(i, v) for i, v in vecs if v is not None]
+        out_schema = "qid bigint, id bigint, score double"
+        if not vecs:
+            return self.spark.createDataFrame([], out_schema)
+
+        w = self._warm
+        if w:
+            corpus = w["corpus"]
+            cents = w.get("centroids")
+            idx = w.get("index")
+            edges = w["edges"]
+        else:
+            def build(torn):
+                return (self._probed_views(torn),
+                        self._read_state_excluding_keys(
+                            self.edges_dir, EDGE_SCHEMA, torn))
+
+            (corpus, cents, idx), edges = self._stable_read(
+                build, fallback=True)
+            if idx is not None and idx.isEmpty():
+                cents = idx = None
+        use_ivf = route == "ivf" or (route == "auto" and idx is not None)
+        if use_ivf and idx is None:
+            raise ValueError(
+                "route='ivf' requested but no live IVF index exists; "
+                "use route='auto' for silent fallback")
+
+        qdf = self.spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in vecs],
+            "qid bigint, qvec array<double>")
+        if use_ivf:
+            crows = w.get("cent_rows") if w else None
+            if probes is None:
+                probes = self._auto_probes(
+                    len(crows) if crows else cents.count())
+            if crows:
+                # warm: probe selection is M numpy argsorts on the
+                # driver — zero Spark jobs, same as the single-query path
+                pc = [(int(i), int(c)) for i, v in vecs
+                      for c in self._probe_cids_local(crows, v, probes)]
+                probe_map = self.spark.createDataFrame(
+                    pc, "qid bigint, cid int")
+            else:
+                wq = Window.partitionBy("qid").orderBy(
+                    F.desc("cs"), F.asc("cid"))
+                probe_map = (
+                    cents.crossJoin(F.broadcast(qdf))
+                    .select("qid", "cid", cosine_similarity(
+                        F.col("cvec"), F.col("qvec")).alias("cs"))
+                    .withColumn("prn", F.row_number().over(wq))
+                    .filter(F.col("prn") <= probes)
+                    .select("qid", "cid")
+                )
+            members = idx.join(F.broadcast(probe_map), "cid").select(
+                "qid", "doc_id")
+            cand = (
+                corpus.join(members, "doc_id")
+                .join(F.broadcast(qdf), "qid")
+            )
+        else:
+            cand = corpus.crossJoin(F.broadcast(qdf))
+        scored = cand.select(
+            "qid", F.lit(modality).alias("qm"), "doc_id", "modality",
+            snap_double(cosine_similarity(F.col("embedding"),
+                                          F.col("qvec"))).alias("s"),
+        )
+        pool_k = k * OVERFETCH
+        balanced = self._balanced_select(scored, k, pool_k)
+        seeds = balanced.select(
+            "qid", F.col("doc_id").alias("vec_id"), "s")
+        return expand_one_hop_many(seeds, edges, k=k, decay=DECAY)
+
+    def serve_search_many(self, texts: list, k: int | None = None,
+                          modality: str = "text", route: str = "auto",
+                          probes: int | None = None,
+                          retries: int = 4) -> list:
+        """``search_many()`` collected eagerly under the always-answers
+        retry wrapper. Returns one ``list[Row]`` per input text, in
+        input order (a query whose text embeds to nothing gets ``[]``)
+        — M answers for one Spark job, one ``serve_counters`` query
+        tick per CALL (the batch is the serving unit)."""
+        rows = self._serve(
+            lambda: self.search_many(texts, k, modality=modality,
+                                     route=route, probes=probes)
+            .collect(), retries)
+        by_qid: dict[int, list] = {}
+        for r in rows:
+            by_qid.setdefault(int(r.qid), []).append(r)
+        for grp in by_qid.values():
+            grp.sort(key=lambda r: (-r.score, r.id))
+        return [by_qid.get(i, []) for i in range(len(texts))]
 
 
 # --- reference API facade ----------------------------------------------------

@@ -697,3 +697,63 @@ def test_stale_listing_on_reader_degrades_to_prefix(spark, tables,
         del fs.scan_tree
     assert resp_stale == resp_prefix
     assert [tuple(r) for r in pipe.search(q, k=6).collect()] == resp_full
+
+
+def test_rename_crash_rollforward_on_writer_entry(spark, tables, tmp_path):
+    """r14 (found by the rename-mode takeover drill): a writer killed
+    between ``rename(live, .old)`` and ``rename(staged, live)`` leaves
+    a store with NO live directory. Every writer entry point must roll
+    the crashed publish forward — finish the rename, carry torn keys
+    from .old, drop the litter — instead of reading an empty store and
+    dying on the stale .old at its own next publish."""
+    import os
+    import shutil
+
+    docs = _moddocs(tables, 80)
+    state = str(tmp_path / "st")
+    pipe = IngestPipeline(spark, state, k=4, commit_mode="rename",
+                          maintain_ivf=True, n_centroids=None,
+                          ivf_bootstrap=16)
+    pipe.process_batch(docs.filter(F.col("doc_id") < 40), 0)
+    pipe.process_batch(docs.filter(F.col("doc_id") >= 40), 1)
+    want = sorted(r.doc_id for r in pipe.corpus().collect())
+
+    # simulate the mid-dance crash: the staged fold is complete (here:
+    # content-identical to live), live was renamed to .old, the second
+    # rename never ran
+    corpus = os.path.join(state, "corpus")
+    shutil.copytree(corpus, corpus + ".compact")
+    os.rename(corpus, corpus + ".old")
+    assert not os.path.isdir(corpus)
+
+    successor = IngestPipeline(spark, state, k=4, commit_mode="rename",
+                               maintain_ivf=True, n_centroids=None,
+                               ivf_bootstrap=16)
+    actions = successor._recover_rename_crash()
+    assert actions.get("corpus") == "rolled_forward_compact", actions
+    assert os.path.isdir(corpus)
+    assert not os.path.isdir(corpus + ".old")
+    assert not os.path.isdir(corpus + ".compact")
+    assert sorted(r.doc_id for r in successor.corpus().collect()) == want
+
+    # and the store still compacts + serves afterwards
+    successor.compact()
+    assert sorted(r.doc_id
+                  for r in successor.corpus().collect()) == want
+    q = docs.filter(F.col("doc_id") == 0).first().text
+    rows = successor.serve_search(q, k=4)
+    assert rows and rows[0].score == 1.0
+
+    # stale-.old arm: crash AFTER the second rename, before the torn
+    # carry/cleanup — entry clears .old WITHOUT a membership carry
+    # (deliberate: carried dirs can be superseded assignments, the
+    # sweep's crash-point-5 divergence; torn stream batches rewrite
+    # their directories from scratch on replay)
+    shutil.copytree(corpus, corpus + ".old")
+    torn_src = os.path.join(corpus + ".old", "tornkey")
+    os.makedirs(torn_src)
+    open(os.path.join(torn_src, "part-0.parquet"), "wb").close()
+    actions = successor._recover_rename_crash()
+    assert actions.get("corpus") == "cleared_old", actions
+    assert not os.path.isdir(os.path.join(corpus, "tornkey"))
+    assert not os.path.isdir(corpus + ".old")

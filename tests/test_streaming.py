@@ -2653,3 +2653,53 @@ def test_operator_retrain_full_corpus(spark, tables, tmp_path):
     assert pipe2.ivf_index().count() == 160
     # unchanged `before` silences the linter; re-size is n-driven
     assert before >= 1
+
+
+def test_search_many_matches_per_query_search(spark, tables, tmp_path):
+    """r13 verdict item 7: M queries batched into ONE Spark job must be
+    value-identical per query to M separate search() calls — exact and
+    ivf routes, cold and warm, including the modality-balanced
+    selection and the 1-hop expansion."""
+    pipe = IngestPipeline(spark, str(tmp_path / "st"), k=5,
+                          commit_mode="pointer", maintain_ivf=True,
+                          n_centroids=None, ivf_bootstrap=16)
+    docs = _mk_docs(tables, 0, 90)
+    pipe.bulk_load(docs)
+    pipe.process_batch(_mk_docs(tables, 90, 120), 0)  # edges exist
+    texts = [r.text for r in _mk_docs(tables, 0, 120)
+             .filter(F.col("doc_id") % 40 == 0).collect()]
+    assert len(texts) >= 3
+
+    def want(route):
+        return [
+            [(r.id, r.score) for r in
+             pipe.search(t, k=5, route=route).collect()]
+            for t in texts
+        ]
+
+    def got(route):
+        return [[(r.id, r.score) for r in grp] for grp in
+                pipe.serve_search_many(texts, k=5, route=route)]
+
+    for route in ("exact", "ivf"):
+        assert got(route) == want(route), f"cold {route} diverged"
+
+    pipe.warm()
+    for route in ("exact", "ivf"):
+        assert got(route) == want(route), f"warm {route} diverged"
+
+    # partial pin serves the batch too
+    pipe.warm(policy="index")
+    assert got("ivf") == want("ivf")
+
+    # one serve_counters tick per batched CALL, not per query
+    before = pipe.serve_counters["queries"]
+    pipe.serve_search_many(texts, k=5)
+    assert pipe.serve_counters["queries"] == before + 1
+
+    # an unembeddable query (unknown modality -> vec None, the
+    # reference rejects those submits) answers [] in position per the
+    # qid contract, not a crash: batch one good text under a modality
+    # nothing embeds
+    grps = pipe.serve_search_many([texts[0]], k=5, modality="smell")
+    assert grps == [[]]
