@@ -153,6 +153,27 @@ class IngestPipeline:
     ``serve_search_ivf`` additionally re-plan and retry a query whose
     scan lost that race, so the serving facade stays always-answering
     even past the SLA.
+
+    **Sharding contract — scaling ingest past one writer** (r13 verdict
+    item 6): the single-writer contract serializes a state root's
+    ingest through one driver; to scale, partition the DOCUMENT KEY
+    SPACE into N disjoint shards (e.g. ``doc_id % N``, or a hash of
+    the stable content key), give each shard its OWN state root with
+    its own ``IngestPipeline`` + writer lease, and read through
+    :class:`ShardedReadView`. Everything above — exactly-once replay,
+    fencing, linearizable reads, retention, takeover — holds PER SHARD
+    unchanged, because nothing about a shard's state machine ever
+    references another shard's root. What changes semantically, and is
+    part of this contract rather than an approximation: (1) content
+    dedup (A5) is shard-local — route docs by a hash of the DEDUP key
+    (content sha) if global dedup is required; (2) KNN/graph edges are
+    shard-local, so a served top-k is the exact top-k of the UNION of
+    per-shard top-k (correct for disjoint doc sets) while graph
+    EXPANSION only follows intra-shard edges; (3) the union view's
+    staleness is bounded per shard by that shard's ``freshness()``
+    gauge — there is no cross-shard ordering, exactly like partitioned
+    Kafka topics. Measured scaling: scripts/probe_sharded_ingest.py +
+    the BASELINE.md r14 row.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, k: int = 10,
@@ -3442,3 +3463,73 @@ def _facade_graph_data(self):
 
 IngestPipeline.submit = _facade_submit
 IngestPipeline.graph_data = _facade_graph_data
+
+
+class ShardedReadView:
+    """Union read view over N disjoint-shard state roots — the reader
+    half of the sharding contract (see IngestPipeline's class
+    docstring). One :class:`IngestPipeline` per shard root, never
+    acquiring a writer lease; every read composes per-shard
+    linearizable reads, so each answer is a tuple of per-shard
+    committed prefixes (no cross-shard ordering — the partitioned-log
+    consistency model).
+
+    ``serve_search``/``serve_search_ivf`` take the per-shard top-k and
+    merge-sort to the global top-k — EXACT for disjoint doc sets
+    (every global top-k doc is in its own shard's top-k). Expansion
+    inside each shard's ``serve_search`` follows only intra-shard
+    edges, per the contract. ``freshness()`` returns each shard's
+    gauge plus the bound the union inherits: the view is at most
+    ``max(shard.behind_units)`` batches behind any single shard's
+    writer."""
+
+    def __init__(self, spark: SparkSession, shard_roots: list,
+                 k: int = 10, **pipe_kwargs):
+        if not shard_roots:
+            raise ValueError("need at least one shard root")
+        self.k = k
+        self.pipes = [IngestPipeline(spark, r, k=k, **pipe_kwargs)
+                      for r in shard_roots]
+
+    def corpus(self) -> DataFrame:
+        out = self.pipes[0].corpus()
+        for p in self.pipes[1:]:
+            out = out.unionByName(p.corpus())
+        return out
+
+    def warm(self, policy: str | None = None) -> list:
+        return [p.warm(policy) for p in self.pipes]
+
+    def maybe_rewarm(self) -> bool:
+        return any([p.maybe_rewarm() for p in self.pipes])
+
+    def freshness(self) -> dict:
+        shards = [p.freshness() for p in self.pipes]
+        return {"shards": shards,
+                "fresh": all(s["fresh"] for s in shards),
+                "behind_units_max": max(s["behind_units"]
+                                        for s in shards)}
+
+    @staticmethod
+    def _merge(per_shard: list, k: int, key) -> list:
+        rows = [r for rows in per_shard for r in rows]
+        rows.sort(key=key)
+        return rows[:k]
+
+    def serve_search(self, text: str, k: int | None = None,
+                     modality: str = "text", route: str = "exact",
+                     retries: int = 4) -> list:
+        k = k or self.k
+        return self._merge(
+            [p.serve_search(text, k, modality=modality, route=route,
+                            retries=retries) for p in self.pipes],
+            k, lambda r: (-r.score, r.id))
+
+    def serve_search_ivf(self, text: str, k: int | None = None,
+                         modality: str = "text",
+                         retries: int = 4) -> list:
+        k = k or self.k
+        return self._merge(
+            [p.serve_search_ivf(text, k, modality=modality,
+                                retries=retries) for p in self.pipes],
+            k, lambda r: (-r.s, r.doc_id))
