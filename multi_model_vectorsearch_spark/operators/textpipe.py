@@ -387,34 +387,59 @@ def dq43_simhash(t: Tables) -> DataFrame:
 
 
 def _simhash(t: Tables) -> DataFrame:
-    d = t["documents"]
-    toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .withColumn(
-            "thv",
-            F.conv(F.substring(F.sha2("tok", 256), 1, 4), 16, 10).cast("bigint"),
-        )
-    )
-    # 16 bit-position votes as parallel aggregates over ONE shuffle of the
-    # token rows (the same lanes-not-crossJoin trick as the MinHash
-    # signatures) — the position-crossJoin form shuffled 16× the rows
-    # through two groupBys for identical votes.
-    def bit(p: int) -> F.Column:
-        return (F.floor(F.col("thv") / F.lit(2 ** (15 - p))).cast("bigint")
-                % 2).cast("int")
+    return _simhash_wide(t, bits=16)
 
-    votes = toks.groupBy("doc_id").agg(
-        *[F.sum(bit(p) * 2 - 1).alias(f"v{p}") for p in range(16)]
-    )
-    return votes.select(
-        "doc_id",
-        sum(
-            [F.when(F.col(f"v{p}") >= 0, F.lit(2 ** (15 - p)))
-             .otherwise(F.lit(0)).cast("bigint") for p in range(16)],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
-    )
+
+#: Packed vote-counter geometry for every SimHash builder: 3 per-bit
+#: ones-counters of 20 bits each per 64-bit accumulator (60 bits used, the
+#: sign bit never touched). Exact while every doc feeds < 2^20 rows into
+#: the vote — a doc would need a million DISTINCT whitespace tokens (> 5 MB
+#: of unique words) to saturate a field. The per-bit-sum-lane form this
+#: replaces (one ``F.sum`` per signature bit) was semantically identical
+#: but built a 64-expression aggregate Column-by-Column: ~3 s of driver
+#: py4j plan construction plus several seconds of optimizer/codegen per
+#: session for dq248 — measured r14, guide §1.2/§7.3 (driver-side cost),
+#: with the data itself executing in ~1 s.
+_VOTE_FIELD_BITS = 20
+_VOTE_FIELDS = 3
+
+
+def _simhash_from_bits(toks: DataFrame, bit_sqls: list[str],
+                       out_lanes: list[tuple[str, range]]) -> DataFrame:
+    """Shared SimHash vote kernel: one groupBy(doc_id) over ``toks``.
+
+    ``bit_sqls[b]`` is a SQL snippet evaluating to this row's 0/1 vote for
+    signature bit ``b``; ``out_lanes`` maps output columns to the global
+    bit indices they carry (MSB first). Votes are aggregated as packed
+    ones-counters (``_VOTE_FIELDS`` fields of ``_VOTE_FIELD_BITS`` bits per
+    bigint sum — 22 accumulators for 64 bits instead of 64), and a bit is
+    set iff ``2·ones >= n`` — exactly ``sum(bit·2−1) >= 0``, the classic
+    vote-sign rule, so signatures are bit-identical to the per-lane form
+    (pinned by tests/test_approx.py's packing test). Expressions are built
+    as whole SQL strings (one ``F.expr`` per aggregate/output column), not
+    Column-by-Column: plan construction is O(columns), not O(bits), in
+    py4j round trips.
+    """
+    field = 1 << _VOTE_FIELD_BITS
+    n_sums = (len(bit_sqls) + _VOTE_FIELDS - 1) // _VOTE_FIELDS
+    aggs = [F.count("*").alias("n")]
+    for i in range(n_sums):
+        terms = [f"({bit_sqls[_VOTE_FIELDS * i + j]}) * {field ** j}"
+                 for j in range(_VOTE_FIELDS)
+                 if _VOTE_FIELDS * i + j < len(bit_sqls)]
+        aggs.append(F.sum(F.expr(" + ".join(terms))).alias(f"s{i}"))
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    outs = []
+    for name, bits_list in out_lanes:
+        terms = []
+        for w_exp, b in enumerate(reversed(list(bits_list))):
+            i, j = b // _VOTE_FIELDS, b % _VOTE_FIELDS
+            ones = f"((s{i} div {field ** j}) % {field})"
+            terms.append(
+                f"(CASE WHEN 2 * {ones} >= n THEN {1 << w_exp} ELSE 0 END)")
+        outs.append(F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
+                    .alias(name))
+    return votes.select("doc_id", *outs)
 
 
 #: Tiny per-language stopword lexicons for the n-gram language-ID heuristic.
@@ -955,10 +980,11 @@ _SIMHASH48_CACHE: dict = {}
 
 
 def _simhash_wide(t: Tables, bits: int = 48) -> DataFrame:
-    """``_simhash`` generalized to ``bits`` (multiple of 4, <= 60 so
-    every bit weight and the hex prefix stay exact in signed 64-bit on
-    BOTH engines): token hash = first bits/4 hex chars of sha2, one
-    shuffle of distinct (doc, token) rows, ``bits`` parallel vote lanes."""
+    """SimHash at width ``bits`` (multiple of 4, <= 60 so every bit weight
+    and the hex prefix stay exact in signed 64-bit on BOTH engines): token
+    hash = first bits/4 hex chars of sha2, one shuffle of distinct
+    (doc, token) rows, votes aggregated through the packed-counter kernel
+    (``_simhash_from_bits``)."""
     d = t["documents"]
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -969,22 +995,8 @@ def _simhash_wide(t: Tables, bits: int = 48) -> DataFrame:
             .cast("bigint"),
         )
     )
-
-    def bit(p: int) -> F.Column:
-        return (F.floor(F.col("thv") / F.lit(2 ** (bits - 1 - p)))
-                .cast("bigint") % 2).cast("int")
-
-    votes = toks.groupBy("doc_id").agg(
-        *[F.sum(bit(p) * 2 - 1).alias(f"v{p}") for p in range(bits)]
-    )
-    return votes.select(
-        "doc_id",
-        sum(
-            [F.when(F.col(f"v{p}") >= 0, F.lit(2 ** (bits - 1 - p)))
-             .otherwise(F.lit(0)).cast("bigint") for p in range(bits)],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
-    )
+    bit_sqls = [f"(shiftright(thv, {bits - 1 - b}) & 1)" for b in range(bits)]
+    return _simhash_from_bits(toks, bit_sqls, [("simhash", range(bits))])
 
 
 def dq247_simhash48_band_pairs(t: Tables, max_hd: int = 3,
@@ -1066,39 +1078,27 @@ def _simhash64_lanes(t: Tables) -> DataFrame:
     (``hi`` lane, signature bits 63..32) and 9-16 (``lo`` lane, bits
     31..0); each lane is a value in [0, 2^32) so every bit weight,
     division, and XOR below is exact non-negative BIGINT arithmetic.
-    One shuffle of distinct (doc, token) rows, 64 parallel vote lanes
-    in a single groupBy."""
+    One shuffle of distinct (doc, token) rows, votes aggregated through
+    the packed-counter kernel (``_simhash_from_bits``): global bit b < 32
+    comes from ``hi`` (shift 31−b), b >= 32 from ``lo`` (shift 63−b)."""
     d = t["documents"]
     toks = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
         .withColumn("h", F.sha2("tok", 256))
-        .withColumn("hi",
-                    F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"))
-        .withColumn("lo",
-                    F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint"))
-    )
-
-    def bit(lane: str, p: int) -> F.Column:
-        # p = 0..31, MSB first within the lane; lane < 2^32 so the
-        # double division is exact (53-bit mantissa)
-        return (F.floor(F.col(lane) / F.lit(float(2 ** (31 - p))))
-                .cast("bigint") % 2).cast("int")
-
-    votes = toks.groupBy("doc_id").agg(
-        *[F.sum(bit("hi", p) * 2 - 1).alias(f"h{p}") for p in range(32)],
-        *[F.sum(bit("lo", p) * 2 - 1).alias(f"l{p}") for p in range(32)],
-    )
-
-    def lane(prefix: str) -> F.Column:
-        return sum(
-            [F.when(F.col(f"{prefix}{p}") >= 0, F.lit(2 ** (31 - p)))
-             .otherwise(F.lit(0)).cast("bigint") for p in range(32)],
-            F.lit(0).cast("bigint"),
+        .select(
+            "doc_id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("bigint").alias("lo"),
         )
-
-    return votes.select("doc_id", lane("h").alias("sig_hi"),
-                        lane("l").alias("sig_lo"))
+    )
+    bit_sqls = (
+        [f"(shiftright(hi, {31 - b}) & 1)" for b in range(32)]
+        + [f"(shiftright(lo, {63 - b}) & 1)" for b in range(32, 64)]
+    )
+    return _simhash_from_bits(toks, bit_sqls,
+                              [("sig_hi", range(32)),
+                               ("sig_lo", range(32, 64))])
 
 
 def dq248_simhash64_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:

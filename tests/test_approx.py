@@ -104,6 +104,58 @@ def test_dq247_simhash48_banding_complete_vs_bruteforce(spark, tables):
         f"invented {len(got - brute)}")
 
 
+def test_simhash_packed_votes_match_python_reference(spark, tables):
+    """r14 optimization pin: the packed-counter vote kernel
+    (textpipe._simhash_from_bits — 20-bit ones-counters, 3 per bigint
+    accumulator, bit set iff 2·ones >= n) must produce signatures
+    bit-identical to an independent per-bit Python reference implementing
+    the classic vote-sign rule sum(bit·2−1) >= 0, at every declared width
+    (16 = dq43/dq128, 48 = dq247, 64 = dq248). Docs with an EVEN number
+    of distinct tokens exercise the 2·ones == n tie, which the rule
+    resolves to bit = 1."""
+    import hashlib
+
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        _simhash64_lanes,
+        _simhash_wide,
+    )
+
+    t = {"documents": tables["documents"].limit(200)}
+    docs = {r.doc_id: r.text for r in t["documents"].collect()}
+
+    def py_sig(text: str, bits: int) -> int:
+        toks = set(text.split(" "))
+        n = len(toks)
+        votes = [0] * bits
+        for tok in toks:
+            hv = int(hashlib.sha256(tok.encode()).hexdigest()[:bits // 4],
+                     16)
+            for b in range(bits):
+                votes[b] += 2 * ((hv >> (bits - 1 - b)) & 1) - 1
+        sig = 0
+        for b in range(bits):
+            if votes[b] >= 0:
+                sig |= 1 << (bits - 1 - b)
+        return sig
+
+    has_tie = any(len(set(text.split(" "))) % 2 == 0
+                  for text in docs.values())
+    assert has_tie, "fixture must exercise the even-n vote tie"
+
+    for bits in (16, 48):
+        got = {r.doc_id: r.simhash
+               for r in _simhash_wide(t, bits).collect()}
+        assert got == {d: py_sig(txt, bits) for d, txt in docs.items()}, bits
+
+    got64 = {r.doc_id: (r.sig_hi, r.sig_lo)
+             for r in _simhash64_lanes(t).collect()}
+    exp64 = {}
+    for d, txt in docs.items():
+        s = py_sig(txt, 64)
+        exp64[d] = (s >> 32, s & 0xFFFFFFFF)
+    assert got64 == exp64
+
+
 def test_dq248_simhash64_banding_complete_vs_bruteforce(spark, tables):
     """dq248's pigeonhole contract at the 100 TB width, proven against
     brute force: the 4 x 16-bit bands tile all 64 signature bits, so
