@@ -144,11 +144,19 @@ def _assign_clusters_impl(t: Tables, n_centroids: int) -> DataFrame:
         snap(cosine_similarity(F.col("embedding"), F.col("cv")))
         .alias("cs_micro"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs_micro"), F.asc("cid"))
+    # argmax as a max_by AGGREGATE, not a row_number window (r14): the
+    # window form shuffles n_centroids rows per vector — each carrying the
+    # full embedding — then sorts them per partition; max_by gets map-side
+    # partial aggregation (one surviving row per vector per map task) and
+    # no sort. Tie rule identical to orderBy(cs desc, cid asc): the
+    # ordering struct (cs_micro, -cid) is maximal exactly at the smallest
+    # cid among equal scores.
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("embedding", "cid"),
+                      F.struct(F.col("cs_micro"), -F.col("cid"))).alias("b"))
+        .select("vec_id", F.col("b.embedding").alias("embedding"),
+                F.col("b.cid").alias("cid"))
     )
 
 
@@ -279,12 +287,14 @@ def dq113_cluster_representatives(t: Tables, n_centroids: int = 8) -> DataFrame:
             F.col("cv").cast("array<double>"))).alias("s_micro"),
     )
     members = scored.filter(F.col("vec_id") != F.col("cid"))
-    w = Window.partitionBy("cid").orderBy(F.desc("s_micro"), F.asc("vec_id"))
+    # argmax via max_by (r14): tie rule = orderBy(s desc, vec_id asc)
     reps = (
-        members.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cid", F.col("vec_id").alias("rep_vec_id"),
-                F.col("s_micro").alias("rep_s_micro"))
+        members.groupBy("cid")
+        .agg(F.max_by(F.struct("vec_id", "s_micro"),
+                      F.struct(F.col("s_micro"), -F.col("vec_id")))
+             .alias("b"))
+        .select("cid", F.col("b.vec_id").alias("rep_vec_id"),
+                F.col("b.s_micro").alias("rep_s_micro"))
     )
     stats = members.groupBy("cid").agg(
         F.count("*").alias("n_members"),
@@ -329,12 +339,14 @@ def dq114_pq_assign(t: Tables, m: int = 4, sub_dim: int = 16,
         "vec_id", "sub", "code",
         snap(l2_distance(F.col("sv"), F.col("cw"))).alias("d_micro"),
     )
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.asc("d_micro"), F.asc("code"))
+    # argmin via min_by (r14): the window form shuffled n_codes rows per
+    # (vec, sub) through the sort; min_by partially aggregates map-side
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "sub", "code", "d_micro")
+        scored.groupBy("vec_id", "sub")
+        .agg(F.min_by(F.struct("code", "d_micro"),
+                      F.struct("d_micro", "code")).alias("b"))
+        .select("vec_id", "sub", F.col("b.code").alias("code"),
+                F.col("b.d_micro").alias("d_micro"))
     )
 
 
@@ -365,7 +377,7 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
     per-cluster size and centroid norm after the final assignment.
 
     The iterative-algorithm template on DataFrames (same family as dq72's
-    PageRank): assignment is a broadcast-centroid crossJoin + argmin window
+    PageRank): assignment is a broadcast-centroid crossJoin + min_by argmin
     (map-heavy, corpus scanned once per round); the update step posexplodes
     to (cid, dim) — a 64×N-row shuffle keyed on just k×64 groups, which
     partial aggregation collapses map-side, then rebuilds centroid arrays
@@ -384,11 +396,15 @@ def dq122_kmeans_lloyd(t: Tables, k: int = 4, iters: int = 2) -> DataFrame:
             "vec_id", "v", "cid",
             snap(l2_distance(F.col("v"), F.col("cv"))).alias("dist_micro"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.asc("dist_micro"), F.asc("cid"))
+        # argmin via min_by (r14, same move as assign_clusters): map-side
+        # partial aggregation instead of a k-rows-per-vector window sort;
+        # ordering struct (dist, cid) = orderBy(dist asc, cid asc)
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+            scored.groupBy("vec_id")
+            .agg(F.min_by(F.struct("v", "cid"),
+                          F.struct("dist_micro", "cid")).alias("b"))
+            .select("vec_id", F.col("b.v").alias("v"),
+                    F.col("b.cid").alias("cid"))
         )
         dims = assigned.select(
             "cid", F.posexplode("v").alias("i", "x")

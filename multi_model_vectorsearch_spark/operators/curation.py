@@ -165,15 +165,14 @@ def dq100_pmi_bigrams(t: Tables, min_count: int = 5, k: int = 40) -> DataFrame:
     from the full stream. All counts are exact aggregations; the unigram
     side is tiny after the groupBy, so both probability joins broadcast.
     """
-    from pyspark.ml.feature import NGram
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        word_ngrams,
+    )
 
     toks = t["documents"].select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    grams = (
-        NGram(n=2, inputCol="toks", outputCol="bg").transform(toks)
-        .select(F.explode("bg").alias("bg"))
-    )
+    grams = toks.select(F.explode(word_ngrams("toks", 2)).alias("bg"))
     uni = (
         t["documents"]
         .select(F.explode(F.split("text", " ")).alias("tok"))

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from multi_model_vectorsearch_spark.checkpointing import pin, pin_lazy
+from multi_model_vectorsearch_spark.checkpointing import pin
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 
 Tables = dict
@@ -1064,6 +1064,12 @@ def dq212_grouping_sets(t: Tables) -> DataFrame:
     )
 
 
+#: dq225's collapsed (flag, cents, count) table — session-cached because
+#: the median/MAD/census branches all re-derive it otherwise (see
+#: _session_cached in textpipe.py; eviction-capped, unpersist-on-evict).
+_DQ225_CACHE: dict = {}
+
+
 def dq225_mad_outliers(t: Tables) -> DataFrame:
     """Median-absolute-deviation outlier census per return flag: the
     robust '3-sigma' (median ± 3·MAD) that a single fat-finger row
@@ -1087,20 +1093,31 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
     so the MAD pass, the row census, and the outlier census are all
     domain-bounded aggregations — no second raw-row pass exists
     anywhere in the plan (the r4 form re-joined the raw rows per pass:
-    3 fact scans). The collapsed table is lazily ``localCheckpoint``ed
-    (the dq34/dq190 builder pattern) because its four consumers are NOT
-    deduplicated by exchange reuse in practice (measured: 3.7 s lazy vs
-    1.6 s checkpointed at sf0.1) — the checkpoint pins one physical
-    evaluation that every branch shares. Deviations, 3·MAD, and the
-    outlier test are all exact bigint arithmetic.
+    3 fact scans). The collapsed table is session-cached (persist via
+    ``_session_cached``, CacheManager dedups every branch onto one
+    InMemoryRelation) because its four consumers are NOT deduplicated
+    by exchange reuse in the static plan (8 fact scans unpinned). The
+    r4-r13 form used a lazy ``localCheckpoint`` for the same sharing,
+    but ``localCheckpoint(eager=False)`` forces physical planning at
+    BUILDER time through ``DataFrame.rdd`` — measured r14 at sf0.1:
+    1.1-2.9 s of build wall vs 0.2-0.4 s persisted, same exec.
+    Deviations, 3·MAD, and the outlier test are all exact bigint
+    arithmetic.
     """
-    li = t["lineitem"].select(
-        "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+    from multi_model_vectorsearch_spark.operators.textpipe import (
+        _session_cached,
     )
+
+    def collapsed(tt: Tables) -> DataFrame:
+        li = tt["lineitem"].select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            .alias("x"),
+        )
+        return li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
+
     wp = Window.partitionBy("l_returnflag")
-    per_v = (li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
-             .transform(pin_lazy))
+    per_v = _session_cached(_DQ225_CACHE, t, collapsed, table="lineitem")
 
     def lower_median(pv, col: str, out: str):
         cum = (

@@ -34,23 +34,32 @@ def _shingles(t: Tables) -> DataFrame:
     """Distinct (doc_id, shingle) pairs; word 3-grams. Session-cached —
     the shingle table feeds the MinHash, Jaccard, novelty, and
     contamination entries, each registered standalone.
-
-    MLlib's NGram transformer (compiled Scala) builds the grams ~3× faster
-    than the equivalent interpreted higher-order-function lambda — measured
-    6.2 s → 1.9 s at sf0.1. Docs shorter than SHINGLE_W tokens yield an
-    empty gram array (same semantics as the HOF form).
     """
     return _session_cached(_SHINGLE_CACHE, t, _shingles_impl)
 
 
-def _shingles_impl(t: Tables) -> DataFrame:
-    from pyspark.ml.feature import NGram
+def word_ngrams(tok_col: str, n: int):
+    """Space-joined word n-grams of an array column, as ONE codegen'd
+    slice+transform expression: gram i = toks[i..i+n−1] joined by single
+    spaces; docs shorter than ``n`` tokens yield an empty array. Output is
+    element-for-element what MLlib's ``NGram`` transformer produces, but
+    NGram evaluates through a Scala UDF (a codegen barrier) and costs an
+    ``import pyspark.ml`` in every builder — the HOF form measured faster
+    at sf0.1 (r14: 1.04 s → 0.63 s for the exploded 3-gram scan) and keeps
+    the whole scan inside WholeStageCodegen."""
+    joined = "x" + "".join(f", ' ', {tok_col}[i + {j}]" for j in range(1, n))
+    return F.expr(
+        f"transform(slice({tok_col}, 1, greatest(size({tok_col}) - {n - 1},"
+        f" 0)), (x, i) -> concat({joined}))"
+    )
 
+
+def _shingles_impl(t: Tables) -> DataFrame:
     d = t["documents"]
-    ng = NGram(n=SHINGLE_W, inputCol="toks", outputCol="ngrams")
-    grams = ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
     return (
-        grams.select("doc_id", F.explode("ngrams").alias("shingle"))
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id",
+                F.explode(word_ngrams("toks", SHINGLE_W)).alias("shingle"))
         .distinct()
     )
 
@@ -478,11 +487,15 @@ def dq44_langid(t: Tables) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    # argmax via min_by over (-n_hits, lang) — identical tie rule to
+    # orderBy(n_hits desc, lang asc), with map-side partial aggregation
+    # instead of a per-doc window sort (r14)
     best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred"), "n_hits")
+        hits.groupBy("doc_id")
+        .agg(F.min_by(F.struct("lang", "n_hits"),
+                      F.struct(-F.col("n_hits"), F.col("lang"))).alias("b"))
+        .select("doc_id", F.col("b.lang").alias("pred"),
+                F.col("b.n_hits").alias("n_hits"))
     )
     return (
         d.select("doc_id")
@@ -534,11 +547,9 @@ def _winnow_runs(t: Tables, w: int = WINNOW_W) -> DataFrame:
 
 
 def _winnow_runs_impl(t: Tables, w: int) -> DataFrame:
-    from pyspark.ml.feature import NGram
-
     d = t["documents"]
-    ng = NGram(n=SHINGLE_W, inputCol="toks", outputCol="ngrams")
-    grams = ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
+    grams = d.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", word_ngrams("toks", SHINGLE_W).alias("ngrams"))
     pe = grams.select("doc_id", F.posexplode("ngrams").alias("pos", "shingle"))
     h = F.conv(F.substring(F.sha2("shingle", 256), 1, 8), 16, 10).cast("bigint")
     win = (
@@ -1190,18 +1201,16 @@ def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
     "deduplicating training data makes LMs better" recipe, applied at
     n-gram granularity).
 
-    Built with MLlib NGram (compiled, ~3x the interpreted HOF form) and a
-    single groupBy on the gram — at 100 TB the gram key is huge but
-    uniform, and min_count pruning happens inside the aggregate so only
-    the tiny repeated tail ever reaches the driver-bound top-k.
+    Built with the codegen'd slice+transform n-gram expression
+    (``word_ngrams``) and a single groupBy on the gram — at 100 TB the
+    gram key is huge but uniform, and min_count pruning happens inside
+    the aggregate so only the tiny repeated tail ever reaches the
+    driver-bound top-k.
     """
-    from pyspark.ml.feature import NGram
-
     d = t["documents"]
-    ng = NGram(n=n, inputCol="toks", outputCol="ngrams")
     grams = (
-        ng.transform(d.select("doc_id", F.split("text", " ").alias("toks")))
-        .select("doc_id", F.explode("ngrams").alias("g"))
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks", n)).alias("g"))
     )
     # two-level agg instead of count+countDistinct in one pass: the single
     # pass plans as an Expand (2x rows through the shuffle); aggregating

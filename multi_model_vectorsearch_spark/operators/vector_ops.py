@@ -321,12 +321,15 @@ def dq146_grouped_maxsim(t: Tables, query_vec_id: int = 0, k: int = 5) -> DataFr
     scored = e.crossJoin(F.broadcast(q)).select(
         "label", "vec_id", s.alias("s_micro")
     )
-    w = Window.partitionBy("label").orderBy(
-        F.desc("s_micro"), F.asc("vec_id"))
+    # per-group argmax via min_by over (-s, vec_id) — same tie rule as
+    # orderBy(s desc, vec_id asc), map-side combinable, no window sort
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("vec_id").alias("best_vec"), "s_micro")
+        scored.groupBy("label")
+        .agg(F.min_by(F.struct("vec_id", "s_micro"),
+                      F.struct(-F.col("s_micro"), F.col("vec_id")))
+             .alias("b"))
+        .select("label", F.col("b.vec_id").alias("best_vec"),
+                F.col("b.s_micro").alias("s_micro"))
     )
     return best.orderBy(F.desc("s_micro"), F.asc("label")).limit(k)
 
