@@ -735,24 +735,31 @@ def dq126_integrity_audit(t: Tables) -> DataFrame:
 
     The ingest-gate check a 100 TB pipeline runs before joining fact to
     dim: both directions are anti-join counts. The dim side broadcasts;
-    the fact side is scanned once per direction and never shuffled.
+    the fact side is scanned once per direction and never shuffled. One
+    declarative plan (r14): the three counts used to be separate driver
+    ``count()`` jobs inside the builder — three sequential job round
+    trips for one summary row; now they are three one-row aggregates
+    cross-joined, so the whole audit is a single action.
     """
     ev = t["events"].select("user_id")
     cust = t["customer"].select("c_custkey")
-    orphan_events = ev.join(
+    orphans = ev.join(
         F.broadcast(cust), ev.user_id == cust.c_custkey, "left_anti"
-    ).count()
+    ).agg(F.count("*").alias("n_orphan_events"))
     users_with = ev.distinct()
-    cust_without = cust.join(
+    without = cust.join(
         users_with, cust.c_custkey == users_with.user_id, "left_anti"
-    )
-    spark = ev.sparkSession
-    n_cust = cust.count()
-    n_without = cust_without.count()
-    return spark.createDataFrame(
-        [(n_cust, n_cust - n_without, n_without, orphan_events)],
-        "n_customers bigint, n_with_events bigint, n_without_events bigint, "
-        "n_orphan_events bigint",
+    ).agg(F.count("*").alias("n_without_events"))
+    totals = cust.agg(F.count("*").alias("n_customers"))
+    return (
+        totals.crossJoin(F.broadcast(without))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "n_customers",
+            (F.col("n_customers") - F.col("n_without_events"))
+            .alias("n_with_events"),
+            "n_without_events", "n_orphan_events",
+        )
     )
 
 
