@@ -505,8 +505,13 @@ def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
     bound.
     """
     spark = pairs.sparkSession
-    n_edges = pairs.count()
-    if n_edges <= max_driver_edges:
+    # one job, not count-then-collect (r14): limit(max+1) returns EVERY
+    # pair when the edge list fits the driver bound (the limit can only
+    # truncate past it), so the size probe and the edge fetch share one
+    # materialization; an over-bound list comes back truncated at max+1
+    # rows, which is all the Spark fallback path needs to know
+    rows = pairs.select("src", "dst").limit(max_driver_edges + 1).collect()
+    if len(rows) <= max_driver_edges:
         parent: dict = {}
 
         def find(x):
@@ -517,7 +522,7 @@ def connected_components(pairs: DataFrame, max_prop_rounds: int = 12,
                 parent[x], x = r, parent[x]
             return r
 
-        for row in pairs.select("src", "dst").collect():
+        for row in rows:
             a, b = row[0], row[1]
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -207,16 +207,15 @@ def _pair_band_rows(sig: DataFrame, id_col: str) -> DataFrame:
         .select("_id", F.col("_sm.mh").alias("_m"))
     )
     combos = list(itertools.combinations(range(N_MINHASH), 2))
+    # one F.expr string for the 28-struct array (r14): the Column-by-Column
+    # form built ~150 Column objects per call — pure py4j builder wall
+    bands_sql = ", ".join(
+        f"struct({i * N_MINHASH + j} AS band, "
+        f"concat(element_at(_m, {i + 1}), element_at(_m, {j + 1})) AS key)"
+        for i, j in combos)
     return wide.select(
         F.col("_id").alias(id_col),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i * N_MINHASH + j).alias("band"),
-                F.concat(F.element_at("_m", i + 1),
-                         F.element_at("_m", j + 1)).alias("key"),
-            )
-            for i, j in combos
-        ])).alias("_bk"),
+        F.explode(F.expr(f"array({bands_sql})")).alias("_bk"),
     ).select(id_col, F.col("_bk.band").alias("band"),
              F.col("_bk.key").alias("key"))
 
