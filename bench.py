@@ -367,14 +367,35 @@ def main() -> None:
     # The driver captures only the last 2000 chars of stdout (BENCH_r02.json:
     # even compact keys for 165 queries overflowed it, clipping the line's
     # head and failing the parse). Emit ONLY the BASELINE.md headline queries
-    # plus the slowest entries — ~35 keys, line ≈ 700 chars; every timing
-    # still goes to bench_full.json on disk.
+    # plus the slowest entries — every timing still goes to bench_full.json
+    # on disk. The key set is DETERMINISTIC round-over-round (r14 verdict
+    # item 2): a purely current-run slowest-25 made entries that merely got
+    # FASTER fall out of the printed set, which the round driver recorded as
+    # nine false "dropped" queries. Printed keys = headline ∪ every key the
+    # previous round printed (pinned below) ∪ the committed anchor's
+    # slowest-25 ∪ this run's slowest-25 — so a key can join the set but
+    # never silently leave it while the query still runs.
     headline = ["dq29", "dq31", "dq33", "dq34", "dq36", "dq37", "dq38",
                 "dq46", "dq61", "dq77", "e2e"]
+    # keys printed by the round-14 driver artifact (BENCH_r14.json)
+    pinned_r14 = ["dq29", "dq31", "dq33", "dq34", "dq57", "dq64", "dq61",
+                  "dq36", "dq37", "dq38", "dq77", "dq70", "dq42", "dq46",
+                  "dq122", "dq125", "dq128", "dq135", "dq140", "dq165",
+                  "dq166", "dq168", "dq174", "dq177", "dq178", "dq183",
+                  "dq186", "dq199", "dq225", "dq238", "dq247", "dq248",
+                  "e2e"]
     short = {n.split("_", 1)[0]: t for n, t in timings.items()}
     slowest = sorted(short, key=lambda n: -short[n])[:25]
-    compact = {n: short[n] for n in short
-               if n in headline or n in slowest or n == "e2e"}
+    anchor_slowest: list[str] = []
+    try:
+        with open(anchor_path) as fh:
+            aq = json.load(fh)["queries"]
+        a_short = {n.split("_", 1)[0]: t for n, t in aq.items()}
+        anchor_slowest = sorted(a_short, key=lambda n: -a_short[n])[:25]
+    except Exception:
+        pass
+    keep = set(headline) | set(pinned_r14) | set(anchor_slowest) | set(slowest)
+    compact = {n: short[n] for n in short if n in keep or n == "e2e"}
     line = {
         "metric": "dq_suite_total",
         "value": total,

@@ -267,11 +267,24 @@ def dq17_running_sum(t: Tables) -> DataFrame:
 
 
 def dq18_ntile(t: Tables) -> DataFrame:
-    """B28: ntile quartiles."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return t["customer"].select(
-        "c_custkey", F.ntile(4).over(w).cast("int").alias("q")
+    """B28: ntile quartiles.
+
+    r15: the original partitionless ``Window.orderBy`` funneled every
+    customer row through ONE task — the canonical 100 TB scale funnel
+    (the "No Partition Defined" WARN in every bench tail). Now the same
+    sampled-boundary + offset-broadcast pass as its declared scale twin
+    dq171 (``global_order_scalable`` — output row-identical: NTILE is
+    rank-determined and the rank is exact)."""
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+        ntile_from_rank,
     )
+
+    ranked, n_total = global_order_scalable(
+        t["customer"].select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"])
+    return ranked.select(
+        "c_custkey", ntile_from_rank(F.col("r"), n_total, 4).alias("q"))
 
 
 # --- set operations ---------------------------------------------------------
@@ -982,21 +995,27 @@ def dq197_skyline(t: Tables) -> DataFrame:
     min-size row per DISTINCT price (an aggregation), take a running
     strictly-before minimum over the price order, and a part survives
     iff it has its price's min size AND beats every cheaper price's
-    size. The global window runs over the distinct-price table only —
-    the dq171 range-partition trick applies verbatim if even that is too
-    wide at 100 TB. The oracle is the brute-force NOT EXISTS dominance
-    scan: equality proves the sort-based rewrite.
+    size. r15: the running min runs through the dq171 sampled-boundary
+    range pass (``global_order_scalable`` ``cum_mins``) — output
+    identical, no single-task window even if the distinct-price domain
+    grows. The oracle is the brute-force NOT EXISTS dominance scan:
+    equality proves the sort-based rewrite.
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+    )
+
     p = t["part"].select(
         "p_partkey",
         F.col("p_retailprice").alias("price"),
         F.col("p_size").alias("size"),
     )
     per_price = p.groupBy("price").agg(F.min("size").alias("mp"))
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    ranked, _n = global_order_scalable(
+        per_price, ["price"], rank_col="_r",
+        cum_mins=(("prev_run", "mp"),))
     frontier = (
-        per_price
-        .withColumn("prev_run", F.min("mp").over(w))
+        ranked
         # dominated by a strictly-cheaper price iff its min size <= mp
         .filter(F.col("prev_run").isNull()
                 | (F.col("mp") < F.col("prev_run")))
@@ -1254,9 +1273,15 @@ def dq236_gini(t: Tables) -> DataFrame:
     values collapsed to (value, count) and ranks assigned in value
     order, Σ rank·x for a tied block is x·(c·cum_excl + c(c+1)/2) —
     all bigint — and G = (2·Σ rank·x)/(n·Σx) − (n+1)/n needs only two
-    IEEE ops at the end. The window runs over the distinct-value table
-    (dq225's domain-bounded pattern), never the raw rows.
+    IEEE ops at the end. The cumulative count runs over the distinct
+    spend-value table via the sampled-boundary range pass (dq18/dq171's
+    ``global_order_scalable``) — spend SUMS are near-unique, so a
+    partitionless window here was a genuine single-task funnel (r15).
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_order_scalable,
+    )
+
     spend = (
         t["events"]
         .groupBy("user_id")
@@ -1264,12 +1289,14 @@ def dq236_gini(t: Tables) -> DataFrame:
              .alias("x"))
     )
     per_v = spend.groupBy("x").agg(F.count("*").alias("c"))
-    wv = Window.orderBy("x")
-    cum = per_v.withColumn(
-        "cum_excl",
-        F.coalesce(F.sum("c").over(
-            wv.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
-    )
+    # r15: the cumulative count used to run through a partitionless
+    # window — but per-user spend SUMS are near-unique (they do not
+    # collapse to a bounded cent domain the way raw cents do), so that
+    # was a genuine whole-dataset single-task funnel. Same sampled-
+    # boundary pass as dq18/dq171; exclusive cumsum = inclusive − c.
+    cum, _n = global_order_scalable(
+        per_v, ["x"], rank_col="_r", cum_sums=(("cum_in", "c"),))
+    cum = cum.withColumn("cum_excl", F.col("cum_in") - F.col("c"))
     # c(c+1) is always even: integer `div` keeps the whole term bigint
     # (a float /2 would silently lose exactness past 2^53 at scale)
     block_rank_sum = F.col("x") * (

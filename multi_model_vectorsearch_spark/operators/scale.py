@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from multi_model_vectorsearch_spark.checkpointing import pin
+from multi_model_vectorsearch_spark.checkpointing import pin, pin_lazy
 from multi_model_vectorsearch_spark.functions.fixedpoint import snap
 
 
@@ -145,68 +145,223 @@ def dq116_salted_agg(t: dict, n_salts: int = 16) -> DataFrame:
     ).orderBy("event_type")
 
 
-def global_order_scalable(df: DataFrame, order_cols: list,
-                          rank_col: str = "r",
-                          cum_sums: tuple = (),
-                          n_ranges: int = 32) -> tuple[DataFrame, int]:
-    """Global rank (and optional running sums) WITHOUT a single-task
-    window — the range-partition + offset-broadcast pattern, reusable.
+def _norm_order(order_cols) -> list[tuple[str, bool]]:
+    """Normalize order specs to ``(column_name, descending)`` pairs.
+    Accepts ``"name"`` (ascending) or ``("name", "desc"|"asc")``."""
+    out = []
+    for oc in order_cols:
+        if isinstance(oc, str):
+            out.append((oc, False))
+        else:
+            name, d = oc
+            out.append((name, str(d).lower().startswith("desc")))
+    return out
+
+
+def _sql_lit(v, dt_simple: str) -> str:
+    """Render a collected Python value as a SQL literal of the EXACT
+    column type (so struct comparisons never hit a coercion seam).
+    Doubles round-trip through repr (shortest exact decimal); everything
+    else parses from its string form."""
+    if v is None:
+        return f"CAST(NULL AS {dt_simple})"
+    if dt_simple == "string":
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if dt_simple in ("double", "float"):
+        return f"CAST('{v!r}' AS {dt_simple})"
+    return f"CAST('{v}' AS {dt_simple})"
+
+
+def global_orders_scalable(df: DataFrame, specs: list,
+                           n_ranges: int = 32) -> tuple[DataFrame, int]:
+    """Global ranks (and running sums / strictly-before running mins)
+    WITHOUT a single-task window, for one or many independent sort orders
+    over the SAME input — the sampled-boundary + offset-broadcast pattern.
 
     ``Window.orderBy(...)`` with no partition funnels every row through
     one task; at 100 TB that task never finishes. The scalable plan:
-    (1) range-partition on the sort key so partitions hold disjoint,
-    ordered key ranges, (2) aggregate per-partition row counts (and sums
-    for each requested running-sum column) — an ``n_ranges``-row table
-    collected to the driver — and broadcast the exclusive running offsets
-    back, (3) rank = per-partition row_number + the partition's offset
-    (windows partitioned by range id run fully parallel); running sums
-    likewise. Output is row-for-row IDENTICAL to the partitionless
-    ``Window.orderBy`` form provided ``order_cols`` is a TOTAL order
-    (include a unique tie-break column).
 
-    ``order_cols``: Column expressions, may carry ``.desc()``/``.asc()``.
-    ``cum_sums``: ``(out_name, in_col_name)`` pairs → inclusive running
-    sums over the same order. Returns ``(df + rank/cum columns, n_total)``
-    — the only driver materialization is one row per range partition.
+    1. pin ``df`` once (one materialization, reused by every pass);
+    2. collect ONE bounded driver-side sample (~``n_ranges``·20 rows at
+       any input size) and cut it into per-spec range boundaries — the
+       boundaries become SQL literals, so a row's range-bucket is a
+       deterministic map-side expression (no ``spark_partition_id``,
+       hence no second pin per sort order). Descending keys are NEGATED
+       so each bucket test is ONE ascending struct comparison, and the
+       whole bucket column is ONE ``F.expr`` string — plan construction
+       is O(1) py4j calls per spec, not O(boundaries) (the r14
+       builder-wall lesson);
+    3. aggregate per-bucket row counts (plus sums/mins for the requested
+       running columns) for ALL specs in one grouping-sets job — an
+       ``n_ranges``-row-per-spec collect — and broadcast the exclusive
+       running offsets back as literal maps;
+    4. rank = per-bucket row_number + the bucket's offset (windows
+       partitioned by bucket id run fully parallel); running sums/mins
+       likewise.
+
+    Output is row-for-row IDENTICAL to the partitionless
+    ``Window.orderBy`` form provided each spec's order is a TOTAL order
+    (include a unique tie-break column): boundary placement only moves
+    rows between PARALLEL buckets, never changes any rank or running
+    value. Replaces the r8 repartitionByRange form, which paid a
+    sampling pass + an eager pin + a collect PER SORT ORDER (measured
+    r15: dq238's three ntile passes ran 20 builder-time jobs; this form
+    runs 4 for any number of specs).
+
+    Contract: descending keys must be numeric (they are negated into the
+    ascending struct; NaN unsupported); rows with NULL keys are only
+    supported on all-ascending specs (they bucket first, matching
+    Spark's asc-nulls-first). Every current caller orders by non-null
+    group keys / aggregates.
+
+    ``specs``: ``(rank_col, order_cols, cum_sums, cum_mins)`` tuples —
+    ``order_cols`` entries are ``"name"`` or ``("name", "desc")``;
+    ``cum_sums``: ``(out_name, in_col)`` inclusive running sums;
+    ``cum_mins``: ``(out_name, in_col)`` STRICTLY-BEFORE running mins
+    (NULL for the globally first row). Returns ``(df + new columns,
+    n_total)``.
     """
     from pyspark.sql import Window
 
-    keyed = (
-        df.repartitionByRange(n_ranges, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    keyed = keyed.transform(pin)  # pin partitioning for both passes
-    aggs = [F.count("*").alias("_n")] + [
-        F.sum(src).alias(f"_s_{out}") for out, src in cum_sums
-    ]
-    sizes = sorted(
-        keyed.groupBy("_pid").agg(*aggs).collect(), key=lambda r: r._pid
-    )
-    offsets: dict[str, dict[int, int]] = {"_n": {}}
-    acc: dict[str, int] = {"_n": 0}
-    for out, _src in cum_sums:
-        offsets[f"_s_{out}"], acc[f"_s_{out}"] = {}, 0
-    for r in sizes:
-        for key in offsets:
-            offsets[key][r._pid] = acc[key]
-            acc[key] += r[key] or 0
-    n_total = acc["_n"]
+    norm = [(rank_col, _norm_order(order_cols), tuple(cum_sums),
+             tuple(cum_mins))
+            for rank_col, order_cols, cum_sums, cum_mins in specs]
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    # lazy pin + count = ONE job that both materializes the shared
+    # blocks and returns the exact n_total every ntile caller needs
+    src = df.transform(pin_lazy)
+    n_total = src.count()
+    # scale-adaptive bucket count: ~rowsPerRange rows per range bucket,
+    # capped at n_ranges — tiny inputs get tiny bucket expressions (less
+    # optimizer/codegen per plan), huge inputs saturate the cap. Raise
+    # the knobs on a real cluster (they are parallelism knobs, not
+    # correctness knobs: any bucketing yields identical output).
+    rows_per_range = int(df.sparkSession.conf.get(
+        "spark.mmvs.gos.rowsPerRange", "16384"))
+    # floor of 2: a single bucket would make the bucket column a constant,
+    # which the optimizer folds out of the partition spec — recreating the
+    # partitionless WindowExec this helper exists to prevent
+    n_buckets = max(2, min(n_ranges, -(-n_total // rows_per_range)))
+    want = n_buckets * 20
+    frac = 1.0 if n_total <= want else want / n_total
+    key_names = sorted({name for _, order, _, _ in norm
+                        for name, _ in order})
+    smp = (src.select(*key_names).sample(False, frac, seed=7).collect()
+           if n_total else [])
 
-    def off_col(key: str):
-        return F.element_at(
-            F.create_map(*[F.lit(x)
-                           for kv in offsets[key].items() for x in kv]),
-            F.col("_pid"),
-        )
+    out = src
+    plan = []  # (rank_col, order, cum_sums, cum_mins, bucket_name)
+    for rank_col, order, cum_sums, cum_mins in norm:
+        # negate desc keys -> every comparison is ascending
+        vals = sorted(
+            tuple((-r[name] if desc else r[name]) for name, desc in order)
+            for r in smp
+            if all(r[name] is not None for name, _ in order))
+        k = len(vals)
+        nb = min(n_buckets - 1, k)
+        bounds: list[tuple] = []
+        for i in range(nb):
+            v = vals[(i + 1) * k // (nb + 1)]
+            if not bounds or v > bounds[-1]:
+                bounds.append(v)
+        key_sql = ", ".join(
+            f"'k{i}', " + (f"-`{name}`" if desc else f"`{name}`")
+            for i, (name, desc) in enumerate(order))
+        bname = f"_gb_{rank_col}"
+        if bounds:
+            terms = []
+            for b in bounds:
+                lit = ", ".join(
+                    f"'k{i}', {_sql_lit(v, dtypes[order[i][0]])}"
+                    for i, v in enumerate(b))
+                terms.append(f"(CASE WHEN named_struct({key_sql}) > "
+                             f"named_struct({lit}) THEN 1 ELSE 0 END)")
+            bucket_sql = "CAST(" + " + ".join(terms) + " AS INT)"
+        else:
+            bucket_sql = "CAST(0 AS INT)"
+        out = out.withColumn(bname, F.expr(bucket_sql))
+        plan.append((rank_col, order, cum_sums, cum_mins, bname))
 
-    wp = Window.partitionBy("_pid").orderBy(*order_cols)
-    out_df = keyed.withColumn(rank_col, F.row_number().over(wp)
-                              + off_col("_n"))
-    run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    for out, src in cum_sums:
-        out_df = out_df.withColumn(
-            out, F.sum(src).over(run) + off_col(f"_s_{out}"))
-    return out_df.drop("_pid"), n_total
+    # one grouping-sets job collects every spec's per-bucket counts and
+    # running-column partials (grouping_id tells the sets apart)
+    bnames = [p[4] for p in plan]
+    aggs = [F.count("*").alias("_n")]
+    for i, (_, _, cum_sums, cum_mins, _) in enumerate(plan):
+        aggs += [F.sum(c).alias(f"_s{i}_{o}") for o, c in cum_sums]
+        aggs += [F.min(c).alias(f"_m{i}_{o}") for o, c in cum_mins]
+    if len(bnames) == 1:
+        rows = out.groupBy(bnames[0]).agg(*aggs).collect()
+        per_spec_rows = [rows]
+    else:
+        rows = (out.groupingSets([[b] for b in bnames], *bnames)
+                .agg(F.grouping_id().alias("_gid"), *aggs).collect())
+        per_spec_rows = []
+        for i in range(len(bnames)):
+            gid = sum(1 << (len(bnames) - 1 - j)
+                      for j in range(len(bnames)) if j != i)
+            per_spec_rows.append([r for r in rows if r["_gid"] == gid])
+
+    for i, (rank_col, order, cum_sums, cum_mins, bname) in enumerate(plan):
+        sizes = sorted(per_spec_rows[i], key=lambda r: r[bname])
+        offs: dict[str, dict[int, object]] = {"_n": {}}
+        acc: dict[str, object] = {"_n": 0}
+        for o, _c in cum_sums:
+            offs[f"_s{i}_{o}"], acc[f"_s{i}_{o}"] = {}, 0
+        for o, _c in cum_mins:
+            offs[f"_m{i}_{o}"], acc[f"_m{i}_{o}"] = {}, None
+        for r in sizes:
+            b = r[bname]
+            for key in offs:
+                if key.startswith("_m"):
+                    if acc[key] is not None:  # exclusive prefix MIN
+                        offs[key][b] = acc[key]
+                    v = r[key]
+                    if v is not None and (acc[key] is None
+                                          or v < acc[key]):
+                        acc[key] = v
+                else:  # exclusive prefix SUM
+                    offs[key][b] = acc[key]
+                    acc[key] += r[key] or 0
+
+        def off_sql(key: str, dt: str, bn=bname, offmaps=offs):
+            m = offmaps[key]
+            if not m:
+                return F.expr(f"CAST(NULL AS {dt})")
+            body = ", ".join(f"{b}, {_sql_lit(v, dt)}"
+                             for b, v in m.items())
+            return F.expr(f"element_at(map({body}), `{bn}`)")
+
+        sort_cols = [F.col(n).desc() if d else F.col(n).asc()
+                     for n, d in order]
+        wp = Window.partitionBy(bname).orderBy(*sort_cols)
+        out = out.withColumn(
+            rank_col,
+            F.row_number().over(wp)
+            + F.coalesce(off_sql("_n", "bigint"), F.lit(0)))
+        run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for o, c in cum_sums:
+            out = out.withColumn(
+                o, F.sum(c).over(run)
+                + F.coalesce(off_sql(f"_s{i}_{o}", "bigint"), F.lit(0)))
+        excl = wp.rowsBetween(Window.unboundedPreceding, -1)
+        for o, c in cum_mins:
+            out = out.withColumn(
+                o, F.least(F.min(c).over(excl),
+                           off_sql(f"_m{i}_{o}", dtypes[c])))
+    return out.drop(*bnames), n_total
+
+
+
+def global_order_scalable(df: DataFrame, order_cols: list,
+                          rank_col: str = "r",
+                          cum_sums: tuple = (),
+                          cum_mins: tuple = (),
+                          n_ranges: int = 32) -> tuple[DataFrame, int]:
+    """Single-order form of :func:`global_orders_scalable` (see there for
+    the scale argument and the output-identity contract)."""
+    return global_orders_scalable(
+        df, [(rank_col, order_cols, cum_sums, cum_mins)],
+        n_ranges=n_ranges)
 
 
 def ntile_from_rank(rank, n_total: int, n_tiles: int):
@@ -231,7 +386,7 @@ def dq171_global_ntile_scalable(t: dict, n_tiles: int = 4,
     producing IDENTICAL output."""
     ranked, n_total = global_order_scalable(
         t["customer"].select("c_custkey", "c_acctbal"),
-        [F.col("c_acctbal"), F.col("c_custkey")], n_ranges=n_ranges)
+        ["c_acctbal", "c_custkey"], n_ranges=n_ranges)
     return ranked.select(
         "c_custkey",
         ntile_from_rank(F.col("r"), n_total, n_tiles).alias("q"),

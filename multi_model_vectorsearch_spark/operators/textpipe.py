@@ -965,24 +965,25 @@ def dq128_simhash_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
-    cross = (
-        sig_pairs
+    # r15 fusion (same move as dq247/dq248): identical-signature doc pairs
+    # ride the cross arm's two expand joins as diagonal class pairs
+    # (hd = 0) instead of a separate full self-join of sig.
+    # No presentation sort: result order is not part of the contract and a
+    # global sort of millions of pairs is pure shuffle tax.
+    allp = sig_pairs.unionByName(
+        usig.select(F.col("simhash").alias("s1"),
+                    F.col("simhash").alias("s2"),
+                    F.lit(0).alias("hd")))
+    return (
+        allp
         .join(sig.select(F.col("doc_id").alias("da"),
                          F.col("simhash").alias("s1")), "s1")
         .join(sig.select(F.col("doc_id").alias("db"),
                          F.col("simhash").alias("s2")), "s2")
+        .filter((F.col("hd") > 0) | (F.col("da") < F.col("db")))
         .select(F.least("da", "db").alias("d1"),
                 F.greatest("da", "db").alias("d2"), "hd")
     )
-    same = (
-        sig.select(F.col("doc_id").alias("d1"), "simhash")
-        .join(sig.select(F.col("doc_id").alias("d2"), "simhash"), "simhash")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.lit(0).alias("hd"))
-    )
-    # no presentation sort: result order is not part of the contract and a
-    # global sort of millions of pairs is pure shuffle tax
-    return cross.unionByName(same)
 
 
 #: 48-bit signatures for dq247's LSH (separate from dq43's 16-bit cache)
@@ -1057,22 +1058,28 @@ def dq247_simhash48_band_pairs(t: Tables, max_hd: int = 3,
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
-    cross = (
-        sig_pairs
+    # r15 fusion: the identical-signature ("same") doc pairs used to be a
+    # separate self-join of the full sig table. A class pair (s, s, hd=0)
+    # per distinct signature folds them into the SAME two expand joins as
+    # the cross pairs — one shuffle join on signature disappears. Class
+    # pairs with s1 < s2 have hd >= 1, so `hd = 0` exactly marks the
+    # diagonal, where both expansions come from one class and the d1 < d2
+    # filter keeps each unordered pair once (cross pairs span two disjoint
+    # classes: da never equals db and least/greatest cannot collide).
+    allp = sig_pairs.unionByName(
+        usig.select(F.col("simhash").alias("s1"),
+                    F.col("simhash").alias("s2"),
+                    F.lit(0).alias("hd")))
+    return (
+        allp
         .join(sig.select(F.col("doc_id").alias("da"),
                          F.col("simhash").alias("s1")), "s1")
         .join(sig.select(F.col("doc_id").alias("db"),
                          F.col("simhash").alias("s2")), "s2")
+        .filter((F.col("hd") > 0) | (F.col("da") < F.col("db")))
         .select(F.least("da", "db").alias("d1"),
                 F.greatest("da", "db").alias("d2"), "hd")
     )
-    same = (
-        sig.select(F.col("doc_id").alias("d1"), "simhash")
-        .join(sig.select(F.col("doc_id").alias("d2"), "simhash"), "simhash")
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.lit(0).alias("hd"))
-    )
-    return cross.unionByName(same)
 
 
 _SIMHASH64_CACHE: dict = {}
@@ -1171,25 +1178,27 @@ def dq248_simhash64_band_pairs(t: Tables, max_hd: int = 3) -> DataFrame:
         .filter(F.col("hd") <= max_hd)
         .distinct()
     )
-    cross = (
-        sig_pairs
+    # r15 fusion (same move as dq247): identical-signature doc pairs ride
+    # the cross arm's two expand joins as diagonal class pairs (hd = 0)
+    # instead of a third full self-join of sig on both lanes.
+    allp = sig_pairs.unionByName(
+        usig.select(F.col("sig_hi").alias("h1"),
+                    F.col("sig_lo").alias("l1"),
+                    F.col("sig_hi").alias("h2"),
+                    F.col("sig_lo").alias("l2"),
+                    F.lit(0).cast("int").alias("hd")))
+    return (
+        allp
         .join(sig.select(F.col("doc_id").alias("da"),
                          F.col("sig_hi").alias("h1"),
                          F.col("sig_lo").alias("l1")), ["h1", "l1"])
         .join(sig.select(F.col("doc_id").alias("db"),
                          F.col("sig_hi").alias("h2"),
                          F.col("sig_lo").alias("l2")), ["h2", "l2"])
+        .filter((F.col("hd") > 0) | (F.col("da") < F.col("db")))
         .select(F.least("da", "db").alias("d1"),
                 F.greatest("da", "db").alias("d2"), "hd")
     )
-    same = (
-        sig.select(F.col("doc_id").alias("d1"), "sig_hi", "sig_lo")
-        .join(sig.select(F.col("doc_id").alias("d2"), "sig_hi", "sig_lo"),
-              ["sig_hi", "sig_lo"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.lit(0).cast("int").alias("hd"))
-    )
-    return cross.unionByName(same)
 
 
 def dq130_repeated_ngrams(t: Tables, n: int = 8, min_count: int = 3,
@@ -1899,7 +1908,7 @@ def dq227_vocab_coverage_curve(t: Tables) -> DataFrame:
         F.explode(F.split("text", " ")).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
     ranked, _n = global_order_scalable(
-        vocab, [F.desc("c"), F.asc("tok")], rank_col="r",
+        vocab, [("c", "desc"), "tok"], rank_col="r",
         cum_sums=(("cum", "c"),))
     total = vocab.agg(F.sum("c").alias("n_total"),
                       F.count("*").alias("vocab_size"))

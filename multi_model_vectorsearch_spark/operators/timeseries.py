@@ -1194,7 +1194,7 @@ def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
     one.
     """
     from multi_model_vectorsearch_spark.operators.scale import (
-        global_order_scalable,
+        global_orders_scalable,
         ntile_from_rank,
     )
 
@@ -1208,12 +1208,14 @@ def dq238_rfm_segments(t: Tables, n_tiles: int = 5) -> DataFrame:
         F.count("*").alias("freq"),
         F.sum("cents").alias("monetary_c"),
     )
-    u, n = global_order_scalable(
-        u, [F.desc("last_us"), F.asc("user_id")], rank_col="_rr")
-    u, _ = global_order_scalable(
-        u, [F.desc("freq"), F.asc("user_id")], rank_col="_rf")
-    u, _ = global_order_scalable(
-        u, [F.desc("monetary_c"), F.asc("user_id")], rank_col="_rm")
+    # one fused pass: the user table pins ONCE and one driver sample
+    # serves all three boundary sets (r15 — the chained form paid a
+    # sampling job + eager pin + collect per score)
+    u, n = global_orders_scalable(u, [
+        ("_rr", [("last_us", "desc"), "user_id"], (), ()),
+        ("_rf", [("freq", "desc"), "user_id"], (), ()),
+        ("_rm", [("monetary_c", "desc"), "user_id"], (), ()),
+    ])
     return u.select(
         "user_id", "freq",
         F.col("monetary_c").alias("monetary_cents"),
@@ -1291,7 +1293,7 @@ def dq243_lorenz_deciles(t: Tables) -> DataFrame:
              .alias("c"))
     )
     ranked, n = global_order_scalable(
-        spend, [F.asc("c"), F.asc("user_id")], rank_col="_r")
+        spend, ["c", "user_id"], rank_col="_r")
     tiled = ranked.withColumn(
         "decile", ntile_from_rank(F.col("_r"), n, 10))
     per_d = tiled.groupBy("decile").agg(

@@ -72,16 +72,14 @@ def partitionless_windows(df: DataFrame) -> list[str]:
 #       over an unbounded input; a documented scale-safe twin exists.
 # Round-8 audit result. Entries NOT listed here must plan ZERO
 # partitionless windows (tests/test_plans.py enforces exhaustiveness).
-# Migrated OFF the list this round via operators.scale.global_order_scalable
-# (range-partition + offset broadcast, output-identical): dq227 (vocab
-# rank+cumsum — a 100 TB whitespace vocab is billions of tokens),
-# dq238 (3 ntiles over the unbounded user dimension), dq243's user ntile.
+# Migrated OFF the list via operators.scale.global_order_scalable
+# (sampled-boundary range + offset broadcast, output-identical):
+# r8: dq227 (vocab rank+cumsum — a 100 TB whitespace vocab is billions of
+# tokens), dq238 (3 ntiles over the unbounded user dimension), dq243's
+# user ntile. r15: dq18 (NTILE over raw customers — the last raw-row
+# funnel), dq236 (cumulative count over near-unique per-user spend sums),
+# dq197 (running min over distinct prices, via cum_mins).
 GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {
-    "dq18_ntile": (
-        "global-order",
-        "declared B28 contract: NTILE over all customers; the scale-safe "
-        "twin is dq171_global_ntile_scalable (identical output, "
-        "range-partition + offset broadcast)"),
     "dq64_hybrid_rrf": (
         "driver-bounded",
         "both rank windows run AFTER .orderBy().limit(arm_k) — "
@@ -91,10 +89,6 @@ GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {
         "driver-bounded",
         "rank window runs on the broadcast candidate pool AFTER "
         ".limit(n_cand) — ≤ n_cand (50) rows by construction"),
-    "dq197_skyline": (
-        "domain-bounded",
-        "running-min window over the DISTINCT-price aggregate "
-        "(one row per distinct p_retailprice), never the part table"),
     "dq201_compaction_plan": (
         "domain-bounded",
         "running-sum window over the per-day file-count aggregate — "
@@ -102,10 +96,6 @@ GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {
     "dq233_benford_audit": (
         "domain-bounded",
         "whole-frame sum over the 9-row first-digit count table"),
-    "dq236_gini": (
-        "domain-bounded",
-        "running-count window over the DISTINCT per-user-spend-cents "
-        "value table (value domain, not user count)"),
     "dq243_lorenz_deciles": (
         "domain-bounded",
         "remaining window is the cumulative share over the 10-row decile "
