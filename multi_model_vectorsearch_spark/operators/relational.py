@@ -1035,32 +1035,33 @@ def dq199_weighted_median(t: Tables) -> DataFrame:
     robust 'typical price weighted by volume' statistic (quantity-weighted
     p50), which a plain median misstates whenever cheap items ship in bulk.
 
-    Weights collapse onto DISTINCT price first (groupBy), so the cumulative
-    window runs over the distinct-value table, not the raw scan — at 100 TB
-    that is shuffle-once to (flag, price), map-side-combined, then a
-    partition-local running sum over a group-cardinality-sized frame.
-    Quantities are integral doubles cast to bigint, so every comparison is
-    exact integer arithmetic; the output price is carried untouched (no
-    float summation anywhere).
+    r15: the selection runs through the two-phase bucket pass
+    (``grouped_lower_median_scalable`` — ``cw·2 >= tw`` on integer
+    weights is exactly ``cw >= (tw+1) div 2``, the helper's target).
+    The bucket key is the 64Ki-cent band of the price — monotone in
+    price, domain-bounded — so phase 1 is ONE map-side histogram
+    aggregate straight off the scan (the old (flag, price) collapse
+    shuffled the whole fact table once) and phase 2's per-flag running
+    weight touches only the median's bucket, with the RANGE window frame
+    summing tied prices exactly like the distinct-value collapse did.
+    Quantities are integral doubles cast to bigint, so every comparison
+    is exact integer arithmetic; the output price is carried untouched
+    (no float summation anywhere).
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        grouped_lower_median_scalable,
+    )
+
     li = t["lineitem"].select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("bigint").alias("q"),
     )
-    per_price = li.groupBy("l_returnflag", "price").agg(
-        F.sum("q").alias("w"))
-    wp = Window.partitionBy("l_returnflag")
-    cum = (
-        per_price
-        .withColumn("cw", F.sum("w").over(wp.orderBy("price")))
-        .withColumn("tw", F.sum("w").over(wp))
-    )
-    return (
-        cum.filter(F.col("cw") * 2 >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(snap(F.min("price"), 100).alias("wmedian_cents"))
-    )
+    med = grouped_lower_median_scalable(
+        li, "l_returnflag", "price", "q", "wmedian",
+        F.shiftright(F.round(F.col("price") * 100).cast("bigint"), 16))
+    return med.select(
+        "l_returnflag", snap(F.col("wmedian"), 100).alias("wmedian_cents"))
 
 
 def dq212_grouping_sets(t: Tables) -> DataFrame:
@@ -1130,6 +1131,9 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
     Deviations, 3·MAD, and the outlier test are all exact bigint
     arithmetic.
     """
+    from multi_model_vectorsearch_spark.operators.scale import (
+        grouped_lower_median_scalable,
+    )
     from multi_model_vectorsearch_spark.operators.textpipe import (
         _session_cached,
     )
@@ -1142,30 +1146,32 @@ def dq225_mad_outliers(t: Tables) -> DataFrame:
         )
         return li.groupBy("l_returnflag", "x").agg(F.count("*").alias("c"))
 
-    wp = Window.partitionBy("l_returnflag")
     per_v = _session_cached(_DQ225_CACHE, t, collapsed, table="lineitem")
 
-    def lower_median(pv, col: str, out: str):
-        cum = (
-            pv
-            .withColumn("cw", F.sum("c").over(wp.orderBy(col)))
-            .withColumn("n", F.sum("c").over(wp))
-        )
-        return (
-            cum.filter(F.col("cw") >= F.floor((F.col("n") + 1) / 2))
-            .groupBy("l_returnflag").agg(F.min(col).alias(out))
-        )
-
-    med = lower_median(per_v, "x", "med_c")
-    dev_v = (
+    # r15: both lower medians run through the two-phase bucket selection
+    # (grouped_lower_median_scalable) — the old per-flag cumulative
+    # windows funneled each flag's whole distinct-cents table into one
+    # task, and the whole-partition `n` window buffered it a second
+    # time. The 64Ki-cent bucket histogram is domain-bounded (a few
+    # hundred rows collected), and the only windows left run over one
+    # bucket per flag. The dev (|x − med|) distribution never
+    # materializes as its own grouped table any more: the MAD selection
+    # and the final census both derive it inline from the session-cached
+    # per_v, which keeps every pass a map-side expression over the one
+    # cached collapse.
+    med = grouped_lower_median_scalable(
+        per_v, "l_returnflag", "x", "c", "med_c",
+        F.shiftright("x", 16))
+    dev = (
         per_v.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag", "med_c",
-                 F.abs(F.col("x") - F.col("med_c")).alias("d"))
-        .agg(F.sum("c").alias("c"))
+        .select("l_returnflag", "med_c", "c",
+                F.abs(F.col("x") - F.col("med_c")).alias("d"))
     )
-    mad = lower_median(dev_v.select("l_returnflag", "d", "c"), "d", "mad_c")
+    mad = grouped_lower_median_scalable(
+        dev, "l_returnflag", "d", "c", "mad_c",
+        F.shiftright("d", 16))
     return (
-        dev_v.join(F.broadcast(mad), "l_returnflag")
+        dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.sum("c").alias("n"),
@@ -1215,11 +1221,14 @@ def dq233_benford_audit(t: Tables) -> DataFrame:
                  1_000_000_000_000),
         )
     )
-    return staged.select(
+    # r15: the whole-frame sum over the 9-row digit table rides a
+    # broadcast one-row aggregate instead of a partitionless window
+    chi_tot = staged.agg(F.sum("chi_term").alias("chi_sq_pico"))
+    return staged.crossJoin(F.broadcast(chi_tot)).select(
         "digit", "n_obs",
         snap(F.col("p_obs")).alias("p_obs_micro"),
         snap(F.col("p_exp")).alias("p_exp_micro"),
-        F.sum("chi_term").over(Window.partitionBy()).alias("chi_sq_pico"),
+        "chi_sq_pico",
     )
 
 

@@ -84,27 +84,30 @@ def dq64_hybrid_rrf(t: Tables, query_vec_id: int = 0, k: int = 10,
     """
     # Each arm's top-k is orderBy().limit() — TakeOrderedAndProject, a
     # per-partition heap + driver merge — NOT a global row_number() window,
-    # which would funnel every scored corpus row through one task. Ranks are
-    # then assigned by a window over the ≤ arm_k-row result, where a
-    # single-partition sort is free.
-    wv = Window.orderBy(F.desc("s_micro"), F.asc("vec_id"))
-    vec_arm = (
+    # which would funnel every scored corpus row through one task. Ranks
+    # over the ≤ arm_k-row result come from one sorted-array posexplode
+    # (r15): identical to row_number over (s_micro desc, id asc) — the
+    # negated score makes the struct sort ascending — with no partitionless
+    # WindowExec left anywhere in the plan.
+    def ranked_arm(pool, id_col: str, rank_name: str):
+        arr = pool.agg(F.sort_array(F.collect_list(F.struct(
+            (-F.col("s_micro")).alias("ns"),
+            F.col(id_col).alias("id")))).alias("a"))
+        return arr.select(
+            F.posexplode("a").alias("pos", "r")
+        ).select(F.col("r.id").alias("id"),
+                 (F.col("pos") + 1).cast("int").alias(rank_name))
+
+    vec_arm = ranked_arm(
         similarity_scan(t, f"vec_id = {query_vec_id}", pin_self=False)
         .select("vec_id", "s_micro")
         .orderBy(F.desc("s_micro"), F.asc("vec_id"))
-        .limit(arm_k)
-        .withColumn("rv", F.row_number().over(wv))
-        .select(F.col("vec_id").alias("id"), "rv")
-    )
-    wl = Window.orderBy(F.desc("s_micro"), F.asc("doc_id"))
-    lex_arm = (
+        .limit(arm_k), "vec_id", "rv")
+    lex_arm = ranked_arm(
         _bm25_scores(t, terms)
         .select("doc_id", snap(F.col("raw")).alias("s_micro"))
         .orderBy(F.desc("s_micro"), F.asc("doc_id"))
-        .limit(arm_k)
-        .withColumn("rl", F.row_number().over(wl))
-        .select(F.col("doc_id").alias("id"), "rl")
-    )
+        .limit(arm_k), "doc_id", "rl")
     fused = vec_arm.join(lex_arm, "id", "full_outer").select(
         "id",
         snap(

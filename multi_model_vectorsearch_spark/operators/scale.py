@@ -364,6 +364,77 @@ def global_order_scalable(df: DataFrame, order_cols: list,
         n_ranges=n_ranges)
 
 
+def grouped_lower_median_scalable(df, part_col: str, val_col: str,
+                                  w_col: str, out_col: str,
+                                  bucket) -> DataFrame:
+    """Exact per-group WEIGHTED lower median — the smallest ``val_col``
+    whose running ``w_col`` weight (over the group's value order, ties
+    inclusive) reaches ``ceil(total/2)`` — without ever running a
+    group-sized window.
+
+    Two-phase integer-bucket selection:
+
+    1. ``bucket`` is any MONOTONE non-decreasing integer derivation of
+       ``val_col`` (e.g. ``shiftright(cents, 16)``), so its range is
+       bounded by the VALUE DOMAIN, not the row count. One map-side
+       aggregation collects the per-(group, bucket) weight histogram —
+       a few hundred rows at any corpus size — and the driver walks each
+       group's cumulative weights to find the single bucket containing
+       the median plus the weight remaining inside it.
+    2. One filtered pass touches ONLY the target bucket of each group:
+       a per-group running weight over at most one bucket's worth of
+       rows (window input bounded by the bucket width — a constant —
+       times the group count), then ``min(val)`` past the target.
+
+    Output is exactly the classic cumulative-window selection
+    (``filter(cum*2 >= total)`` / ``filter(cum >= floor((n+1)/2))`` —
+    both equal ``cum >= (total+1) div 2`` on integers): the window's
+    default RANGE frame makes the running weight at a row the total
+    weight of all values <= it, which phase 2 reproduces on the raw
+    (even un-collapsed) rows. All arithmetic is exact integers up to
+    the selection; ``val_col`` itself is carried untouched. Two driver
+    jobs total (histogram collect + the consumer's action); no pin, no
+    sampling, no group-sized sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    hist = (df.groupBy(part_col, bucket.alias("_mb"))
+            .agg(F.sum(w_col).alias("_mw")).collect())
+    per: dict[object, list] = {}
+    for r in hist:
+        per.setdefault(r[part_col], []).append((r["_mb"], r["_mw"]))
+    targets: dict[object, tuple[int, int]] = {}
+    for p, lst in per.items():
+        lst.sort()
+        tgt = (sum(w for _, w in lst) + 1) // 2
+        cum = 0
+        for mb, w in lst:
+            if cum + w >= tgt:
+                targets[p] = (mb, tgt - cum)  # weight still needed inside
+                break
+            cum += w
+    if not targets:
+        return (df.groupBy(part_col)
+                .agg(F.min(val_col).alias(out_col)).limit(0))
+    pred = None
+    for p, (mb, _) in targets.items():
+        term = (F.col(part_col) == F.lit(p)) & (bucket == F.lit(mb))
+        pred = term if pred is None else (pred | term)
+    need = F.element_at(
+        F.create_map(*[F.lit(x) for p, (_, t) in targets.items()
+                       for x in (p, t)]),
+        F.col(part_col))
+    wv = Window.partitionBy(part_col).orderBy(val_col)  # RANGE frame: ties
+    return (
+        df.filter(pred)
+        .withColumn("_cw", F.sum(w_col).over(wv))
+        .filter(F.col("_cw") >= need)
+        .groupBy(part_col)
+        .agg(F.min(val_col).alias(out_col))
+    )
+
+
+
 def ntile_from_rank(rank, n_total: int, n_tiles: int):
     """SQL ``NTILE(n)`` as closed-form arithmetic on a global rank: the
     first ``n_total mod n`` tiles get ``ceil(n_total/n)`` rows, the rest
@@ -464,10 +535,11 @@ def dq201_compaction_plan(t: dict, target_rows: int = 500) -> DataFrame:
     the plan an OPTIMIZE/compact job executes.
 
     Streaming next-fit chunker: bin = floor(exclusive-cumulative-size /
-    target) over the date-ordered partition list. The window runs over
-    the PARTITION LIST (one row per day — 100 TB of data is still only
-    thousands of partitions), never the data, so the global sort is over
-    a trivially small table; the data movement it plans is
+    target) over the date-ordered partition list. The running size runs
+    over the PARTITION LIST (one row per day — 100 TB of data is still
+    only thousands of partitions), never the data, via the
+    ``global_order_scalable`` sampled-boundary pass (r15 — no
+    partitionless window even here); the data movement it plans is
     repartitionByRange on the emitted bin id. All arithmetic is exact
     bigint counts. d_min/d_max are emitted as DATE, not timestamp_ntz:
     the driver's pandas canonicalizer diverges on timestamp columns
@@ -475,17 +547,19 @@ def dq201_compaction_plan(t: dict, target_rows: int = 500) -> DataFrame:
     in CORRECTNESS_r05 with timestamp_ntz outputs; dq68's DATE outputs
     have a green history since r1).
     """
-    from pyspark.sql import Window
-
     sizes = (
         t["orders"]
         .groupBy(F.col("o_orderdate").alias("d"))
         .agg(F.count("*").alias("n"))
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
-    binned = sizes.withColumn(
+    # r15: the date-ordered exclusive running size comes from the
+    # sampled-boundary range pass (exclusive = inclusive − n) instead of
+    # a partitionless window over the per-day table
+    ranked, _n = global_order_scalable(
+        sizes, ["d"], rank_col="_r", cum_sums=(("_cum_in", "n"),))
+    binned = ranked.withColumn(
         "bin",
-        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / target_rows)
+        F.floor((F.col("_cum_in") - F.col("n")) / target_rows)
         .cast("bigint"),
     )
     return (

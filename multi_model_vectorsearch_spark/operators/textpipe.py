@@ -332,16 +332,24 @@ def jaccard_pairs_shared(t: Tables, max_df: int = JACCARD_MAX_DF) -> DataFrame:
 
 def _jaccard_pairs_impl(t: Tables, max_df: int) -> DataFrame:
     sh = _shingles(t)
-    # df via a count window instead of aggregate+join-back: ONE exchange
-    # on shingle serves the cap filter AND the per-shingle grouping (the
-    # groupBy below reuses the window's hash partitioning), where the
-    # join-back form shuffled the shingle table three times. Measured
-    # 3.2 s → 2.0 s warm at sf0.1 for the pair build.
-    w = Window.partitionBy("shingle")
-    capped = (
-        sh.withColumn("df", F.count("*").over(w))
+    # r15: df via a map-side partial-aggregated count JOINED back, not a
+    # count window. The window form funneled every row of a hot shingle
+    # (corpus-wide stop-phrase) through ONE WindowExec task — buffered,
+    # unsplittable, the guide §2.5 straggler — before the cap could drop
+    # it; the aggregate's partial combine reduces a hot key to one row
+    # per map task, and the join back IS AQE-skew-splittable. The join
+    # output keeps the shingle hash partitioning, so the collect_list
+    # grouping below adds no exchange, and arrays still only materialize
+    # AFTER the cap (the r14-declined single-groupBy form built them
+    # before it — the recorded per-task memory hazard). A/B at sf0.1:
+    # cold 3.67 → 3.06 s (the session-cached build is always cold in the
+    # suite), warm 1.85 → 2.4 (paid zero times — downstream entries ride
+    # the cache); rows verified identical.
+    dfc = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_df)
     )
+    capped = sh.join(dfc, "shingle")
     # |A| over the capped universe: df==1 shingles still count toward
     # sizes even though they can never appear in an intersection
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -437,9 +445,16 @@ def _simhash_from_bits(toks: DataFrame, bit_sqls: list[str],
                  if _VOTE_FIELDS * i + j < len(bit_sqls)]
         aggs.append(F.sum(F.expr(" + ".join(terms))).alias(f"s{i}"))
     votes = toks.groupBy("doc_id").agg(*aggs)
+    # r15 (r14 advice): the packed counters are exact only while each doc
+    # contributes < 2^_VOTE_FIELD_BITS vote rows — past that a field would
+    # carry into its neighbor and signatures would go silently wrong. The
+    # per-doc row count is already aggregated, so the guard is one free
+    # comparison that fails LOUDLY instead.
+    guard = (f"IF(n < {field}, 0, raise_error(concat('simhash packed-vote "
+             f"overflow: doc has ', n, ' >= {field} vote rows')))")
     outs = []
     for name, bits_list in out_lanes:
-        terms = []
+        terms = [guard]
         for w_exp, b in enumerate(reversed(list(bits_list))):
             i, j = b // _VOTE_FIELDS, b % _VOTE_FIELDS
             ones = f"((s{i} div {field ** j}) % {field})"
@@ -1758,10 +1773,17 @@ def dq202_bigram_lm(t: Tables, add_k: float = 0.5) -> DataFrame:
             "(x, i) -> concat(x, ' ', w[i + 1]))")).alias("bg"),
     )
     per_doc = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("tf"))
-    c2 = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    # r15: corpus bigram counts and left-context counts fold FROM the
+    # per-doc counts (sum of tf ≡ count of occurrences, exact integers)
+    # instead of re-exploding the corpus — the bigram explode and its
+    # exchange now appear once in the plan and are reused by all three
+    # aggregates, where the old form ran three explode+shuffle passes.
+    c2 = per_doc.groupBy("bg").agg(F.sum("tf").alias("c2"))
     c1 = (
-        bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
-        .groupBy("w1").agg(F.count("*").alias("c1"))
+        per_doc
+        .groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+                 .alias("w1"))
+        .agg(F.sum("tf").alias("c1"))
     )
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("tok"))

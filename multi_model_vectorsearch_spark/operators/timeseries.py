@@ -48,7 +48,9 @@ def dq70_gapfill(t: Tables) -> DataFrame:
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
         .alias("sv")
     )
-    bounds = ev.groupBy("user_id").agg(
+    # r15: bounds fold from the hourly aggregate (same hb set per user),
+    # not a second scan+shuffle of the raw events table
+    bounds = hourly.groupBy("user_id").agg(
         F.min("hb").alias("lo"), F.max("hb").alias("hi")
     )
     grid = bounds.select(
@@ -359,7 +361,9 @@ def dq178_interpolate(t: Tables) -> DataFrame:
         (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
         .alias("sv")
     )
-    bounds = ev.groupBy("user_id").agg(
+    # r15: bounds fold from the hourly aggregate (same hb set per user),
+    # not a second scan+shuffle of the raw events table
+    bounds = hourly.groupBy("user_id").agg(
         F.min("hb").alias("lo"), F.max("hb").alias("hi")
     )
     grid = bounds.select(
@@ -1279,8 +1283,8 @@ def dq243_lorenz_deciles(t: Tables) -> DataFrame:
     round-8 migration: the user dimension is unbounded, so the old
     partitionless ntile window was a genuine single-task funnel) with a
     deterministic (spend, user_id) tie-break; shares are exact integer
-    cents ratios. The remaining partitionless window runs over the
-    10-row decile table — domain-bounded by construction.
+    cents ratios. The running share over the 10-row decile table is a
+    broadcast non-equi self-join (r15) — no partitionless window left.
     """
     from multi_model_vectorsearch_spark.operators.scale import (
         global_order_scalable,
@@ -1299,11 +1303,18 @@ def dq243_lorenz_deciles(t: Tables) -> DataFrame:
     per_d = tiled.groupBy("decile").agg(
         F.count("*").alias("n_users"), F.sum("c").alias("dc"))
     tot = per_d.agg(F.sum("dc").alias("tc"))
-    wc = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
+    # r15: the running share over the 10-row decile table comes from a
+    # broadcast non-equi self-join (exact integer sums) instead of a
+    # partitionless window — 10×10 pairs, bounded by construction
+    prior = per_d.select(F.col("decile").alias("d2"),
+                         F.col("dc").alias("dc2"))
+    cum = (
+        per_d.join(F.broadcast(prior), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_users", "dc")
+        .agg(F.sum("dc2").alias("cum_dc"))
+    )
     return (
-        per_d.crossJoin(F.broadcast(tot))
-        .withColumn("cum_dc", F.sum("dc").over(wc))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "decile", "n_users",
             snap(F.col("dc").cast("double") / F.col("tc"))

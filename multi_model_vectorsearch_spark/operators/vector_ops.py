@@ -321,12 +321,15 @@ def dq146_grouped_maxsim(t: Tables, query_vec_id: int = 0, k: int = 5) -> DataFr
     scored = e.crossJoin(F.broadcast(q)).select(
         "label", "vec_id", s.alias("s_micro")
     )
-    # per-group argmax via min_by over (-s, vec_id) — same tie rule as
-    # orderBy(s desc, vec_id asc), map-side combinable, no window sort
+    # per-group argmax via max_by over (s, -vec_id) — same tie rule as
+    # orderBy(s desc, vec_id asc), map-side combinable, no window sort.
+    # max_by (not min_by of the negation): a NULL s_micro sorts SMALLEST
+    # under max semantics and loses the group, matching the old
+    # nulls-last-desc window behavior (r14 advice).
     best = (
         scored.groupBy("label")
-        .agg(F.min_by(F.struct("vec_id", "s_micro"),
-                      F.struct(-F.col("s_micro"), F.col("vec_id")))
+        .agg(F.max_by(F.struct("vec_id", "s_micro"),
+                      F.struct("s_micro", -F.col("vec_id")))
              .alias("b"))
         .select("label", F.col("b.vec_id").alias("best_vec"),
                 F.col("b.s_micro").alias("s_micro"))
@@ -423,14 +426,22 @@ def dq149_diversity_filter(t: Tables, query_vec_id: int = 0, n_cand: int = 50,
         .limit(n_cand)
     )
     e = t["embeddings"].select("vec_id", "embedding")
+    # r15: ranks over the ≤ n_cand pool come from one sorted-array
+    # posexplode (identical to row_number over (s_micro desc, vec_id
+    # asc); the negated score sorts the struct ascending) instead of a
+    # partitionless window — which also stops the optimizer duplicating
+    # the window+join subtree into each of the three consumers below.
+    pool = cand.agg(F.sort_array(F.collect_list(F.struct(
+        (-F.col("s_micro")).alias("ns"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("s_micro").alias("s_micro")))).alias("a"))
+    ranked_ids = pool.select(
+        F.posexplode("a").alias("pos", "r")
+    ).select("r.vec_id", "r.s_micro",
+             (F.col("pos") + 1).cast("int").alias("rank"))
     ranked = (
-        e.join(F.broadcast(cand), "vec_id")
-        .select(
-            "vec_id", "s_micro", "embedding",
-            F.row_number().over(
-                Window.orderBy(F.desc("s_micro"), F.asc("vec_id")))
-            .alias("rank"),
-        )
+        e.join(F.broadcast(ranked_ids), "vec_id")
+        .select("vec_id", "s_micro", "embedding", "rank")
     )
     hi = ranked.select(F.col("rank").alias("hr"),
                        F.col("embedding").alias("hv"))

@@ -79,29 +79,13 @@ def partitionless_windows(df: DataFrame) -> list[str]:
 # user ntile. r15: dq18 (NTILE over raw customers — the last raw-row
 # funnel), dq236 (cumulative count over near-unique per-user spend sums),
 # dq197 (running min over distinct prices, via cum_mins).
-GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {
-    "dq64_hybrid_rrf": (
-        "driver-bounded",
-        "both rank windows run AFTER .orderBy().limit(arm_k) — "
-        "TakeOrderedAndProject bounds the window input to ≤ arm_k (50) "
-        "rows; the corpus-sized scoring never passes through a window"),
-    "dq149_diversity_filter": (
-        "driver-bounded",
-        "rank window runs on the broadcast candidate pool AFTER "
-        ".limit(n_cand) — ≤ n_cand (50) rows by construction"),
-    "dq201_compaction_plan": (
-        "domain-bounded",
-        "running-sum window over the per-day file-count aggregate — "
-        "one row per calendar day"),
-    "dq233_benford_audit": (
-        "domain-bounded",
-        "whole-frame sum over the 9-row first-digit count table"),
-    "dq243_lorenz_deciles": (
-        "domain-bounded",
-        "remaining window is the cumulative share over the 10-row decile "
-        "aggregate; the user-dimension ntile was migrated to "
-        "global_order_scalable this round"),
-}
+# r15: EMPTY — the last five classified entries were migrated too
+# (dq64/dq149: sorted-array posexplode ranks over the ≤50-row pools;
+# dq233: broadcast one-row total; dq243: 10-row broadcast self-join;
+# dq201: global_order_scalable cumulative). The registry now plans ZERO
+# partitionless windows; any new one fails tests/test_plans.py until it
+# is either migrated or classified here.
+GLOBAL_WINDOW_CLASS: dict[str, tuple[str, str]] = {}
 
 
 # --- serving/ingest plan audit (round-9 verdict item 3) ---------------------
