@@ -172,6 +172,39 @@ def _sql_lit(v, dt_simple: str) -> str:
     return f"CAST('{v}' AS {dt_simple})"
 
 
+def _boundaries(vals_sorted: list, n_buckets: int) -> list:
+    """Thin an ascending-sorted sample to <= n_buckets-1 distinct range
+    boundaries at even sample positions."""
+    k = len(vals_sorted)
+    nb = min(n_buckets - 1, k)
+    bounds: list = []
+    for i in range(nb):
+        v = vals_sorted[(i + 1) * k // (nb + 1)]
+        if not bounds or v > bounds[-1]:
+            bounds.append(v)
+    return bounds
+
+
+def _bucket_sql(order: list[tuple[str, bool]], bounds: list,
+                dtypes: dict) -> str:
+    """One SQL expression: the row's range-bucket id = how many boundary
+    tuples it sorts strictly after (desc numeric keys pre-negated into
+    the ascending struct on BOTH sides)."""
+    if not bounds:
+        return "CAST(0 AS INT)"
+    key_sql = ", ".join(
+        f"'k{i}', " + (f"-`{name}`" if desc else f"`{name}`")
+        for i, (name, desc) in enumerate(order))
+    terms = []
+    for b in bounds:
+        lit = ", ".join(
+            f"'k{i}', {_sql_lit(v, dtypes[order[i][0]])}"
+            for i, v in enumerate(b))
+        terms.append(f"(CASE WHEN named_struct({key_sql}) > "
+                     f"named_struct({lit}) THEN 1 ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
 def global_orders_scalable(df: DataFrame, specs: list,
                            n_ranges: int = 32) -> tuple[DataFrame, int]:
     """Global ranks (and running sums / strictly-before running mins)
@@ -257,29 +290,9 @@ def global_orders_scalable(df: DataFrame, specs: list,
             tuple((-r[name] if desc else r[name]) for name, desc in order)
             for r in smp
             if all(r[name] is not None for name, _ in order))
-        k = len(vals)
-        nb = min(n_buckets - 1, k)
-        bounds: list[tuple] = []
-        for i in range(nb):
-            v = vals[(i + 1) * k // (nb + 1)]
-            if not bounds or v > bounds[-1]:
-                bounds.append(v)
-        key_sql = ", ".join(
-            f"'k{i}', " + (f"-`{name}`" if desc else f"`{name}`")
-            for i, (name, desc) in enumerate(order))
         bname = f"_gb_{rank_col}"
-        if bounds:
-            terms = []
-            for b in bounds:
-                lit = ", ".join(
-                    f"'k{i}', {_sql_lit(v, dtypes[order[i][0]])}"
-                    for i, v in enumerate(b))
-                terms.append(f"(CASE WHEN named_struct({key_sql}) > "
-                             f"named_struct({lit}) THEN 1 ELSE 0 END)")
-            bucket_sql = "CAST(" + " + ".join(terms) + " AS INT)"
-        else:
-            bucket_sql = "CAST(0 AS INT)"
-        out = out.withColumn(bname, F.expr(bucket_sql))
+        out = out.withColumn(bname, F.expr(_bucket_sql(
+            order, _boundaries(vals, n_buckets), dtypes)))
         plan.append((rank_col, order, cum_sums, cum_mins, bname))
 
     # one grouping-sets job collects every spec's per-bucket counts and

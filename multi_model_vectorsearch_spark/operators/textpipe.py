@@ -332,24 +332,25 @@ def jaccard_pairs_shared(t: Tables, max_df: int = JACCARD_MAX_DF) -> DataFrame:
 
 def _jaccard_pairs_impl(t: Tables, max_df: int) -> DataFrame:
     sh = _shingles(t)
-    # r15: df via a map-side partial-aggregated count JOINED back, not a
-    # count window. The window form funneled every row of a hot shingle
-    # (corpus-wide stop-phrase) through ONE WindowExec task — buffered,
-    # unsplittable, the guide §2.5 straggler — before the cap could drop
-    # it; the aggregate's partial combine reduces a hot key to one row
-    # per map task, and the join back IS AQE-skew-splittable. The join
-    # output keeps the shingle hash partitioning, so the collect_list
-    # grouping below adds no exchange, and arrays still only materialize
-    # AFTER the cap (the r14-declined single-groupBy form built them
-    # before it — the recorded per-task memory hazard). A/B at sf0.1:
-    # cold 3.67 → 3.06 s (the session-cached build is always cold in the
-    # suite), warm 1.85 → 2.4 (paid zero times — downstream entries ride
-    # the cache); rows verified identical.
-    dfc = (
-        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # df via a count window instead of aggregate+join-back: ONE exchange
+    # on shingle serves the cap filter AND the per-shingle grouping (the
+    # groupBy below reuses the window's hash partitioning), where the
+    # join-back form shuffled the shingle table three times. Measured
+    # 3.2 s → 2.0 s warm at sf0.1 for the pair build. r15 re-test of the
+    # partial-agg-count + join-back variant (r14 verdict item 6 —
+    # map-side-combined df, AQE-skew-splittable join): rows identical,
+    # but consistently ~0.5 s SLOWER at sf0.1 on a quiet host (window
+    # 1.4-2.3 s vs join 2.1-2.8 s in suite-order A/B) — the second full
+    # pass over the shingle table costs more than the window's funnel
+    # saves at any measurable skew (the 100× audit's hottest key classes
+    # stay count-only inside the window: bounded memory, no array until
+    # after the cap). Declined again; revisit only if a real corpus
+    # shows a stop-phrase so hot that one count-task stalls the stage.
+    w = Window.partitionBy("shingle")
+    capped = (
+        sh.withColumn("df", F.count("*").over(w))
         .filter(F.col("df") <= max_df)
     )
-    capped = sh.join(dfc, "shingle")
     # |A| over the capped universe: df==1 shingles still count toward
     # sizes even though they can never appear in an intersection
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
