@@ -173,3 +173,68 @@ def test_ivf_index_persists_bucketed_with_bucket_pruning(spark, tables,
         assert got == want
     finally:
         spark.conf.set(key, prev)
+
+
+def test_global_orders_scalable_matches_window_reference(spark, tables):
+    """r15: the sampled-boundary multi-order rank pass (desc keys,
+    cum_sums, cum_mins) is row-identical to the partitionless-window
+    reference it replaced, on a table small enough to brute-force."""
+    from pyspark.sql import Window
+
+    from multi_model_vectorsearch_spark.operators.scale import (
+        global_orders_scalable,
+    )
+
+    ev = tables["events"].select(
+        "user_id", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum("c").alias("spend"), F.count("*").alias("n"))
+    got, n_total = global_orders_scalable(u, [
+        ("r_up", ["spend", "user_id"], (("cum_n", "n"),), ()),
+        ("r_dn", [("spend", "desc"), "user_id"], (),
+         (("prev_min_n", "n"),)),
+    ])
+    assert n_total == u.count()
+    wa = Window.orderBy("spend", "user_id")
+    wd = Window.orderBy(F.desc("spend"), F.asc("user_id"))
+    ref = (
+        u.withColumn("r_up", F.row_number().over(wa))
+        .withColumn("cum_n", F.sum("n").over(
+            wa.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("r_dn", F.row_number().over(wd))
+        .withColumn("prev_min_n", F.min("n").over(
+            wd.rowsBetween(Window.unboundedPreceding, -1)))
+    )
+    cols = ["user_id", "spend", "n", "r_up", "cum_n", "r_dn", "prev_min_n"]
+    assert (sorted(map(tuple, got.select(*cols).collect()))
+            == sorted(map(tuple, ref.select(*cols).collect())))
+
+
+def test_grouped_lower_median_matches_window_reference(tables):
+    """r15: the two-phase bucket median equals the per-group cumulative
+    window selection (ties included via the RANGE frame) exactly —
+    including on raw, un-collapsed rows and a deliberately tiny bucket
+    width that forces multi-bucket selection paths."""
+    from pyspark.sql import Window
+
+    from multi_model_vectorsearch_spark.operators.scale import (
+        grouped_lower_median_scalable,
+    )
+
+    li = tables["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    got = sorted(map(tuple, grouped_lower_median_scalable(
+        li, "l_returnflag", "x", "w", "med",
+        F.shiftright("x", 8)).collect()))
+    per_v = li.groupBy("l_returnflag", "x").agg(F.sum("w").alias("c"))
+    wp = Window.partitionBy("l_returnflag")
+    cum = (per_v.withColumn("cw", F.sum("c").over(wp.orderBy("x")))
+           .withColumn("tw", F.sum("c").over(wp)))
+    ref = sorted(map(tuple, (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag").agg(F.min("x").alias("med"))).collect()))
+    assert got == ref
