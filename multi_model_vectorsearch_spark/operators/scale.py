@@ -353,9 +353,13 @@ def global_orders_scalable(df: DataFrame, specs: list,
             + F.coalesce(off_sql("_n", "bigint"), F.lit(0)))
         run = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         for o, c in cum_sums:
+            # offset literals carry the SUM's type family — a bigint cast
+            # would silently truncate a floating-point running sum
+            sdt = ("double" if dtypes[c] in ("double", "float")
+                   else "bigint")
             out = out.withColumn(
                 o, F.sum(c).over(run)
-                + F.coalesce(off_sql(f"_s{i}_{o}", "bigint"), F.lit(0)))
+                + F.coalesce(off_sql(f"_s{i}_{o}", sdt), F.lit(0)))
         excl = wp.rowsBetween(Window.unboundedPreceding, -1)
         for o, c in cum_mins:
             out = out.withColumn(
